@@ -1,0 +1,134 @@
+"""Metadata predicate builder — the reference's query grammar as Columns.
+
+Query grammar: ``{attribute: [op, value]}``, conjunction (AND) across
+attributes (/root/reference/acorn.py:289-298 template comment). This module
+is the single encoding of the §2.3 predicate matrix (SURVEY.md), replacing
+the reference's three divergent inlined copies
+(/root/reference/pre-filter.py:102-176, /root/reference/acorn.py:72-138 and
+166-214).
+
+Exact semantics preserved:
+- **Missing attribute ⇒ row rejected** (/root/reference/pre-filter.py:108-110,
+  /root/reference/acorn.py:213-214): every constraint carries an
+  ``IS NOT NULL`` conjunct on the attribute, even when the op itself is
+  unsupported.
+- **Unsupported (attr, op) pair ⇒ op silently ignored** (falls through every
+  elif, /root/reference/pre-filter.py returns True) — only the presence
+  check remains.
+- **First-element-only access**: array attributes are consulted at ``[0]``
+  everywhere (/root/reference/acorn.py:176-185).
+- ``substring`` is case-sensitive containment (``target in value``,
+  /root/reference/pre-filter.py:140-174).
+
+Documented deviations (SURVEY.md §2.3):
+- ``item_weight`` comparisons standardize on the unit-normalized pounds
+  value (``normalized_value.value``); the reference's post-filter uses the
+  raw mixed-unit value (/root/reference/acorn.py:83 vs :176) — an internal
+  inconsistency we do not replicate.
+- ``substring`` on ``country`` is supported directly (the reference's code
+  path raises TypeError on the bare string; /root/reference/acorn.py:131).
+
+Because the predicate is a plain Column expression, Catalyst pushes it into
+the Parquet scan (PushedFilters on scalar comparisons) and prunes columns —
+the 100 TB path never materializes rows that fail a pushable conjunct.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ops the reference dispatches per attribute class (SURVEY.md §2.3 matrix)
+_NUMERIC_OPS = {"exact", "leq", "geq", "<", ">"}
+_STRING_OPS = {"exact", "substring"}
+
+
+class AttributeAccessor:
+    """How to read one logical attribute: the value expression used by
+    comparisons, plus the presence expression used for missing-attribute
+    rejection (they differ for array-of-struct attributes, where presence
+    is the array itself being non-null/non-empty)."""
+
+    def __init__(self, value: Column, present: Column, kind: str):
+        self.value = value
+        self.present = present
+        self.kind = kind  # 'numeric' | 'string'
+
+
+def _array_struct_accessor(col: Column, field: str, kind: str) -> AttributeAccessor:
+    # first-element-only: meta[key][0][field]
+    value = col.getItem(0).getField(field)
+    present = col.isNotNull() & (F.size(col) > 0)
+    return AttributeAccessor(value, present, kind)
+
+
+def abo_accessors(prefix: str = "") -> dict[str, AttributeAccessor]:
+    """Accessors for the ABO `items` schema (schemas.ITEMS_SCHEMA)."""
+    c = lambda name: F.col(prefix + name)  # noqa: E731
+    return {
+        "brand": _array_struct_accessor(c("brand"), "value", "string"),
+        "color": _array_struct_accessor(c("color"), "value", "string"),
+        "model_year": _array_struct_accessor(c("model_year"), "value", "numeric"),
+        "item_weight": AttributeAccessor(
+            # normalized pounds value (see module docstring deviation note)
+            c("item_weight").getItem(0).getField("normalized_value").getField("value"),
+            c("item_weight").isNotNull() & (F.size(c("item_weight")) > 0),
+            "numeric",
+        ),
+        "country": AttributeAccessor(c("country"), c("country").isNotNull(), "string"),
+    }
+
+
+def flat_accessors(df_or_schema: DataFrame | Mapping[str, str]) -> dict[str, AttributeAccessor]:
+    """Accessors for a flat relational table (driver testdata): every
+    column is its own attribute; numeric vs string inferred from dtype."""
+    if isinstance(df_or_schema, DataFrame):
+        dtypes = dict(df_or_schema.dtypes)
+    else:
+        dtypes = dict(df_or_schema)
+    out: dict[str, AttributeAccessor] = {}
+    for name, dt in dtypes.items():
+        kind = "string" if dt in ("string", "varchar") else "numeric"
+        col = F.col(name)
+        out[name] = AttributeAccessor(col, col.isNotNull(), kind)
+    return out
+
+
+def build_predicate(
+    query_metadata: Mapping[str, Sequence[Any]],
+    accessors: Mapping[str, AttributeAccessor],
+) -> Column:
+    """Translate ``{attr: [op, value]}`` into one Column conjunction.
+
+    Empty predicate ⇒ ``lit(True)`` (pure vector top-k; the reference's
+    intended empty-dict behavior, SURVEY.md §2.3).
+    Unknown attribute name ⇒ ValueError (the reference would KeyError).
+    """
+    cond = F.lit(True)
+    for attr, (op, value) in query_metadata.items():
+        if attr not in accessors:
+            raise ValueError(f"unknown attribute: {attr!r}")
+        acc = accessors[attr]
+        # strict missing-attribute rejection, always applied
+        cond = cond & acc.present
+
+        supported = _NUMERIC_OPS if acc.kind == "numeric" else _STRING_OPS
+        if op not in supported:
+            continue  # unsupported (attr, op): constraint silently ignored
+
+        v = acc.value
+        if op == "exact":
+            cond = cond & (v == F.lit(value))
+        elif op == "leq":
+            cond = cond & (v <= F.lit(value))
+        elif op == "geq":
+            cond = cond & (v >= F.lit(value))
+        elif op == "<":
+            cond = cond & (v < F.lit(value))
+        elif op == ">":
+            cond = cond & (v > F.lit(value))
+        elif op == "substring":
+            cond = cond & v.contains(F.lit(value))
+    return cond

@@ -1,0 +1,50 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local testing runs on ``local[N]``; the same configuration keys are the
+ones that matter on a 1000-executor cluster (AQE, shuffle partitioning,
+Arrow batching for pandas UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "acorn-hybrid-vector-search-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Defaults:
+    - ``local[$SPARK_GRAFT_CPUS]`` (fallback ``local[*]``) when no master
+      is supplied and none is configured externally.
+    - AQE on: runtime coalescing of shuffle partitions and skew-join
+      handling — the knobs that keep plans healthy at 100× data.
+    - Arrow enabled for pandas UDF exchange.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata events.parquet uses TIMESTAMP(NANOS); read as long
+        # and normalize in sources.testdata.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

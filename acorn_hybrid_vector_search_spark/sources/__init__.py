@@ -1,0 +1,3 @@
+from acorn_hybrid_vector_search_spark.sources.testdata import load_table, load_tables
+
+__all__ = ["load_table", "load_tables"]

@@ -1,0 +1,40 @@
+"""Loaders for the driver-generated parquet testdata (TESTDATA.md).
+
+Replaces the reference's .npy load path (S4,
+/root/reference/pre-filter.py:17-21) with Parquet scans — columnar,
+splittable, predicate-pushdown-capable, the format the engine persists
+everything in.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from acorn_hybrid_vector_search_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TESTDATA_TABLES:
+        raise ValueError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS), which Spark's reader rejects unless
+        # this (runtime-settable) legacy conf is on; works regardless of who
+        # built the session (the driver harness uses its own).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is TIMESTAMP(NANOS) in the parquet footer; with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos LONG —
+    # normalize to a microsecond TIMESTAMP so downstream windowing/watermark
+    # code sees a real timestamp (DuckDB reads the same column as TIMESTAMP).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}

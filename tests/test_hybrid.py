@@ -1,0 +1,99 @@
+"""Hybrid-search strategy tests (FIXTURES.md §6 correctness protocol):
+self-query sanity, cross-strategy agreement, post-filter underfill,
+ACORN-equivalent == exact pre-filter, attribute routing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from acorn_hybrid_vector_search_spark.operators.hybrid import (
+    acorn_search,
+    attribute_partitioned_search,
+    postfilter_search,
+    prefilter_search,
+)
+from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+
+
+@pytest.fixture(scope="module")
+def qvec(embeddings_df):
+    return embeddings_df.filter("vec_id = 17").select("embedding").head()[0]
+
+
+def test_self_query_returns_itself_first(embeddings_df, qvec):
+    top = knn_exact(embeddings_df, qvec, k=1).head()
+    assert top["vec_id"] == 17
+    assert top["dist"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_prefilter_subset_of_filter(embeddings_df, qvec):
+    res = prefilter_search(embeddings_df, qvec, {"label": ["exact", 2]}, k=5).collect()
+    assert len(res) == 5
+    assert all(r["label"] == 2 for r in res)
+    dists = [r["dist"] for r in res]
+    assert dists == sorted(dists)
+
+
+def test_cross_strategy_agreement_low_selectivity(embeddings_df, qvec):
+    """Reference observed identical top-k for pre vs post on permissive
+    filters (6400Project.ipynb cells SZTUGsWfz8Xr/-sLpc-BK0Mqr)."""
+    pred = {"label": ["geq", 0]}  # matches everything
+    pre = [r["vec_id"] for r in prefilter_search(embeddings_df, qvec, pred, k=3).collect()]
+    post = [
+        r["vec_id"]
+        for r in postfilter_search(embeddings_df, qvec, pred, k=3, large_k=50).collect()
+    ]
+    assert pre == post
+
+
+def test_postfilter_underfills_on_selective_predicate(embeddings_df, qvec):
+    """The accuracy-collapse mode the reference studies: selective filter +
+    small large_k can return fewer than k rows — and every returned row must
+    appear in the candidate top-large_k."""
+    pred = {"label": ["exact", 2]}  # 1/5 of rows
+    post = postfilter_search(embeddings_df, qvec, pred, k=10, large_k=15).collect()
+    assert len(post) <= 10
+    cand_ids = {r["vec_id"] for r in knn_exact(embeddings_df, qvec, k=15).collect()}
+    assert {r["vec_id"] for r in post} <= cand_ids
+
+
+def test_acorn_equals_prefilter(embeddings_df, qvec):
+    """K4 contract: exact recall vs the oracle strategy, even when the
+    first oversample round under-fills."""
+    for pred in ({"label": ["exact", 2]}, {"label": ["geq", 0]}, None):
+        pre = [(r["vec_id"], round(r["dist"], 9))
+               for r in prefilter_search(embeddings_df, qvec, pred, k=7).collect()]
+        ac = [(r["vec_id"], round(r["dist"], 9))
+              for r in acorn_search(embeddings_df, qvec, pred, k=7,
+                                    initial_oversample=1, max_rounds=2).collect()]
+        assert ac == pre
+
+
+def test_empty_predicate_is_pure_topk(embeddings_df, qvec):
+    a = [r["vec_id"] for r in prefilter_search(embeddings_df, qvec, {}, k=5).collect()]
+    b = [r["vec_id"] for r in knn_exact(embeddings_df, qvec, k=5).collect()]
+    assert a == b
+
+
+def test_zero_match_predicate_returns_empty(embeddings_df, qvec):
+    assert prefilter_search(embeddings_df, qvec, {"label": ["exact", 99]}, k=5).count() == 0
+
+
+def test_attribute_partitioned_routing(embeddings_df, qvec):
+    """K5: queries constrained on the subset attribute hit the subset and
+    return the same answer as a full-table pre-filter."""
+    subset = embeddings_df.filter("label IS NOT NULL AND label = 2")
+    routed = attribute_partitioned_search(
+        embeddings_df, subset, {"label"}, qvec, {"label": ["exact", 2]}, k=5
+    ).collect()
+    full = prefilter_search(embeddings_df, qvec, {"label": ["exact", 2]}, k=5).collect()
+    assert [r["vec_id"] for r in routed] == [r["vec_id"] for r in full]
+
+
+def test_topk_plan_is_take_ordered(embeddings_df, qvec):
+    """Scale guard: the top-k must compile to TakeOrderedAndProject (per-
+    partition heap + driver merge), not a global Sort."""
+    plan = knn_exact(embeddings_df, qvec, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan

@@ -1,0 +1,127 @@
+"""Mimic the driver's correctness gate locally.
+
+Runs every ``__spark_entry__.queries()`` entry at a given sf_dir, runs the
+matching ``oracle_sql()`` in DuckDB over the same parquet tables, and
+compares row count, sorted column names, and an order-insensitive value
+hash. Usage::
+
+    python tools/selfcheck.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from acorn_hybrid_vector_search_spark.session import get_spark
+from acorn_hybrid_vector_search_spark.schemas import TESTDATA_TABLES
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if v != v:
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+
+    # smoke: entry()
+    if not only:
+        t0 = time.time()
+        edf = entrymod.entry(spark)
+        erows = edf.collect()
+        print(f"entry(): {len(erows)} rows, schema={[f.name for f in edf.schema]}, "
+              f"{time.time()-t0:.1f}s")
+
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        el_spark = time.time() - t0
+
+        if name not in oracles:
+            print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check) "
+                  f"[{el_spark:.1f}s]")
+            if len(srows) == 0:
+                print(f"     WARNING: {name} returned 0 rows")
+            continue
+
+        try:
+            t0 = time.time()
+            rel = con.sql(oracles[name])
+            dcols = rel.columns
+            drows = rel.fetchall()
+            el_duck = time.time() - t0
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+
+        ok_count = len(srows) == len(drows)
+        ok_schema = sorted(scols) == sorted(dcols)
+        sh, dh = value_hash(scols, srows), value_hash(dcols, drows)
+        ok_hash = sh == dh
+        status = "PASS" if (ok_count and ok_schema and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{status} {name}: rows {len(srows)}/{len(drows)} "
+              f"schema={'ok' if ok_schema else f'{sorted(scols)} vs {sorted(dcols)}'} "
+              f"hash={'ok' if ok_hash else f'{sh} vs {dh}'} "
+              f"[spark {el_spark:.1f}s, duck {el_duck:.1f}s]")
+        if not ok_hash and ok_count and ok_schema:
+            order = sorted(range(len(scols)), key=lambda i: scols[i])
+            dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            sset = sorted("|".join(_norm(r[i]) for i in order) for r in srows)
+            dset = sorted("|".join(_norm(r[i]) for i in dorder) for r in drows)
+            for a, b in zip(sset, dset):
+                if a != b:
+                    print(f"     spark: {a}\n     duck : {b}")
+                    break
+
+    print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
