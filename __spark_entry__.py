@@ -25,6 +25,14 @@ from acorn_hybrid_vector_search_spark.operators.histogram import value_histogram
 from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
 from acorn_hybrid_vector_search_spark.functions.distance import cosine_similarity
 from acorn_hybrid_vector_search_spark.sources.testdata import load_table
+from acorn_hybrid_vector_search_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup_groups,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from acorn_hybrid_vector_search_spark.functions import text as T
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -171,6 +179,73 @@ def _q_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5 fingerprint of normalized text → survivor id
+    + duplicate count (hash-groupBy; one shuffle on a high-entropy key)."""
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword proxy.
+    (casts to long so the schema matches DuckDB's BIGINT len())."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        T.bpe_ish_token_count("text").cast("long").alias("n_bpe_ish"),
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/digit/stopword/word-length signals +
+    composite score, all JVM-side expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.round(T.punct_ratio("text"), _R).alias("punct_r"),
+        F.round(T.digit_ratio("text"), _R).alias("digit_r"),
+        F.round(T.stopword_ratio("text"), _R).alias("stop_r"),
+        F.round(T.mean_word_len("text"), _R).alias("mean_wl"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, bucketed by lang (the quadratic join
+    is confined to buckets — the 100 TB-safe shape)."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, 0.95, bucket_col="lang")
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label buckets."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, 0.4, bucket_col="label")
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (banded; verified shingle Jaccard).
+    Non-SQL-expressible portable oracle → rows-only driver check; exactness
+    properties are pytest-verified (tests/test_dedup.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dups(d, num_hashes=16, bands=8, verify_threshold=0.5)
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-distance near-dups (chunk-banded self-join)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=3)
+
+
+def _q_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic over documents, histogrammed."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(T.lang_id("text").alias("pred_lang")).groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pure_topk": _q_pure_topk,
@@ -182,6 +257,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_lang": _q_histogram_lang,
         "agg_lineitem_pricing": _q_agg_lineitem,
         "join_revenue_by_nation": _q_join_topk,
+        "dedup_exact_groups": _q_dedup_exact,
+        "token_counts": _q_token_counts,
+        "text_quality": _q_text_quality,
+        "ngram_jaccard_near_dups": _q_ngram_jaccard,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "lang_id_histogram": _q_lang_id_histogram,
     }
 
 
@@ -193,6 +276,23 @@ _D2 = (
     "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))^2))"
 )
 _QV = "q AS (SELECT embedding FROM embeddings WHERE vec_id = {vid})"
+
+# shared text-normalization snippets (must mirror functions/text.py exactly)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in T._STOPWORDS) + "]"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Portable cosine similarity between two FLOAT[] expressions, computed
+    in the same op order as functions.distance.cosine_similarity."""
+    dot = (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"({dot} / ({na} * {nb}))"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -275,4 +375,69 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
             ORDER BY revenue DESC, n_name ASC LIMIT 10
         """,
+        "dedup_exact_groups": f"""
+            SELECT md5({_NORM}) AS fingerprint,
+                MIN(doc_id) AS keep_id,
+                COUNT(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                CASE WHEN length({_NORM}) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+                SELECT doc_id, text, {_TOKS} AS toks,
+                    length(text) AS n,
+                    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                        / length(text) AS punct_r,
+                    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                        / length(text) AS digit_r
+                FROM documents
+            ), m AS (
+                SELECT doc_id, n, punct_r, digit_r,
+                    CAST(len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+                        / len(toks) AS stop_r,
+                    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                        / len(toks) AS mean_wl
+                FROM t
+            )
+            SELECT doc_id, n AS n_chars_raw,
+                ROUND(punct_r, {_R}) AS punct_r,
+                ROUND(digit_r, {_R}) AS digit_r,
+                ROUND(stop_r, {_R}) AS stop_r,
+                ROUND(mean_wl, {_R}) AS mean_wl,
+                ROUND(
+                    0.35 * least(n / 200.0, 1.0)
+                    + 0.25 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0
+                              THEN 1.0 ELSE 0.5 END)
+                    + 0.25 * least(stop_r * 4.0, 1.0)
+                    + 0.15 * (1.0 - least((punct_r + digit_r) * 2.0, 1.0)),
+                {_R}) AS quality
+            FROM m
+        """,
+        "ngram_jaccard_near_dups": f"""
+            WITH t AS (
+                SELECT doc_id, lang, list_distinct({_TOKS}) AS toks FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.toks, b.toks))), {_R}) AS jaccard
+            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.toks, b.toks))), {_R}) >= 0.95
+        """,
+        "embedding_near_dups": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                ROUND({_cos_sql('a.embedding', 'b.embedding')}, {_R}) AS cosine
+            FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE ROUND({_cos_sql('a.embedding', 'b.embedding')}, {_R}) >= 0.4
+        """,
+        # minhash_near_dups / simhash_near_dups / lang_id_histogram:
+        # intentionally no oracle (portable SQL for md5→bigint hashing does
+        # not exist in DuckDB) — driver records rows-only; exactness
+        # properties are pytest-verified in tests/test_dedup.py.
     }

@@ -1,0 +1,232 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All hot-path functions are JVM-side Column expressions (split / regexp /
+higher-order functions) — no Python UDFs — so they stay inside whole-stage
+codegen and scale linearly with the scan. Charter extension beyond the
+reference's surface (BASELINE.json north star; SURVEY.md §7 Phase 5).
+
+Determinism contract: everything here is a pure function of the input
+string, reproducible across engines (md5-based hashing, no seeds), so the
+oracle-compatible subset can be hash-compared against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Lowercase + collapse all whitespace runs to single spaces + trim.
+    The canonical form shared by tokenizers and fingerprints."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (ARRAY<STRING>)."""
+    return F.split(normalize_text(c), " ")
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    n = normalize_text(c)
+    return F.when(F.length(n) == 0, F.lit(0)).otherwise(F.size(F.split(n, " ")))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """A BPE-ish sub-word proxy: count of letter-runs, digit-runs, and
+    individual punctuation marks (what a byte-level BPE roughly yields
+    pre-merge). Cheap, JVM-side, good enough for token budgeting."""
+    c = F.col(c) if isinstance(c, str) else c
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle set (ARRAY<STRING>, distinct) of the text —
+    the unit for MinHash / Jaccard near-dup detection."""
+    toks = tokens(c)
+    # sequence(1, 0) yields a DESCENDING [1, 0] in Spark — guard short texts
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (length / punctuation / stopword ratios)
+
+_STOPWORDS = (
+    "the a an and or of to in is are was for on with as by at from it this that "
+    "be not have has had but if then than so no yes we you they he she i"
+).split()
+
+
+def char_count(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.length(c)
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    c = F.col(c) if isinstance(c, str) else c
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def digit_ratio(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    n = F.length(c)
+    digits = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.when(n > 0, digits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: Column | str) -> Column:
+    """Fraction of tokens that are English stopwords — the classic
+    prose-vs-garbage signal (high for natural text, ~0 for code/noise)."""
+    toks = tokens(c)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    hits = F.size(F.array_intersect(toks, sw))  # distinct-stopword presence
+    hits_all = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits_all.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0) * hits
+    )
+
+
+def mean_word_len(c: Column | str) -> Column:
+    toks = tokens(c)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: rewards stopword presence and
+    sane word lengths, penalizes punctuation/digit noise and extreme
+    shortness. Deterministic arithmetic only."""
+    length_ok = F.least(char_count(c).cast("double") / 200.0, F.lit(1.0))
+    words_ok = F.when(
+        (mean_word_len(c) >= 3.0) & (mean_word_len(c) <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    noise = punct_ratio(c) + digit_ratio(c)
+    sw = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
+    raw = 0.35 * length_ok + 0.25 * words_ok + 0.25 * sw + 0.15 * (1.0 - F.least(noise * 2.0, F.lit(1.0)))
+    return F.round(raw, 6)
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram / stopword heuristic)
+
+# tiny per-language marker lexicons; presence-weighted voting. Public-knowledge
+# stopword markers, good enough to route a corpus — NOT a unicode-aware model.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "por"],
+    "de": ["der", "die", "das", "und", "nicht", "mit", "ist", "für"],
+    "fr": ["le", "la", "les", "des", "et", "est", "que", "pour"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def lang_scores(c: Column | str) -> Column:
+    """MAP<STRING,DOUBLE> of per-language marker-hit ratios."""
+    toks = tokens(c)
+    n = F.greatest(F.size(toks), F.lit(1))
+    entries = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        entries += [F.lit(lang), hits.cast("double") / n]
+    return F.create_map(*entries)
+
+
+def lang_id(c: Column | str) -> Column:
+    """Best-scoring language code, or 'und' when no marker hits at all.
+    Deterministic tie-break: lexicographically smallest language wins."""
+    scores = lang_scores(c)
+    langs = sorted(_LANG_MARKERS)
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in langs:  # stable fold → deterministic argmax (first max wins)
+        s = F.element_at(scores, F.lit(lang))
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# fingerprints
+
+def fingerprint_md5(c: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (exact-dup key).
+    md5 is engine-portable (same hex in Spark and DuckDB)."""
+    return F.md5(normalize_text(c))
+
+
+def _hash64(c: Column) -> Column:
+    """Portable 60-bit hash of a string: first 15 hex chars of md5 as a
+    BIGINT. Engine-portable alternative to xxhash64 (which is Spark-only)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash64(c: Column | str, bits: int = 60) -> Column:
+    """SimHash over whitespace tokens using the portable 60-bit hash:
+    per-bit majority vote of token hashes. Near-identical texts differ in
+    few bits (compare with ``bit_count(a ^ b)``).
+
+    Implemented entirely with higher-order functions: one pass builds the
+    token-hash array; each output bit is a filter-count over it. JVM-side,
+    no shuffle, no UDF.
+    """
+    toks = F.array_distinct(tokens(c))
+    hashes = F.transform(toks, _hash64)
+    n = F.size(hashes)
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        mask = F.lit(1 << b).cast("bigint")
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+        bit = F.when(ones * 2 >= n, mask).otherwise(F.lit(0).cast("bigint"))
+        out = out.bitwiseOR(bit)
+    return out
+
+
+def minhash_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature (ARRAY<BIGINT>) from a precomputed shingle-array
+    column. One md5 per shingle, then ``num_hashes`` cheap mixes of that
+    base hash (h_i = (a_i * h + b_i) mod p — the standard universal-hash
+    family), instead of ``num_hashes`` md5 passes: keeps the expression
+    tree small and the scan cost O(shingles), not O(shingles × hashes)."""
+    # 31-bit field keeps a_i * h + b_i < 2^63 (Spark 4 runs ANSI mode:
+    # bigint overflow throws, so the arithmetic must provably fit)
+    p = (1 << 31) - 1  # Mersenne prime 2^31-1
+    base = F.transform(sh, lambda s: F.pmod(_hash64(s), F.lit(p)))
+    coeffs = [
+        ((2654435761 * (i + 1)) % p or 1, (40503 * (i + 7) + 12345) % p)
+        for i in range(num_hashes)
+    ]
+    def _mix(a: int, b: int):
+        # closure factory: PySpark infers lambda arity from the signature,
+        # so default-arg capture (lambda h, a=a: ...) would read as 2-ary
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))
+
+    sig = F.array(*[F.array_min(F.transform(base, _mix(a, b))) for a, b in coeffs])
+    return F.when(F.size(sh) > 0, sig)
+
+
+def minhash_signature(c: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature (ARRAY<BIGINT> length ``num_hashes``) over word
+    shingles: h_i = min over mixed shingle hashes. Empty shingle set ⇒
+    NULL signature (callers should filter).
+
+    Jaccard(a, b) ≈ fraction of agreeing signature positions — the
+    LSH-banding input for near-dup detection at scale.
+    """
+    return minhash_from_shingles(shingles(c, shingle_n), num_hashes)

@@ -1,0 +1,268 @@
+"""Deduplication operators for 100 TB training-data pipelines.
+
+Charter extension (BASELINE.json north star). Five families, each designed
+around its shuffle profile:
+
+- **exact**: one hash aggregate on the md5 fingerprint — a single shuffle
+  on a high-entropy key (no skew), map-side partial agg.
+- **MinHash + LSH banding**: signature → band keys → groupBy band →
+  candidate pairs → verified Jaccard. The self-join is confined to LSH
+  buckets, so cost is Σ|bucket|² instead of N² — the standard
+  scale-out near-dup pattern.
+- **SimHash**: 60-bit fingerprint; near-dups = small hamming distance.
+  Banding on bit-chunks gives the same bucketed-join shape.
+- **n-gram Jaccard**: exact verified pairwise similarity, for use inside
+  buckets or small partitions (it IS quadratic — never run unbucketed at
+  scale; ``ngram_jaccard_pairs`` takes a bucket column for that reason).
+- **embedding cosine**: near-dup by vector similarity, bucketed the same
+  way (or via similarity.lsh buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from acorn_hybrid_vector_search_spark.functions.distance import cosine_similarity
+from acorn_hybrid_vector_search_spark.functions.text import (
+    fingerprint_md5,
+    minhash_signature,
+    shingles,
+    simhash64,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct normalized text: (fingerprint, keep_id = min id,
+    dup_count). The survivor-selection policy of hash-based dedup."""
+    return (
+        df.withColumn("fingerprint", fingerprint_md5(text_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated table: keep the min-id row per fingerprint.
+    Implemented as a broadcast-free shuffle-once window."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint_md5(text_col)).orderBy(F.col(id_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (verified pairwise similarity)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two ARRAY<STRING> treated as sets."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b, jaccard) with token-set Jaccard ≥ threshold.
+
+    Quadratic within a bucket: pass ``bucket_col`` (e.g. a source, an LSH
+    band, a length band) to confine the self-join — at 100 TB an
+    unbucketed pairwise join is never acceptable.
+    Token sets, not shingles: matches the simple "n-gram Jaccard" oracle
+    (use minhash_near_dups for shingle-based detection at scale).
+    """
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
+        *([F.col(bucket_col).alias("bucket")] if bucket_col else []),
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if bucket_col:
+        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    sim = jaccard(F.col("a.toks"), F.col("b.toks"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + LSH banding.
+
+    Plan shape: signature projection (map-only) → explode to ``bands``
+    band-key rows → shuffle on band key → per-bucket pair generation →
+    optional exact shingle-Jaccard verification of candidates only.
+    Returns (id_a, id_b, sig_agreement[, jaccard]).
+    """
+    from acorn_hybrid_vector_search_spark.functions.text import minhash_from_shingles
+
+    rows_per_band = num_hashes // bands
+    # materialize shingles once, signature from them once (cheap hash mixes,
+    # one md5 per shingle) — never recompute from text downstream
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = base.select("id", "sh", minhash_from_shingles(F.col("sh"), num_hashes).alias("sig"))
+
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    # banded rows carry ONLY (id, band_key): the band shuffle and the pair
+    # join never move shingle/signature arrays
+    banded = sig.select("id", F.explode(band_keys).alias("band_key"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # same pair can collide in >1 band
+    )
+    # re-attach payloads only for the (small) candidate set
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b"))
+    pairs = cand.join(sa, "id_a").join(sb, "id_b")
+
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    out = pairs.withColumn("sig_agreement", F.round(agree.cast("double") / num_hashes, 6))
+    if verify_threshold is not None:
+        out = out.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)).filter(
+            F.col("jaccard") >= verify_threshold
+        )
+    return out.select(
+        "id_a", "id_b", "sig_agreement", *(["jaccard"] if verify_threshold is not None else [])
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bits: int = 60,
+    chunks: int = 5,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the ``bits``-bit hash into ``chunks`` chunks;
+    any pair within distance < chunks must agree on ≥1 chunk, so the
+    self-join runs per chunk-value bucket, then verifies true hamming
+    distance. (With max_hamming ≥ chunks this is a recall-biased heuristic
+    blocking scheme — standard practice; full recall needs more chunks.)
+    """
+    chunk_bits = bits // chunks
+    h = df.select(F.col(id_col).alias("id"), simhash64(text_col, bits).alias("sh"))
+    chunk_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(i)),
+                F.shiftrightunsigned(F.col("sh"), i * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .cast("string"),
+            )
+            for i in range(chunks)
+        ]
+    )
+    banded = h.withColumn("ck", F.explode(chunk_keys))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ck") == F.col("b.ck")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .drop("sh_a", "sh_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Pairs of rows whose embeddings have cosine similarity ≥ threshold.
+    Pass ``bucket_col`` (label, LSH bucket, …) to confine the quadratic
+    join; see operators/similarity.py for LSH bucket generation."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if bucket_col:
+        cols.append(F.col(bucket_col).alias("bucket"))
+    t = df.select(*cols)
+    a, b = t.alias("a"), t.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if bucket_col:
+        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

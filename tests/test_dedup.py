@@ -1,0 +1,103 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from acorn_hybrid_vector_search_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the river runs cold "
+    "and the tall trees sway in the evening wind near the old stone bridge"
+)
+NEAR = BASE.replace("evening", "morning")
+FAR = (
+    "spark executes declarative dataframe plans with catalyst optimizing "
+    "predicate pushdown column pruning and adaptive shuffle partitioning"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "s1"),
+        (2, "The  QUICK brown fox jumps over the lazy dog while the river runs cold "
+            "and the tall trees sway in the evening wind near the old stone bridge", "s1"),
+        (3, NEAR, "s1"),
+        (4, FAR, "s1"),
+        (5, BASE, "s2"),  # exact dup of 1, different source
+        (6, "totally unrelated tiny text", "s2"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"]).cache()
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r["keep_id"]: r["dup_count"] for r in exact_dedup_groups(docs).collect()}
+    # 1, 2, 5 normalize to the same text → keep 1, count 3
+    assert groups[1] == 3
+    assert groups[3] == 1 and groups[4] == 1 and groups[6] == 1
+
+
+def test_exact_dedup_survivors(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 6]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # normalization-identical
+    assert (1, 5) in pairs and pairs[(1, 5)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.9  # one-word swap
+    assert not any(4 in p or 6 in p for p in pairs)
+
+
+def test_ngram_jaccard_bucket_confinement(docs):
+    pairs = set(
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, 0.8, bucket_col="source").collect()
+    )
+    assert (1, 2) in pairs
+    assert (1, 5) not in pairs  # cross-bucket pair excluded by design
+
+
+def test_minhash_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dups(docs, num_hashes=16, bands=8, verify_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    assert (1, 3) in pairs  # near-dup caught by some band
+    assert not any(4 in p or 6 in p for p in pairs)
+
+
+def test_simhash_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(docs, max_hamming=6).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs
+    far_pairs = {p for p in pairs if 4 in p}
+    assert not far_pairs
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [1.0, 0.0, 0.0], 1),  # same direction as 1, other bucket
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(df, 0.99).collect()}
+    assert pairs == {(1, 2), (1, 4), (2, 4)}
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(df, 0.99, bucket_col="label").collect()
+    }
+    assert bucketed == {(1, 2)}

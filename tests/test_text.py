@@ -1,0 +1,103 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from acorn_hybrid_vector_search_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint_md5,
+    lang_id,
+    minhash_signature,
+    punct_ratio,
+    quality_score,
+    shingles,
+    simhash64,
+    token_count,
+    tokens,
+)
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], ["text"]).select(expr.alias("v")).head()["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "Hello  world\tfoo\nbar ", token_count("text")) == 4
+    assert _one(spark, "", token_count("text")) == 0
+    assert _one(spark, "   ", token_count("text")) == 0
+    assert _one(spark, "one", token_count("text")) == 1
+
+
+def test_bpe_ish_token_count(spark):
+    # "don't stop2" -> don / ' / t / stop / 2
+    assert _one(spark, "don't stop2", bpe_ish_token_count("text")) == 5
+
+
+def test_shingles(spark):
+    got = _one(spark, "a b c d", shingles("text", 3))
+    assert got == ["a b c", "b c d"]
+    assert _one(spark, "a b", shingles("text", 3)) == []
+
+
+def test_punct_ratio(spark):
+    assert _one(spark, "ab!!", punct_ratio("text")) == pytest.approx(0.5)
+    assert _one(spark, "", punct_ratio("text")) == 0.0
+
+
+def test_quality_prose_beats_garbage(spark):
+    prose = (
+        "The quick brown fox jumps over the lazy dog and then it runs to the "
+        "river where the water is cold and the trees are tall in the forest."
+    )
+    garbage = "@@@@ #### $$$$ 1234 5678 !!!! ???? %%%% ^^^^ &&&& <<<< >>>>"
+    assert _one(spark, prose, quality_score("text")) > _one(
+        spark, garbage, quality_score("text")
+    )
+
+
+def test_lang_id(spark):
+    cases = {
+        "the cat and the dog went to the market": "en",
+        "el perro y la casa de los árboles que vimos": "es",
+        "der Hund und die Katze ist nicht mit uns": "de",
+        "le chien et les arbres est pour la maison": "fr",
+        "xyzzy qwerty plugh": "und",
+    }
+    for text, exp in cases.items():
+        assert _one(spark, text, lang_id("text")) == exp, text
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "Hello   World", fingerprint_md5("text"))
+    b = _one(spark, "hello world", fingerprint_md5("text"))
+    c = _one(spark, "hello worlds", fingerprint_md5("text"))
+    assert a == b != c
+
+
+def test_simhash_similar_texts_close(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base + " again"
+    far = "completely different words about spark clusters and parquet columnar files"
+    h = lambda t: _one(spark, t, simhash64("text"))  # noqa: E731
+    d = lambda x, y: bin(x ^ y).count("1")  # noqa: E731
+    assert d(h(base), h(near)) < d(h(base), h(far))
+    assert d(h(base), h(base)) == 0
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(2, 52))  # high shingle overlap
+    far = " ".join(f"z{i}" for i in range(50))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["id", "text"])
+    sigs = {
+        r["id"]: r["sig"]
+        for r in df.select("id", minhash_signature("text", 32).alias("sig")).collect()
+    }
+    agree = lambda a, b: sum(x == y for x, y in zip(a, b)) / len(a)  # noqa: E731
+    assert agree(sigs[1], sigs[2]) > 0.5
+    assert agree(sigs[1], sigs[3]) < 0.2
+    assert _one(spark, "a b", minhash_signature("text", 8)) is None  # no shingles
+
+
+def test_tokens_are_normalized(spark):
+    assert _one(spark, "  FOO   Bar ", tokens("text")) == ["foo", "bar"]
