@@ -1,0 +1,136 @@
+"""ETL parity tests (FIXTURES.md §4): JSONL listings scan, CSV mappings,
+correlation join edge cases, projection, binary scan + embedding UDF."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from acorn_hybrid_vector_search_spark.sources.images import (
+    read_images,
+    with_embeddings,
+)
+from acorn_hybrid_vector_search_spark.sources.listings import (
+    build_items,
+    correlate_listings,
+    read_listings,
+    read_mappings,
+)
+
+LISTINGS = [
+    {  # matched via main_image_id
+        "item_id": "L1",
+        "main_image_id": "IMG_A",
+        "other_image_id": ["IMG_B"],
+        "brand": [{"language_tag": "en_US", "value": "AmazonBasics"}],
+        "country": "IN",
+        "extra_key_to_prune": {"nested": True},
+    },
+    {  # image IMG_C referenced only via other_image_id (array-membership branch)
+        "item_id": "L2",
+        "main_image_id": "IMG_X_NOT_MAPPED",
+        "other_image_id": ["IMG_C", "IMG_D_NOT_MAPPED"],
+        "brand": [{"language_tag": "en_US", "value": "Rivet"}],
+        "color": [{"language_tag": "en_US", "value": "Black"}],
+        "country": "US",
+    },
+    {  # competes for IMG_A via other_image_id — must LOSE to L1's main match
+        "item_id": "L3",
+        "main_image_id": "IMG_E_NOT_MAPPED",
+        "other_image_id": ["IMG_A"],
+        "brand": [{"language_tag": "en_US", "value": "LoserBrand"}],
+        "country": "GB",
+    },
+    {  # listing whose images never appear in mappings (dropped)
+        "item_id": "L4",
+        "main_image_id": "IMG_NOPE",
+        "country": "DE",
+    },
+]
+
+MAPPINGS_CSV = (
+    "IMG_A,376,500,00/000b01dc.jpg\n"
+    "IMG_B,100,200,01/000c02ee.jpg\n"
+    "IMG_C,640,480,4f/00ff99aa.jpg\n"
+    "IMG_ORPHAN,10,10,02/deadbeef.jpg\n"  # image matching no listing (dropped)
+)
+
+
+@pytest.fixture(scope="module")
+def etl_dirs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("etl")
+    listings = os.path.join(d, "listings_0.json")
+    with open(listings, "w") as f:
+        for row in LISTINGS:
+            f.write(json.dumps(row) + "\n")
+    mappings = os.path.join(d, "map00.csv")
+    with open(mappings, "w") as f:
+        f.write(MAPPINGS_CSV)
+    imgdir = os.path.join(d, "images", "00")
+    os.makedirs(imgdir)
+    for name, payload in [("000b01dc.jpg", b"fakejpeg-A"), ("000c02ee.jpg", b"fakejpeg-B")]:
+        with open(os.path.join(imgdir, name), "wb") as f:
+            f.write(payload)
+    return str(listings), str(mappings), os.path.join(d, "images")
+
+
+def test_read_mappings_basename(spark, etl_dirs):
+    _, mappings, _ = etl_dirs
+    rows = {r["image_id"]: r for r in read_mappings(spark, mappings).collect()}
+    # basename strips the 2-hex shard dir (the reference's parts[3][3:])
+    assert rows["IMG_A"]["filename"] == "000b01dc.jpg"
+    assert rows["IMG_A"]["width"] == 376 and rows["IMG_A"]["height"] == 500
+
+
+def test_correlation_join_semantics(spark, etl_dirs):
+    listings_path, mappings_path, _ = etl_dirs
+    listings = read_listings(spark, listings_path)
+    for attr in ("brand", "color", "item_weight", "model_year", "country"):
+        if attr not in listings.columns:
+            listings = listings.withColumn(attr, F.lit(None))
+    corr = correlate_listings(read_mappings(spark, mappings_path), listings)
+    rows = {r["image_id"]: r for r in corr.collect()}
+
+    # main-image match beats other-image competitor (first-match-wins)
+    assert rows["IMG_A"]["brand"][0]["value"] == "AmazonBasics"
+    # other_image_id array-membership branch
+    assert rows["IMG_B"]["brand"][0]["value"] == "AmazonBasics"
+    assert rows["IMG_C"]["brand"][0]["value"] == "Rivet"
+    # orphan image and unmatched listing both dropped
+    assert "IMG_ORPHAN" not in rows
+    assert len(rows) == 3
+
+
+def test_build_items_projection_and_ids(spark, etl_dirs):
+    listings_path, mappings_path, _ = etl_dirs
+    items = build_items(spark, listings_path, mappings_path)
+    # P1: exactly the 5 query attrs + id/filename; extra keys pruned
+    assert set(items.columns) == {
+        "item_id", "filename", "brand", "color", "item_weight", "model_year", "country"
+    }
+    rows = items.orderBy("item_id").collect()
+    assert [r["item_id"] for r in rows] == [0, 1, 2]  # dense 0..N-1
+    assert rows[0]["filename"] == "000b01dc.jpg"  # filename-ordered
+
+
+def test_binary_scan_and_embedding_udf(spark, etl_dirs):
+    _, _, imgdir = etl_dirs
+    imgs = read_images(spark, imgdir)
+    assert imgs.count() == 2
+    emb = with_embeddings(imgs, dim=32).select("filename", "embedding").collect()
+    by_name = {r["filename"]: r["embedding"] for r in emb}
+    assert len(by_name["000b01dc.jpg"]) == 32
+    # deterministic: same bytes → same vector; different bytes → different
+    assert by_name["000b01dc.jpg"] != by_name["000c02ee.jpg"]
+    again = {
+        r["filename"]: r["embedding"]
+        for r in with_embeddings(read_images(spark, imgdir), dim=32)
+        .select("filename", "embedding")
+        .collect()
+    }
+    assert again == by_name
+    # unit-norm
+    assert sum(x * x for x in by_name["000b01dc.jpg"]) == pytest.approx(1.0, rel=1e-5)
