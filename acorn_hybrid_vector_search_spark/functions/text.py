@@ -46,18 +46,36 @@ def bpe_ish_token_count(c: Column | str) -> Column:
     return F.size(pieces)
 
 
+def let(value: Column, fn) -> Column:
+    """Let-binding for Catalyst expressions: evaluate ``value`` ONCE and
+    bind it as a higher-order-function lambda variable inside ``fn``.
+
+    Catalyst does not common-subexpression-eliminate inside HOF lambdas, so
+    an expression like ``transform(idx, i -> element_at(toks, i))`` re-runs
+    the whole ``toks`` subtree per element — quadratic blowup for
+    tokenize/hash pipelines (measured 10-180 s per 5k-doc scan before this).
+    ``element_at(transform(array(v), x -> fn(x)), 1)`` materializes ``v``
+    exactly once; every reference to the bound variable is a cheap slot
+    read. Pure expression-level fix: stays inside whole-stage codegen.
+    """
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def shingles(c: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle set (ARRAY<STRING>, distinct) of the text —
     the unit for MinHash / Jaccard near-dup detection."""
-    toks = tokens(c)
-    # sequence(1, 0) yields a DESCENDING [1, 0] in Spark — guard short texts
-    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-    )
-    return F.array_distinct(grams)
+
+    def build(toks: Column) -> Column:
+        # sequence(1, 0) yields a DESCENDING [1, 0] in Spark — guard short texts
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+        )
+        return F.array_distinct(grams)
+
+    return let(tokens(c), build)
 
 
 # ---------------------------------------------------------------------------
@@ -92,19 +110,25 @@ def digit_ratio(c: Column | str) -> Column:
 def stopword_ratio(c: Column | str) -> Column:
     """Fraction of tokens that are English stopwords — the classic
     prose-vs-garbage signal (high for natural text, ~0 for code/noise)."""
-    toks = tokens(c)
     sw = F.array(*[F.lit(w) for w in _STOPWORDS])
-    hits = F.size(F.array_intersect(toks, sw))  # distinct-stopword presence
-    hits_all = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) > 0, hits_all.cast("double") / F.size(toks)).otherwise(
-        F.lit(0.0) * hits
-    )
+
+    def build(toks: Column) -> Column:
+        hits_all = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        return F.when(F.size(toks) > 0, hits_all.cast("double") / F.size(toks)).otherwise(
+            F.lit(0.0)
+        )
+
+    return let(tokens(c), build)
 
 
 def mean_word_len(c: Column | str) -> Column:
-    toks = tokens(c)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+    def build(toks: Column) -> Column:
+        total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
+            F.lit(0.0)
+        )
+
+    return let(tokens(c), build)
 
 
 def quality_score(c: Column | str) -> Column:
@@ -137,29 +161,34 @@ _LANG_MARKERS: dict[str, list[str]] = {
 
 def lang_scores(c: Column | str) -> Column:
     """MAP<STRING,DOUBLE> of per-language marker-hit ratios."""
-    toks = tokens(c)
-    n = F.greatest(F.size(toks), F.lit(1))
-    entries = []
-    for lang, markers in _LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-        entries += [F.lit(lang), hits.cast("double") / n]
-    return F.create_map(*entries)
+    def build(toks: Column) -> Column:
+        n = F.greatest(F.size(toks), F.lit(1))
+        entries = []
+        for lang, markers in _LANG_MARKERS.items():
+            arr = F.array(*[F.lit(m) for m in markers])
+            hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+            entries += [F.lit(lang), hits.cast("double") / n]
+        return F.create_map(*entries)
+
+    return let(tokens(c), build)
 
 
 def lang_id(c: Column | str) -> Column:
     """Best-scoring language code, or 'und' when no marker hits at all.
     Deterministic tie-break: lexicographically smallest language wins."""
-    scores = lang_scores(c)
     langs = sorted(_LANG_MARKERS)
-    best = F.lit("und")
-    best_score = F.lit(0.0)
-    for lang in langs:  # stable fold → deterministic argmax (first max wins)
-        s = F.element_at(scores, F.lit(lang))
-        take = s > best_score
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_score = F.when(take, s).otherwise(best_score)
-    return best
+
+    def build(scores: Column) -> Column:
+        best = F.lit("und")
+        best_score = F.lit(0.0)
+        for lang in langs:  # stable fold → deterministic argmax (first max wins)
+            s = F.element_at(scores, F.lit(lang))
+            take = s > best_score
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_score = F.when(take, s).otherwise(best_score)
+        return best
+
+    return let(lang_scores(c), build)
 
 
 # ---------------------------------------------------------------------------
@@ -186,16 +215,17 @@ def simhash64(c: Column | str, bits: int = 60) -> Column:
     token-hash array; each output bit is a filter-count over it. JVM-side,
     no shuffle, no UDF.
     """
-    toks = F.array_distinct(tokens(c))
-    hashes = F.transform(toks, _hash64)
-    n = F.size(hashes)
-    out = F.lit(0).cast("bigint")
-    for b in range(bits):
-        mask = F.lit(1 << b).cast("bigint")
-        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
-        bit = F.when(ones * 2 >= n, mask).otherwise(F.lit(0).cast("bigint"))
-        out = out.bitwiseOR(bit)
-    return out
+    def build(hashes: Column) -> Column:
+        n = F.size(hashes)
+        out = F.lit(0).cast("bigint")
+        for b in range(bits):
+            mask = F.lit(1 << b).cast("bigint")
+            ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+            bit = F.when(ones * 2 >= n, mask).otherwise(F.lit(0).cast("bigint"))
+            out = out.bitwiseOR(bit)
+        return out
+
+    return let(F.transform(F.array_distinct(tokens(c)), _hash64), build)
 
 
 def minhash_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
@@ -207,18 +237,25 @@ def minhash_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
     # 31-bit field keeps a_i * h + b_i < 2^63 (Spark 4 runs ANSI mode:
     # bigint overflow throws, so the arithmetic must provably fit)
     p = (1 << 31) - 1  # Mersenne prime 2^31-1
-    base = F.transform(sh, lambda s: F.pmod(_hash64(s), F.lit(p)))
     coeffs = [
         ((2654435761 * (i + 1)) % p or 1, (40503 * (i + 7) + 12345) % p)
         for i in range(num_hashes)
     ]
+
     def _mix(a: int, b: int):
         # closure factory: PySpark infers lambda arity from the signature,
         # so default-arg capture (lambda h, a=a: ...) would read as 2-ary
         return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))
 
-    sig = F.array(*[F.array_min(F.transform(base, _mix(a, b))) for a, b in coeffs])
-    return F.when(F.size(sh) > 0, sig)
+    def build(sh_v: Column) -> Column:
+        def sig(base: Column) -> Column:
+            return F.array(*[F.array_min(F.transform(base, _mix(a, b))) for a, b in coeffs])
+
+        return F.when(
+            F.size(sh_v) > 0, let(F.transform(sh_v, lambda s: F.pmod(_hash64(s), F.lit(p))), sig)
+        )
+
+    return let(sh, build)
 
 
 def minhash_signature(c: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> Column:

@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from acorn_hybrid_vector_search_spark.functions.distance import cosine_similarity
 from acorn_hybrid_vector_search_spark.functions.text import (
     fingerprint_md5,
     minhash_signature,
@@ -31,6 +30,14 @@ from acorn_hybrid_vector_search_spark.functions.text import (
     simhash64,
     tokens,
 )
+
+def _probe_parallelism(df: DataFrame) -> int:
+    """Target partition count for the probe side of a pair self-join:
+    max(shuffle partitions, current scan parallelism). Small inputs arrive
+    as one file → one partition, which would serialize the O(N²) probe."""
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(sp, df.rdd.getNumPartitions())
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -88,21 +95,39 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens(text_col)).alias("toks"),
         *([F.col(bucket_col).alias("bucket")] if bucket_col else []),
-    )
-    a = t.alias("a")
+    ).withColumn("n", F.size("toks"))
+    # Parallelize the probe: a small single-file input scans as ONE
+    # partition, which would run the entire quadratic probe on one core.
+    # The row shuffle is tiny (rows, not pairs).
+    a = t.repartition(_probe_parallelism(df)).alias("a")
     b = t.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
+    # |A∪B| = |A| + |B| − |A∩B| (inputs are distinct arrays): one array op
+    # per surviving pair instead of intersect + union.
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.col("a.n") + F.col("b.n") - inter
+    sim = F.round(
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 6
+    )
+    # Conjunct order is the optimization: a filter applied AFTER the join
+    # would be pushed into the join condition in front of everything else,
+    # evaluating the intersection for every candidate pair. Building the
+    # condition ourselves puts the lossless size-band prune first —
+    # J(A,B) ≥ t ⟹ t·|B| ≤ |A| ≤ |B|/t — so at threshold 0.95 nearly all
+    # of the quadratic stream is rejected by two integer compares (the
+    # standard length filter from set-similarity joins) and only
+    # near-equal-size pairs pay for the intersection.
+    cond = (
+        (F.col("a.id") < F.col("b.id"))
+        & (F.col("a.n").cast("double") >= threshold * F.col("b.n"))
+        & (F.col("b.n").cast("double") >= threshold * F.col("a.n"))
+    )
     if bucket_col:
         cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
-    sim = jaccard(F.col("a.toks"), F.col("b.toks"))
-    return (
-        a.join(b, cond)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(sim, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    cond = cond & (sim >= threshold)
+    return a.join(b, cond).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        sim.alias("jaccard"),
     )
 
 
@@ -248,21 +273,30 @@ def embedding_near_dups(
     """Pairs of rows whose embeddings have cosine similarity ≥ threshold.
     Pass ``bucket_col`` (label, LSH bucket, …) to confine the quadratic
     join; see operators/similarity.py for LSH bucket generation."""
+    from acorn_hybrid_vector_search_spark.functions.distance import dot_product, l2_norm
+
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if bucket_col:
         cols.append(F.col(bucket_col).alias("bucket"))
-    t = df.select(*cols)
-    a, b = t.alias("a"), t.alias("b")
+    # Factor the norms out of the pair loop: ‖v‖ is computed once per ROW
+    # (O(N)) instead of once per PAIR (O(N²)); the per-pair work is a single
+    # dot product. dot/(na·nb) is the exact arithmetic cosine_similarity
+    # uses, so results (and the DuckDB oracle hash) are bit-identical.
+    t = df.select(*cols).withColumn("nv", l2_norm(F.col("v")))
+    a, b = t.repartition(_probe_parallelism(df)).alias("a"), t.alias("b")
+    denom = F.col("a.nv") * F.col("b.nv")
+    sim = F.round(
+        F.when(denom != 0.0, dot_product(F.col("a.v"), F.col("b.v")) / denom), 6
+    )
+    # Threshold goes LAST in the join condition (see ngram_jaccard_pairs):
+    # a post-join filter would be pushed in FRONT of the cheap conjuncts
+    # and the dot product would run for every candidate pair twice.
     cond = F.col("a.id") < F.col("b.id")
     if bucket_col:
         cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
-    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, cond)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(sim, 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    cond = cond & (sim >= threshold)
+    return a.join(b, cond).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        sim.alias("cosine"),
     )

@@ -1,0 +1,209 @@
+"""Strategy routing — the reference's research question as a planner.
+
+The reference compares three physical strategies by hand (run a different
+script per strategy; /root/reference/README.md:19-25) and observes:
+
+- pre-filter: always exact; cost ∝ rows surviving the predicate
+  (/root/reference/pre-filter.py:183-229);
+- post-filter: cheap when the predicate is UNselective (top-``large_k``
+  mostly survives), accuracy collapses when selective
+  (/root/reference/acorn.py:52-144);
+- attribute-specific index: wins when the query constrains a sparse
+  attribute with a dedicated materialization
+  (/root/reference/acorn_attribute_specific.py:44-77).
+
+This module encodes that decision as a cost-model helper: estimate the
+predicate's selectivity from cached attribute histograms (A1 as
+``groupBy().count()`` — computed once, collected, reused), then pick the
+strategy. At 100 TB the histogram is a tiny driver-side dict (distinct
+attribute values, not rows) while the decision it informs moves terabytes:
+routing to a materialized subset prunes entire partitions before any scan.
+
+Histograms are equi-frequency-ish summaries, not oracle truth — estimates
+combine per-attribute independence (standard Selinger assumption). The
+router is deliberately library-level (no Catalyst internals): it chooses
+WHICH DataFrame plan to build; Catalyst still optimizes the chosen plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from acorn_hybrid_vector_search_spark.operators.hybrid import (
+    postfilter_search,
+    prefilter_search,
+)
+
+Predicates = Mapping[str, Sequence[Any]]
+
+
+@dataclass
+class AttributeStats:
+    """Driver-side summary of one attribute: value → row count."""
+
+    counts: dict[Any, int]
+    n_rows: int
+    n_null: int
+
+    @property
+    def present_fraction(self) -> float:
+        return (self.n_rows - self.n_null) / self.n_rows if self.n_rows else 0.0
+
+
+@dataclass
+class TableStats:
+    n_rows: int
+    attrs: dict[str, AttributeStats] = field(default_factory=dict)
+
+
+def collect_stats(df: DataFrame, attrs: Sequence[str], max_distinct: int = 10_000) -> TableStats:
+    """A1 per attribute, collected to the driver.
+
+    One job computes every histogram via a single pass + grouping-sets-free
+    union of tiny aggregates (each ``groupBy(attr).count()`` is its own
+    shuffle but over distinct-value-sized data). ``max_distinct`` caps the
+    collect — attributes with more distinct values fall back to a
+    count-only summary (selectivity estimated as 1/NDV).
+    """
+    n_rows = df.count()
+    stats = TableStats(n_rows=n_rows)
+    for attr in attrs:
+        agg = df.groupBy(attr).agg(F.count(F.lit(1)).alias("cnt"))
+        ndv = agg.count()
+        counts: dict[Any, int] = {}
+        n_null = 0
+        if ndv <= max_distinct:
+            for row in agg.collect():
+                if row[attr] is None:
+                    n_null = row["cnt"]
+                else:
+                    counts[row[attr]] = row["cnt"]
+        else:
+            n_null = df.filter(F.col(attr).isNull()).count()
+            # sentinel: empty counts dict with known NDV → uniform estimate
+            counts = {}
+            stats.attrs[attr] = AttributeStats(counts, n_rows, n_null)
+            stats.attrs[attr].ndv = ndv  # type: ignore[attr-defined]
+            continue
+        stats.attrs[attr] = AttributeStats(counts, n_rows, n_null)
+    return stats
+
+
+def _attr_selectivity(st: AttributeStats, op: str, value: Any) -> float:
+    """Fraction of ALL rows satisfying (attr op value); missing attribute
+    rejects the row (SURVEY.md §2.3), so NULLs never count."""
+    if st.n_rows == 0:
+        return 0.0
+    present = st.n_rows - st.n_null
+    if not st.counts:  # high-NDV fallback: uniform over NDV
+        ndv = getattr(st, "ndv", present or 1)
+        return (present / st.n_rows) / max(ndv, 1) if op == "exact" else st.present_fraction / 3.0
+    matched = 0
+    for v, cnt in st.counts.items():
+        try:
+            if op == "exact":
+                ok = v == value
+            elif op == "substring":
+                ok = str(value) in str(v)
+            elif op in ("leq", "<="):
+                ok = float(v) <= float(value)
+            elif op in ("geq", ">="):
+                ok = float(v) >= float(value)
+            elif op == "<":
+                ok = float(v) < float(value)
+            elif op == ">":
+                ok = float(v) > float(value)
+            else:
+                ok = True  # unknown op ⇒ constraint ignored (reference semantics)
+        except (TypeError, ValueError):
+            ok = False
+        if ok:
+            matched += cnt
+    return matched / st.n_rows
+
+
+def estimate_selectivity(stats: TableStats, predicates: Predicates | None) -> float:
+    """Conjunction selectivity under attribute independence."""
+    if not predicates:
+        return 1.0
+    s = 1.0
+    for attr, (op, value) in predicates.items():
+        st = stats.attrs.get(attr)
+        if st is None:
+            s *= 0.33  # unseen attribute: conservative guess
+        else:
+            s *= _attr_selectivity(st, op, value)
+    return s
+
+
+@dataclass
+class Route:
+    strategy: str  # "prefilter" | "postfilter" | "subset"
+    selectivity: float
+    large_k: int | None = None
+    subset_name: str | None = None
+
+
+class StrategyRouter:
+    """Chooses the physical strategy for one hybrid query.
+
+    Decision rule (mirrors the reference's empirical findings):
+
+    1. If the predicate constrains an attribute with a registered
+       materialized subset AND the subset is much smaller than the base
+       table → route to the subset (K5: partition pruning beats any
+       full-table strategy).
+    2. Else if expected survivors within a ``large_k`` candidate pool can
+       fill k (``selectivity · large_k ≥ safety · k``) → post-filter (K3):
+       one TakeOrderedAndProject over the raw table, predicate applied to
+       ``large_k`` rows only.
+    3. Else → exact pre-filter (K2): the predicate prunes the scan, the
+       distance work runs only on survivors. Always correct.
+    """
+
+    def __init__(
+        self,
+        stats: TableStats,
+        *,
+        default_large_k: int = 50,
+        safety: float = 2.0,
+    ) -> None:
+        self.stats = stats
+        self.default_large_k = default_large_k
+        self.safety = safety
+        self._subsets: dict[str, tuple[DataFrame, frozenset[str], int]] = {}
+
+    def register_subset(self, name: str, df: DataFrame, attrs: Sequence[str], n_rows: int) -> None:
+        """Register a materialized attribute subset (K5 build output)."""
+        self._subsets[name] = (df, frozenset(attrs), n_rows)
+
+    def route(self, predicates: Predicates | None, k: int) -> Route:
+        sel = estimate_selectivity(self.stats, predicates)
+        constrained = set(predicates or ())
+        for name, (_df, attrs, n_rows) in self._subsets.items():
+            if constrained & attrs and n_rows < 0.5 * self.stats.n_rows:
+                return Route("subset", sel, subset_name=name)
+        if sel * self.default_large_k >= self.safety * k:
+            return Route("postfilter", sel, large_k=self.default_large_k)
+        return Route("prefilter", sel)
+
+    def search(
+        self,
+        df: DataFrame,
+        query_vec: Column | Sequence[float],
+        predicates: Predicates | None,
+        k: int,
+        **kw: Any,
+    ) -> DataFrame:
+        r = self.route(predicates, k)
+        if r.strategy == "subset":
+            target = self._subsets[r.subset_name][0]
+            return prefilter_search(target, query_vec, predicates, k, **kw)
+        if r.strategy == "postfilter":
+            return postfilter_search(df, query_vec, predicates, k, large_k=r.large_k, **kw)
+        return prefilter_search(df, query_vec, predicates, k, **kw)
