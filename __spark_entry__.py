@@ -246,6 +246,61 @@ def _q_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: per-(hour, event_type) count + value sum.
+    Batch shape of streaming.pipeline.hourly_rollup (same expressions)."""
+    from acorn_hybrid_vector_search_spark.streaming.pipeline import hourly_rollup
+
+    return hourly_rollup(_t(spark, sf_dir, "events"))
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session_window, 30 min) over events —
+    batch shape of the streaming sessionizer."""
+    from acorn_hybrid_vector_search_spark.streaming.pipeline import sessionize_by_window
+
+    return sessionize_by_window(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+def _q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: top-3 orders per customer by totalprice
+    (row_number over partitioned sort — the standard top-n-per-group)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", _R).alias("totalprice"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+_IVF_CACHE: dict[str, object] = {}
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nprobe-pruned approximate top-k (no portable SQL oracle —
+    rows-only driver check; recall/exactness properties in tests/test_ann.py).
+    The index is a build artifact (reference builds HNSW once per process,
+    /root/reference/acorn.py:274-277) — cached per sf_dir, not per query."""
+    from acorn_hybrid_vector_search_spark.operators.ann import ivf_build, ivf_search
+
+    idx = _IVF_CACHE.get(sf_dir)
+    if idx is None:
+        idx = ivf_build(_t(spark, sf_dir, "embeddings"), n_clusters=16)
+        _IVF_CACHE[sf_dir] = idx
+    res = ivf_search(idx, _query_vec(spark, sf_dir), k=10, nprobe=4)
+    return res.select("vec_id", "label", F.round("dist", _R).alias("dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pure_topk": _q_pure_topk,
@@ -265,6 +320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lang_id_histogram": _q_lang_id_histogram,
+        "hourly_rollup": _q_hourly_rollup,
+        "sessionize": _q_sessionize,
+        "top_orders_per_cust": _q_top_orders_per_cust,
+        "ann_ivf_topk": _q_ann_ivf,
     }
 
 
@@ -436,8 +495,47 @@ def oracle_sql() -> dict[str, str]:
                 ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE ROUND({_cos_sql('a.embedding', 'b.embedding')}, {_R}) >= 0.4
         """,
-        # minhash_near_dups / simhash_near_dups / lang_id_histogram:
-        # intentionally no oracle (portable SQL for md5→bigint hashing does
-        # not exist in DuckDB) — driver records rows-only; exactness
-        # properties are pytest-verified in tests/test_dedup.py.
+        "hourly_rollup": f"""
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                COUNT(*) AS n_events,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE), {_R}) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # session semantics: a gap of >= 30 min starts a new session (Spark's
+        # session_window is [start, last+gap), so an event at exactly
+        # last+gap falls OUTSIDE → '>=' here); end = last event + gap.
+        "sessionize": f"""
+            WITH x AS (
+                SELECT user_id, ts, value,
+                    CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+            ), y AS (
+                SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM x
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                COUNT(*) AS n_events,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE), {_R}) AS sum_value
+            FROM y GROUP BY user_id, sid
+        """,
+        "top_orders_per_cust": f"""
+            WITH r AS (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey, ROUND(o_totalprice, {_R}) AS totalprice,
+                CAST(rn AS BIGINT) AS rn
+            FROM r WHERE rn <= 3
+        """,
+        # minhash_near_dups / simhash_near_dups / lang_id_histogram /
+        # ann_ivf_topk: intentionally no oracle (md5→bigint hashing and the
+        # trained IVF codebook have no portable-SQL form) — driver records
+        # rows-only; exactness properties are pytest-verified
+        # (tests/test_dedup.py, tests/test_ann.py).
     }

@@ -240,21 +240,23 @@ def simhash_near_dups(
     )
     banded = h.withColumn("ck", F.explode(chunk_keys))
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.ck") == F.col("b.ck")) & (F.col("a.id") < F.col("b.id")))
+    # hamming verify goes INTO the join condition (cheap: one xor+popcount
+    # on two longs) so the dropDuplicates shuffle only moves true pairs,
+    # not every chunk-collision candidate.
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (hamming <= max_hamming),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            hamming.alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        pairs.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .drop("sh_a", "sh_b")
     )
 
 

@@ -32,7 +32,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # normalize to a microsecond TIMESTAMP so downstream windowing/watermark
     # code sees a real timestamp (DuckDB reads the same column as TIMESTAMP).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div, not `/1000` + cast: epoch-nanos (~1.7e18) exceed
+        # double's 2^53 integer range, so float division is off by ±1 µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

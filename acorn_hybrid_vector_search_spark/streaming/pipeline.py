@@ -1,0 +1,193 @@
+"""Structured Streaming: ingest, windowed rollups, sessionization.
+
+The reference has no streaming of any kind (SURVEY.md §2.1) — this is the
+charter extension (SURVEY.md §7 Phase 5) built entirely on Structured
+Streaming primitives, kept OUT of the correctness-critical batch path
+(§7 risk 5). Every streaming transformation here has the batch-equivalent
+shape used by the driver-checked queries, so stream and batch results can
+be cross-validated on the same events table:
+
+- ``hourly_rollup``          ⟷ batch groupBy(date_trunc) — same expression
+- ``sessionize_by_window``   ⟷ batch session_window groupBy
+- ``running_user_totals``    — genuinely stateful (applyInPandasWithState),
+                                no batch analog; tested by replay.
+
+Scale notes: the watermark bounds state (late rows beyond it are dropped
+and their state evicted); rollup state is O(active windows × groups);
+session state is O(active users). All aggregations are map-side partial
+before the shuffle on the group key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ---------------------------------------------------------------------------
+# ingest
+
+
+def stream_from_parquet_dir(spark, path: str, schema=None) -> DataFrame:
+    """File-source stream over a parquet directory: each new file is a
+    micro-batch — the standard append-only ingest pattern (S4 as a stream)."""
+    r = spark.readStream
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)
+
+
+def ingest_to_parquet(
+    stream: DataFrame, path: str, checkpoint: str, *, partition_by: Iterable[str] = ()
+):
+    """Append-mode parquet sink with exactly-once bookkeeping via the
+    checkpoint dir. Returns the StreamingQuery (caller awaits/stops)."""
+    w = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    cols = list(partition_by)
+    if cols:
+        w = w.partitionBy(*cols)
+    return w.start()
+
+
+# ---------------------------------------------------------------------------
+# windowed rollup (hypertable-style)
+
+
+def hourly_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Per-(window, event_type) count + value sum with late-data handling.
+
+    Works identically on a batch DataFrame (no watermark applied) and a
+    streaming one — the driver's batch oracle checks the same expressions
+    via date_trunc. State per group is evicted once the watermark passes
+    the window end.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(24,6)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+
+
+def sessionize_by_window(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-user sessions via the built-in session_window (gap-based merge).
+    Batch + streaming; emits one row per closed session."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal-exact sum: double accumulation is order-sensitive and
+            # the driver hash-compares against a sequential-scan oracle
+            F.round(F.sum(F.col("value").cast("decimal(24,6)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col(user_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+
+_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+_TOTALS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("batch_ts", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame, *, timeout_ms: int | None = None) -> DataFrame:
+    """Running per-user (event count, value total) across micro-batches —
+    the minimal custom stateful operator the built-in aggs can't express
+    incrementally per-batch (it EMITS on every batch the user appears in,
+    carrying state forward). State: one (long, double) per user.
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            m = pdf["ts"].max()
+            last_ts = m if last_ts is None else max(last_ts, m)
+        state.update((n, total))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "batch_ts": [last_ts],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, _TOTALS_OUT, _TOTALS_STATE, "append", timeout
+    )

@@ -1,0 +1,194 @@
+"""IVF ANN index, BLAS similarity kernels, LSH bucketing, strategy router.
+
+FIXTURES.md-style property tests (no SQL oracle exists for trained
+indexes): exactness at nprobe=C, recall at small nprobe, candidate-subset
+invariants, and router decision logic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from acorn_hybrid_vector_search_spark.operators.ann import (
+    assign_clusters,
+    ivf_build,
+    ivf_search,
+)
+from acorn_hybrid_vector_search_spark.operators.dedup import embedding_near_dups
+from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+from acorn_hybrid_vector_search_spark.operators.similarity import (
+    knn_exact_blas,
+    lsh_near_dup_pairs,
+    with_lsh_bucket,
+)
+from acorn_hybrid_vector_search_spark.plans.router import (
+    StrategyRouter,
+    collect_stats,
+    estimate_selectivity,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    return ivf_build(emb, n_clusters=8, seed=42)
+
+
+def test_ivf_assignment_complete_and_in_range(index, emb):
+    n = emb.count()
+    assigned = index.df
+    assert assigned.count() == n  # no rows lost
+    mn, mx = assigned.agg(F.min("cluster_id"), F.max("cluster_id")).head()
+    assert 0 <= mn and mx < index.n_clusters
+
+
+def test_ivf_assignment_deterministic(emb, index):
+    again = assign_clusters(emb, index.centroids).select("vec_id", "cluster_id")
+    diff = (
+        index.df.select("vec_id", "cluster_id")
+        .exceptAll(again)
+        .count()
+    )
+    assert diff == 0
+
+
+def test_ivf_full_probe_equals_exact(index, emb, qvec):
+    """nprobe = C degrades to exact search — same ids, same distances."""
+    exact = [(r["vec_id"], round(r["dist"], 6)) for r in knn_exact(emb, qvec, 10).collect()]
+    ivf = [
+        (r["vec_id"], round(r["dist"], 6))
+        for r in ivf_search(index, qvec, 10, nprobe=index.n_clusters).collect()
+    ]
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(index, emb, qvec):
+    """nprobe = 2/8 clusters must still find most of the true top-10 (the
+    query vector IS row 0, so its own cluster holds the near neighbors)."""
+    exact_ids = {r["vec_id"] for r in knn_exact(emb, qvec, 10).collect()}
+    ivf_ids = {r["vec_id"] for r in ivf_search(index, qvec, 10, nprobe=2).collect()}
+    assert len(ivf_ids & exact_ids) >= 7
+
+
+def test_ivf_results_come_from_probed_clusters(index, qvec):
+    res = ivf_search(index, qvec, 10, nprobe=2)
+    d2 = ((index.centroids - np.asarray(qvec)[None, :]) ** 2).sum(axis=1)
+    probe = set(np.argsort(d2, kind="stable")[:2].tolist())
+    got = {
+        r["cluster_id"]
+        for r in res.join(index.df.select("vec_id", "cluster_id"), "vec_id").collect()
+    }
+    assert got <= probe
+
+
+def test_ivf_search_with_predicate(index, emb, qvec):
+    res = ivf_search(index, qvec, 5, nprobe=index.n_clusters, predicate=F.col("label") == 3)
+    rows = res.collect()
+    assert all(r["label"] == 3 for r in rows)
+    exact = knn_exact(emb.filter("label = 3"), qvec, 5).collect()
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in exact]
+
+
+# ---------------------------------------------------------------------------
+# BLAS kernels
+
+
+def test_knn_blas_matches_expression_kernel(emb, qvec):
+    a = knn_exact(emb, qvec, 10).collect()
+    b = knn_exact_blas(emb, qvec, 10).collect()
+    assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]
+    for ra, rb in zip(a, b):
+        assert ra["dist"] == pytest.approx(rb["dist"], abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# LSH
+
+
+def test_lsh_bucket_deterministic_and_bounded(emb):
+    dim = len(emb.select("embedding").head()[0])
+    b1 = with_lsh_bucket(emb, dim, n_planes=8).select("vec_id", "lsh_bucket")
+    b2 = with_lsh_bucket(emb, dim, n_planes=8).select("vec_id", "lsh_bucket")
+    assert b1.exceptAll(b2).count() == 0
+    mx = b1.agg(F.max("lsh_bucket")).head()[0]
+    assert 0 <= mx < 2**8
+
+
+def test_lsh_pairs_subset_of_exact(emb):
+    dim = len(emb.select("embedding").head()[0])
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(emb, 0.5, bucket_col=None).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(emb, 0.5, dim, n_planes=4).collect()
+    }
+    assert approx <= exact  # candidate-only: never a false positive
+    if exact:
+        assert len(approx) / len(exact) >= 0.3  # sane recall on tiny data
+
+
+# ---------------------------------------------------------------------------
+# strategy router
+
+
+@pytest.fixture(scope="module")
+def stats(emb):
+    return collect_stats(emb, ["label"])
+
+
+def test_collect_stats_counts(stats, emb):
+    n = emb.count()
+    assert stats.n_rows == n
+    assert sum(stats.attrs["label"].counts.values()) + stats.attrs["label"].n_null == n
+
+
+def test_selectivity_estimates(stats):
+    # labels 0..9 roughly uniform → exact-match selectivity ≈ 0.1
+    s = estimate_selectivity(stats, {"label": ["exact", 3]})
+    assert 0.02 < s < 0.3
+    assert estimate_selectivity(stats, None) == 1.0
+    geq = estimate_selectivity(stats, {"label": ["geq", 0]})
+    assert geq > 0.9  # everything matches
+
+
+def test_router_routes_by_selectivity(stats):
+    r = StrategyRouter(stats, default_large_k=50)
+    # ~10% selectivity × 50 candidates ≈ 5 expected ≥ 2·k for k=2 → post
+    assert r.route({"label": ["exact", 3]}, k=2).strategy == "postfilter"
+    # k=10 needs 20 expected survivors out of 50 → pre-filter
+    assert r.route({"label": ["exact", 3]}, k=10).strategy == "prefilter"
+    assert r.route(None, k=10).strategy == "postfilter"  # sel=1.0
+
+
+def test_router_prefers_registered_subset(stats, emb):
+    r = StrategyRouter(stats, default_large_k=50)
+    subset = emb.filter("label = 3")
+    r.register_subset("label3", subset, ["label"], subset.count())
+    route = r.route({"label": ["exact", 3]}, k=2)
+    assert route.strategy == "subset" and route.subset_name == "label3"
+
+
+def test_router_search_exactness(stats, emb, qvec):
+    """Routed prefilter == direct prefilter; subset route returns the same
+    rows as searching the full table with the predicate."""
+    from acorn_hybrid_vector_search_spark.operators.hybrid import prefilter_search
+
+    r = StrategyRouter(stats, default_large_k=50)
+    got = r.search(emb, qvec, {"label": ["exact", 3]}, k=10).collect()
+    want = prefilter_search(emb, qvec, {"label": ["exact", 3]}, k=10).collect()
+    assert [x["vec_id"] for x in got] == [x["vec_id"] for x in want]

@@ -1,0 +1,124 @@
+"""Structured Streaming: file-source ingest, windowed rollup, sessions,
+custom stateful operator — each validated against its batch equivalent on
+the same rows (stream/batch parity is the streaming correctness oracle;
+SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from acorn_hybrid_vector_search_spark.sources.testdata import load_table
+from acorn_hybrid_vector_search_spark.streaming.pipeline import (
+    hourly_rollup,
+    ingest_to_parquet,
+    running_user_totals,
+    sessionize_by_window,
+    stream_from_parquet_dir,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # small deterministic slice; two "files" so file-source streams see
+    # multiple micro-batches with maxFilesPerTrigger=1
+    return load_table(spark, SF, "events").filter(F.col("user_id") < 40).cache()
+
+
+@pytest.fixture(scope="module")
+def stream_dir(events, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    first = events.filter("event_id % 2 = 0")
+    second = events.filter("event_id % 2 = 1")
+    first.coalesce(1).write.parquet(str(d / "batch0"))
+    second.coalesce(1).write.parquet(str(d / "batch1"))
+    return d
+
+
+def _stream(spark, stream_dir, events, max_files=None):
+    r = spark.readStream.schema(events.schema)
+    if max_files is not None:
+        r = r.option("maxFilesPerTrigger", max_files)
+    return r.option("recursiveFileLookup", "true").parquet(str(stream_dir))
+
+
+def _run_to_memory(df, name, mode):
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_stream_ingest_roundtrip(spark, events, stream_dir, tmp_path):
+    out = tmp_path / "ingested"
+    ckpt = tmp_path / "ckpt"
+    q = ingest_to_parquet(
+        _stream(spark, stream_dir, events), str(out), str(ckpt)
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(str(out)).count() == events.count()
+
+
+def test_streaming_rollup_matches_batch(spark, events, stream_dir):
+    stream = _stream(spark, stream_dir, events)
+    _run_to_memory(hourly_rollup(stream), "rollup_stream", "complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM rollup_stream").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in hourly_rollup(events).collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessions_match_batch(spark, events, stream_dir):
+    stream = _stream(spark, stream_dir, events)
+    _run_to_memory(
+        sessionize_by_window(stream, gap="30 minutes"), "sessions_stream", "complete"
+    )
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in sessionize_by_window(events, gap="30 minutes").collect()
+    }
+    assert got == want
+
+
+def test_running_totals_accumulate_across_batches(spark, events, stream_dir):
+    """applyInPandasWithState carries state between micro-batches: with one
+    file per trigger, the LAST emission per user equals the full batch
+    count/total."""
+    stream = _stream(spark, stream_dir, events, max_files=1)
+    _run_to_memory(running_user_totals(stream), "totals_stream", "append")
+    # cumulative n_events is monotonic per user → its max is the final state
+    # (batch_ts can't order emissions: the two files cover the same span)
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) AS n, max_by(total_value, n_events) AS tot,"
+        " count(*) AS emissions FROM totals_stream GROUP BY user_id"
+    ).collect()
+    want = {
+        r["user_id"]: (r["n"], r["tot"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4).alias("tot"),
+        )
+        .collect()
+    }
+    assert rows, "stateful operator emitted nothing"
+    multi = 0
+    for r in rows:
+        wn, wtot = want[r["user_id"]]
+        assert r["n"] == wn
+        assert r["tot"] == pytest.approx(wtot, abs=1e-3)
+        if r["emissions"] > 1:
+            multi += 1
+    assert multi > 0, "expected users emitting in more than one micro-batch"
