@@ -283,6 +283,50 @@ def _q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the customer's latest order at or
+    before the event time (distributed merge-asof via union + window;
+    oracle: DuckDB native ASOF JOIN). Right side deduped to one order per
+    (custkey, date) so tie-breaking is well-defined in both engines."""
+    from acorn_hybrid_vector_search_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    res = asof_join(
+        ev,
+        orders,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        value_cols=["o_orderkey"],
+    )
+    return res.select("event_id", F.col("_asof_ts").alias("asof_ts"), "o_orderkey")
+
+
+def _q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: CUBE over (status, priority) — count + decimal-exact
+    revenue at every aggregation level."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(_dec(F.col("o_totalprice"))).cast("double"), _R).alias("revenue"),
+    )
+
+
+def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (the shuffle-expand path)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 _IVF_CACHE: dict[str, object] = {}
 
 
@@ -323,6 +367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup": _q_hourly_rollup,
         "sessionize": _q_sessionize,
         "top_orders_per_cust": _q_top_orders_per_cust,
+        "asof_latest_order": _q_asof_latest_order,
+        "cube_order_stats": _q_cube_order_stats,
+        "distinct_users_per_type": _q_distinct_users,
         "ann_ivf_topk": _q_ann_ivf,
     }
 
@@ -532,6 +579,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, o_orderkey, ROUND(o_totalprice, {_R}) AS totalprice,
                 CAST(rn AS BIGINT) AS rn
             FROM r WHERE rn <= 3
+        """,
+        "asof_latest_order": """
+            WITH r AS (
+                SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey
+            FROM events e ASOF LEFT JOIN r
+                ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        "cube_order_stats": f"""
+            SELECT o_orderstatus, o_orderpriority,
+                COUNT(*) AS n_orders,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE), {_R})
+                    AS revenue
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                COUNT(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         # minhash_near_dups / simhash_near_dups / lang_id_histogram /
         # ann_ivf_topk: intentionally no oracle (md5→bigint hashing and the
