@@ -283,6 +283,21 @@ def _q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_acorn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 ACORN-equivalent: escalating-oversample post-filter with exact
+    pre-filter fallback (/root/reference/acorn.py:149-238's contract —
+    "filtered top-k with bounded work"). The escalation is deterministic
+    (rounds 4k→16k→64k, then exact fallback), so the oracle encodes the
+    same round-selection logic in SQL."""
+    from acorn_hybrid_vector_search_spark.operators.hybrid import acorn_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = acorn_search(
+        emb, _query_vec(spark, sf_dir), {"label": ["exact", 3]}, k=10, initial_oversample=4
+    )
+    return res.select("vec_id", "label", F.round("dist", _R).alias("dist"))
+
+
 def _q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the customer's latest order at or
     before the event time (distributed merge-asof via union + window;
@@ -351,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefilter_exact": _q_prefilter_exact,
         "prefilter_range": _q_prefilter_range,
         "postfilter": _q_postfilter,
+        "acorn_hybrid": _q_acorn_hybrid,
         "ann_cosine_topk": _q_ann_cosine,
         "histogram_event_type": _q_histogram_event_type,
         "histogram_lang": _q_histogram_lang,
@@ -579,6 +595,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, o_orderkey, ROUND(o_totalprice, {_R}) AS totalprice,
                 CAST(rn AS BIGINT) AS rn
             FROM r WHERE rn <= 3
+        """,
+        "acorn_hybrid": f"""
+            WITH {q0},
+            ranked AS (
+                SELECT e.vec_id, e.label, {d2} AS d2,
+                    row_number() OVER (ORDER BY {d2}, e.vec_id) AS pos
+                FROM embeddings e, q
+            ),
+            chosen AS (
+                SELECT CASE
+                    WHEN (SELECT COUNT(*) FROM ranked WHERE pos <= 40 AND label = 3) >= 10
+                        THEN 40
+                    WHEN (SELECT COUNT(*) FROM ranked WHERE pos <= 160 AND label = 3) >= 10
+                        THEN 160
+                    WHEN (SELECT COUNT(*) FROM ranked WHERE pos <= 640 AND label = 3) >= 10
+                        THEN 640
+                    ELSE NULL END AS lk
+            )
+            SELECT vec_id, label, ROUND(d2, {_R}) AS dist
+            FROM ranked, chosen
+            WHERE label = 3 AND (lk IS NULL OR pos <= lk)
+            ORDER BY d2, vec_id LIMIT 10
         """,
         "asof_latest_order": """
             WITH r AS (
