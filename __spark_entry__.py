@@ -342,6 +342,51 @@ def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATS_CACHE: dict[str, object] = {}
+
+
+def _q_routed_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy-routed hybrid search: the router estimates selectivity from
+    cached attribute histograms and picks the physical strategy (here:
+    ~10% selectivity, k=10 → exact pre-filter, so the pre-filter oracle
+    applies). Demonstrates the reference's pre/post/partitioned research
+    question as a planner decision."""
+    from acorn_hybrid_vector_search_spark.plans.router import StrategyRouter, collect_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = _STATS_CACHE.get(sf_dir)
+    if stats is None:
+        stats = collect_stats(emb, ["label"])
+        _STATS_CACHE[sf_dir] = stats
+    router = StrategyRouter(stats, default_large_k=50)
+    res = router.search(emb, _query_vec(spark, sf_dir), {"label": ["exact", 3]}, k=10)
+    return res.select("vec_id", "label", F.round("dist", _R).alias("dist"))
+
+
+def _q_antijoin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no completed ('F') order (left_anti —
+    no row explosion; the filter prunes the probe before the join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions: extract props.k from the events JSON string
+    column, histogram by bucket (JVM-side get_json_object, no UDF)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select((k % 10).alias("k_mod"))
+        .where(F.col("k_mod").isNotNull())
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 _IVF_CACHE: dict[str, object] = {}
 
 
@@ -386,6 +431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_order": _q_asof_latest_order,
         "cube_order_stats": _q_cube_order_stats,
         "distinct_users_per_type": _q_distinct_users,
+        "routed_hybrid": _q_routed_hybrid,
+        "antijoin_customers": _q_antijoin_customers,
+        "json_props_histogram": _q_json_props,
         "ann_ivf_topk": _q_ann_ivf,
     }
 
@@ -638,6 +686,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                 COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        # routed_hybrid: the router picks exact pre-filter for this
+        # (selectivity ≈ 0.1, k=10, large_k=50 → expected 5 < 2k) at every
+        # sf, so the pre-filter oracle is the routed oracle.
+        "routed_hybrid": f"""
+            WITH {q0}
+            SELECT e.vec_id, e.label, ROUND({d2}, {_R}) AS dist
+            FROM embeddings e, q
+            WHERE e.label = 3
+            ORDER BY {d2}, e.vec_id LIMIT 10
+        """,
+        "antijoin_customers": """
+            SELECT c_custkey, c_name, c_nationkey
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        """,
+        "json_props_histogram": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+                COUNT(*) AS cnt
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1
         """,
         # minhash_near_dups / simhash_near_dups / lang_id_histogram /
         # ann_ivf_topk: intentionally no oracle (md5→bigint hashing and the
