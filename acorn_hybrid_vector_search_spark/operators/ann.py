@@ -115,6 +115,32 @@ def ivf_build(
     )
 
 
+def ivf_write(index: IVFIndex, path: str) -> None:
+    """Persist the index: rows partitioned BY cluster_id (each inverted
+    list is its own directory → nprobe pruning is a file skip, verified
+    via PartitionFilters in the scan plan) + the codebook as a tiny
+    parquet sidecar. The reference rebuilds its HNSW graph every run
+    (~51 s, /root/reference/acorn.py:274-277, README.md:232); here build
+    once, prune forever."""
+    index.df.write.mode("overwrite").partitionBy("cluster_id").parquet(f"{path}/lists")
+    spark = index.df.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(index.centroids)]
+    spark.createDataFrame(rows, "cluster_id INT, centroid ARRAY<DOUBLE>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivf_read(
+    spark, path: str, *, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> IVFIndex:
+    """Load a persisted index. The lists DataFrame carries cluster_id as a
+    PARTITION column, so `cluster_id IN (...)` prunes at file-listing time."""
+    cb = spark.read.parquet(f"{path}/codebook").orderBy("cluster_id").collect()
+    centroids = np.asarray([r["centroid"] for r in cb], dtype=np.float64)
+    df = spark.read.parquet(f"{path}/lists")
+    return IVFIndex(df=df, centroids=centroids, vec_col=vec_col, id_col=id_col)
+
+
 def ivf_search(
     index: IVFIndex,
     query_vec: Sequence[float],

@@ -102,6 +102,27 @@ def test_ivf_search_with_predicate(index, emb, qvec):
     assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in exact]
 
 
+def test_ivf_persist_roundtrip_and_partition_pruning(index, emb, qvec, tmp_path):
+    from acorn_hybrid_vector_search_spark.operators.ann import ivf_read, ivf_write
+
+    ivf_write(index, str(tmp_path / "ivf"))
+    loaded = ivf_read(emb.sparkSession, str(tmp_path / "ivf"))
+    assert np.allclose(loaded.centroids, index.centroids)
+    # identical results from the persisted index
+    a = [(r["vec_id"], round(r["dist"], 6)) for r in ivf_search(index, qvec, 10, nprobe=2).collect()]
+    b = [(r["vec_id"], round(r["dist"], 6)) for r in ivf_search(loaded, qvec, 10, nprobe=2).collect()]
+    assert a == b
+    # nprobe pruning happens at file-listing time (partition pruning)
+    plan = (
+        ivf_search(loaded, qvec, 10, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "cluster_id" in plan.split("PartitionFilters", 1)[1][:120]
+
+
 # ---------------------------------------------------------------------------
 # BLAS kernels
 
