@@ -157,10 +157,20 @@ def minhash_near_dups(
     rows_per_band = num_hashes // bands
     # materialize shingles once, signature from them once (cheap hash mixes,
     # one md5 per shingle) — never recompute from text downstream
-    base = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = base.select("id", "sh", minhash_from_shingles(F.col("sh"), num_hashes).alias("sig"))
+    # repartition BEFORE the shingle/signature projection: a single-file
+    # input would otherwise compute every signature on one core
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .repartition(_probe_parallelism(df))
+        .select("id", shingles("_txt", shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    sig = base.select(
+        "id",
+        "sh",
+        F.size("sh").alias("n"),
+        minhash_from_shingles(F.col("sh"), num_hashes).alias("sig"),
+    )
 
     band_keys = F.array(
         *[
@@ -172,34 +182,47 @@ def minhash_near_dups(
             for b in range(bands)
         ]
     )
-    # banded rows carry ONLY (id, band_key): the band shuffle and the pair
-    # join never move shingle/signature arrays
-    banded = sig.select("id", F.explode(band_keys).alias("band_key"))
+    # payloads ride along through the band explode: `bands`× shuffle volume
+    # buys a single self-join with NO payload re-join and NO signature
+    # recompute (3 scans → 1). For very large corpora where shuffle bytes
+    # dominate, persist `sig` as a table and band over ids instead.
+    banded = sig.select("id", "sh", "n", "sig", F.explode(band_keys).alias("band_key"))
 
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])  # same pair can collide in >1 band
-    )
-    # re-attach payloads only for the (small) candidate set
-    sa = sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b"))
-    pairs = cand.join(sa, "id_a").join(sb, "id_b")
+    cond = (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id"))
+    verify_cols = []
+    if verify_threshold is not None:
+        # size-band prune, then exact shingle Jaccard — both inside the
+        # join condition, cheap conjuncts first (see ngram_jaccard_pairs)
+        t = float(verify_threshold)
+        inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+        union = F.col("a.n") + F.col("b.n") - inter
+        jac = F.round(
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 6
+        )
+        cond = (
+            cond
+            & (F.col("a.n").cast("double") >= t * F.col("b.n"))
+            & (F.col("b.n").cast("double") >= t * F.col("a.n"))
+            & (jac >= t)
+        )
+        verify_cols = [jac.alias("jaccard")]
 
     agree = F.size(
         F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     )
-    out = pairs.withColumn("sig_agreement", F.round(agree.cast("double") / num_hashes, 6))
-    if verify_threshold is not None:
-        out = out.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)).filter(
-            F.col("jaccard") >= verify_threshold
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(agree.cast("double") / num_hashes, 6).alias("sig_agreement"),
+            *verify_cols,
         )
-    return out.select(
-        "id_a", "id_b", "sig_agreement", *(["jaccard"] if verify_threshold is not None else [])
+        .dropDuplicates(["id_a", "id_b"])  # same pair can collide in >1 band
     )
 
 
@@ -225,7 +248,11 @@ def simhash_near_dups(
     blocking scheme — standard practice; full recall needs more chunks.)
     """
     chunk_bits = bits // chunks
-    h = df.select(F.col(id_col).alias("id"), simhash64(text_col, bits).alias("sh"))
+    h = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .repartition(_probe_parallelism(df))
+        .select("id", simhash64("_txt", bits).alias("sh"))
+    )
     chunk_keys = F.array(
         *[
             F.concat_ws(
