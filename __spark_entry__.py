@@ -102,6 +102,19 @@ def _q_prefilter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", "label", F.round("dist", _R).alias("dist"))
 
 
+def _q_prefilter_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-3 query (reference §2.4): highly selective conjunction — the
+    regime where pre-filter wins and post-filter's accuracy collapses."""
+    emb = _t(spark, sf_dir, "embeddings")
+    res = prefilter_search(
+        emb,
+        _query_vec(spark, sf_dir),
+        (F.col("label") == 3) & (F.col("vec_id") % 31 == 0),
+        k=10,
+    )
+    return res.select("vec_id", "label", F.round("dist", _R).alias("dist"))
+
+
 def _q_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3: top-large_k candidates first, then the predicate (large_k=50,
     the reference's default, /root/reference/acorn.py:64-66)."""
@@ -183,6 +196,15 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: md5 fingerprint of normalized text → survivor id
     + duplicate count (hash-groupBy; one shuffle on a high-entropy key)."""
     return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated table itself: min-id row per normalized-text
+    fingerprint (one window shuffle, no self-join)."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id", "lang", "source", "n_chars")
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pure_topk": _q_pure_topk,
         "prefilter_exact": _q_prefilter_exact,
         "prefilter_range": _q_prefilter_range,
+        "prefilter_selective": _q_prefilter_selective,
         "postfilter": _q_postfilter,
         "acorn_hybrid": _q_acorn_hybrid,
         "ann_cosine_topk": _q_ann_cosine,
@@ -418,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_lineitem_pricing": _q_agg_lineitem,
         "join_revenue_by_nation": _q_join_topk,
         "dedup_exact_groups": _q_dedup_exact,
+        "dedup_survivors": _q_dedup_survivors,
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
         "ngram_jaccard_near_dups": _q_ngram_jaccard,
@@ -490,6 +514,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.label >= 2 AND e.label < 7
             ORDER BY {d2}, e.vec_id LIMIT 10
         """,
+        "prefilter_selective": f"""
+            WITH {q0}
+            SELECT e.vec_id, e.label, ROUND({d2}, {_R}) AS dist
+            FROM embeddings e, q
+            WHERE e.label = 3 AND e.vec_id % 31 = 0
+            ORDER BY {d2}, e.vec_id LIMIT 10
+        """,
         "postfilter": f"""
             WITH {q0},
             cand AS (
@@ -550,6 +581,12 @@ def oracle_sql() -> dict[str, str]:
                 MIN(doc_id) AS keep_id,
                 COUNT(*) AS dup_count
             FROM documents GROUP BY 1
+        """,
+        "dedup_survivors": f"""
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5({_NORM})
+                ORDER BY doc_id ASC) = 1
         """,
         "token_counts": f"""
             SELECT doc_id,
