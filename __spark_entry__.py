@@ -409,6 +409,20 @@ def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-dialect SQL interface: the literal same SQL string runs on
+    Spark (via registered views) and on DuckDB as the oracle."""
+    from acorn_hybrid_vector_search_spark.sql import run_shared
+
+    return run_shared(spark, sf_dir, "sql_segment_revenue")
+
+
+def _q_sql_parttype_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from acorn_hybrid_vector_search_spark.sql import run_shared
+
+    return run_shared(spark, sf_dir, "sql_parttype_revenue")
+
+
 _IVF_CACHE: dict[str, object] = {}
 
 
@@ -458,12 +472,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_hybrid": _q_routed_hybrid,
         "antijoin_customers": _q_antijoin_customers,
         "json_props_histogram": _q_json_props,
+        "sql_segment_revenue": _q_sql_segment_revenue,
+        "sql_parttype_revenue": _q_sql_parttype_revenue,
         "ann_ivf_topk": _q_ann_ivf,
     }
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles — same semantics, same rounding, same tie-breaks.
+
+
+def _shared_sql() -> dict[str, str]:
+    from acorn_hybrid_vector_search_spark.sql import SHARED_SQL
+
+    return dict(SHARED_SQL)
 
 _D2 = (
     "list_sum(list_transform(list_zip(e.embedding, q.embedding), "
@@ -747,6 +769,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE json_extract_string(props, '$.k') IS NOT NULL
             GROUP BY 1
         """,
+        # shared-dialect battery: the oracle IS the Spark query text
+        **_shared_sql(),
         # minhash_near_dups / simhash_near_dups / lang_id_histogram /
         # ann_ivf_topk: intentionally no oracle (md5→bigint hashing and the
         # trained IVF codebook have no portable-SQL form) — driver records
