@@ -77,6 +77,12 @@ def items_df(spark):
 
 
 @pytest.fixture(scope="session")
+def items_rows():
+    """The same fixture rows as plain dicts, indexed by item_id."""
+    return make_items_rows()
+
+
+@pytest.fixture(scope="session")
 def embeddings_df(spark):
     """Small deterministic embedding collection joined 1:1 with items."""
     rng = random.Random(7)
