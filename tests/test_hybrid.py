@@ -97,3 +97,34 @@ def test_topk_plan_is_take_ordered(embeddings_df, qvec):
     plan = knn_exact(embeddings_df, qvec, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan
+
+
+def test_materialized_subset_partition_pruning(embeddings_df, qvec, tmp_path):
+    """K5 at rest: materialize the label-partitioned subset as parquet,
+    route a constrained query to it, and confirm (a) result equality with
+    the full-table pre-filter and (b) partition pruning in the scan."""
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        materialize_attribute_subset,
+    )
+
+    path = str(tmp_path / "subset")
+    materialize_attribute_subset(
+        embeddings_df, F.col("label").isNotNull(), path, partition_cols=["label"]
+    )
+    subset = embeddings_df.sparkSession.read.parquet(path)
+
+    q = {"label": ["exact", 2]}
+    got = attribute_partitioned_search(
+        embeddings_df, subset, {"label"}, qvec, q, k=5
+    ).collect()
+    want = prefilter_search(embeddings_df, qvec, q, k=5).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+
+    plan = (
+        prefilter_search(subset, qvec, q, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "label" in plan.split("PartitionFilters", 1)[1][:120]
