@@ -1,15 +1,55 @@
-from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+from acorn_hybrid_vector_search_spark.operators.ann import (
+    IVFIndex,
+    ivf_build,
+    ivf_read,
+    ivf_search,
+    ivf_write,
+)
+from acorn_hybrid_vector_search_spark.operators.asof import asof_join
+from acorn_hybrid_vector_search_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from acorn_hybrid_vector_search_spark.operators.histogram import value_histogram
 from acorn_hybrid_vector_search_spark.operators.hybrid import (
     acorn_search,
     attribute_partitioned_search,
+    materialize_attribute_subset,
     postfilter_search,
     prefilter_search,
 )
+from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+from acorn_hybrid_vector_search_spark.operators.similarity import (
+    knn_exact_blas,
+    lsh_near_dup_pairs,
+    with_lsh_bucket,
+)
 
 __all__ = [
-    "knn_exact",
-    "prefilter_search",
-    "postfilter_search",
+    "IVFIndex",
+    "ivf_build",
+    "ivf_read",
+    "ivf_search",
+    "ivf_write",
+    "asof_join",
+    "embedding_near_dups",
+    "exact_dedup",
+    "exact_dedup_groups",
+    "minhash_near_dups",
+    "ngram_jaccard_pairs",
+    "simhash_near_dups",
+    "value_histogram",
     "acorn_search",
     "attribute_partitioned_search",
+    "materialize_attribute_subset",
+    "postfilter_search",
+    "prefilter_search",
+    "knn_exact",
+    "knn_exact_blas",
+    "lsh_near_dup_pairs",
+    "with_lsh_bucket",
 ]

@@ -13,12 +13,20 @@ from acorn_hybrid_vector_search_spark.schemas import TESTDATA_TABLES
 from acorn_hybrid_vector_search_spark.sources.testdata import load_table
 
 
+_REGISTERED: dict[tuple[str, str, str], list[str]] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str, *, prefix: str = "") -> list[str]:
-    """One temp view per testdata table (idempotent). Returns view names."""
+    """One temp view per testdata table (idempotent; memoized per session —
+    re-registration re-reads every table's footer for nothing)."""
+    key = (spark.sparkContext.applicationId, sf_dir, prefix)
+    if key in _REGISTERED:
+        return _REGISTERED[key]
     names = []
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(prefix + t)
         names.append(prefix + t)
+    _REGISTERED[key] = names
     return names
 
 
