@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from acorn_hybrid_vector_search_spark.functions.text import (
     fingerprint_md5,
-    minhash_signature,
     shingles,
     simhash64,
     tokens,

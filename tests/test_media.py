@@ -4,7 +4,6 @@ multiplicity, feature shapes, determinism across executions."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from acorn_hybrid_vector_search_spark.sources.media import (
     MEDIA_SCHEMA,

@@ -6,7 +6,6 @@ evaluate all of them in one pass as computed boolean columns."""
 
 from __future__ import annotations
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

@@ -14,7 +14,6 @@ from acorn_hybrid_vector_search_spark.streaming.pipeline import (
     ingest_to_parquet,
     running_user_totals,
     sessionize_by_window,
-    stream_from_parquet_dir,
 )
 
 SF = "/root/testdata/sf0.001"
