@@ -121,3 +121,46 @@ def test_running_totals_accumulate_across_batches(spark, events, stream_dir):
         if r["emissions"] > 1:
             multi += 1
     assert multi > 0, "expected users emitting in more than one micro-batch"
+
+
+def test_streaming_incremental_ivf_indexing(spark, tmp_path):
+    """Stream new embeddings into a persisted IVF index (frozen codebook):
+    after ingest, searching the loaded index at nprobe=C equals exact
+    search over ALL vectors (initial + streamed)."""
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+    from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+    from acorn_hybrid_vector_search_spark.streaming.indexing import (
+        stream_index_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    initial = emb.filter("vec_id < 300")
+    incoming = emb.filter("vec_id >= 300")
+
+    index = ivf_build(initial, n_clusters=4)
+    ivf_write(index, str(tmp_path / "ivf"))
+
+    src = tmp_path / "incoming"
+    incoming.coalesce(1).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = stream_index_embeddings(
+        stream, index.centroids, str(tmp_path / "ivf"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    loaded = ivf_read(spark, str(tmp_path / "ivf"))
+    assert loaded.df.count() == emb.count()
+    qvec = emb.filter("vec_id = 350").select("embedding").head()[0]
+    got = [r["vec_id"] for r in ivf_search(loaded, qvec, 10, nprobe=4).collect()]
+    want = [r["vec_id"] for r in knn_exact(emb, qvec, 10).collect()]
+    assert got == want  # full probe == exact over initial+streamed rows
