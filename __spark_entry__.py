@@ -409,6 +409,23 @@ def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): events per day × event_type. Explicit pivot values
+    keep the plan a single pass (no distinct-scan to discover columns) and
+    make the oracle expressible as conditional aggregation."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
 def _q_sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-dialect SQL interface: the literal same SQL string runs on
     Spark (via registered views) and on DuckDB as the oracle."""
@@ -472,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_hybrid": _q_routed_hybrid,
         "antijoin_customers": _q_antijoin_customers,
         "json_props_histogram": _q_json_props,
+        "pivot_events_daily": _q_pivot_events_daily,
         "sql_segment_revenue": _q_sql_segment_revenue,
         "sql_parttype_revenue": _q_sql_parttype_revenue,
         "ann_ivf_topk": _q_ann_ivf,
@@ -768,6 +786,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
             GROUP BY 1
+        """,
+        "pivot_events_daily": """
+            SELECT CAST(ts AS DATE) AS day,
+                COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+            FROM events GROUP BY 1
         """,
         # shared-dialect battery: the oracle IS the Spark query text
         **_shared_sql(),
