@@ -140,15 +140,32 @@ def mean_word_len(c: Column | str) -> Column:
 def quality_score(c: Column | str) -> Column:
     """Composite [0,1] quality heuristic: rewards stopword presence and
     sane word lengths, penalizes punctuation/digit noise and extreme
-    shortness. Deterministic arithmetic only."""
+    shortness. Deterministic arithmetic only.
+
+    Tokenizes ONCE (let-bound) — the naive composition of the ratio
+    functions would tokenize three times per row."""
     length_ok = F.least(char_count(c).cast("double") / 200.0, F.lit(1.0))
-    words_ok = F.when(
-        (mean_word_len(c) >= 3.0) & (mean_word_len(c) <= 10.0), F.lit(1.0)
-    ).otherwise(F.lit(0.5))
     noise = punct_ratio(c) + digit_ratio(c)
-    sw = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
-    raw = 0.35 * length_ok + 0.25 * words_ok + 0.25 * sw + 0.15 * (1.0 - F.least(noise * 2.0, F.lit(1.0)))
-    return F.round(raw, 6)
+    sw_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        mean_wl = F.when(n > 0, total_len.cast("double") / n).otherwise(F.lit(0.0))
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+        stop_r = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+        words_ok = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(1.0)).otherwise(
+            F.lit(0.5)
+        )
+        sw = F.least(stop_r * 4.0, F.lit(1.0))
+        return (
+            0.35 * length_ok
+            + 0.25 * words_ok
+            + 0.25 * sw
+            + 0.15 * (1.0 - F.least(noise * 2.0, F.lit(1.0)))
+        )
+
+    return F.round(let(tokens(c), build), 6)
 
 
 # ---------------------------------------------------------------------------
