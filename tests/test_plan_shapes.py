@@ -1,0 +1,59 @@
+"""Physical-plan regression guards: the plan SHAPES are the scale
+contract (SURVEY.md §4 / README design rules). If a future change turns a
+broadcast join into a cartesian product or drops TakeOrderedAndProject,
+these fail before any benchmark does."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    import __spark_entry__ as m
+
+    return {n: f(spark, SF) for n, f in m.queries().items()}
+
+
+def test_topk_queries_use_take_ordered(queries):
+    for name in ("pure_topk", "prefilter_exact", "prefilter_range", "ann_cosine_topk"):
+        assert "TakeOrderedAndProject" in _plan(queries[name]), name
+
+
+def test_no_cartesian_products_anywhere(queries):
+    for name, df in queries.items():
+        p = _plan(df)
+        assert "CartesianProduct" not in p, name
+        # nested-loop joins are only acceptable broadcast-side and none of
+        # the battery needs one
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_dim_joins_broadcast(queries):
+    assert "BroadcastHashJoin" in _plan(queries["join_revenue_by_nation"])
+
+
+def test_aggregates_are_partial_before_shuffle(queries):
+    # partial (map-side) HashAggregate must appear below the exchange
+    p = _plan(queries["agg_lineitem_pricing"])
+    assert p.count("HashAggregate") >= 2 and "Exchange" in p
+
+
+def test_scans_prune_columns(queries):
+    # the lineitem scan must not read all 8+ columns for a 5-column agg
+    p = _plan(queries["agg_lineitem_pricing"])
+    read = p.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_pair_joins_keep_threshold_out_of_project(queries):
+    # near-dup joins evaluate similarity inside the join condition; the
+    # post-join Project must not re-introduce a Filter over all pairs
+    p = _plan(queries["ngram_jaccard_near_dups"])
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
