@@ -18,6 +18,7 @@ from acorn_hybrid_vector_search_spark.operators.histogram import value_histogram
 from acorn_hybrid_vector_search_spark.operators.hybrid import (
     acorn_search,
     attribute_partitioned_search,
+    attribute_presence_cond,
     materialize_attribute_subset,
     postfilter_search,
     prefilter_search,
@@ -45,6 +46,7 @@ __all__ = [
     "value_histogram",
     "acorn_search",
     "attribute_partitioned_search",
+    "attribute_presence_cond",
     "materialize_attribute_subset",
     "postfilter_search",
     "prefilter_search",

@@ -122,7 +122,14 @@ def ivf_write(index: IVFIndex, path: str) -> None:
     parquet sidecar. The reference rebuilds its HNSW graph every run
     (~51 s, /root/reference/acorn.py:274-277, README.md:232); here build
     once, prune forever."""
-    index.df.write.mode("overwrite").partitionBy("cluster_id").parquet(f"{path}/lists")
+    # base rows live under batch=-1: streaming ingest appends sibling
+    # batch=<id> directories (streaming/indexing.py), so every writer owns
+    # exactly one subtree and a replayed micro-batch can overwrite its own
+    # idempotently. Partition discovery needs consistent depth, hence the
+    # level exists from the start.
+    index.df.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{path}/lists/batch=-1"
+    )
     spark = index.df.sparkSession
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(index.centroids)]
     spark.createDataFrame(rows, "cluster_id INT, centroid ARRAY<DOUBLE>").coalesce(
@@ -137,7 +144,10 @@ def ivf_read(
     PARTITION column, so `cluster_id IN (...)` prunes at file-listing time."""
     cb = spark.read.parquet(f"{path}/codebook").orderBy("cluster_id").collect()
     centroids = np.asarray([r["centroid"] for r in cb], dtype=np.float64)
-    df = spark.read.parquet(f"{path}/lists")
+    # `batch` is a writer-ownership detail (base load vs streaming
+    # micro-batches) — drop it from the logical schema; cluster_id pruning
+    # is unaffected (both are partition levels).
+    df = spark.read.parquet(f"{path}/lists").drop("batch")
     return IVFIndex(df=df, centroids=centroids, vec_col=vec_col, id_col=id_col)
 
 

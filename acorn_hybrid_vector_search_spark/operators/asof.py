@@ -41,8 +41,9 @@ def asof_join(
     an equal-timestamp left row — the pandas ``merge_asof`` convention).
 
     value_cols: right columns to carry (default: all but key/time).
-    tolerance_expr: optional Column over the joined row (e.g.
-    ``F.col("_asof_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")``)
+    tolerance_expr: optional Column over the joined row, evaluated while
+    the match is still nested in the ``_match`` struct (e.g.
+    ``F.col("_match._asof_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")``)
     applied AFTER the match; misses become NULLs, rows are kept.
     """
     if value_cols is None:

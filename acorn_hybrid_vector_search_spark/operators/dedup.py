@@ -32,10 +32,12 @@ from acorn_hybrid_vector_search_spark.functions.text import (
 
 def _probe_parallelism(df: DataFrame) -> int:
     """Target partition count for the probe side of a pair self-join:
-    max(shuffle partitions, current scan parallelism). Small inputs arrive
-    as one file → one partition, which would serialize the O(N²) probe."""
+    max(shuffle partitions, cluster parallelism). Small inputs arrive as
+    one file → one partition, which would serialize the O(N²) probe.
+    Session-conf only — touching ``df.rdd`` here would force RDD
+    materialization of the plan (driver-side planning cost per call)."""
     sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    return max(sp, df.rdd.getNumPartitions())
+    return max(sp, df.sparkSession.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------------------

@@ -137,28 +137,48 @@ def acorn_search(
     Returns exactly the pre-filter answer whenever that answer has ≥ k
     rows reachable — i.e. recall 1.0 against the reference's oracle
     strategy, the property ACORN approximates.
+
+    ONE-PASS PLAN: all rounds share one scan. The largest round's
+    candidate set (top ``initial_oversample·4^(max_rounds−1)·k`` rows —
+    a TakeOrderedAndProject, never a global sort) is computed once with a
+    per-row predicate verdict, and the bounded result (≤ max_large_k rows,
+    a query-size constant independent of table size) is collected; round
+    selection — "smallest round whose candidate prefix holds ≥ k passing
+    rows" — is then driver-side arithmetic on rows already in hand, so no
+    escalation round ever re-scans, and the returned DataFrame is a local
+    relation the consumer can't accidentally recompute. Only when even
+    the largest round under-fills does the exact pre-filter plan run
+    (its scan is the one the escalation was trying to avoid).
     """
     cond = _resolve_predicate(df, predicates, accessors)
-    n_needed = k
-    oversample = initial_oversample
-    for _ in range(max_rounds):
-        cand = postfilter_search(
-            df,
-            query_vec,
-            cond,
-            k,
-            large_k=oversample * k,
-            vec_col=vec_col,
-            id_col=id_col,
-            dist_col=dist_col,
-        )
-        rows = cand.limit(n_needed).count()
-        if rows >= n_needed:
-            return cand
-        oversample *= 4
+    max_large_k = initial_oversample * (4 ** (max_rounds - 1)) * k
+    cand = knn_exact(
+        df, query_vec, max_large_k, vec_col=vec_col, id_col=id_col, dist_col=dist_col
+    ).withColumn("_passes", cond)
+    rows = sorted(cand.collect(), key=lambda r: (r[dist_col], r[id_col]))
+
+    for round_i in range(max_rounds):
+        large_k = initial_oversample * (4**round_i) * k
+        hits = [r for r in rows[:large_k] if r["_passes"]]
+        if len(hits) >= k:
+            out = df.sparkSession.createDataFrame(hits[:k], schema=cand.schema)
+            return out.drop("_passes")
     return prefilter_search(
         df, query_vec, cond, k, vec_col=vec_col, id_col=id_col, dist_col=dist_col
     )
+
+
+def attribute_presence_cond(
+    attrs: Sequence[str],
+    accessors: Mapping[str, AttributeAccessor],
+) -> Column:
+    """The exact condition K5 routing assumes a subset was materialized
+    with: the conjunction of the attributes' presence expressions — no
+    more, no less. Build subsets with this (not an arbitrary filter)."""
+    cond = F.lit(True)
+    for a in attrs:
+        cond = cond & accessors[a].present
+    return cond
 
 
 def materialize_attribute_subset(
@@ -171,7 +191,16 @@ def materialize_attribute_subset(
     """K5 build side: persist the rows possessing a sparse attribute as
     their own Parquet table (the reference builds a second HNSW graph over
     the subset, /root/reference/acorn_attribute_specific.py:44-65). At
-    scale this is the materialization partition pruning routes into."""
+    scale this is the materialization partition pruning routes into.
+
+    CONTRACT: ``present_cond`` must be exactly the attribute-presence
+    condition for the attributes the subset will be routed on — i.e.
+    ``attribute_presence_cond(attrs, accessors)``. Routing
+    (``attribute_partitioned_search``) sends ANY query constraining one of
+    ``subset_attrs`` to the subset; because every predicate carries a
+    strict missing-attribute-rejection conjunct (functions/predicates.py),
+    that is lossless iff the subset contains every row where the attribute
+    is present. A narrower materialization filter silently loses matches."""
     w = df.filter(present_cond).write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
@@ -192,7 +221,13 @@ def attribute_partitioned_search(
 ) -> DataFrame:
     """K5 query side: route to the attribute subset when the query
     constrains one of its attributes; otherwise search the full table.
-    (Routing policy itself lives in plans/router.py.)"""
+    (Routing policy itself lives in plans/router.py.)
+
+    Soundness precondition: ``subset_df`` holds EVERY row where the
+    ``subset_attrs`` are present (see materialize_attribute_subset's
+    contract) — routing relies on the predicate's missing-attribute
+    rejection to discard subset-external rows, so a subset built with a
+    narrower filter would silently drop matches."""
     constrained = set(predicates or ())
     target = subset_df if constrained & set(subset_attrs) else df
     return prefilter_search(

@@ -8,11 +8,11 @@ cluster-partitioned parquet table (operators.ann.ivf_write), so ingest is:
 
     stream of (id, embedding[, …]) rows
       → assign_clusters against the FROZEN codebook (map-only, BLAS batch)
-      → append into lists/, partitionBy cluster_id
+      → write into lists/batch=<id>/, partitionBy cluster_id
 
-Each micro-batch lands as new files inside the matching cluster
-directories; readers see them on the next query (partition pruning
-unchanged). The codebook is intentionally frozen — standard IVF practice:
+Each micro-batch lands under its own batch= directory; readers see it on
+the next query (cluster_id partition pruning unchanged, one extra
+discovery level). The codebook is intentionally frozen — standard IVF practice:
 assignment quality degrades only if the data distribution drifts, at which
 point you retrain offline and swap the index directory atomically.
 """
@@ -38,14 +38,17 @@ def stream_index_embeddings(
     lists (same layout ivf_read expects)."""
     assigned = assign_clusters(stream, centroids, vec_col=vec_col)
 
-    # foreachBatch + batch append, NOT the streaming parquet sink: that sink
+    # foreachBatch + batch write, NOT the streaming parquet sink: that sink
     # stamps a _spark_metadata log and readers would then ignore every file
-    # the original batch ivf_write produced. Batch appends coexist with the
-    # initial files; exactly-once still holds via the checkpoint (a replayed
-    # batch id is skipped by foreachBatch bookkeeping).
-    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").partitionBy("cluster_id").parquet(
-            f"{index_path}/lists"
+    # the original batch ivf_write produced. foreachBatch is AT-LEAST-ONCE —
+    # after a failure/restart the same batch id can be delivered again — so
+    # the write must be idempotent: each micro-batch owns its own
+    # lists/batch=<id>/ subtree (ivf_write reserves batch=-1 for base rows)
+    # and a replay OVERWRITES exactly that subtree instead of appending
+    # duplicate vectors.
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            f"{index_path}/lists/batch={batch_id}"
         )
 
     return (
