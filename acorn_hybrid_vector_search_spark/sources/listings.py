@@ -10,7 +10,7 @@ scans/projections and picks broadcast vs shuffle join by stats.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -48,7 +48,9 @@ def read_mappings(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def correlate_listings(mappings: DataFrame, listings: DataFrame) -> DataFrame:
+def correlate_listings(
+    mappings: DataFrame, listings: DataFrame, *, order_col: str | None = None
+) -> DataFrame:
     """J1 — listing↔image correlation join
     (/root/reference/parse-json.py:41-61).
 
@@ -60,17 +62,38 @@ def correlate_listings(mappings: DataFrame, listings: DataFrame) -> DataFrame:
     preferred over other-image matches (priority 0 vs 1), then listing
     order — reproducing "first match wins" deterministically.
 
+    Listing order: pass ``order_col`` (a column of ``listings`` with a
+    total order, e.g. ABO's unique ``item_id``) for a fully deterministic,
+    oracle-expressible tie-break — preferred whenever the data carries a
+    key. Without it, order is derived as (input file name, position in
+    file): position comes from a per-FILE window (parallel across files),
+    with ``monotonically_increasing_id`` supplying the within-file read
+    order. Caveat: if one file is split across several input partitions,
+    split packing makes cross-split position only approximately file
+    order — which is why an explicit ``order_col`` wins when available.
+
     Scale: both branches are shuffle equi-joins on image_id (high-entropy
     key, no skew); the explode multiplies the listing side only. With a
     small listing dim, Catalyst broadcasts it.
     """
-    ls = listings.withColumn("_listing_ord", F.monotonically_increasing_id())
+    if order_col is not None:
+        ls = listings.withColumn("_lfile", F.lit("")).withColumn(
+            "_lpos", F.col(order_col)
+        )
+    else:
+        wf = Window.partitionBy(F.input_file_name()).orderBy(
+            F.monotonically_increasing_id()
+        )
+        ls = listings.withColumn("_lfile", F.input_file_name()).withColumn(
+            "_lpos", F.row_number().over(wf)
+        )
 
     main = ls.select(
         F.col("main_image_id").alias("image_id"),
         F.struct(*[F.col(a) for a in QUERY_ATTRS]).alias("meta"),
         F.lit(0).alias("_prio"),
-        "_listing_ord",
+        "_lfile",
+        "_lpos",
     ).where(F.col("image_id").isNotNull())
 
     other = (
@@ -79,12 +102,15 @@ def correlate_listings(mappings: DataFrame, listings: DataFrame) -> DataFrame:
             F.explode("other_image_id").alias("image_id"),
             F.struct(*[F.col(a) for a in QUERY_ATTRS]).alias("meta"),
             F.lit(1).alias("_prio"),
-            "_listing_ord",
+            "_lfile",
+            "_lpos",
         )
     )
 
     cand = mappings.join(main.unionByName(other), "image_id")
-    w = Window.partitionBy("image_id").orderBy(F.col("_prio").asc(), F.col("_listing_ord").asc())
+    w = Window.partitionBy("image_id").orderBy(
+        F.col("_prio").asc(), F.col("_lfile").asc(), F.col("_lpos").asc()
+    )
     return (
         cand.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -92,19 +118,76 @@ def correlate_listings(mappings: DataFrame, listings: DataFrame) -> DataFrame:
     )
 
 
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: tuple[str, ...],
+    *,
+    id_col: str = "item_id",
+    group_expr: Column | None = None,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Dense 0..N−1 ids in ``order_cols`` order WITHOUT a global
+    unpartitioned window (which funnels the whole table through one task —
+    the classic ETL scale-killer).
+
+    Two-stage zipWithIndex, DataFrame-native:
+      1. count rows per GROUP, where the group key is a deterministic,
+         order-aligned function of the row (default: the first
+         ``prefix_len`` chars of ``order_cols[0]``); fold the tiny
+         per-group counts into start offsets on the driver;
+      2. id = group offset + per-GROUP row_number − 1 — every window
+         partition is one group, so the work stays parallel.
+
+    The group key must be order-aligned (k₁ < k₂ ⟹ grp(k₁) ≤ grp(k₂)) and
+    the order columns non-null; being a pure row function (never a
+    partition id, which range repartitioning does NOT reproduce stably
+    across jobs) makes the two stages consistent by construction.
+    Parallelism = number of distinct groups — pass ``group_expr`` when the
+    default prefix is too coarse (or not order-aligned, e.g. numeric keys).
+    """
+    key0 = F.col(order_cols[0])
+    grp = group_expr if group_expr is not None else F.substring(key0, 1, prefix_len)
+    d = df.withColumn("_grp", grp)
+    counts = {
+        r["_grp"]: r["cnt"]
+        for r in d.groupBy("_grp").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[str, int] = {}
+    acc = 0
+    for g in sorted(counts):
+        offsets[g] = acc
+        acc += counts[g]
+    offset_map = F.create_map(
+        *[F.lit(x) for g in sorted(offsets) for x in (g, offsets[g])]
+    )
+    w = Window.partitionBy("_grp").orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        d.withColumn(
+            id_col,
+            (offset_map[F.col("_grp")] + F.row_number().over(w) - 1).cast("bigint"),
+        )
+        .drop("_grp")
+    )
+
+
 def build_items(
-    spark: SparkSession, listings_path: str, mappings_path: str
+    spark: SparkSession,
+    listings_path: str,
+    mappings_path: str,
+    *,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Full metadata ETL: S1 + S2 + J1 + P1 → items-shaped table with a
-    dense item_id (zipWithIndex-free: row_number over filename order —
-    deterministic, matches the reference's positional-id convention)."""
+    dense item_id in (filename, image_id) order — the reference's
+    positional-id convention, assigned via the two-stage parallel
+    zipWithIndex (``assign_dense_ids``), never a global single-task
+    window."""
     listings = read_listings(spark, listings_path)
     mappings = read_mappings(spark, mappings_path)
     for attr in QUERY_ATTRS:
         if attr not in listings.columns:
             listings = listings.withColumn(attr, F.lit(None))
-    corr = correlate_listings(mappings, listings)
-    w = Window.orderBy("filename")
-    return corr.withColumn("item_id", F.row_number().over(w) - 1).select(
+    corr = correlate_listings(mappings, listings, order_col=order_col)
+    return assign_dense_ids(corr, ("filename", "image_id")).select(
         "item_id", "filename", *QUERY_ATTRS
     )

@@ -134,3 +134,39 @@ def test_binary_scan_and_embedding_udf(spark, etl_dirs):
     assert again == by_name
     # unit-norm
     assert sum(x * x for x in by_name["000b01dc.jpg"]) == pytest.approx(1.0, rel=1e-5)
+
+
+def test_assign_dense_ids_two_stage_parity(spark):
+    """The two-stage parallel zipWithIndex must equal the naive global
+    window spec (row_number over a full sort) — same ids, no gaps."""
+    from acorn_hybrid_vector_search_spark.sources.listings import assign_dense_ids
+
+    df = (
+        spark.range(0, 5000)
+        .withColumn(
+            # hex-prefixed names → ~256 distinct 2-char groups, exercising
+            # the multi-group offset arithmetic (not one degenerate group)
+            "filename",
+            F.concat(F.substring(F.md5(F.col("id").cast("string")), 1, 8), F.lit(".jpg")),
+        )
+        .withColumn("image_id", F.concat(F.lit("I"), F.col("id")))
+        .repartition(16)
+    )
+    got = {
+        r["filename"]: r["item_id"]
+        for r in assign_dense_ids(df, ("filename", "image_id")).collect()
+    }
+    want = {
+        r["filename"]: i
+        for i, r in enumerate(df.orderBy("filename", "image_id").collect())
+    }
+    assert got == want
+
+
+def test_build_items_no_single_partition_window(spark, etl_dirs):
+    """Scale guard: the ETL's id assignment must never funnel the table
+    through one task (no single-partition Exchange anywhere in the plan)."""
+    listings_path, mappings_path, _ = etl_dirs
+    items = build_items(spark, listings_path, mappings_path)
+    plan = items._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
