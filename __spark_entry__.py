@@ -440,6 +440,135 @@ def _q_sql_parttype_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_shared(spark, sf_dir, "sql_parttype_revenue")
 
 
+# ---------------------------------------------------------------------------
+# nested ABO battery — the reference's ACTUAL predicate surface (§2.3):
+# array-of-struct [0].value access, doubly-nested normalized weight,
+# missing-attribute rejection, case-sensitive substring. Runs over the
+# committed fixtures/abo/items.parquet — OUR OWN build_items ETL output
+# (tools/make_abo_fixture.py) — joined to the driver embeddings table on
+# vec_id = item_id, with the reference's literal query battery
+# (/root/reference/acorn.py:296-298).
+
+ABO_FIXTURE = "/root/repo/fixtures/abo"
+
+
+def _abo_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    items = spark.read.parquet(f"{ABO_FIXTURE}/items.parquet")
+    return emb.join(items, emb.vec_id == items.item_id).drop("item_id")
+
+
+def _brand0() -> F.Column:
+    return F.col("brand").getItem(0).getField("value").alias("brand_val")
+
+
+def _q_nested_prefilter_weight_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2+F1 on the NESTED schema — the reference's class-2-2 query
+    verbatim: item_weight < 2 (normalized pounds, doubly-nested access)
+    AND brand substring 'Amazon' (case-sensitive, first element only)."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import abo_accessors
+
+    res = prefilter_search(
+        _abo_joined(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        {"item_weight": ["<", 2], "brand": ["substring", "Amazon"]},
+        k=10,
+        accessors=abo_accessors(),
+    )
+    return res.select(
+        "vec_id",
+        _brand0(),
+        F.round(
+            F.col("item_weight").getItem(0).getField("normalized_value").getField("value"), _R
+        ).alias("weight_lbs"),
+        F.round("dist", _R).alias("dist"),
+    )
+
+
+def _q_nested_prefilter_country_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-2-1: country exact 'IN' (bare-scalar attribute) AND brand
+    substring 'Amazon' — scalar + array-of-struct in one conjunction."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import abo_accessors
+
+    res = prefilter_search(
+        _abo_joined(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        {"country": ["exact", "IN"], "brand": ["substring", "Amazon"]},
+        k=10,
+        accessors=abo_accessors(),
+    )
+    return res.select("vec_id", _brand0(), "country", F.round("dist", _R).alias("dist"))
+
+
+def _q_nested_model_year_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-attribute path (~3% coverage): model_year ≥ 2015 rejects
+    every row where the attribute is ABSENT (strict missing-attribute
+    rejection, /root/reference/pre-filter.py:108-110) — the regime the
+    reference's attribute-specific index exists for."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import abo_accessors
+
+    res = prefilter_search(
+        _abo_joined(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        {"model_year": ["geq", 2015]},
+        k=10,
+        accessors=abo_accessors(),
+    )
+    return res.select(
+        "vec_id",
+        F.col("model_year").getItem(0).getField("value").cast("long").alias("model_year_val"),
+        F.round("dist", _R).alias("dist"),
+    )
+
+
+def _q_nested_postfilter_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 on the nested schema: top-50 by distance, THEN color substring
+    'Multi' — case-sensitive ('Multicolor' passes, 'multi-colored' fails;
+    may under-fill k, the post-filter failure mode)."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import abo_accessors
+
+    res = postfilter_search(
+        _abo_joined(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        {"color": ["substring", "Multi"]},
+        k=10,
+        large_k=50,
+        accessors=abo_accessors(),
+    )
+    return res.select(
+        "vec_id",
+        F.col("color").getItem(0).getField("value").alias("color_val"),
+        F.round("dist", _R).alias("dist"),
+    )
+
+
+def _q_items_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+J1+P1 end-to-end from the RAW fixture files: JSONL listings +
+    CSV mappings → correlation join (first-match-wins: main beats other,
+    then lowest listing key, /root/reference/parse-json.py:41-61) → dense
+    ids in (filename, image_id) order → first-element projection. The
+    oracle reproduces the whole pipeline in SQL from the same raw files."""
+    from acorn_hybrid_vector_search_spark.sources.listings import build_items
+
+    items = build_items(
+        spark,
+        f"{ABO_FIXTURE}/listings/listings_*.json",
+        f"{ABO_FIXTURE}/mappings/map*.csv",
+        order_col="item_id",
+    )
+    return items.select(
+        "item_id",
+        "filename",
+        _brand0(),
+        F.col("color").getItem(0).getField("value").alias("color_val"),
+        F.round(
+            F.col("item_weight").getItem(0).getField("normalized_value").getField("value"), _R
+        ).alias("weight_lbs"),
+        F.col("model_year").getItem(0).getField("value").cast("long").alias("model_year_val"),
+        "country",
+    )
+
+
 _IVF_CACHE: dict[str, object] = {}
 
 
@@ -493,6 +622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_segment_revenue": _q_sql_segment_revenue,
         "sql_parttype_revenue": _q_sql_parttype_revenue,
         "ann_ivf_topk": _q_ann_ivf,
+        "nested_prefilter_weight_brand": _q_nested_prefilter_weight_brand,
+        "nested_prefilter_country_brand": _q_nested_prefilter_country_brand,
+        "nested_model_year_sparse": _q_nested_model_year_sparse,
+        "nested_postfilter_color": _q_nested_postfilter_color,
+        "items_etl": _q_items_etl,
     }
 
 
@@ -510,6 +644,7 @@ _D2 = (
     "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))^2))"
 )
 _QV = "q AS (SELECT embedding FROM embeddings WHERE vec_id = {vid})"
+_ABO_ITEMS = f"read_parquet('{ABO_FIXTURE}/items.parquet/*.parquet')"
 
 # shared text-normalization snippets (must mirror functions/text.py exactly)
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -795,6 +930,97 @@ def oracle_sql() -> dict[str, str]:
                 COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                 COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
             FROM events GROUP BY 1
+        """,
+        # nested ABO battery — same fixture parquet, 1-indexed array access
+        "nested_prefilter_weight_brand": f"""
+            WITH {q0},
+            it AS (SELECT * FROM {_ABO_ITEMS}),
+            e AS (SELECT em.vec_id, em.embedding, it.brand, it.item_weight
+                  FROM embeddings em JOIN it ON em.vec_id = it.item_id)
+            SELECT e.vec_id, e.brand[1].value AS brand_val,
+                ROUND(e.item_weight[1].normalized_value.value, {_R}) AS weight_lbs,
+                ROUND({d2}, {_R}) AS dist
+            FROM e, q
+            WHERE e.item_weight IS NOT NULL AND len(e.item_weight) > 0
+              AND e.item_weight[1].normalized_value.value < 2
+              AND e.brand IS NOT NULL AND len(e.brand) > 0
+              AND contains(e.brand[1].value, 'Amazon')
+            ORDER BY {d2}, e.vec_id LIMIT 10
+        """,
+        "nested_prefilter_country_brand": f"""
+            WITH {q0},
+            it AS (SELECT * FROM {_ABO_ITEMS}),
+            e AS (SELECT em.vec_id, em.embedding, it.brand, it.country
+                  FROM embeddings em JOIN it ON em.vec_id = it.item_id)
+            SELECT e.vec_id, e.brand[1].value AS brand_val, e.country,
+                ROUND({d2}, {_R}) AS dist
+            FROM e, q
+            WHERE e.country IS NOT NULL AND e.country = 'IN'
+              AND e.brand IS NOT NULL AND len(e.brand) > 0
+              AND contains(e.brand[1].value, 'Amazon')
+            ORDER BY {d2}, e.vec_id LIMIT 10
+        """,
+        "nested_model_year_sparse": f"""
+            WITH {q0},
+            it AS (SELECT * FROM {_ABO_ITEMS}),
+            e AS (SELECT em.vec_id, em.embedding, it.model_year
+                  FROM embeddings em JOIN it ON em.vec_id = it.item_id)
+            SELECT e.vec_id, e.model_year[1].value AS model_year_val,
+                ROUND({d2}, {_R}) AS dist
+            FROM e, q
+            WHERE e.model_year IS NOT NULL AND len(e.model_year) > 0
+              AND e.model_year[1].value >= 2015
+            ORDER BY {d2}, e.vec_id LIMIT 10
+        """,
+        "nested_postfilter_color": f"""
+            WITH {q0},
+            it AS (SELECT * FROM {_ABO_ITEMS}),
+            e AS (SELECT em.vec_id, em.embedding, it.color
+                  FROM embeddings em JOIN it ON em.vec_id = it.item_id),
+            cand AS (
+                SELECT e.vec_id, e.color, {d2} AS d2
+                FROM e, q ORDER BY d2, e.vec_id LIMIT 50
+            )
+            SELECT vec_id, color[1].value AS color_val, ROUND(d2, {_R}) AS dist
+            FROM cand
+            WHERE color IS NOT NULL AND len(color) > 0
+              AND contains(color[1].value, 'Multi')
+            ORDER BY d2, vec_id LIMIT 10
+        """,
+        # J1/P1 end-to-end from the raw fixture files: union of main-image
+        # and exploded other-image matches, first-match-wins dedupe
+        # (main beats other, then lowest listing key), dense ids by
+        # (filename, image_id), first-element projection.
+        "items_etl": f"""
+            WITH l AS (
+              SELECT * FROM read_json('{ABO_FIXTURE}/listings/listings_*.json',
+                                      format='newline_delimited', union_by_name=true)
+            ), m AS (
+              SELECT column0 AS image_id, split_part(column3, '/', 2) AS filename
+              FROM read_csv('{ABO_FIXTURE}/mappings/map*.csv', header=false)
+            ), u AS (
+              SELECT main_image_id AS image_id, item_id AS ord, 0 AS prio,
+                     brand, color, item_weight, model_year, country
+              FROM l WHERE main_image_id IS NOT NULL
+              UNION ALL
+              SELECT unnest(other_image_id) AS image_id, item_id AS ord, 1 AS prio,
+                     brand, color, item_weight, model_year, country
+              FROM l WHERE other_image_id IS NOT NULL
+            ), j AS (
+              SELECT m.image_id AS image_id, m.filename, u.brand, u.color,
+                     u.item_weight, u.model_year, u.country
+              FROM m JOIN u ON m.image_id = u.image_id
+              QUALIFY row_number() OVER (PARTITION BY m.image_id
+                  ORDER BY u.prio, u.ord) = 1
+            )
+            SELECT row_number() OVER (ORDER BY filename, image_id) - 1 AS item_id,
+                   filename,
+                   brand[1].value AS brand_val,
+                   color[1].value AS color_val,
+                   ROUND(item_weight[1].normalized_value.value, {_R}) AS weight_lbs,
+                   model_year[1].value AS model_year_val,
+                   country
+            FROM j
         """,
         # shared-dialect battery: the oracle IS the Spark query text
         **_shared_sql(),

@@ -170,3 +170,26 @@ def test_build_items_no_single_partition_window(spark, etl_dirs):
     items = build_items(spark, listings_path, mappings_path)
     plan = items._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_abo_fixture_items_schema_and_density(spark):
+    """The committed fixtures/abo/items.parquet (our own build_items output,
+    tools/make_abo_fixture.py) must stay ABO-shaped: FIXTURES.md §1 columns,
+    dense 0..N−1 ids covering the sf0.1 vec_id domain, and arrays whose
+    index-1 value diverges from index 0 (pins first-element-only access)."""
+    items = spark.read.parquet("/root/repo/fixtures/abo/items.parquet")
+    assert items.columns == [
+        "item_id", "filename", "brand", "color", "item_weight", "model_year", "country"
+    ]
+    n = items.count()
+    lo, hi, dis = items.agg(
+        F.min("item_id"), F.max("item_id"), F.countDistinct("item_id")
+    ).head()
+    assert (lo, hi, dis) == (0, n - 1, n) and n > 2000
+    divergent = items.where(
+        (F.size("brand") > 1) & (F.col("brand")[0]["value"] != F.col("brand")[1]["value"])
+    ).count()
+    assert divergent > 0
+    # sparse attribute stays sparse (the attribute-partitioned regime)
+    my = items.where(F.col("model_year").isNotNull() & (F.size("model_year") > 0)).count()
+    assert 0 < my < n * 0.08
