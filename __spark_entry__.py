@@ -440,6 +440,20 @@ def _q_sql_parttype_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_shared(spark, sf_dir, "sql_parttype_revenue")
 
 
+def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query top-k: one scan answers 4 queries (mirrors
+    hnswlib's batched knn_query thread fan-out, bindings.cpp:627-646) —
+    broadcast query table, per-query window rank ≤ k."""
+    from acorn_hybrid_vector_search_spark.operators.knn import knn_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = knn_batch(emb, queries, k=5)
+    return res.select("query_id", "vec_id", F.round("dist", _R).alias("dist"))
+
+
 # ---------------------------------------------------------------------------
 # nested ABO battery — the reference's ACTUAL predicate surface (§2.3):
 # array-of-struct [0].value access, doubly-nested normalized weight,
@@ -622,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_segment_revenue": _q_sql_segment_revenue,
         "sql_parttype_revenue": _q_sql_parttype_revenue,
         "ann_ivf_topk": _q_ann_ivf,
+        "knn_batch_topk": _q_knn_batch,
         "nested_prefilter_weight_brand": _q_nested_prefilter_weight_brand,
         "nested_prefilter_country_brand": _q_nested_prefilter_country_brand,
         "nested_model_year_sparse": _q_nested_model_year_sparse,
@@ -930,6 +945,21 @@ def oracle_sql() -> dict[str, str]:
                 COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                 COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
             FROM events GROUP BY 1
+        """,
+        "knn_batch_topk": f"""
+            WITH qs AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 4
+            ), p AS (
+                SELECT qs.query_id, e.vec_id,
+                    list_sum(list_transform(list_zip(e.embedding, qs.qv),
+                        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))^2)) AS d2
+                FROM embeddings e, qs
+            )
+            SELECT query_id, vec_id, ROUND(d2, {_R}) AS dist
+            FROM p
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY d2, vec_id) <= 5
         """,
         # nested ABO battery — same fixture parquet, 1-indexed array access
         "nested_prefilter_weight_brand": f"""
