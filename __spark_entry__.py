@@ -248,8 +248,10 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (banded; verified shingle Jaccard).
-    Non-SQL-expressible portable oracle → rows-only driver check; exactness
-    properties are pytest-verified (tests/test_dedup.py)."""
+    Fully oracle-checked: the portable md5-based hash family replays in
+    DuckDB (see _minhash_sql) — signatures, banding, and verification all
+    hash-compared; banding recall properties additionally pytest-verified
+    (tests/test_dedup.py)."""
     d = _t(spark, sf_dir, "documents")
     return minhash_near_dups(d, num_hashes=16, bands=8, verify_threshold=0.5)
 
@@ -667,6 +669,85 @@ _TOKS = f"string_split({_NORM}, ' ')"
 _STOPLIST = "[" + ", ".join(f"'{w}'" for w in T._STOPWORDS) + "]"
 
 
+def _lang_id_sql() -> str:
+    """DuckDB replica of functions.text.lang_id: per-language marker-hit
+    ratio, argmax with first-in-sorted-order tie-break, 'und' when no
+    marker hits (same fold semantics as the Spark expression)."""
+    langs = sorted(T._LANG_MARKERS)
+    score = {}
+    for lang in langs:
+        arr = "[" + ", ".join(f"'{m}'" for m in T._LANG_MARKERS[lang]) + "]"
+        score[lang] = (
+            f"CAST(len(list_filter(toks, x -> list_contains({arr}, x))) AS DOUBLE)"
+            f" / greatest(len(toks), 1)"
+        )
+    score_cols = ", ".join(f"{score[l]} AS s_{l}" for l in langs)
+    m = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    first_max = " ".join(f"WHEN s_{l} >= m THEN '{l}'" for l in langs)
+    return f"""
+        WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+        s AS (SELECT {score_cols} FROM t),
+        g AS (SELECT *, {m} AS m FROM s),
+        p AS (
+            SELECT CASE WHEN m <= 0 THEN 'und' {first_max} END AS pred_lang
+            FROM g
+        )
+        SELECT pred_lang, COUNT(*) AS cnt FROM p GROUP BY pred_lang
+    """
+
+
+def _minhash_sql() -> str:
+    """DuckDB replica of operators.dedup.minhash_near_dups (num_hashes=16,
+    bands=8, shingle_n=3, verify_threshold=0.5): word-3-gram shingles →
+    portable 60-bit md5 hash (functions.text._hash64: first 15 hex chars
+    as BIGINT, here a positional hex fold since DuckDB lacks base-16
+    string→int) → 16 universal-hash mixes mod 2³¹−1 → min per hash →
+    banded collision (2 rows/band × 8 bands) → exact shingle-Jaccard
+    verification. Same coefficients, same arithmetic field."""
+    p = (1 << 31) - 1
+    coeffs = [
+        ((2654435761 * (i + 1)) % p or 1, (40503 * (i + 7) + 12345) % p)
+        for i in range(16)
+    ]
+    h64 = (
+        "CAST(list_sum(list_transform(range(1, 16), i -> "
+        "CAST(strpos('0123456789abcdef', substring(md5(s), i, 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT)"
+    )
+    sig = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))" for a, b in coeffs
+    )
+    jac = (
+        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6)"
+    )
+    return f"""
+        WITH base AS (
+          SELECT id, sh, len(sh) AS n FROM (
+            SELECT doc_id AS id,
+              CASE WHEN len(toks) >= 3 THEN
+                list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [] END AS sh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+          ) WHERE len(sh) > 0
+        ), sigs AS (
+          SELECT id, sh, n, [{sig}] AS sig
+          FROM (SELECT id, sh, n,
+                list_transform(sh, s -> ({h64}) % {p}) AS hs FROM base)
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+          ROUND(CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
+              AS DOUBLE) / 16, 6) AS sig_agreement,
+          {jac} AS jaccard
+        FROM sigs a JOIN sigs b ON a.id < b.id
+        WHERE len(list_filter(range(0, 8),
+              bb -> a.sig[2*bb+1] = b.sig[2*bb+1]
+                AND a.sig[2*bb+2] = b.sig[2*bb+2])) > 0
+          AND {jac} >= 0.5
+    """
+
+
 def _cos_sql(a: str, b: str) -> str:
     """Portable cosine similarity between two FLOAT[] expressions, computed
     in the same op order as functions.distance.cosine_similarity."""
@@ -1052,11 +1133,13 @@ def oracle_sql() -> dict[str, str]:
                    country
             FROM j
         """,
+        "lang_id_histogram": _lang_id_sql(),
+        "minhash_near_dups": _minhash_sql(),
         # shared-dialect battery: the oracle IS the Spark query text
         **_shared_sql(),
-        # minhash_near_dups / simhash_near_dups / lang_id_histogram /
-        # ann_ivf_topk: intentionally no oracle (md5→bigint hashing and the
-        # trained IVF codebook have no portable-SQL form) — driver records
-        # rows-only; exactness properties are pytest-verified
-        # (tests/test_dedup.py, tests/test_ann.py).
+        # simhash_near_dups / ann_ivf_topk: intentionally no oracle (the
+        # pandas-UDF simhash majority vote and the trained IVF codebook
+        # have no portable-SQL form) — driver records rows-only; exactness
+        # properties are pytest-verified (tests/test_dedup.py,
+        # tests/test_ann.py).
     }
