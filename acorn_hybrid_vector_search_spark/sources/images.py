@@ -44,22 +44,44 @@ def read_images(spark: SparkSession, image_dir: str, pattern: str = "*.jpg") -> 
 def _try_torch_embedder(dim: int):
     """Return a torch ResNet-50 batch embedder, or None if torch is absent.
 
-    The real path (reference vector_embeddings.py:12-35): resize 224×224,
-    ImageNet-normalize, ResNet-50 minus the final FC layer, eval mode,
-    seed 42 for determinism.
+    The real path (/root/reference/vector_embeddings.py:12-35, 65-67):
+    seed 42, resize 224×224, ImageNet-normalize (mean .485/.456/.406,
+    std .229/.224/.225), pretrained ResNet-50 with the final FC layer
+    removed (2048-d penultimate features), eval mode, no grad. Model is
+    constructed ONCE per UDF instantiation (→ once per executor python
+    worker), not per batch.
     """
     try:  # pragma: no cover - torch not installed in this environment
-        import torch  # noqa: F401
-        import torchvision  # noqa: F401
+        import io
+
+        import torch
+        from PIL import Image
+        from torchvision import models, transforms
     except ImportError:
         return None
 
+    torch.manual_seed(42)  # pragma: no cover
+    transform = transforms.Compose(  # pragma: no cover
+        [
+            transforms.Resize((224, 224)),
+            transforms.ToTensor(),
+            transforms.Normalize(mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225]),
+        ]
+    )
+    model = models.resnet50(weights=models.ResNet50_Weights.DEFAULT)  # pragma: no cover
+    model = torch.nn.Sequential(*(list(model.children())[:-1]))  # pragma: no cover
+    model.eval()  # pragma: no cover
+
     def embed(batch: pd.Series) -> pd.Series:  # pragma: no cover
-        raise NotImplementedError(
-            "torch present but model path intentionally stubbed in this "
-            "container; wire torchvision.models.resnet50 here (see "
-            "/root/reference/vector_embeddings.py:28-35)"
-        )
+        imgs = [
+            transform(Image.open(io.BytesIO(bytes(b))).convert("RGB")) for b in batch
+        ]
+        with torch.no_grad():
+            feats = model(torch.stack(imgs)).squeeze(-1).squeeze(-1)  # (B, 2048)
+        out = feats.cpu().numpy().astype("float32")
+        if out.shape[1] != dim:  # caller asked for a non-ResNet dim
+            raise ValueError(f"resnet50 features are {out.shape[1]}-d, requested {dim}")
+        return pd.Series([row.tolist() for row in out])
 
     return embed
 
