@@ -26,13 +26,20 @@ def test_topk_queries_use_take_ordered(queries):
         assert "TakeOrderedAndProject" in _plan(queries[name]), name
 
 
+# queries whose INTENDED plan is a broadcast nested-loop join: knn_batch
+# pairs every row with the bounded broadcast query batch (there is no
+# equi-key by construction). Everything else must stay equi-join.
+_BNLJ_BY_DESIGN = {"knn_batch_topk"}
+
+
 def test_no_cartesian_products_anywhere(queries):
     for name, df in queries.items():
         p = _plan(df)
         assert "CartesianProduct" not in p, name
-        # nested-loop joins are only acceptable broadcast-side and none of
-        # the battery needs one
-        assert "BroadcastNestedLoopJoin" not in p, name
+        # nested-loop joins are only acceptable broadcast-side, and only
+        # where the broadcast side is a bounded query batch
+        if name not in _BNLJ_BY_DESIGN:
+            assert "BroadcastNestedLoopJoin" not in p, name
 
 
 def test_dim_joins_broadcast(queries):
