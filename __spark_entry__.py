@@ -332,7 +332,12 @@ def _q_acorn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     res = acorn_search(
-        emb, _query_vec(spark, sf_dir), {"label": ["exact", 3]}, k=10, initial_oversample=4
+        emb,
+        _query_vec(spark, sf_dir),
+        {"label": ["exact", 3]},
+        k=10,
+        initial_oversample=4,
+        payload_cols=["vec_id", "label"],
     )
     return res.select("vec_id", "label", F.round("dist", _R).alias("dist"))
 

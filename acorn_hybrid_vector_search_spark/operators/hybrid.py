@@ -121,6 +121,7 @@ def acorn_search(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dist_col: str = "dist",
+    payload_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """K4: ACORN-equivalent hybrid search with bounded escalation.
 
@@ -149,12 +150,26 @@ def acorn_search(
     relation the consumer can't accidentally recompute. Only when even
     the largest round under-fills does the exact pre-filter plan run
     (its scan is the one the escalation was trying to avoid).
+
+    ``payload_cols``: columns the caller will actually keep (must include
+    every column the predicate reads). Default is all of ``df``'s columns
+    — but the candidate collect then ships max_large_k full rows INCLUDING
+    the vectors; at 2048-dim that is ~5 MB of floats the caller usually
+    drops. Passing the projection keeps the collect to a few KB.
     """
     cond = _resolve_predicate(df, predicates, accessors)
+    if payload_cols is None:
+        proj, drop_vec = df, False
+    else:
+        keep = list(dict.fromkeys([id_col, *payload_cols]))
+        drop_vec = vec_col not in keep
+        proj = df.select(*dict.fromkeys([*keep, vec_col]))
     max_large_k = initial_oversample * (4 ** (max_rounds - 1)) * k
     cand = knn_exact(
-        df, query_vec, max_large_k, vec_col=vec_col, id_col=id_col, dist_col=dist_col
+        proj, query_vec, max_large_k, vec_col=vec_col, id_col=id_col, dist_col=dist_col
     ).withColumn("_passes", cond)
+    if payload_cols is not None and drop_vec:
+        cand = cand.drop(vec_col)
     rows = sorted(cand.collect(), key=lambda r: (r[dist_col], r[id_col]))
 
     for round_i in range(max_rounds):
