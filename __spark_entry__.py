@@ -557,6 +557,37 @@ def _q_nested_model_year_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nested_routed_model_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 on the REAL sparse attribute: the query constrains model_year,
+    so routing searches the materialized presence subset (119 of 3490
+    rows — the reference's attribute-specific second index,
+    /root/reference/acorn_attribute_specific.py:44-77). The oracle is the
+    FULL-table pre-filter: routing must be result-invariant, which is
+    exactly the soundness contract the subset materialization carries."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import abo_accessors
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        attribute_partitioned_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sub_items = spark.read.parquet(f"{ABO_FIXTURE}/items_model_year.parquet")
+    subset = emb.join(sub_items, emb.vec_id == sub_items.item_id).drop("item_id")
+    res = attribute_partitioned_search(
+        _abo_joined(spark, sf_dir),
+        subset,
+        {"model_year"},
+        _query_vec(spark, sf_dir),
+        {"model_year": ["geq", 2015]},
+        k=10,
+        accessors=abo_accessors(),
+    )
+    return res.select(
+        "vec_id",
+        F.col("model_year").getItem(0).getField("value").cast("long").alias("model_year_val"),
+        F.round("dist", _R).alias("dist"),
+    )
+
+
 def _q_nested_postfilter_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 on the nested schema: top-50 by distance, THEN color substring
     'Multi' — case-sensitive ('Multicolor' passes, 'multi-colored' fails;
@@ -662,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_prefilter_weight_brand": _q_nested_prefilter_weight_brand,
         "nested_prefilter_country_brand": _q_nested_prefilter_country_brand,
         "nested_model_year_sparse": _q_nested_model_year_sparse,
+        "nested_routed_model_year": _q_nested_routed_model_year,
         "nested_postfilter_color": _q_nested_postfilter_color,
         "items_etl": _q_items_etl,
     }
@@ -784,7 +816,7 @@ def oracle_sql() -> dict[str, str]:
     d2 = _D2
     q0 = _QV.format(vid=0)
     q1 = _QV.format(vid=1)
-    return {
+    out = {
         "pure_topk": f"""
             WITH {q0}
             SELECT e.vec_id, e.label, ROUND({d2}, {_R}) AS dist
@@ -1172,3 +1204,7 @@ def oracle_sql() -> dict[str, str]:
         # properties are pytest-verified (tests/test_dedup.py,
         # tests/test_ann.py).
     }
+    # K5 routing must be result-invariant: the routed query's oracle IS the
+    # full-table pre-filter oracle, so any routing loss shows as a mismatch.
+    out["nested_routed_model_year"] = out["nested_model_year_sparse"]
+    return out

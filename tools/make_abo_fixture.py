@@ -222,6 +222,24 @@ def main() -> None:
     print(out.orderBy("item_id").show(5, truncate=False))
     assert n > 2000, "fixture must cover the sf0.1 vec_id domain (0..1999)"
 
+    # K5 build side: the model_year attribute subset (the reference's
+    # attribute-specific index, acorn_attribute_specific.py:44-65),
+    # materialized with EXACTLY the attribute-presence condition the
+    # router's soundness contract requires.
+    from acorn_hybrid_vector_search_spark.functions.predicates import abo_accessors
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        attribute_presence_cond,
+        materialize_attribute_subset,
+    )
+
+    sub_path = f"{ROOT}/items_model_year.parquet"
+    materialize_attribute_subset(
+        out.coalesce(1),
+        attribute_presence_cond(["model_year"], abo_accessors()),
+        sub_path,
+    )
+    print("model_year subset rows:", spark.read.parquet(sub_path).count())
+
 
 if __name__ == "__main__":
     main()
