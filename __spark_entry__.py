@@ -609,6 +609,18 @@ def _q_nested_postfilter_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_histogram_brand_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 on the REAL nested attribute: brand-value histogram over the ABO
+    items table — the reference's survey_metadata.py per-key extraction
+    (meta[key][0]['value'], rows lacking the key skipped). Its off-by-one
+    (counts reported as true−1, survey_metadata.py:46-48) is deliberately
+    NOT replicated (SURVEY.md §2 A1)."""
+    items = spark.read.parquet(f"{ABO_FIXTURE}/items.parquet")
+    return value_histogram(
+        items, F.col("brand").getItem(0).getField("value"), alias="brand_val"
+    )
+
+
 def _q_items_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S2+J1+P1 end-to-end from the RAW fixture files: JSONL listings +
     CSV mappings → correlation join (first-match-wins: main beats other,
@@ -695,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_model_year_sparse": _q_nested_model_year_sparse,
         "nested_routed_model_year": _q_nested_routed_model_year,
         "nested_postfilter_color": _q_nested_postfilter_color,
+        "histogram_brand_nested": _q_histogram_brand_nested,
         "items_etl": _q_items_etl,
     }
 
@@ -1158,6 +1171,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE color IS NOT NULL AND len(color) > 0
               AND contains(color[1].value, 'Multi')
             ORDER BY d2, vec_id LIMIT 10
+        """,
+        "histogram_brand_nested": f"""
+            SELECT brand[1].value AS brand_val, COUNT(*) AS cnt
+            FROM {_ABO_ITEMS}
+            WHERE brand[1].value IS NOT NULL
+            GROUP BY 1
         """,
         # J1/P1 end-to-end from the raw fixture files: union of main-image
         # and exploded other-image matches, first-match-wins dedupe

@@ -64,3 +64,24 @@ def test_pair_joins_keep_threshold_out_of_project(queries):
     # post-join Project must not re-introduce a Filter over all pairs
     p = _plan(queries["ngram_jaccard_near_dups"])
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_nested_items_scan_prunes_and_pushes(queries):
+    """Nested-schema scale contract: a hybrid query constraining brand +
+    item_weight must scan ONLY those attribute subtrees of the items
+    table (nestedSchemaPruning) and push the presence IsNotNulls into the
+    parquet source — at 100 TB the unread nested columns are the bulk of
+    the bytes."""
+    p = _plan(queries["nested_prefilter_weight_brand"])
+    import re
+
+    items_schemas = [
+        m.group(1)
+        for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", p)
+        if "brand" in m.group(1)
+    ]
+    assert items_schemas, "items scan not found in plan"
+    for s in items_schemas:
+        assert "color" not in s and "model_year" not in s and "country" not in s, s
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\].*brand", p)
+    assert pushed and "IsNotNull" in pushed.group(1), p[:500]
