@@ -293,6 +293,44 @@ def _q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_rollup(_t(spark, sf_dir, "events"))
 
 
+_STREAM_SEQ = iter(range(10**6))
+
+
+def _q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming THROUGH the driver oracle: the same hourly
+    rollup computed as a real stream — file source over the events
+    parquet, availableNow trigger, complete-mode memory sink — and
+    hash-compared against the batch SQL oracle. Proves stream == batch on
+    the correctness gate itself, not just in pytest."""
+    import os
+
+    from acorn_hybrid_vector_search_spark.streaming.pipeline import hourly_rollup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # the streaming file source lists a DIRECTORY; scope it to the events
+    # file with a glob filter
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    name = f"stream_hourly_rollup_{next(_STREAM_SEQ)}"
+    q = (
+        hourly_rollup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (session_window, 30 min) over events —
     batch shape of the streaming sessionizer."""
@@ -689,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "lang_id_histogram": _q_lang_id_histogram,
         "hourly_rollup": _q_hourly_rollup,
+        "stream_hourly_rollup": _q_stream_hourly_rollup,
         "sessionize": _q_sessionize,
         "top_orders_per_cust": _q_top_orders_per_cust,
         "asof_latest_order": _q_asof_latest_order,
@@ -1226,4 +1265,7 @@ def oracle_sql() -> dict[str, str]:
     # K5 routing must be result-invariant: the routed query's oracle IS the
     # full-table pre-filter oracle, so any routing loss shows as a mismatch.
     out["nested_routed_model_year"] = out["nested_model_year_sparse"]
+    # stream == batch on the gate itself: the streaming rollup answers to
+    # the batch rollup oracle verbatim.
+    out["stream_hourly_rollup"] = out["hourly_rollup"]
     return out
