@@ -220,16 +220,19 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/digit/stopword/word-length signals +
-    composite score, all JVM-side expressions."""
+    composite score, all JVM-side expressions. text_metrics computes the
+    token-derived trio from ONE tokenization (same values bit-for-bit as
+    the individual ratio functions)."""
     d = _t(spark, sf_dir, "documents")
+    m = T.text_metrics("text")
     return d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_raw"),
         F.round(T.punct_ratio("text"), _R).alias("punct_r"),
         F.round(T.digit_ratio("text"), _R).alias("digit_r"),
-        F.round(T.stopword_ratio("text"), _R).alias("stop_r"),
-        F.round(T.mean_word_len("text"), _R).alias("mean_wl"),
-        T.quality_score("text").alias("quality"),
+        F.round(m.getField("stop_r"), _R).alias("stop_r"),
+        F.round(m.getField("mean_wl"), _R).alias("mean_wl"),
+        m.getField("quality").alias("quality"),
     )
 
 

@@ -137,6 +137,41 @@ def mean_word_len(c: Column | str) -> Column:
     return let(tokens(c), build)
 
 
+def text_metrics(c: Column | str) -> Column:
+    """STRUCT<stop_r, mean_wl, quality>: every token-derived quality
+    signal from ONE let-bound tokenization. Composing stopword_ratio +
+    mean_word_len + quality_score as separate columns tokenizes the text
+    three times per row (each has its own let binding); this computes the
+    shared fold once and emits the same values bit-for-bit (identical
+    arithmetic, so oracle hashes are unchanged)."""
+    length_ok = F.least(char_count(c).cast("double") / 200.0, F.lit(1.0))
+    noise = punct_ratio(c) + digit_ratio(c)
+    sw_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        mean_wl = F.when(n > 0, total_len.cast("double") / n).otherwise(F.lit(0.0))
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+        stop_r = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+        words_ok = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(1.0)).otherwise(
+            F.lit(0.5)
+        )
+        sw = F.least(stop_r * 4.0, F.lit(1.0))
+        quality = F.round(
+            0.35 * length_ok
+            + 0.25 * words_ok
+            + 0.25 * sw
+            + 0.15 * (1.0 - F.least(noise * 2.0, F.lit(1.0))),
+            6,
+        )
+        return F.struct(
+            stop_r.alias("stop_r"), mean_wl.alias("mean_wl"), quality.alias("quality")
+        )
+
+    return let(tokens(c), build)
+
+
 def quality_score(c: Column | str) -> Column:
     """Composite [0,1] quality heuristic: rewards stopword presence and
     sane word lengths, penalizes punctuation/digit noise and extreme

@@ -101,3 +101,25 @@ def test_minhash_signature_estimates_jaccard(spark):
 
 def test_tokens_are_normalized(spark):
     assert _one(spark, "  FOO   Bar ", tokens("text")) == ["foo", "bar"]
+
+
+def test_text_metrics_equals_individual_functions(spark):
+    """The fused single-tokenization struct must emit bit-identical values
+    to the standalone ratio functions it replaces."""
+    import acorn_hybrid_vector_search_spark.functions.text as T
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    m = T.text_metrics("text")
+    rows = d.select(
+        m.getField("stop_r").alias("f_stop"),
+        m.getField("mean_wl").alias("f_wl"),
+        m.getField("quality").alias("f_q"),
+        T.stopword_ratio("text").alias("s_stop"),
+        T.mean_word_len("text").alias("s_wl"),
+        T.quality_score("text").alias("s_q"),
+    ).collect()
+    for r in rows:
+        assert r["f_stop"] == r["s_stop"]
+        assert r["f_wl"] == r["s_wl"]
+        assert r["f_q"] == r["s_q"]
