@@ -503,6 +503,29 @@ def _q_sql_parttype_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_shared(spark, sf_dir, "sql_parttype_revenue")
 
 
+_IVF_EXACT_CACHE: dict[str, object] = {}
+
+
+def _q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROVABLY EXACT pruned ANN: ball-bound (triangle-inequality) cluster
+    pruning over the radii-annotated IVF index — exact results with a
+    data-adaptive probe set, so the oracle is plain brute-force top-k
+    (unlike nprobe search, whose approximation has no portable oracle)."""
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_search_exact,
+    )
+
+    idx = _IVF_EXACT_CACHE.get(sf_dir)
+    if idx is None:
+        idx = ivf_build(
+            _t(spark, sf_dir, "embeddings"), n_clusters=16, with_radii=True
+        )
+        _IVF_EXACT_CACHE[sf_dir] = idx
+    res = ivf_search_exact(idx, _query_vec(spark, sf_dir, vec_id=2), k=10)
+    return res.select("vec_id", "label", F.round("dist", _R).alias("dist"))
+
+
 def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch multi-query top-k: one scan answers 4 queries (mirrors
     hnswlib's batched knn_query thread fan-out, bindings.cpp:627-646) —
@@ -743,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_segment_revenue": _q_sql_segment_revenue,
         "sql_parttype_revenue": _q_sql_parttype_revenue,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_exact_topk": _q_ann_ivf_exact,
         "knn_batch_topk": _q_knn_batch,
         "nested_prefilter_weight_brand": _q_nested_prefilter_weight_brand,
         "nested_prefilter_country_brand": _q_nested_prefilter_country_brand,
@@ -1142,6 +1166,13 @@ def oracle_sql() -> dict[str, str]:
                 COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                 COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
             FROM events GROUP BY 1
+        """,
+        # exact pruned ANN answers to the brute-force oracle (query vec 2)
+        "ann_ivf_exact_topk": f"""
+            WITH {_QV.format(vid=2)}
+            SELECT e.vec_id, e.label, ROUND({d2}, {_R}) AS dist
+            FROM embeddings e, q
+            ORDER BY {d2}, e.vec_id LIMIT 10
         """,
         "knn_batch_topk": f"""
             WITH qs AS (

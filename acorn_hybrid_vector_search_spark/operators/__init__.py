@@ -3,6 +3,7 @@ from acorn_hybrid_vector_search_spark.operators.ann import (
     ivf_build,
     ivf_read,
     ivf_search,
+    ivf_search_exact,
     ivf_write,
 )
 from acorn_hybrid_vector_search_spark.operators.asof import asof_join
@@ -36,6 +37,7 @@ __all__ = [
     "ivf_build",
     "ivf_read",
     "ivf_search",
+    "ivf_search_exact",
     "ivf_write",
     "asof_join",
     "embedding_near_dups",

@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import DoubleType, IntegerType
 
 from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
 
@@ -45,6 +45,7 @@ class IVFIndex:
     centroids: np.ndarray  # (C, dim) float64
     vec_col: str
     id_col: str
+    radii: np.ndarray | None = None  # (C,) max L2 member distance per cluster
 
     @property
     def n_clusters(self) -> int:
@@ -98,21 +99,64 @@ def ivf_build(
     sample_rows: int = 20_000,
     n_iter: int = 10,
     seed: int = 42,
+    with_radii: bool = False,
 ) -> IVFIndex:
     """Train the codebook on a bounded sample and tag every row with its
     cluster. (Persist with ``index.df.write.partitionBy('cluster_id')`` to
-    make nprobe pruning a file-skip at rest.)"""
+    make nprobe pruning a file-skip at rest.)
+
+    ``with_radii=True`` additionally computes each cluster's radius (max
+    member L2 distance to its centroid) with one extra aggregate pass —
+    the build artifact ``ivf_search_exact`` needs for provably-exact
+    pruned search. Build-time-only cost, like the reference's index
+    construction (/root/reference/acorn.py:274-277).
+    """
     n = df.count()
     frac = min(1.0, sample_rows / max(n, 1))
     sample_df = df.select(vec_col) if frac >= 1.0 else df.select(vec_col).sample(frac, seed=seed)
     sample = np.asarray([r[0] for r in sample_df.collect()], dtype=np.float64)
     centroids = _kmeans(sample, n_clusters, n_iter, seed)
+    assigned = assign_clusters(df, centroids, vec_col=vec_col)
+    radii = None
+    if with_radii:
+        radii = _cluster_radii(assigned, centroids, vec_col=vec_col)
     return IVFIndex(
-        df=assign_clusters(df, centroids, vec_col=vec_col),
+        df=assigned,
         centroids=centroids,
         vec_col=vec_col,
         id_col=id_col,
+        radii=radii,
     )
+
+
+def _cluster_radii(
+    assigned: DataFrame, centroids: np.ndarray, *, vec_col: str
+) -> np.ndarray:
+    """(C,) max L2 distance of any member to its own centroid — a tiny
+    groupBy over one Arrow-batched distance projection (map-side partial
+    max, C-row result)."""
+    cent = centroids
+
+    @F.pandas_udf(DoubleType())
+    def dist_to_own(v: pd.Series, cid: pd.Series) -> pd.Series:
+        x = np.asarray(list(v), dtype=np.float64)
+        c = cent[cid.to_numpy(dtype=np.int64)]
+        d = x - c
+        return pd.Series(np.sqrt(np.einsum("ij,ij->i", d, d)))
+
+    rows = (
+        assigned.select(
+            F.col("cluster_id"),
+            dist_to_own(F.col(vec_col), F.col("cluster_id")).alias("d"),
+        )
+        .groupBy("cluster_id")
+        .agg(F.max("d").alias("r"))
+        .collect()
+    )
+    radii = np.zeros(cent.shape[0], dtype=np.float64)
+    for r in rows:
+        radii[int(r["cluster_id"])] = float(r["r"])
+    return radii
 
 
 def ivf_write(index: IVFIndex, path: str) -> None:
@@ -131,10 +175,17 @@ def ivf_write(index: IVFIndex, path: str) -> None:
         f"{path}/lists/batch=-1"
     )
     spark = index.df.sparkSession
-    rows = [(i, [float(x) for x in c]) for i, c in enumerate(index.centroids)]
-    spark.createDataFrame(rows, "cluster_id INT, centroid ARRAY<DOUBLE>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{path}/codebook")
+    rows = [
+        (
+            i,
+            [float(x) for x in c],
+            float(index.radii[i]) if index.radii is not None else None,
+        )
+        for i, c in enumerate(index.centroids)
+    ]
+    spark.createDataFrame(
+        rows, "cluster_id INT, centroid ARRAY<DOUBLE>, radius DOUBLE"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
 
 
 def ivf_read(
@@ -144,11 +195,16 @@ def ivf_read(
     PARTITION column, so `cluster_id IN (...)` prunes at file-listing time."""
     cb = spark.read.parquet(f"{path}/codebook").orderBy("cluster_id").collect()
     centroids = np.asarray([r["centroid"] for r in cb], dtype=np.float64)
+    radii = None
+    if cb and "radius" in cb[0].asDict() and cb[0]["radius"] is not None:
+        radii = np.asarray([r["radius"] for r in cb], dtype=np.float64)
     # `batch` is a writer-ownership detail (base load vs streaming
     # micro-batches) — drop it from the logical schema; cluster_id pruning
     # is unaffected (both are partition levels).
     df = spark.read.parquet(f"{path}/lists").drop("batch")
-    return IVFIndex(df=df, centroids=centroids, vec_col=vec_col, id_col=id_col)
+    return IVFIndex(
+        df=df, centroids=centroids, vec_col=vec_col, id_col=id_col, radii=radii
+    )
 
 
 def ivf_search(
@@ -173,3 +229,65 @@ def ivf_search(
     if predicate is not None:
         scan = scan.filter(predicate)
     return knn_exact(scan, list(query_vec), k, vec_col=index.vec_col, id_col=index.id_col)
+
+
+def ivf_search_exact(
+    index: IVFIndex,
+    query_vec: Sequence[float],
+    k: int,
+) -> DataFrame:
+    """PROVABLY EXACT top-k with data-adaptive cluster pruning — the
+    IVF answer to "approximate is not acceptable, full scan is too much".
+
+    Ball-bound argument (triangle inequality): for any member x of
+    cluster c, ‖x−q‖ ≥ ‖q−centroid_c‖ − radius_c. So after finding a
+    candidate k-th distance d_k from the nearest cluster, any cluster
+    whose lower bound exceeds d_k provably contains no better neighbor
+    and is skipped — same guarantee as ball-tree pruning, expressed as
+    partition pruning:
+
+      phase 1: exact top-k inside the single nearest cluster (scans
+               ~1/C of the data; bounded k-row collect);
+      phase 2: one plan over the clusters whose ball could still beat
+               d_k (often just a few; worst case — e.g. uniform data
+               with overlapping balls — degrades to the full scan, still
+               exact).
+
+    Requires ``with_radii=True`` at build. How much phase 2 prunes is a
+    property of the data's cluster structure; exactness never depends
+    on it.
+
+    SOUNDNESS CAVEAT: radii describe the lists at build time. Streaming
+    ingest (streaming/indexing.py) appends members that may exceed a
+    stored radius — recompute radii after ingest (one cheap aggregate)
+    before using exact pruned search on a grown index.
+    """
+    if index.radii is None:
+        raise ValueError("ivf_search_exact requires an index built with_radii=True")
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    dc = np.sqrt(((index.centroids - q[None, :]) ** 2).sum(axis=1))  # (C,) L2
+    order = np.argsort(dc, kind="stable")
+    first = int(order[0])
+
+    top1 = knn_exact(
+        index.df.filter(F.col("cluster_id") == first),
+        list(query_vec),
+        k,
+        vec_col=index.vec_col,
+        id_col=index.id_col,
+    ).collect()
+    if len(top1) < k:
+        probe = [int(c) for c in order]  # nearest cluster can't fill k: no bound
+    else:
+        d_k = float(np.sqrt(top1[-1]["dist"]))  # dist is squared L2
+        lower = dc - index.radii  # per-cluster best-case distance
+        probe = [first] + [
+            int(c) for c in order[1:] if lower[int(c)] <= d_k + 1e-9
+        ]
+    return knn_exact(
+        index.df.filter(F.col("cluster_id").isin(probe)),
+        list(query_vec),
+        k,
+        vec_col=index.vec_col,
+        id_col=index.id_col,
+    )

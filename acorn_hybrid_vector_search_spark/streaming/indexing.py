@@ -35,7 +35,12 @@ def stream_index_embeddings(
 ):
     """Start the indexing query: returns the StreamingQuery. ``stream``
     must contain ``vec_col``; all its columns are persisted into the
-    lists (same layout ivf_read expects)."""
+    lists (same layout ivf_read expects).
+
+    Note: appended members can exceed the codebook's stored cluster
+    radii — after ingest, recompute radii (ann._cluster_radii) before
+    relying on ``ivf_search_exact``'s pruning bound; nprobe search is
+    unaffected."""
     assigned = assign_clusters(stream, centroids, vec_col=vec_col)
 
     # foreachBatch + batch write, NOT the streaming parquet sink: that sink

@@ -213,3 +213,69 @@ def test_router_search_exactness(stats, emb, qvec):
     got = r.search(emb, qvec, {"label": ["exact", 3]}, k=10).collect()
     want = prefilter_search(emb, qvec, {"label": ["exact", 3]}, k=10).collect()
     assert [x["vec_id"] for x in got] == [x["vec_id"] for x in want]
+
+
+def test_ivf_search_exact_equals_brute_force(emb):
+    """Ball-bound pruned search must be EXACT for every query — on this
+    near-uniform data the bound may prune little, but results must equal
+    brute force regardless."""
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_search_exact,
+    )
+
+    idx = ivf_build(emb, n_clusters=8, with_radii=True)
+    for qid in (0, 7, 33):
+        qv = emb.filter(f"vec_id = {qid}").select("embedding").head()[0]
+        got = [(r["vec_id"], round(r["dist"], 6)) for r in ivf_search_exact(idx, qv, 10).collect()]
+        want = [(r["vec_id"], round(r["dist"], 6)) for r in knn_exact(emb, qv, 10).collect()]
+        assert got == want
+
+
+def test_ivf_search_exact_prunes_clustered_data(spark):
+    """On well-separated clusters the ball bound must actually prune:
+    build tight blobs far apart; a query inside one blob needs only that
+    blob (plus any blob whose ball overlaps the k-th distance)."""
+    import numpy as np
+
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_search_exact,
+    )
+    from acorn_hybrid_vector_search_spark.operators.knn import knn_exact as ke
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for blob in range(4):
+        center = np.zeros(8)
+        center[blob] = 100.0  # far-apart blob centers
+        for i in range(50):
+            v = center + rng.normal(0, 0.5, 8)
+            rows.append((blob * 50 + i, [float(x) for x in v], blob))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    idx = ivf_build(df, n_clusters=4, with_radii=True)
+
+    qv = rows[10][1]
+    got = [r["vec_id"] for r in ivf_search_exact(idx, qv, 5).collect()]
+    want = [r["vec_id"] for r in ke(df, qv, 5).collect()]
+    assert got == want
+    # the pruning bound: with blobs ~100 apart and radius ~2, only the
+    # query's own cluster can beat d_k — verify via the probe arithmetic
+    q = np.asarray(qv, dtype=np.float64)
+    dc = np.sqrt(((idx.centroids - q[None, :]) ** 2).sum(axis=1))
+    d_k = max(np.sqrt(r["dist"]) for r in ke(df, qv, 5).collect())
+    assert (np.sort(dc - idx.radii)[1:] > d_k).all(), "expected 3 of 4 blobs prunable"
+
+
+def test_ivf_radii_roundtrip(emb, tmp_path):
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_write,
+    )
+
+    idx = ivf_build(emb, n_clusters=4, with_radii=True)
+    ivf_write(idx, str(tmp_path / "ivf"))
+    loaded = ivf_read(emb.sparkSession, str(tmp_path / "ivf"))
+    assert loaded.radii is not None
+    assert np.allclose(loaded.radii, idx.radii)
