@@ -879,6 +879,45 @@ def _minhash_sql() -> str:
     """
 
 
+def _simhash_sql() -> str:
+    """DuckDB replica of functions.text.simhash64 + operators.dedup.
+    simhash_near_dups (bits=60, chunks=5, max_hamming=3): distinct
+    whitespace tokens → raw 60-bit md5 hash per token (same positional
+    hex fold as _minhash_sql, WITHOUT the mod-p reduction) → per-bit
+    majority vote → pigeonhole chunk banding (12-bit chunks) → hamming
+    verification via xor + bit_count. The pandas-UDF simhash is therefore
+    fully portable after all — values, banding, and pairs hash-compared."""
+    h64 = (
+        "CAST(list_sum(list_transform(range(1, 16), i -> "
+        "CAST(strpos('0123456789abcdef', substring(md5(s), i, 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT)"
+    )
+    majority = (
+        "CAST(list_sum(list_transform(range(0, 60), b -> "
+        "CASE WHEN 2 * len(list_filter(hs, hh -> ((hh >> b) & 1) = 1)) >= len(hs) "
+        "THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id AS id,
+            list_filter(list_distinct(string_split({_NORM}, ' ')), x -> x <> '')
+                AS toks
+          FROM documents
+        ), h AS (
+          SELECT id,
+            CASE WHEN len(toks) = 0 THEN 0 ELSE {majority} END AS sh
+          FROM (SELECT id, toks,
+                list_transform(toks, s -> {h64}) AS hs FROM t)
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+          CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.id < b.id
+          AND len(list_filter(range(0, 5),
+              c -> ((a.sh >> (c * 12)) & 4095) = ((b.sh >> (c * 12)) & 4095))) > 0
+          AND bit_count(xor(a.sh, b.sh)) <= 3
+    """
+
+
 def _cos_sql(a: str, b: str) -> str:
     """Portable cosine similarity between two FLOAT[] expressions, computed
     in the same op order as functions.distance.cosine_similarity."""
@@ -1288,13 +1327,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_histogram": _lang_id_sql(),
         "minhash_near_dups": _minhash_sql(),
+        "simhash_near_dups": _simhash_sql(),
         # shared-dialect battery: the oracle IS the Spark query text
         **_shared_sql(),
-        # simhash_near_dups / ann_ivf_topk: intentionally no oracle (the
-        # pandas-UDF simhash majority vote and the trained IVF codebook
-        # have no portable-SQL form) — driver records rows-only; exactness
-        # properties are pytest-verified (tests/test_dedup.py,
-        # tests/test_ann.py).
+        # ann_ivf_topk: intentionally no oracle (the trained IVF codebook's
+        # nprobe approximation has no portable-SQL form) — driver records
+        # rows-only; exactness properties are pytest-verified
+        # (tests/test_ann.py). Its exact sibling ann_ivf_exact_topk IS
+        # oracle-checked.
     }
     # K5 routing must be result-invariant: the routed query's oracle IS the
     # full-table pre-filter oracle, so any routing loss shows as a mismatch.
