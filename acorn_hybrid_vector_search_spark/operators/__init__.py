@@ -5,6 +5,7 @@ from acorn_hybrid_vector_search_spark.operators.ann import (
     ivf_search,
     ivf_search_exact,
     ivf_write,
+    refresh_radii,
 )
 from acorn_hybrid_vector_search_spark.operators.asof import asof_join
 from acorn_hybrid_vector_search_spark.operators.dedup import (
@@ -39,6 +40,7 @@ __all__ = [
     "ivf_search",
     "ivf_search_exact",
     "ivf_write",
+    "refresh_radii",
     "asof_join",
     "embedding_near_dups",
     "exact_dedup",

@@ -159,6 +159,20 @@ def _cluster_radii(
     return radii
 
 
+def refresh_radii(index: IVFIndex) -> IVFIndex:
+    """Recompute cluster radii over the index's CURRENT lists — restores
+    ``ivf_search_exact``'s pruning bound after streaming ingest appended
+    members beyond the build-time radii. One bounded aggregate pass; the
+    codebook stays frozen."""
+    return IVFIndex(
+        df=index.df,
+        centroids=index.centroids,
+        vec_col=index.vec_col,
+        id_col=index.id_col,
+        radii=_cluster_radii(index.df, index.centroids, vec_col=index.vec_col),
+    )
+
+
 def ivf_write(index: IVFIndex, path: str) -> None:
     """Persist the index: rows partitioned BY cluster_id (each inverted
     list is its own directory → nprobe pruning is a file skip, verified

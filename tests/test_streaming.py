@@ -164,3 +164,45 @@ def test_streaming_incremental_ivf_indexing(spark, tmp_path):
     got = [r["vec_id"] for r in ivf_search(loaded, qvec, 10, nprobe=4).collect()]
     want = [r["vec_id"] for r in knn_exact(emb, qvec, 10).collect()]
     assert got == want  # full probe == exact over initial+streamed rows
+
+
+def test_exact_search_after_ingest_with_refreshed_radii(spark, tmp_path):
+    """ivf_search_exact's ball bound is only sound for the lists the radii
+    describe; after streaming appends, refresh_radii restores it — exact
+    results over initial + streamed vectors."""
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_search_exact,
+        ivf_write,
+        refresh_radii,
+    )
+    from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+    from acorn_hybrid_vector_search_spark.streaming.indexing import (
+        stream_index_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    initial = emb.filter("vec_id < 300")
+    incoming = emb.filter("vec_id >= 300")
+
+    index = ivf_build(initial, n_clusters=4, with_radii=True)
+    ivf_write(index, str(tmp_path / "ivf"))
+    src = tmp_path / "incoming"
+    incoming.coalesce(1).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = stream_index_embeddings(
+        stream, index.centroids, str(tmp_path / "ivf"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    grown = refresh_radii(ivf_read(spark, str(tmp_path / "ivf")))
+    qvec = emb.filter("vec_id = 420").select("embedding").head()[0]
+    got = [r["vec_id"] for r in ivf_search_exact(grown, qvec, 10).collect()]
+    want = [r["vec_id"] for r in knn_exact(emb, qvec, 10).collect()]
+    assert got == want
