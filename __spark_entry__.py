@@ -673,6 +673,26 @@ def _q_nested_postfilter_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nested_predicate_quirks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 micro-semantics pinned through the oracle: an UNSUPPORTED
+    (attr, op) pair is silently ignored but its presence check remains
+    (/root/reference/pre-filter.py falls through every elif and returns
+    True), and `substring` on the bare-scalar country IS supported here —
+    a documented deviation (the reference's code path would TypeError).
+    Predicate: brand bogus-op (⇒ presence-only) AND country substring
+    'I' (IN/IT match, case-sensitive)."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import abo_accessors
+
+    res = prefilter_search(
+        _abo_joined(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        {"brand": ["frobnicate", "ignored"], "country": ["substring", "I"]},
+        k=10,
+        accessors=abo_accessors(),
+    )
+    return res.select("vec_id", _brand0(), "country", F.round("dist", _R).alias("dist"))
+
+
 def _q_histogram_brand_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 on the REAL nested attribute: brand-value histogram over the ABO
     items table — the reference's survey_metadata.py per-key extraction
@@ -773,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_model_year_sparse": _q_nested_model_year_sparse,
         "nested_routed_model_year": _q_nested_routed_model_year,
         "nested_postfilter_color": _q_nested_postfilter_color,
+        "nested_predicate_quirks": _q_nested_predicate_quirks,
         "histogram_brand_nested": _q_histogram_brand_nested,
         "items_etl": _q_items_etl,
     }
@@ -1283,6 +1304,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE color IS NOT NULL AND len(color) > 0
               AND contains(color[1].value, 'Multi')
             ORDER BY d2, vec_id LIMIT 10
+        """,
+        # bogus brand op ⇒ presence-only; country substring is supported
+        "nested_predicate_quirks": f"""
+            WITH {q0},
+            it AS (SELECT * FROM {_ABO_ITEMS}),
+            e AS (SELECT em.vec_id, em.embedding, it.brand, it.country
+                  FROM embeddings em JOIN it ON em.vec_id = it.item_id)
+            SELECT e.vec_id, e.brand[1].value AS brand_val, e.country,
+                ROUND({d2}, {_R}) AS dist
+            FROM e, q
+            WHERE e.brand IS NOT NULL AND len(e.brand) > 0
+              AND e.country IS NOT NULL AND contains(e.country, 'I')
+            ORDER BY {d2}, e.vec_id LIMIT 10
         """,
         "histogram_brand_nested": f"""
             SELECT brand[1].value AS brand_val, COUNT(*) AS cnt
