@@ -188,18 +188,63 @@ def lsh_near_dup_pairs(
     *,
     n_planes: int = 8,
     seed: int = 42,
+    n_bands: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Embedding near-dup pairs with the quadratic probe confined to LSH
     buckets instead of a metadata column — the no-labels scale path.
-    Candidate-only: pairs split across buckets are missed with probability
-    (θ/π)·n_planes-ish; raise recall by unioning rotated-seed runs."""
-    from acorn_hybrid_vector_search_spark.operators.dedup import embedding_near_dups
 
-    bucketed = with_lsh_bucket(
-        df, dim, n_planes=n_planes, seed=seed, vec_col=vec_col, bucket_col="lsh_bucket"
+    OR-banding recall dial: with ``n_bands`` independent hyperplane sets
+    (rotated seeds), a pair is a candidate if it collides in ANY band —
+    miss probability drops from (1 − (1−θ/π)^planes) to that value to the
+    ``n_bands``-th power, the same AND-of-planes/OR-of-bands structure
+    MinHash banding uses. Cost: bands× shuffle volume on the (id, vector)
+    rows and one banded self-join; every candidate is exactly verified in
+    the join condition, so false positives stay zero. Band 0 uses the
+    base ``seed``, so raising ``n_bands`` strictly grows the pair set.
+    """
+    from acorn_hybrid_vector_search_spark.functions.distance import dot_product, l2_norm
+    from acorn_hybrid_vector_search_spark.operators.dedup import _probe_parallelism
+
+    t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for i in range(n_bands):
+        t = with_lsh_bucket(
+            t,
+            dim,
+            n_planes=n_planes,
+            seed=seed + 1_000_003 * i,
+            vec_col="v",
+            bucket_col=f"_b{i}",
+        )
+    keys = F.array(
+        *[
+            F.concat_ws("|", F.lit(str(i)), F.col(f"_b{i}").cast("string"))
+            for i in range(n_bands)
+        ]
     )
-    return embedding_near_dups(
-        bucketed, threshold, vec_col=vec_col, id_col=id_col, bucket_col="lsh_bucket"
+    banded = (
+        t.repartition(_probe_parallelism(df))
+        .withColumn("nv", l2_norm(F.col("v")))
+        .withColumn("bk", F.explode(keys))
+        .drop(*[f"_b{i}" for i in range(n_bands)])
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    denom = F.col("a.nv") * F.col("b.nv")
+    sim = F.round(
+        F.when(denom != 0.0, dot_product(F.col("a.v"), F.col("b.v")) / denom), 6
+    )
+    cond = (
+        (F.col("a.bk") == F.col("b.bk"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (sim >= threshold)
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # same pair can collide in >1 band
     )

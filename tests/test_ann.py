@@ -279,3 +279,25 @@ def test_ivf_radii_roundtrip(emb, tmp_path):
     loaded = ivf_read(emb.sparkSession, str(tmp_path / "ivf"))
     assert loaded.radii is not None
     assert np.allclose(loaded.radii, idx.radii)
+
+
+def test_lsh_or_banding_grows_recall_monotonically(emb):
+    """OR-banding: band 0 reuses the base seed, so n_bands=3's pair set
+    must CONTAIN n_bands=1's, and both stay subsets of the exact pairs
+    (verification in the join condition ⇒ zero false positives)."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import embedding_near_dups
+
+    dim = len(emb.select("embedding").head()[0])
+    one = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(emb, 0.5, dim, n_planes=8, n_bands=1).collect()
+    }
+    three = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(emb, 0.5, dim, n_planes=8, n_bands=3).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(emb, 0.5, bucket_col=None).collect()
+    }
+    assert one <= three <= exact

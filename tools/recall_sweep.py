@@ -85,6 +85,26 @@ def main() -> None:
             )
         )
 
+    for n_bands in (1, 2, 4, 8):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_near_dup_pairs(
+                emb, threshold, dim, n_planes=8, n_bands=n_bands
+            ).collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "sweep": "lsh_or_banding",
+                    "n_planes": 8,
+                    "n_bands": n_bands,
+                    "true_pairs": len(truth),
+                    "recall": round(len(got & truth) / len(truth), 4) if truth else None,
+                    "false_positives": len(got - truth),
+                }
+            )
+        )
+
 
 if __name__ == "__main__":
     main()
