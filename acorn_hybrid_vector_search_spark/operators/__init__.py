@@ -7,7 +7,7 @@ from acorn_hybrid_vector_search_spark.operators.ann import (
     ivf_write,
     refresh_radii,
 )
-from acorn_hybrid_vector_search_spark.operators.asof import asof_join
+from acorn_hybrid_vector_search_spark.operators.asof import asof_join, asof_join_chunked
 from acorn_hybrid_vector_search_spark.operators.dedup import (
     embedding_near_dups,
     exact_dedup,
@@ -42,6 +42,7 @@ __all__ = [
     "ivf_write",
     "refresh_radii",
     "asof_join",
+    "asof_join_chunked",
     "embedding_near_dups",
     "exact_dedup",
     "exact_dedup_groups",

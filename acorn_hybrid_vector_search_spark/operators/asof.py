@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -86,4 +86,121 @@ def asof_join(
     keep = [c for c in left.columns]
     return out.select(
         *keep, *[F.col(f"_match.{c}").alias(c) for c in ["_asof_ts", *value_cols]]
+    )
+
+
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    value_cols: Sequence[str] | None = None,
+    chunk: str = "1 day",
+) -> DataFrame:
+    """``asof_join`` for SKEWED keys: same semantics, but the per-key
+    serial work drops from O(rows of the hottest key) to O(time chunks).
+
+    The plain union+window shape serializes each key's entire history in
+    one task — the documented hot-key caveat. Here time is cut into
+    ``chunk``-wide buckets and the window partitions on (key, chunk), so
+    a hot key's rows spread over as many tasks as it spans chunks. Rows
+    in earlier chunks are made visible through a CARRY-IN: per (key,
+    chunk) the last right payload is aggregated (map-side partial
+    max_by), a chunk-granular running-last per key computes what each
+    left chunk inherits from strictly-earlier chunks (that window's
+    partition holds only #chunks rows per key — the whole point), and
+    the carry is injected as a pseudo-row ordered before everything in
+    its chunk.
+
+    Requires unique (key, ts) pairs on the right (same caveat as
+    ``asof_join``, where duplicate timestamps make "latest" ambiguous).
+    Choose ``chunk`` so a hot key's densest chunk fits a task.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (right_on, right_by)]
+
+    rt = right.select(
+        F.col(right_by).alias(left_by),
+        F.col(right_on).alias(left_on),
+        F.struct(
+            F.col(right_on).alias("_asof_ts"), *[F.col(c) for c in value_cols]
+        ).alias("_rpay"),
+    )
+    pay_t = rt.schema["_rpay"].dataType
+    ck = F.window(F.col(left_on).cast("timestamp"), chunk)["start"]
+
+    # phase 1 — chunk-granular carry: last right payload per (key, chunk),
+    # then "last strictly-earlier chunk" for every left chunk. Rights sort
+    # AFTER lefts within the same chunk (side 1 vs 0) so a left chunk
+    # never inherits its own chunk's rights (those join in phase 2).
+    r_chunk = (
+        rt.withColumn("_ck", ck)
+        .groupBy(left_by, "_ck")
+        .agg(F.max_by("_rpay", F.col("_rpay._asof_ts")).alias("_pay"))
+        .withColumn("_cside", F.lit(1))
+    )
+    l_chunk = (
+        left.select(left_by, ck.alias("_ck"))
+        .distinct()
+        .withColumn("_pay", F.lit(None).cast(pay_t))
+        .withColumn("_cside", F.lit(0))
+    )
+    wc = (
+        Window.partitionBy(left_by)
+        .orderBy(F.col("_ck").asc(), F.col("_cside").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        r_chunk.unionByName(l_chunk)
+        .withColumn("_carry", F.last("_pay", ignorenulls=True).over(wc))
+        .filter((F.col("_cside") == 0) & F.col("_carry").isNotNull())
+        .select(left_by, "_ck", "_carry")
+    )
+
+    # phase 2 — per-(key, chunk) merge: carry pseudo-row (_side −1, chunk
+    # start) < rights (0) < lefts (1) at equal order key.
+    def _pad(df: DataFrame, pay: Column, side: int, ots: Column) -> DataFrame:
+        return df.select(
+            *[
+                F.col(c) if c in (left_by,) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+            ],
+            pay.alias("_rpay"),
+            F.lit(side).alias("_side"),
+            ots.alias("_ots"),
+            "_ck",
+        )
+
+    lt = left.withColumn("_ck", ck).select(
+        *left.columns,
+        F.lit(None).cast(pay_t).alias("_rpay"),
+        F.lit(1).alias("_side"),
+        F.col(left_on).cast("timestamp").alias("_ots"),
+        "_ck",
+    )
+    rrows = _pad(
+        rt.withColumn("_ck", ck),
+        F.col("_rpay"),
+        0,
+        F.col(left_on).cast("timestamp"),
+    )
+    crows = _pad(carry, F.col("_carry"), -1, F.col("_ck"))
+
+    w2 = (
+        Window.partitionBy(left_by, "_ck")
+        .orderBy(F.col("_ots").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        lt.unionByName(rrows)
+        .unionByName(crows)
+        .withColumn("_match", F.last("_rpay", ignorenulls=True).over(w2))
+        .filter(F.col("_side") == 1)
+    )
+    return out.select(
+        *left.columns,
+        *[F.col(f"_match.{c}").alias(c) for c in ["_asof_ts", *value_cols]],
     )

@@ -83,3 +83,78 @@ def test_asof_right_dupes_prefer_later_window_row(spark):
     got = _run(left, right)
     v, ts = got[1]
     assert v in {"x", "y"} and ts == _ts("2024-01-01T00:00")
+
+
+def test_asof_chunked_equals_plain(spark):
+    """The skew-safe chunked as-of must return EXACTLY the plain
+    union+window result on the driver tables (events × deduped orders)."""
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.operators.asof import (
+        asof_join,
+        asof_join_chunked,
+    )
+    from acorn_hybrid_vector_search_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    kw = dict(
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        value_cols=["o_orderkey"],
+    )
+    plain = {
+        r["event_id"]: (r["_asof_ts"], r["o_orderkey"])
+        for r in asof_join(ev, orders, **kw).collect()
+    }
+    chunked = {
+        r["event_id"]: (r["_asof_ts"], r["o_orderkey"])
+        for r in asof_join_chunked(ev, orders, chunk="7 days", **kw).collect()
+    }
+    assert chunked == plain
+
+
+def test_asof_chunked_hot_key_spreads_partitions(spark):
+    """One user owning 2000 events across 20 days must spread over many
+    (key, chunk) window partitions — and still match the plain result."""
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.operators.asof import (
+        asof_join,
+        asof_join_chunked,
+    )
+
+    left = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        F.lit(7).alias("user_id"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000) + F.col("id") * 864_000_000).cast("long")
+        ).alias("ts"),
+    )
+    right = spark.range(40).select(
+        F.lit(7).alias("r_user"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000) + F.col("id") * 43_200_000_000).cast("long")
+        ).alias("r_ts"),
+        (F.col("id") * 100).alias("payload"),
+    )
+    kw = dict(
+        left_on="ts", right_on="r_ts", left_by="user_id", right_by="r_user",
+        value_cols=["payload"],
+    )
+    plain = {
+        r["event_id"]: (r["_asof_ts"], r["payload"])
+        for r in asof_join(left, right, **kw).collect()
+    }
+    chunked = {
+        r["event_id"]: (r["_asof_ts"], r["payload"])
+        for r in asof_join_chunked(left, right, chunk="1 day", **kw).collect()
+    }
+    assert chunked == plain
