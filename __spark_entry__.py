@@ -274,6 +274,19 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(d, num_hashes=16, bands=8, verify_threshold=0.5)
 
 
+def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER COLLAPSE: MinHash pair detection → connected
+    components (min-label propagation) → (doc_id, component) for the
+    whole corpus. Pair detection alone doesn't dedup a training corpus;
+    this is the step that does. Oracle: DuckDB recursive CTE transitive
+    closure over the same SQL-replayed MinHash pairs."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import near_dup_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(d, num_hashes=16, bands=8, verify_threshold=0.5)
+    return near_dup_components(d, pairs)
+
+
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-distance near-dups (chunk-banded self-join)."""
     d = _t(spark, sf_dir, "documents")
@@ -770,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": _q_ngram_jaccard,
         "embedding_near_dups": _q_embedding_near_dups,
         "minhash_near_dups": _q_minhash_near_dups,
+        "near_dup_components": _q_near_dup_components,
         "simhash_near_dups": _q_simhash_near_dups,
         "lang_id_histogram": _q_lang_id_histogram,
         "hourly_rollup": _q_hourly_rollup,
@@ -1361,6 +1375,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_histogram": _lang_id_sql(),
         "minhash_near_dups": _minhash_sql(),
+        "near_dup_components": f"""
+            WITH RECURSIVE pr AS (
+                SELECT id_a, id_b FROM ({_minhash_sql()})
+            ),
+            e AS (
+                SELECT id_a AS s, id_b AS d FROM pr
+                UNION
+                SELECT id_b AS s, id_a AS d FROM pr
+            ),
+            reach AS (
+                SELECT doc_id AS id, doc_id AS comp FROM documents
+                UNION
+                SELECT e.d AS id, reach.comp FROM reach JOIN e ON e.s = reach.id
+            )
+            SELECT id AS doc_id, MIN(comp) AS component
+            FROM reach GROUP BY id
+        """,
         "simhash_near_dups": _simhash_sql(),
         # shared-dialect battery: the oracle IS the Spark query text
         **_shared_sql(),

@@ -9,10 +9,12 @@ from acorn_hybrid_vector_search_spark.operators.ann import (
 )
 from acorn_hybrid_vector_search_spark.operators.asof import asof_join, asof_join_chunked
 from acorn_hybrid_vector_search_spark.operators.dedup import (
+    collapse_near_dups,
     embedding_near_dups,
     exact_dedup,
     exact_dedup_groups,
     minhash_near_dups,
+    near_dup_components,
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
@@ -43,10 +45,12 @@ __all__ = [
     "refresh_radii",
     "asof_join",
     "asof_join_chunked",
+    "collapse_near_dups",
     "embedding_near_dups",
     "exact_dedup",
     "exact_dedup_groups",
     "minhash_near_dups",
+    "near_dup_components",
     "ngram_jaccard_pairs",
     "simhash_near_dups",
     "value_histogram",

@@ -144,6 +144,81 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup cluster collapse (connected components + survivor selection)
+
+
+def near_dup_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every row of ``df``, where component = the
+    smallest id transitively reachable through ``pairs`` — the step that
+    turns near-dup PAIR detection into corpus dedup (singletons map to
+    themselves).
+
+    Min-label propagation: labels start as self; each round pushes the
+    current label across edges (both directions) and keeps the per-node
+    min; converges in O(log diameter) rounds — near-dup clusters are
+    shallow, so typically 2-3. Each round is one shuffle join + one
+    aggregate; the loop materializes the (id, comp) relation per round
+    (persist + bounded count action) so lineage stays flat. This is the
+    offline-dedup analog of GraphX-style iterative CC, kept DataFrame-
+    native.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = df.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    labels = labels.persist()
+    labels.count()
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), "component"
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("component", "_old"), "id")
+            .filter(F.col("component") < F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "component")
+
+
+def collapse_near_dups(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The deduplicated table: one survivor (min id) per near-dup
+    component, singletons kept — ``df`` minus every non-representative
+    member of each cluster."""
+    comp = near_dup_components(df, pairs, id_col=id_col, id_a=id_a, id_b=id_b)
+    survivors = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(survivors, id_col)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH banding
 
 

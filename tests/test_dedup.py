@@ -101,3 +101,26 @@ def test_embedding_near_dups(spark):
         for r in embedding_near_dups(df, 0.99, bucket_col="label").collect()
     }
     assert bucketed == {(1, 2)}
+
+
+def test_near_dup_components_and_collapse(spark):
+    """Chain a-b-c plus pair d-e plus singleton f: components collapse to
+    min ids; survivors keep one representative per cluster."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import (
+        collapse_near_dups,
+        near_dup_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in near_dup_components(docs, pairs).collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+    kept = sorted(r["doc_id"] for r in collapse_near_dups(docs, pairs).collect())
+    assert kept == [0, 3, 5]
