@@ -431,6 +431,20 @@ def _q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates: EXACT interpolated percentiles of order
+    totalprice per status (Spark percentile == DuckDB quantile_cont, both
+    linear interpolation — approximate sketches would never hash-match)."""
+    o = _t(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)))
+    return o.groupBy("o_orderstatus").agg(
+        F.round(pct.getItem(0), _R).alias("p25"),
+        F.round(pct.getItem(1), _R).alias("p50"),
+        F.round(pct.getItem(2), _R).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation (the shuffle-expand path)."""
     e = _t(spark, sf_dir, "events")
@@ -792,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": _q_top_orders_per_cust,
         "asof_latest_order": _q_asof_latest_order,
         "cube_order_stats": _q_cube_order_stats,
+        "order_percentiles": _q_order_percentiles,
         "distinct_users_per_type": _q_distinct_users,
         "routed_hybrid": _q_routed_hybrid,
         "antijoin_customers": _q_antijoin_customers,
@@ -1203,6 +1218,14 @@ def oracle_sql() -> dict[str, str]:
                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE), {_R})
                     AS revenue
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "order_percentiles": f"""
+            SELECT o_orderstatus,
+                ROUND(quantile_cont(o_totalprice, 0.25), {_R}) AS p25,
+                ROUND(quantile_cont(o_totalprice, 0.5), {_R}) AS p50,
+                ROUND(quantile_cont(o_totalprice, 0.9), {_R}) AS p90,
+                COUNT(*) AS n
+            FROM orders GROUP BY o_orderstatus
         """,
         "distinct_users_per_type": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
