@@ -777,6 +777,98 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", "label", F.round("dist", _R).alias("dist"))
 
 
+# ---------------------------------------------------------------------------
+# round-2 extensions: temporal range join, sliding windows, LLM-pipeline
+# packing/sampling/tf-idf, vector centroids, set operations.
+
+
+def _q_range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: purchases falling in the 5-minute window
+    after each error event — a pure inequality join executed as a chunked
+    equi-join (operators/rangejoin.py), never a nested-loop cartesian.
+    Aggregated per window: purchase count + tightest gap (ms)."""
+    from acorn_hybrid_vector_search_spark.operators.rangejoin import events_in_windows
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    errors = ev.where(F.col("event_type") == "error")
+    joined = events_in_windows(purchases, errors, ts_col="ts", window="5 minutes")
+    return joined.groupBy(F.col("iv_event_id").alias("err_event_id")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.min(F.unix_millis("ts") - F.unix_millis("w_start")).alias("min_gap_ms"),
+    )
+
+
+def _q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1 h windows every 30 min): each event lands
+    in exactly width/slide windows; decimal-exact sums. Same expression
+    runs under a watermark in streaming mode."""
+    from acorn_hybrid_vector_search_spark.streaming.pipeline import sliding_rollup
+
+    return sliding_rollup(_t(spark, sf_dir, "events"))
+
+
+def _q_chunked_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk, budget 512 tokens): per-shard
+    cumulative token offsets → pack id / offset / straddle flag. One
+    window per shard — the per-worker layout step of a training loader."""
+    from acorn_hybrid_vector_search_spark.operators.packing import chunked_packing
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", T.token_count("text")
+    )
+    packed = chunked_packing(
+        docs, token_col="n_tokens", shard_col="source", order_cols=("doc_id",),
+        budget=512,
+    )
+    return packed.select(
+        "doc_id", "source", "n_tokens", "pack_id", "pack_offset", "straddles"
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: per-source Bernoulli keep rates
+    decided by a portable md5 hash of the doc id — reproducible across
+    partitionings and engines (the oracle replays the identical hash)."""
+    from acorn_hybrid_vector_search_spark.operators.sampling import stratified_sample
+
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    out = stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates,
+        stratum_col="source",
+        key_col="doc_id",
+        default_rate=0.65,
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 scoring terms per document (score = tf · ln(N/df);
+    rank ties break on the term). Explode → two partial-agg shuffles →
+    broadcastable vocabulary join."""
+    from acorn_hybrid_vector_search_spark.operators.tfidf import top_terms_per_doc
+
+    return top_terms_per_doc(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector analytics: exact per-label mean embeddings (decimal-exact,
+    order-independent sums) + nearest-centroid assignment as a shuffle-free
+    literal-fold scan; output is the label × assigned confusion counts."""
+    from acorn_hybrid_vector_search_spark.operators.centroids import centroid_confusion
+
+    return centroid_confusion(_t(spark, sf_dir, "embeddings"))
+
+
+def _q_sql_user_funnel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT/EXCEPT, distinct semantics) through the
+    shared ANSI dialect — the same text runs on Spark and DuckDB."""
+    from acorn_hybrid_vector_search_spark.sql import run_shared
+
+    return run_shared(spark, sf_dir, "sql_user_funnel_setops")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pure_topk": _q_pure_topk,
@@ -825,6 +917,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_predicate_quirks": _q_nested_predicate_quirks,
         "histogram_brand_nested": _q_histogram_brand_nested,
         "items_etl": _q_items_etl,
+        "range_join_error_windows": _q_range_join_error_windows,
+        "sliding_rollup_events": _q_sliding_rollup,
+        "chunked_packing_docs": _q_chunked_packing,
+        "stratified_sample_docs": _q_stratified_sample,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "centroid_confusion": _q_centroid_confusion,
+        "sql_user_funnel_setops": _q_sql_user_funnel_setops,
     }
 
 
@@ -966,6 +1065,17 @@ def _simhash_sql() -> str:
               c -> ((a.sh >> (c * 12)) & 4095) = ((b.sh >> (c * 12)) & 4095))) > 0
           AND bit_count(xor(a.sh, b.sh)) <= 3
     """
+
+
+def _h64_sql(expr: str) -> str:
+    """DuckDB replica of functions.text._hash64(expr): first 15 hex chars
+    of md5 as a BIGINT (positional hex fold — DuckDB has no base-16
+    string→int conversion)."""
+    return (
+        "CAST(list_sum(list_transform(range(1, 16), i -> "
+        f"CAST(strpos('0123456789abcdef', substring(md5({expr}), i, 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT)"
+    )
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -1416,7 +1526,117 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY id
         """,
         "simhash_near_dups": _simhash_sql(),
+        # range join: plain inequality join is the oracle spec; the engine
+        # executes it as a chunked equi-join (operators/rangejoin.py)
+        "range_join_error_windows": """
+            SELECT e.event_id AS err_event_id,
+                COUNT(*) AS n_purchases,
+                MIN(epoch_ms(p.ts) - epoch_ms(e.ts)) AS min_gap_ms
+            FROM events e JOIN events p
+                ON p.ts >= e.ts AND p.ts < e.ts + INTERVAL 5 MINUTE
+            WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+            GROUP BY 1
+        """,
+        # sliding windows: width 1 h, slide 30 min ⇒ each event belongs to
+        # exactly 2 windows (k ∈ {0,1} back from its 30-min grid slot)
+        "sliding_rollup_events": f"""
+            WITH w AS (
+                SELECT date_trunc('hour', ts)
+                    + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                           ELSE INTERVAL 0 MINUTE END
+                    - k * INTERVAL 30 MINUTE AS window_start,
+                    event_type, value
+                FROM events, (SELECT unnest([0, 1]) AS k)
+            )
+            SELECT window_start,
+                window_start + INTERVAL 1 HOUR AS window_end,
+                event_type,
+                COUNT(*) AS n_events,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE), {_R})
+                    AS sum_value
+            FROM w GROUP BY 1, 2, 3
+        """,
+        "chunked_packing_docs": f"""
+            WITH t AS (
+                SELECT doc_id, source,
+                    CASE WHEN length({_NORM}) = 0 THEN 0
+                         ELSE len({_TOKS}) END AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_before
+                FROM t
+            )
+            SELECT doc_id, source, n_tokens,
+                cum_before // 512 AS pack_id,
+                cum_before % 512 AS pack_offset,
+                (cum_before % 512 + n_tokens) > 512 AS straddles
+            FROM c
+        """,
+        "stratified_sample_docs": f"""
+            SELECT doc_id, source, lang
+            FROM documents
+            WHERE ({_h64_sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 1000000)
+                / 1000000.0
+                < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                              WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+                              ELSE 0.65 END
+        """,
+        "tfidf_top_terms": f"""
+            WITH tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+                WHERE term <> '' GROUP BY doc_id, term
+            ), dfq AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), n AS (SELECT COUNT(*) AS n FROM documents),
+            s AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                    tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df) AS score
+                FROM tf JOIN dfq USING (term), n
+            )
+            SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term ASC) AS BIGINT) AS rank,
+                term, tf, df, ROUND(score, {_R}) AS score
+            FROM s
+            QUALIFY rank <= 3
+        """,
+        "centroid_confusion": """
+            WITH ex AS (
+                SELECT e.label, generate_subscripts(e.embedding, 1) AS pos,
+                    e.embedding[generate_subscripts(e.embedding, 1)] AS x
+                FROM embeddings e
+            ),
+            pos AS (
+                SELECT label, pos,
+                    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+                        AS DOUBLE) / COUNT(*) AS comp
+                FROM ex GROUP BY label, pos
+            ),
+            cent AS (
+                SELECT label AS c_label, list(comp ORDER BY pos) AS centroid
+                FROM pos GROUP BY label
+            ),
+            d AS (
+                SELECT e.vec_id, e.label, c.c_label,
+                    list_sum(list_transform(list_zip(e.embedding, c.centroid),
+                        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))^2))
+                    AS d2
+                FROM embeddings e, cent c
+            ),
+            a AS (
+                SELECT vec_id, label, c_label AS assigned
+                FROM d
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, c_label) = 1
+            )
+            SELECT label, assigned, COUNT(*) AS cnt
+            FROM a GROUP BY label, assigned
+        """,
         # shared-dialect battery: the oracle IS the Spark query text
+        # (includes sql_user_funnel_setops — INTERSECT/EXCEPT)
         **_shared_sql(),
         # ann_ivf_topk: intentionally no oracle (the trained IVF codebook's
         # nprobe approximation has no portable-SQL form) — driver records

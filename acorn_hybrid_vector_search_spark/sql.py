@@ -46,6 +46,15 @@ SHARED_SQL: dict[str, str] = {
         ORDER BY revenue DESC, o.o_orderkey ASC
         LIMIT 20
     """,
+    # set operations (INTERSECT / EXCEPT — distinct semantics both engines):
+    # high-value purchasers who also click big, minus anyone with a big error
+    "sql_user_funnel_setops": """
+        SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 180
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'click' AND value > 180
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error' AND value > 195
+    """,
     # part-type revenue rollup across region
     "sql_parttype_revenue": """
         SELECT p.p_type, n.n_name,

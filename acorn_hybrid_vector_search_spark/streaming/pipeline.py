@@ -102,6 +102,54 @@ def hourly_rollup(
     )
 
 
+def sliding_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window rollup: per-(window, event_type) count + exact value
+    sum where windows of width ``window`` open every ``slide`` — the
+    overlapping-window aggregate (hourly metrics refreshed every half
+    hour) the tumbling ``hourly_rollup`` can't express.
+
+    ``F.window(ts, window, slide)`` assigns each event to all
+    width/slide overlapping windows (grid epoch-aligned); the aggregation
+    then behaves exactly like the tumbling case — map-side partial
+    aggregation, one shuffle on (window, event_type), and with a
+    watermark the streaming state for a window is evicted once the
+    watermark passes its end. Event amplification is the constant
+    width/slide, paid before the combine, so shuffle volume stays
+    |windows| x |event types|.
+
+    Same expression works batch and streaming (stream==batch parity is
+    the pytest gate; the batch shape is what the DuckDB oracle replays).
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window, slide).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(24,6)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # sessionization
 
