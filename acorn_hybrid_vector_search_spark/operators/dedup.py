@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from acorn_hybrid_vector_search_spark.functions.text import (
     fingerprint_md5,
@@ -29,6 +30,25 @@ from acorn_hybrid_vector_search_spark.functions.text import (
     simhash64,
     tokens,
 )
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist + eagerly compute a fingerprint/signature relation that a
+    pair self-join consumes on BOTH sides.
+
+    Without this, each join side re-executes the projection subtree —
+    Spark's exchange-reuse does not fire across the two sides of a
+    self-join with extra join conjuncts, so the (comparatively expensive)
+    signature computation runs twice per query. The eager count matters:
+    lazy persistence would let the two join-side stages race and each
+    compute the subtree anyway. At production scale this relation is what
+    a pipeline writes to a signatures table; persist is the in-session
+    equivalent (MEMORY_AND_DISK — signature tables are row-scaled).
+    """
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
 
 def _probe_parallelism(df: DataFrame) -> int:
     """Target partition count for the probe side of a pair self-join:
@@ -108,8 +128,10 @@ def ngram_jaccard_pairs(
         t = t.withColumn("band", F.floor(F.col("n") / F.lit(size_band)))
     # Parallelize the probe: a small single-file input scans as ONE
     # partition, which would run the entire quadratic probe on one core.
-    # The row shuffle is tiny (rows, not pairs).
-    a = t.repartition(_probe_parallelism(df)).alias("a")
+    # The row shuffle is tiny (rows, not pairs). Materialized once — both
+    # join sides read the cached token sets instead of re-tokenizing.
+    t = _materialize(t.repartition(_probe_parallelism(df)))
+    a = t.alias("a")
     b = t.alias("b")
     # |A∪B| = |A| + |B| − |A∩B| (inputs are distinct arrays): one array op
     # per surviving pair instead of intersect + union.
@@ -170,7 +192,11 @@ def near_dup_components(
     offline-dedup analog of GraphX-style iterative CC, kept DataFrame-
     native.
     """
-    edges = (
+    # materialize the edge list: ``pairs`` is usually an (expensive)
+    # near-dup detection plan, and the propagation loop joins edges once
+    # per round — without this the whole detection pipeline re-runs
+    # every iteration.
+    edges = _materialize(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
@@ -252,18 +278,21 @@ def minhash_near_dups(
         .select("id", shingles("_txt", shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
     )
-    sig = base.select(
-        "id",
-        "sh",
-        F.size("sh").alias("n"),
-        minhash_from_shingles(F.col("sh"), num_hashes).alias("sig"),
+    # materialized once (see _materialize): the shingle arrays + signature
+    # feed BOTH sides of the banded self-join
+    sig = _materialize(
+        base.select(
+            "id",
+            "sh",
+            F.size("sh").alias("n"),
+            minhash_from_shingles(F.col("sh"), num_hashes).alias("sig"),
+        )
     )
 
     band_keys = F.array(
         *[
             F.concat_ws(
                 "|",
-                F.lit(str(b)),
                 *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
             )
             for b in range(bands)
@@ -273,10 +302,34 @@ def minhash_near_dups(
     # buys a single self-join with NO payload re-join and NO signature
     # recompute (3 scans → 1). For very large corpora where shuffle bytes
     # dominate, persist `sig` as a table and band over ids instead.
-    banded = sig.select("id", "sh", "n", "sig", F.explode(band_keys).alias("band_key"))
+    banded = sig.select(
+        "id", "sh", "n", "sig", F.posexplode(band_keys).alias("bi", "band_key")
+    )
 
     a, b = banded.alias("a"), banded.alias("b")
-    cond = (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id"))
+
+    # first-agreeing-band emission (see simhash_near_dups): a pair that
+    # collides in several bands is emitted only from the lowest one, so no
+    # dropDuplicates shuffle is needed afterwards.
+    def band_eq(j: int) -> Column:
+        eq = F.lit(True)
+        for r in range(rows_per_band):
+            k = j * rows_per_band + r + 1
+            eq = eq & (
+                F.element_at(F.col("a.sig"), k) == F.element_at(F.col("b.sig"), k)
+            )
+        return eq
+
+    earlier_agrees = F.lit(False)
+    for j in range(bands - 1):
+        earlier_agrees = earlier_agrees | ((F.col("a.bi") > j) & band_eq(j))
+
+    cond = (
+        (F.col("a.bi") == F.col("b.bi"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.id") < F.col("b.id"))
+        & ~earlier_agrees
+    )
     verify_cols = []
     if verify_threshold is not None:
         # size-band prune, then exact shingle Jaccard — both inside the
@@ -301,15 +354,11 @@ def minhash_near_dups(
             lambda v: v == 1,
         )
     )
-    return (
-        a.join(b, cond)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(agree.cast("double") / num_hashes, 6).alias("sig_agreement"),
-            *verify_cols,
-        )
-        .dropDuplicates(["id_a", "id_b"])  # same pair can collide in >1 band
+    return a.join(b, cond).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(agree.cast("double") / num_hashes, 6).alias("sig_agreement"),
+        *verify_cols,
     )
 
 
@@ -335,42 +384,52 @@ def simhash_near_dups(
     blocking scheme — standard practice; full recall needs more chunks.)
     """
     chunk_bits = bits // chunks
-    h = (
+    mask = (1 << chunk_bits) - 1
+    # materialized once: the pandas-UDF fingerprint pass would otherwise
+    # run on each join side (measured 2x the query cost at sf0.1)
+    h = _materialize(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
         .repartition(_probe_parallelism(df))
         .select("id", simhash64("_txt", bits).alias("sh"))
     )
-    chunk_keys = F.array(
+    chunk_vals = F.array(
         *[
-            F.concat_ws(
-                "|",
-                F.lit(str(i)),
-                F.shiftrightunsigned(F.col("sh"), i * chunk_bits)
-                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                .cast("string"),
-            )
+            F.shiftrightunsigned(F.col("sh"), i * chunk_bits).bitwiseAND(F.lit(mask))
             for i in range(chunks)
         ]
     )
-    banded = h.withColumn("ck", F.explode(chunk_keys))
+    banded = h.select("id", "sh", F.posexplode(chunk_vals).alias("ci", "ck"))
     a, b = banded.alias("a"), banded.alias("b")
     # hamming verify goes INTO the join condition (cheap: one xor+popcount
-    # on two longs) so the dropDuplicates shuffle only moves true pairs,
-    # not every chunk-collision candidate.
+    # on two longs) so only true pairs survive the join.
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    return (
-        a.join(
-            b,
-            (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (hamming <= max_hamming),
+
+    # first-agreeing-chunk emission: a pair agreeing on several chunks
+    # would surface once per chunk; requiring "no earlier chunk agrees"
+    # makes exactly ONE (ci, ck) bucket emit it — which deletes the
+    # dropDuplicates shuffle stage entirely (dedupe becomes two shifted
+    # compares per candidate, evaluated inside the join).
+    def chunk_eq(j: int) -> Column:
+        return (
+            F.shiftrightunsigned(F.col("a.sh"), j * chunk_bits).bitwiseAND(F.lit(mask))
+            == F.shiftrightunsigned(F.col("b.sh"), j * chunk_bits).bitwiseAND(F.lit(mask))
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming.alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+
+    earlier_agrees = F.lit(False)
+    for j in range(chunks - 1):
+        earlier_agrees = earlier_agrees | ((F.col("a.ci") > j) & chunk_eq(j))
+
+    return a.join(
+        b,
+        (F.col("a.ci") == F.col("b.ci"))
+        & (F.col("a.ck") == F.col("b.ck"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (hamming <= max_hamming)
+        & ~earlier_agrees,
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        hamming.alias("hamming"),
     )
 
 
@@ -398,6 +457,8 @@ def embedding_near_dups(
     # (O(N)) instead of once per PAIR (O(N²)); the per-pair work is a single
     # dot product. dot/(na·nb) is the exact arithmetic cosine_similarity
     # uses, so results (and the DuckDB oracle hash) are bit-identical.
+    # no _materialize here: the per-row projection is just a norm (cheap);
+    # recomputing it on each join side costs less than an eager cache pass
     t = df.select(*cols).withColumn("nv", l2_norm(F.col("v")))
     a, b = t.repartition(_probe_parallelism(df)).alias("a"), t.alias("b")
     denom = F.col("a.nv") * F.col("b.nv")

@@ -6,6 +6,12 @@
 
 Per-query time is the median of ``RUNS`` executions after one warm-up
 (JVM/codegen warm), measured to ``collect()`` — full plan execution.
+
+Inputs are HOT: base tables are cached (and materialized during warm-up)
+before timing, because the reference's baseline numbers are measured over
+in-memory NumPy arrays after load (BASELINE.md / SURVEY.md §6) — timing
+our queries over resident DataFrames is the like-for-like comparison.
+Set ``SPARK_GRAFT_CACHE_INPUTS=0`` to time cold parquet scans instead.
 """
 
 from __future__ import annotations
@@ -15,6 +21,8 @@ import os
 import re
 import sys
 import time
+
+os.environ.setdefault("SPARK_GRAFT_CACHE_INPUTS", "1")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
