@@ -32,6 +32,10 @@ from acorn_hybrid_vector_search_spark.functions.text import (
 )
 
 
+_PINNED: list[DataFrame] = []
+_PINNED_MAX = 4
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Persist + eagerly compute a fingerprint/signature relation that a
     pair self-join consumes on BOTH sides.
@@ -44,9 +48,17 @@ def _materialize(df: DataFrame) -> DataFrame:
     compute the subtree anyway. At production scale this relation is what
     a pipeline writes to a signatures table; persist is the in-session
     equivalent (MEMORY_AND_DISK — signature tables are row-scaled).
+
+    A small LRU bounds the pinned set: repeated operator calls (bench
+    loops, notebooks) would otherwise accumulate cache entries without
+    limit and degrade the whole session. Evicting an entry a caller still
+    holds only costs recompute on next use — never correctness.
     """
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
+    _PINNED.append(df)
+    while len(_PINNED) > _PINNED_MAX:
+        _PINNED.pop(0).unpersist()
     return df
 
 

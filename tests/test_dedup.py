@@ -86,6 +86,18 @@ def test_simhash_near_dups(docs):
     assert not far_pairs
 
 
+def test_banded_pairs_emitted_exactly_once(docs):
+    """First-agreeing-band emission replaces the dropDuplicates shuffle —
+    a pair colliding in several bands/chunks must still appear once."""
+    sim = simhash_near_dups(docs, max_hamming=6).collect()
+    assert len(sim) == len({(r["id_a"], r["id_b"]) for r in sim})
+    mh = minhash_near_dups(docs, num_hashes=16, bands=8, verify_threshold=0.5).collect()
+    assert len(mh) == len({(r["id_a"], r["id_b"]) for r in mh})
+    # near-identical docs collide in MANY bands — they are the case that
+    # would duplicate without the no-earlier-agreement conjunct
+    assert any(r["sig_agreement"] >= 0.9 for r in mh)
+
+
 def test_embedding_near_dups(spark):
     rows = [
         (1, [1.0, 0.0, 0.0], 0),
