@@ -102,6 +102,33 @@ def hourly_rollup(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    *,
+    key_cols: Iterable[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Drop duplicate rows by key — streaming-safe.
+
+    Batch input: plain ``dropDuplicates`` (full-history dedup). Streaming
+    input: ``dropDuplicatesWithinWatermark`` — state holds one entry per
+    key seen within the watermark horizon and is EVICTED when the
+    watermark passes it, so state is bounded by (arrival rate × watermark)
+    instead of growing with the whole stream. That is the contract an
+    at-least-once ingest needs: upstream retries/replays land within the
+    watermark, exact re-deliveries are dropped, and a genuinely new key
+    months later is (correctly) kept.
+
+    Use a content fingerprint column (functions.text.fingerprint_md5) as
+    the key for streaming exact-dedup of documents.
+    """
+    keys = list(key_cols)
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def sliding_rollup(
     events: DataFrame,
     *,

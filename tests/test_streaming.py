@@ -91,6 +91,32 @@ def test_streaming_sessions_match_batch(spark, events, stream_dir):
     assert got == want
 
 
+def test_streaming_dedup_drops_replayed_rows(spark, events, tmp_path):
+    """dropDuplicatesWithinWatermark semantics: the same keys delivered in
+    two micro-batches (an at-least-once replay) come out once, matching
+    the batch dropDuplicates result."""
+    from acorn_hybrid_vector_search_spark.streaming.pipeline import streaming_dedup
+
+    d = tmp_path / "dup_stream"
+    sample = events.filter(F.col("event_id") % 3 == 0)
+    sample.coalesce(1).write.parquet(str(d / "b0"))
+    sample.coalesce(1).write.parquet(str(d / "b1"))  # full replay of b0
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    _run_to_memory(
+        streaming_dedup(stream, key_cols=("event_id",)), "dedup_stream", "append"
+    )
+    got = {r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_stream").collect()}
+    want = {r["event_id"] for r in streaming_dedup(sample, key_cols=("event_id",)).collect()}
+    assert got == want
+    assert spark.sql("SELECT COUNT(*) FROM dedup_stream").head()[0] == len(want)
+
+
 def test_running_totals_accumulate_across_batches(spark, events, stream_dir):
     """applyInPandasWithState carries state between micro-batches: with one
     file per trigger, the LAST emission per user equals the full batch
