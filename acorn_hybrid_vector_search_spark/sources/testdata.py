@@ -30,7 +30,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_CACHE_INPUTS") == "1":
         key = (spark.sparkContext.applicationId, sf_dir, name)
         if key not in _HOT_CACHE:
-            df = _load_table(spark, sf_dir, name).cache()
+            raw = _load_table(spark, sf_dir, name)
+            # local parquet arrives in row-group-sized splits (e.g. 600k
+            # rows in 3 partitions) — cache at cluster parallelism so hot
+            # queries use every core, but never shatter small tables into
+            # empty partitions (~20k rows per partition floor).
+            n = raw.count()
+            target = max(1, min(spark.sparkContext.defaultParallelism, n // 20_000))
+            df = raw.repartition(target).cache()
             df.count()  # materialize outside the timed region
             _HOT_CACHE[key] = df
         return _HOT_CACHE[key]
