@@ -861,6 +861,32 @@ def _q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_confusion(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: 7-day trailing revenue per customer at
+    each order (RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW —
+    the frame row_number/ROWS frames can't express; peers with the same
+    timestamp all join the frame). Decimal-exact sum; shuffle is one
+    window partition on the customer key."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_day"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)")).over(w).cast("double"),
+            _R,
+        ).alias("trailing_7d_revenue"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    )
+
+
 def _q_sql_user_funnel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (INTERSECT/EXCEPT, distinct semantics) through the
     shared ANSI dialect — the same text runs on Spark and DuckDB."""
@@ -923,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "centroid_confusion": _q_centroid_confusion,
+        "trailing_revenue_7d": _q_trailing_revenue,
         "sql_user_funnel_setops": _q_sql_user_funnel_setops,
     }
 
@@ -1634,6 +1661,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT label, assigned, COUNT(*) AS cnt
             FROM a GROUP BY label, assigned
+        """,
+        "trailing_revenue_7d": f"""
+            SELECT o_custkey, o_orderkey,
+                CAST(o_orderdate AS DATE) AS order_day,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) OVER w
+                    AS DOUBLE), {_R}) AS trailing_7d_revenue,
+                COUNT(*) OVER w AS n_orders_7d
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
         """,
         # shared-dialect battery: the oracle IS the Spark query text
         # (includes sql_user_funnel_setops — INTERSECT/EXCEPT)

@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # deterministic naive-timestamp arithmetic (unix_timestamp over
+        # TIMESTAMP_NTZ) regardless of host timezone; UTC has no DST
+        .config("spark.sql.session.timeZone", "UTC")
         # driver testdata events.parquet uses TIMESTAMP(NANOS); read as long
         # and normalize in sources.testdata.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
