@@ -236,6 +236,60 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-bigram fraction, top-
+    bigram fraction) as one narrow JVM-side fold per row — top_count is a
+    sorted-array run-length fold, NOT a per-doc group-by, so the operator
+    never shuffles and scales with the scan."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.select("doc_id", T.ngram_repetition("text", 2).alias("s"))
+    total = F.col("s.total")
+    return s.select(
+        "doc_id",
+        total.cast("long").alias("bigram_total"),
+        F.col("s.n_distinct").cast("long").alias("bigram_distinct"),
+        F.col("s.top_count").cast("long").alias("bigram_top_count"),
+        F.round(
+            F.when(total > 0, 1.0 - F.col("s.n_distinct").cast("double") / total)
+            .otherwise(F.lit(0.0)),
+            _R,
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.when(total > 0, F.col("s.top_count").cast("double") / total)
+            .otherwise(F.lit(0.0)),
+            _R,
+        ).alias("top_bigram_frac"),
+    )
+
+
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing demo: the corpus text carries no PII, so the query
+    plants a deterministic email/phone/IP/SSN suffix per row (a pure
+    doc_id expression — no synthetic input data), redacts it with the
+    RE2-safe pattern chain, and reports per-type hit counts + a digest of
+    the scrubbed text. Narrow map, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 done"),
+    )
+    r = d.select("doc_id", T.redact_pii(planted).alias("red"))
+    return r.select(
+        "doc_id",
+        F.regexp_count(F.col("red"), F.lit("<EMAIL>")).cast("long").alias("n_email"),
+        F.regexp_count(F.col("red"), F.lit("<IP>")).cast("long").alias("n_ip"),
+        F.regexp_count(F.col("red"), F.lit("<SSN>")).cast("long").alias("n_ssn"),
+        F.regexp_count(F.col("red"), F.lit("<PHONE>")).cast("long").alias("n_phone"),
+        F.md5(F.encode(F.col("red"), "UTF-8")).alias("red_md5"),
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs with a COMPOSITE bucket: lang ×
     token-count band (width 4). A lang-only bucket is ~5 groups — N²/5
@@ -912,6 +966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _q_dedup_survivors,
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
+        "repetition_signals": _q_repetition_signals,
+        "pii_redaction": _q_pii_redaction,
         "ngram_jaccard_near_dups": _q_ngram_jaccard,
         "embedding_near_dups": _q_embedding_near_dups,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -1000,6 +1056,31 @@ def _lang_id_sql() -> str:
             FROM g
         )
         SELECT pred_lang, COUNT(*) AS cnt FROM p GROUP BY pred_lang
+    """
+
+
+def _pii_sql() -> str:
+    """DuckDB replica of the PII-redaction demo: same planted suffix, the
+    SAME regex chain (functions.text.PII_PATTERNS is RE2 ∩ java.regex by
+    construction), same per-type counts + digest."""
+    red = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or 555-010-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 ssn 123-45-6789 done'"
+    )
+    for pat, repl in T.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+        WITH r AS (SELECT doc_id, {red} AS red FROM documents)
+        SELECT doc_id,
+            len(regexp_extract_all(red, '<EMAIL>')) AS n_email,
+            len(regexp_extract_all(red, '<IP>')) AS n_ip,
+            len(regexp_extract_all(red, '<SSN>')) AS n_ssn,
+            len(regexp_extract_all(red, '<PHONE>')) AS n_phone,
+            md5(red) AS red_md5
+        FROM r
     """
 
 
@@ -1222,6 +1303,33 @@ def oracle_sql() -> dict[str, str]:
                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish
             FROM documents
         """,
+        "repetition_signals": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (
+                SELECT doc_id,
+                    CASE WHEN len(toks) >= 2 THEN
+                        list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])
+                    ELSE [] END AS grams
+                FROM t
+            ), s AS (
+                SELECT doc_id, len(grams) AS total,
+                    len(list_distinct(grams)) AS n_distinct,
+                    coalesce(list_max(list_transform(list_distinct(grams),
+                        d -> len(list_filter(grams, x -> x = d)))), 0) AS top_count
+                FROM g
+            )
+            SELECT doc_id, total AS bigram_total, n_distinct AS bigram_distinct,
+                top_count AS bigram_top_count,
+                ROUND(CASE WHEN total > 0
+                    THEN 1.0 - CAST(n_distinct AS DOUBLE) / total
+                    ELSE 0.0 END, {_R}) AS dup_bigram_frac,
+                ROUND(CASE WHEN total > 0
+                    THEN CAST(top_count AS DOUBLE) / total
+                    ELSE 0.0 END, {_R}) AS top_bigram_frac
+            FROM s
+        """,
+        "pii_redaction": _pii_sql(),
         "text_quality": f"""
             WITH t AS (
                 SELECT doc_id, text, {_TOKS} AS toks,

@@ -203,6 +203,88 @@ def quality_score(c: Column | str) -> Column:
     return F.round(let(tokens(c), build), 6)
 
 
+def ngram_repetition(c: Column | str, n: int = 2) -> Column:
+    """STRUCT<total, n_distinct, top_count>: word n-gram repetition stats
+    for Gopher-style repetitive-text filtering (duplicate-n-gram fraction
+    = 1 − n_distinct/total; top-n-gram fraction = top_count/total).
+
+    ``top_count`` (the most frequent n-gram's multiplicity) is computed
+    WITHOUT a per-document group-by: sort the gram array and fold the max
+    equal-adjacent run length — O(L log L) per row, one pass, entirely
+    inside whole-stage codegen. No shuffle is ever needed: repetition is
+    a per-row signal, so at 100 TB this stays a narrow map over the scan.
+    """
+
+    def build(toks: Column) -> Column:
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+        )
+
+        def stats(g: Column) -> Column:
+            init = F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            )
+
+            def merge(s: Column, x: Column) -> Column:
+                run = F.when(x == s.getField("prev"), s.getField("run") + 1).otherwise(
+                    F.lit(1)
+                )
+                return F.struct(
+                    x.alias("prev"),
+                    run.alias("run"),
+                    F.greatest(s.getField("best"), run).alias("best"),
+                )
+
+            top = F.aggregate(
+                F.array_sort(g), init, merge, lambda s: s.getField("best")
+            )
+            return F.struct(
+                F.size(g).alias("total"),
+                F.size(F.array_distinct(g)).alias("n_distinct"),
+                top.alias("top_count"),
+            )
+
+        return let(grams, stats)
+
+    return let(tokens(c), build)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrubbing — the standard pre-training privacy pass)
+
+# Patterns restricted to the RE2 ∩ java.util.regex common subset (no
+# lookaround, no backreferences) so the DuckDB oracle can run the SAME
+# patterns. Order matters: email before phone (digits in local parts),
+# IP before SSN/phone (dotted quads contain 3-digit runs).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # \b is only placed adjacent to digits ('(' and '+' are non-word chars,
+    # so \b( / \b+ can never match after a space — a classic regex trap)
+    (
+        r"(?:\(\d{3}\)|\+?\b\d{1,2}[ .-](?:\(\d{3}\)|\d{3})|\b\d{3})"
+        r"[ .-]?\d{3}[ .-]\d{4}\b",
+        "<PHONE>",
+    ),
+]
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Replace emails / IPv4s / SSNs / US-style phone numbers with typed
+    placeholder tokens. A chain of JVM-side ``regexp_replace`` calls — a
+    narrow map with no shuffle, the right shape for a 100 TB scrub pass."""
+    out = F.col(c) if isinstance(c, str) else c
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # language identification (n-gram / stopword heuristic)
 

@@ -123,3 +123,35 @@ def test_text_metrics_equals_individual_functions(spark):
         assert r["f_stop"] == r["s_stop"]
         assert r["f_wl"] == r["s_wl"]
         assert r["f_q"] == r["s_q"]
+
+
+def test_ngram_repetition_stats(spark):
+    from acorn_hybrid_vector_search_spark.functions.text import ngram_repetition
+
+    s = _one(spark, "a b a b a b c", ngram_repetition("text", 2))
+    # bigrams: [a b, b a, a b, b a, a b, b c] -> total 6, distinct 3, top "a b" x3
+    assert (s["total"], s["n_distinct"], s["top_count"]) == (6, 3, 3)
+    s = _one(spark, "", ngram_repetition("text", 2))
+    assert (s["total"], s["n_distinct"], s["top_count"]) == (0, 0, 0)
+    s = _one(spark, "one", ngram_repetition("text", 2))
+    assert (s["total"], s["n_distinct"], s["top_count"]) == (0, 0, 0)
+    s = _one(spark, "tok " * 50 + "uniq", ngram_repetition("text", 2))
+    assert (s["total"], s["n_distinct"], s["top_count"]) == (50, 2, 49)
+    # trigram variant
+    s = _one(spark, "x y z x y z x y", ngram_repetition("text", 3))
+    assert (s["total"], s["n_distinct"], s["top_count"]) == (6, 3, 2)
+
+
+def test_redact_pii(spark):
+    from acorn_hybrid_vector_search_spark.functions.text import redact_pii
+
+    got = _one(
+        spark,
+        "mail bob.smith+1@foo-bar.io call (555) 010-1234 or +1 555-010-9999 "
+        "ip 192.168.0.1 ssn 123-45-6789 end",
+        redact_pii("text"),
+    )
+    assert got == "mail <EMAIL> call <PHONE> or <PHONE> ip <IP> ssn <SSN> end"
+    # clean text untouched; bare small numbers and versions are not PII
+    clean = "release 1.2 of part 456 weighs 1.5 pounds, built in 2018"
+    assert _one(spark, clean, redact_pii("text")) == clean
