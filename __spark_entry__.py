@@ -897,6 +897,18 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang")
 
 
+def _q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (≤15 docs per source), survivors chosen
+    by the portable per-row hash so the capped corpus is reproducible on
+    any partitioning/engine. One window shuffle on the domain key."""
+    from acorn_hybrid_vector_search_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_group(d, 15, group_col="source", key_col="doc_id").select(
+        "doc_id", "source"
+    )
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: top-3 scoring terms per document (score = tf · ln(N/df);
     rank ties break on the term). Explode → two partial-agg shuffles →
@@ -1003,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_rollup_events": _q_sliding_rollup,
         "chunked_packing_docs": _q_chunked_packing,
         "stratified_sample_docs": _q_stratified_sample,
+        "domain_caps": _q_domain_caps,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "centroid_confusion": _q_centroid_confusion,
         "trailing_revenue_7d": _q_trailing_revenue,
@@ -1718,6 +1731,15 @@ def oracle_sql() -> dict[str, str]:
                 < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                               WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
                               ELSE 0.65 END
+        """,
+        "domain_caps": f"""
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY ({_h64_sql("'cap:' || CAST(doc_id AS VARCHAR)")}
+                        % 1000000) / 1000000.0 ASC, doc_id ASC) AS rk
+                FROM documents
+            ) WHERE rk <= 15
         """,
         "tfidf_top_terms": f"""
             WITH tf AS (

@@ -89,3 +89,37 @@ def sample_rates_for_mixture(
         n = counts.get(s, 0)
         rates[s] = min(1.0, (share * total_out) / n) if n else 0.0
     return rates
+
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    *,
+    group_col: str,
+    key_col: str,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by the deterministic
+    per-row hash (NOT arrival order) — the per-domain cap of a crawl
+    pipeline: no domain may contribute more than N documents, and which
+    N survive is reproducible on any partitioning/engine.
+
+    One window shuffle on the group key. The rank orders by
+    (uniform-hash, key) so ties are impossible and the survivor set is a
+    pure function of the data. Groups under the cap pass through whole.
+    At 100 TB this is the same single hash-partitioned exchange any
+    per-key top-N costs; skewed mega-domains stay one partition's work —
+    cap them upstream with stratified_sample if a single domain
+    dominates the corpus.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _uniform(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

@@ -209,6 +209,36 @@ def test_stratified_sample_rates_and_plan(spark):
     assert "src1" not in counts  # rate 0.0 drops everything
 
 
+def test_cap_per_group(spark):
+    from acorn_hybrid_vector_search_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, SF, "documents")
+    out = cap_per_group(docs, 7, group_col="source", key_col="doc_id")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts and all(n <= 7 for n in counts.values())
+    full = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # every source had >7 docs, so each is capped exactly
+    assert all(counts[s] == 7 for s in full if full[s] > 7)
+    # survivors are a pure function of the data, not the partitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in cap_per_group(
+            docs.repartition(13), 7, group_col="source", key_col="doc_id"
+        ).collect()
+    }
+    assert a == b
+    # groups under the cap pass through whole
+    big = cap_per_group(docs, 10**6, group_col="source", key_col="doc_id")
+    assert big.count() == docs.count()
+
+
 def test_sample_rates_for_mixture():
     rates = sample_rates_for_mixture(
         {"a": 1000, "b": 100, "c": 0},
