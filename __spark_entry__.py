@@ -386,8 +386,15 @@ def _q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_dt = dict(stream.dtypes).get("ts")
+    if ts_dt == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dt == "timestamp_ntz":
+        # naive micros parquet: watermarks reject TIMESTAMP_NTZ; NTZ→LTZ
+        # cast under the UTC session (pinned in sources.testdata) is
+        # wall-clock-preserving
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     name = f"stream_hourly_rollup_{next(_STREAM_SEQ)}"
     q = (
         hourly_rollup(stream)

@@ -48,19 +48,30 @@ def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise ValueError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS), which Spark's reader rejects unless
-        # this (runtime-settable) legacy conf is on; works regardless of who
-        # built the session (the driver harness uses its own).
+        # events.ts has shipped as TIMESTAMP(NANOS) (rejected without this
+        # runtime-settable legacy conf) and as naive TIMESTAMP(MICROS);
+        # handle both regardless of who built the session (the driver
+        # harness uses its own). Pin UTC so every normalization below is
+        # wall-clock-preserving and host-timezone-independent.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) in the parquet footer; with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos LONG —
-    # normalize to a microsecond TIMESTAMP so downstream windowing/watermark
-    # code sees a real timestamp (DuckDB reads the same column as TIMESTAMP).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer div, not `/1000` + cast: epoch-nanos (~1.7e18) exceed
-        # double's 2^53 integer range, so float division is off by ±1 µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Normalize ts to a microsecond TIMESTAMP (ltz) so downstream
+    # windowing/watermark/unix_millis code sees the one timestamp type they
+    # all accept (watermarks reject TIMESTAMP_NTZ outright). DuckDB reads
+    # the same column as naive TIMESTAMP; under the UTC session both
+    # engines see identical wall-clock values.
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # TIMESTAMP(NANOS) via nanosAsLong: integer div, not `/1000` +
+            # cast — epoch-nanos (~1.7e18) exceed double's 2^53 integer
+            # range, so float division is off by ±1 µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            # naive micros: NTZ→LTZ cast interprets the wall clock in the
+            # session timezone (pinned UTC above) — value-preserving
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
