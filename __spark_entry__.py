@@ -341,6 +341,24 @@ def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_components(d, pairs)
 
 
+def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): split documents
+    into a small pseudo-benchmark (doc_id % 101 == 0) and a training
+    corpus, and emit per-corpus-doc contamination evidence — distinct
+    word-3-gram count, hits against the broadcast benchmark gram set, the
+    keep/drop flag. The GPT-3/Pile n-gram decontamination shape: map-side
+    semi-join against a broadcast gram set, one partial-agg shuffle on
+    doc_id."""
+    from acorn_hybrid_vector_search_spark.operators.decontam import (
+        contamination_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 101 == 0)
+    corpus = d.filter(F.col("doc_id") % 101 != 0)
+    return contamination_stats(corpus, bench, n=3, min_overlap=1)
+
+
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-distance near-dups (chunk-banded self-join)."""
     d = _t(spark, sf_dir, "documents")
@@ -992,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "near_dup_components": _q_near_dup_components,
         "simhash_near_dups": _q_simhash_near_dups,
+        "decontaminate_docs": _q_decontaminate_docs,
         "lang_id_histogram": _q_lang_id_histogram,
         "hourly_rollup": _q_hourly_rollup,
         "stream_hourly_rollup": _q_stream_hourly_rollup,
@@ -1153,6 +1172,43 @@ def _minhash_sql() -> str:
               bb -> a.sig[2*bb+1] = b.sig[2*bb+1]
                 AND a.sig[2*bb+2] = b.sig[2*bb+2])) > 0
           AND {jac} >= 0.5
+    """
+
+
+def _decontam_sql() -> str:
+    """DuckDB replica of operators.decontam.contamination_stats (n=3,
+    min_overlap=1) over the mod-101 benchmark split: same normalization
+    (lowercase, whitespace collapse), same distinct word-3-gram shingles,
+    same hit counting (distinct grams present anywhere in the benchmark
+    set), same keep/drop flag and rounded overlap fraction."""
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        grams AS (
+          SELECT doc_id,
+            CASE WHEN len(t) >= 3 THEN
+              list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [] END AS sh
+          FROM toks
+        ),
+        bench AS (
+          SELECT DISTINCT unnest(sh) AS gram FROM grams WHERE doc_id % 101 = 0
+        ),
+        corpus AS (
+          SELECT doc_id, sh, len(sh) AS n_grams FROM grams WHERE doc_id % 101 <> 0
+        ),
+        hits AS (
+          SELECT g.doc_id, COUNT(*) AS n_hits
+          FROM (SELECT doc_id, unnest(sh) AS gram FROM corpus) g
+          JOIN bench USING (gram)
+          GROUP BY g.doc_id
+        )
+        SELECT c.doc_id, c.n_grams,
+          CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+          COALESCE(h.n_hits, 0) >= 1 AS contaminated,
+          ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+              / greatest(c.n_grams, 1), 6) AS overlap_frac
+        FROM corpus c LEFT JOIN hits h USING (doc_id)
     """
 
 
@@ -1663,6 +1719,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_histogram": _lang_id_sql(),
         "minhash_near_dups": _minhash_sql(),
+        "decontaminate_docs": _decontam_sql(),
         "near_dup_components": f"""
             WITH RECURSIVE pr AS (
                 SELECT id_a, id_b FROM ({_minhash_sql()})

@@ -8,6 +8,12 @@ from acorn_hybrid_vector_search_spark.operators.ann import (
     refresh_radii,
 )
 from acorn_hybrid_vector_search_spark.operators.asof import asof_join, asof_join_chunked
+from acorn_hybrid_vector_search_spark.operators.decontam import (
+    benchmark_ngrams,
+    contaminated_ids,
+    contamination_stats,
+    decontaminate,
+)
 from acorn_hybrid_vector_search_spark.operators.dedup import (
     collapse_near_dups,
     embedding_near_dups,
@@ -45,6 +51,10 @@ __all__ = [
     "refresh_radii",
     "asof_join",
     "asof_join_chunked",
+    "benchmark_ngrams",
+    "contaminated_ids",
+    "contamination_stats",
+    "decontaminate",
     "collapse_near_dups",
     "embedding_near_dups",
     "exact_dedup",
