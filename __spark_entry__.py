@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from acorn_hybrid_vector_search_spark.operators.hybrid import (
     postfilter_search,
@@ -339,6 +340,49 @@ def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_near_dups(d, num_hashes=16, bands=8, verify_threshold=0.5)
     return near_dup_components(d, pairs)
+
+
+_BM25_TERMS = ["hash", "join", "scan", "vector"]
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: Okapi BM25 top-20 over documents for a fixed
+    term set (operators/retrieval.py). The plan filters tokens to the
+    query terms INSIDE the array before exploding — no full token-stream
+    explode — and broadcasts the |Q|-row idf table."""
+    from acorn_hybrid_vector_search_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_TERMS, 20)
+
+
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL: reciprocal-rank fusion of a vector ranking
+    (brute cosine top-20 on embeddings) and a keyword ranking (BM25
+    top-20 on documents), score = Σ 1/(60 + rank). The testdata has no
+    join key between documents and embeddings, so fusion uses the shared
+    dense-integer id convention (vec_id ≡ doc_id) — the mechanics (union,
+    partial-agg groupBy, global rank over top-k-sized input) are what a
+    production corpus with a real shared id runs unchanged."""
+    from acorn_hybrid_vector_search_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, vec_id=1)
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    vec = (
+        emb.withColumn("sim", cosine_similarity(F.col("embedding"), q))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    kw = bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, 20).select(
+        "doc_id", "rank"
+    )
+    return rrf_fuse([vec, kw], k=60, top=15)
 
 
 def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1011,6 +1055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": _q_near_dup_components,
         "simhash_near_dups": _q_simhash_near_dups,
         "decontaminate_docs": _q_decontaminate_docs,
+        "bm25_topk_docs": _q_bm25_topk,
+        "hybrid_rrf_retrieval": _q_hybrid_rrf,
         "lang_id_histogram": _q_lang_id_histogram,
         "hourly_rollup": _q_hourly_rollup,
         "stream_hourly_rollup": _q_stream_hourly_rollup,
@@ -1172,6 +1218,89 @@ def _minhash_sql() -> str:
               bb -> a.sig[2*bb+1] = b.sig[2*bb+1]
                 AND a.sig[2*bb+2] = b.sig[2*bb+2])) > 0
           AND {jac} >= 0.5
+    """
+
+
+def _bm25_rank_sql(limit: int = 20) -> str:
+    """DuckDB replica of operators.retrieval.bm25_topk (k1=1.2, b=0.75)
+    for _BM25_TERMS: same normalization/tokenization, same Lucene idf,
+    same norm arithmetic with every fractional literal forced to DOUBLE
+    so DuckDB's DECIMAL literal arithmetic can't diverge from Spark's
+    IEEE doubles. Ranks computed on the UNROUNDED score (as Spark does),
+    rounded only for display."""
+    terms = "[" + ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS))) + "]"
+    idf = (
+        "ln((CAST(s.n AS DOUBLE) - i.df + CAST(0.5 AS DOUBLE))"
+        " / (i.df + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))"
+    )
+    norm = (
+        "CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)"
+        " + CAST(0.75 AS DOUBLE) * tf.dl / s.avgdl)"
+    )
+    contrib = f"{idf} * (tf.tf * CAST(2.2 AS DOUBLE) / (tf.tf + {norm}))"
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        s AS (SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM toks),
+        tf AS (
+          SELECT doc_id, len(t) AS dl, term, COUNT(*) AS tf
+          FROM (SELECT doc_id, t,
+                unnest(list_filter(t, x -> list_contains({terms}, x))) AS term
+                FROM toks)
+          GROUP BY doc_id, len(t), term
+        ),
+        i AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, SUM({contrib}) AS score
+          FROM tf JOIN i ON tf.term = i.term CROSS JOIN s
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id,
+          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+          ROUND(score, 6) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT {limit}
+    """
+
+
+def _hybrid_rrf_sql() -> str:
+    """DuckDB replica of the RRF fusion query: cosine top-20 ranking
+    (same expression as ann_cosine_topk, vec_id=1 query) ∪ BM25 top-20
+    ranking, score = Σ 1.0/(60 + rank) in DOUBLE, rank on unrounded
+    fused score with id tie-break, top 15."""
+    qv = _QV.format(vid=1)
+    return f"""
+        WITH {qv},
+        sim AS (
+          SELECT e.vec_id,
+            list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(q.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+          FROM embeddings e, q
+        ),
+        vec AS (
+          SELECT vec_id AS doc_id,
+            row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM sim ORDER BY sim DESC, vec_id ASC LIMIT 20
+        ),
+        kw AS (SELECT doc_id, rank FROM ({_bm25_rank_sql(20)})),
+        u AS (
+          SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS c FROM vec
+          UNION ALL
+          SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS c FROM kw
+        ),
+        fused AS (
+          SELECT doc_id, SUM(c) AS s, COUNT(*) AS n_lists FROM u GROUP BY doc_id
+        ),
+        r AS (
+          SELECT doc_id, ROUND(s, 6) AS rrf_score,
+            CAST(n_lists AS BIGINT) AS n_lists,
+            row_number() OVER (ORDER BY s DESC, doc_id ASC) AS fused_rank
+          FROM fused
+        )
+        SELECT doc_id, rrf_score, n_lists, fused_rank
+        FROM r WHERE fused_rank <= 15
     """
 
 
@@ -1720,6 +1849,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_histogram": _lang_id_sql(),
         "minhash_near_dups": _minhash_sql(),
         "decontaminate_docs": _decontam_sql(),
+        "bm25_topk_docs": _bm25_rank_sql(20),
+        "hybrid_rrf_retrieval": _hybrid_rrf_sql(),
         "near_dup_components": f"""
             WITH RECURSIVE pr AS (
                 SELECT id_a, id_b FROM ({_minhash_sql()})
