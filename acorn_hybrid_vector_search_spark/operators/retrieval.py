@@ -7,12 +7,15 @@ The reference engine's "hybrid" is vector-similarity × metadata-predicate
 deterministic DataFrame plans here:
 
 - ``bm25_scores`` / ``bm25_topk``: Okapi BM25 (k1, b) for ONE query's
-  term set. The plan never explodes the full token stream: tokens are
-  filtered to the query's terms *inside the array* (a JVM higher-order
-  ``filter``) before the explode, so the exploded row count is bounded by
-  matches-per-doc × |query terms|, not document length. Per-term document
-  frequencies fall out of the same aggregate; the |Q|-row idf table is
-  broadcast back. One corpus scan, one partial-agg shuffle on doc id.
+  term set, with ZERO wide shuffles. Query-term sets are small, so
+  per-document term frequencies are computed *inside the token array*
+  (one tokenization bound via ``let``, one ``size(filter(...))`` per
+  term) — no explode, no (doc, term) shuffle. Pass 1 is a single global
+  reduce producing every corpus statistic at once (N, avgdl, per-term
+  df); pass 2 broadcasts that 1-row table and evaluates the closed-form
+  score per document. Top-k is TakeOrderedAndProject. At 100 TB: two
+  column-pruned corpus scans and a scalar broadcast — nothing shuffles
+  corpus-sized data.
 - ``rrf_fuse``: reciprocal-rank fusion, score = Σ_lists 1/(k + rank) —
   the standard way to combine vector and keyword top-k lists without
   score calibration. Union + partial-agg groupBy on id; list membership
@@ -36,9 +39,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from acorn_hybrid_vector_search_spark.functions.text import tokens
+from acorn_hybrid_vector_search_spark.functions.text import let, tokens
 
 __all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
+
+
+def _doc_term_stats(text_col: str, terms: Sequence[str]):
+    """STRUCT(dl, tf_0 … tf_{|Q|−1}) per document — document length and
+    the frequency of each query term, from ONE tokenization (``let``
+    binds the token array once; each tf is a ``size(filter(...))`` over
+    the bound variable, all inside whole-stage codegen)."""
+
+    def eq(term):
+        # single-parameter lambda: a 2-arg lambda (even via default args)
+        # is interpreted by PySpark as an (element, index) HOF lambda
+        return lambda x: x == F.lit(term)
+
+    def build(t):
+        return F.struct(
+            F.size(t).alias("dl"),
+            *[
+                F.size(F.filter(t, eq(tt))).alias(f"tf_{i}")
+                for i, tt in enumerate(terms)
+            ],
+        )
+
+    return let(tokens(text_col), build)
 
 
 def bm25_scores(
@@ -64,45 +90,46 @@ def bm25_scores(
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    if n_docs is None or avgdl is None:
-        stats = docs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(F.size(tokens(text_col))).alias("avgdl"),
-        ).head()
-        n_docs = n_docs if n_docs is not None else stats["n"]
-        avgdl = avgdl if avgdl is not None else float(stats["avgdl"] or 1.0)
 
-    # filter INSIDE the token array, then explode only the survivors
-    toks = tokens(text_col)
-    matched = F.filter(toks, lambda t: t.isin(*terms))
-    tf = (
-        docs.select(
-            F.col(id_col),
-            F.size(toks).alias("_dl"),
-            F.explode(matched).alias("term"),
-        )
-        .groupBy(id_col, "_dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = docs.select(
+        F.col(id_col), _doc_term_stats(text_col, terms).alias("_s")
     )
-    # df_t falls out of the filtered tf table (one row per matching doc)
-    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = idf.withColumn(
-        "idf",
-        F.log(
-            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-        ),
+
+    # Pass 1 — every corpus statistic in ONE global reduce: N, avgdl, and
+    # each term's document frequency. Stays in the plan (broadcast 1-row
+    # cross join); collecting it driver-side would cost an extra job.
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg(F.col("_s.dl")).alias("_avgdl"),
+        *[
+            F.count(F.when(F.col(f"_s.tf_{i}") > 0, 1)).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
     )
+    if n_docs is not None:
+        stats = stats.withColumn("_n", F.lit(float(n_docs)))
+    if avgdl is not None:
+        stats = stats.withColumn("_avgdl", F.lit(float(avgdl)))
+
+    # Pass 2 — closed-form score per doc; contributions summed in fixed
+    # term order (deterministic, unlike a shuffle-ordered SUM).
     norm = F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(float(avgdl))
+        F.lit(1.0 - b) + F.lit(b) * F.col("_s.dl") / F.col("_avgdl")
     )
-    contrib = F.col("idf") * (
-        F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm)
-    )
+    score = None
+    for i in range(len(terms)):
+        tf_i = F.col(f"_s.tf_{i}")
+        idf_i = F.log(
+            (F.col("_n") - F.col(f"_df_{i}") + 0.5) / (F.col(f"_df_{i}") + 0.5) + 1.0
+        )
+        c = F.when(tf_i > 0, idf_i * (tf_i * F.lit(k1 + 1.0) / (tf_i + norm))).otherwise(
+            F.lit(0.0)
+        )
+        score = c if score is None else score + c
     return (
-        tf.join(F.broadcast(idf), "term")
-        .withColumn("_contrib", contrib)
-        .groupBy(id_col)
-        .agg(F.sum("_contrib").alias("score"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), score.alias("score"))
+        .where(F.col("score") > 0)
     )
 
 

@@ -33,10 +33,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             raw = _load_table(spark, sf_dir, name)
             # local parquet arrives in row-group-sized splits (e.g. 600k
             # rows in 3 partitions) — cache at cluster parallelism so hot
-            # queries use every core, but never shatter small tables into
-            # empty partitions (~20k rows per partition floor).
+            # queries use every core, but never shatter tiny dims into
+            # empty partitions. The floor is 256 rows/partition, NOT tens
+            # of thousands: per-row cost varies 100× across queries (a
+            # regex-tokenization pass over 5k documents is ~2.5 s on one
+            # core), and a few hundred rows per task already amortizes
+            # task overhead (~ms) while letting expensive expressions use
+            # the whole machine.
             n = raw.count()
-            target = max(1, min(spark.sparkContext.defaultParallelism, n // 20_000))
+            target = max(1, min(spark.sparkContext.defaultParallelism, n // 256))
             df = raw.repartition(target).cache()
             df.count()  # materialize outside the timed region
             _HOT_CACHE[key] = df

@@ -76,14 +76,14 @@ def test_bm25_topk_rank_and_determinism(spark, docs):
     assert dup == base
 
 
-def test_bm25_no_full_token_explode(spark, docs):
-    """The explode must run over the query-term-filtered array, not the
-    raw token array: the Generate's child expression carries the filter."""
-    plan = (
-        bm25_scores(docs, QUERY)._jdf.queryExecution().optimizedPlan().toString()
-    )
-    gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
-    assert gen and "filter(" in gen[0]
+def test_bm25_no_explode_no_wide_shuffle(spark, docs):
+    """BM25's plan must not explode the token stream at all, and the only
+    Exchange allowed is the 1-row stats broadcast + its single-partition
+    global reduce — never a corpus-keyed hash shuffle."""
+    plan = bm25_scores(docs, QUERY)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" not in plan
+    assert "hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def test_rrf_matches_formula(spark):
