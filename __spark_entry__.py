@@ -342,6 +342,20 @@ def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_components(d, pairs)
 
 
+def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-10 (operators/quantize.py): symmetric
+    max-abs per-vector quantization, scales cancel in cosine so ranking
+    is integer multiply-accumulate + one sqrt — the 4×-bandwidth scan
+    path for the 100 TB embedding table. Exact arithmetic parity with the
+    DuckDB replica (floor(x/scale + 0.5), never round-half)."""
+    from acorn_hybrid_vector_search_spark.operators.quantize import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, vec_id=1)
+    res = quantized_topk(emb, q, 10)
+    return res.select("vec_id", F.round("qsim", _R).alias("qsim"))
+
+
 _BM25_TERMS = ["hash", "join", "scan", "vector"]
 
 
@@ -1057,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": _q_decontaminate_docs,
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_rrf_retrieval": _q_hybrid_rrf,
+        "quantized_ann_topk": _q_quantized_topk,
         "lang_id_histogram": _q_lang_id_histogram,
         "hourly_rollup": _q_hourly_rollup,
         "stream_hourly_rollup": _q_stream_hourly_rollup,
@@ -1218,6 +1233,46 @@ def _minhash_sql() -> str:
               bb -> a.sig[2*bb+1] = b.sig[2*bb+1]
                 AND a.sig[2*bb+2] = b.sig[2*bb+2])) > 0
           AND {jac} >= 0.5
+    """
+
+
+def _quantized_topk_sql() -> str:
+    """DuckDB replica of operators.quantize.quantized_topk (vec_id=1
+    query): same symmetric max-abs int8 quantization with floor(x/scale
+    + 0.5) — floor, never round-half, so both engines truncate
+    identically — and the scale-free integer cosine."""
+    quant = (
+        "CASE WHEN s > 0 THEN"
+        " list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s"
+        " + CAST(0.5 AS DOUBLE)) AS INT))"
+        " ELSE list_transform(embedding, x -> 0) END"
+    )
+    scale = (
+        "list_max(list_transform(embedding,"
+        " x -> abs(CAST(x AS DOUBLE)))) / CAST(127 AS DOUBLE)"
+    )
+    sq = "CAST(list_sum(list_transform({v}, x -> CAST(x AS BIGINT) * x)) AS BIGINT)"
+    dot = (
+        "CAST(list_sum(list_transform(list_zip(e.q, qq.q),"
+        " x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT)"
+    )
+    return f"""
+        WITH qz AS (
+          SELECT vec_id, {quant} AS q
+          FROM (SELECT vec_id, embedding, {scale} AS s FROM embeddings)
+        ),
+        qq AS (SELECT q FROM qz WHERE vec_id = 1),
+        sims AS (
+          SELECT e.vec_id,
+            CASE WHEN {sq.format(v='e.q')} > 0 AND {sq.format(v='qq.q')} > 0 THEN
+              CAST({dot} AS DOUBLE)
+              / sqrt(CAST({sq.format(v='e.q')} AS DOUBLE)
+                   * CAST({sq.format(v='qq.q')} AS DOUBLE))
+            END AS qsim
+          FROM qz e, qq
+        )
+        SELECT vec_id, ROUND(qsim, {_R}) AS qsim
+        FROM sims ORDER BY qsim DESC, vec_id ASC LIMIT 10
     """
 
 
@@ -1851,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _decontam_sql(),
         "bm25_topk_docs": _bm25_rank_sql(20),
         "hybrid_rrf_retrieval": _hybrid_rrf_sql(),
+        "quantized_ann_topk": _quantized_topk_sql(),
         "near_dup_components": f"""
             WITH RECURSIVE pr AS (
                 SELECT id_a, id_b FROM ({_minhash_sql()})
