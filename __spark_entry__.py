@@ -342,6 +342,40 @@ def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_components(d, pairs)
 
 
+def _q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 merge (operators/upsert.py): a deterministic CDC batch —
+    price-bump updates (keys % 37, status 'U') plus synthetic inserts
+    (keys % 211 shifted to a fresh key range, status 'N') — merged into
+    orders with update-wins semantics via the broadcast anti-join; the
+    per-status count + decimal-exact totalprice sum is whole-table
+    evidence the merge kept/replaced/appended exactly the right rows."""
+    from acorn_hybrid_vector_search_spark.operators.upsert import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    # ×2, not ×1.1: doubling a double is EXACT (exponent bump), so both
+    # engines agree bit-for-bit; a 1.1 bump needs a round() whose
+    # half-tie behavior differs between Spark and DuckDB
+    upd = o.filter(F.col("o_orderkey") % 37 == 0).withColumns(
+        {
+            "o_orderstatus": F.lit("U"),
+            "o_totalprice": F.col("o_totalprice") * 2.0,
+        }
+    )
+    ins = o.filter(F.col("o_orderkey") % 211 == 0).withColumns(
+        {
+            "o_orderkey": F.col("o_orderkey") + 100000000,
+            "o_orderstatus": F.lit("N"),
+        }
+    )
+    merged = merge_upsert(o, upd.unionByName(ins), ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)")).cast("double"), _R
+        ).alias("total"),
+    )
+
+
 def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized cosine top-10 (operators/quantize.py): symmetric
     max-abs per-vector quantization, scales cancel in cosine so ranking
@@ -1072,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_rrf_retrieval": _q_hybrid_rrf,
         "quantized_ann_topk": _q_quantized_topk,
+        "upsert_orders": _q_upsert_orders,
         "lang_id_histogram": _q_lang_id_histogram,
         "hourly_rollup": _q_hourly_rollup,
         "stream_hourly_rollup": _q_stream_hourly_rollup,
@@ -1907,6 +1942,32 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_docs": _bm25_rank_sql(20),
         "hybrid_rrf_retrieval": _hybrid_rrf_sql(),
         "quantized_ann_topk": _quantized_topk_sql(),
+        "upsert_orders": """
+            WITH upd AS (
+              SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                     o_totalprice * CAST(2 AS DOUBLE) AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 37 = 0
+            ),
+            ins AS (
+              SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+                     'N' AS o_orderstatus, o_totalprice, o_orderdate,
+                     o_orderpriority
+              FROM orders WHERE o_orderkey % 211 = 0
+            ),
+            updates AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+            kept AS (
+              SELECT * FROM orders
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+            ),
+            merged AS (
+              SELECT * FROM kept UNION ALL SELECT * FROM updates
+            )
+            SELECT o_orderstatus, COUNT(*) AS n,
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE), 6)
+                AS total
+            FROM merged GROUP BY o_orderstatus
+        """,
         "near_dup_components": f"""
             WITH RECURSIVE pr AS (
                 SELECT id_a, id_b FROM ({_minhash_sql()})
