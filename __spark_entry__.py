@@ -602,6 +602,40 @@ def _q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_date_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP over the (year, status) hierarchy —
+    subtotal-per-year and grand-total levels, the drill-down shape CUBE's
+    power set doesn't pin. grouping() flags disambiguate NULL-as-total
+    from NULL data, matching DuckDB's GROUPING()."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    return o.rollup("o_year", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(_dec(F.col("o_totalprice"))).cast("double"), _R).alias("revenue"),
+        F.grouping("o_year").cast("long").alias("g_year"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+    )
+
+
+def _q_global_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-1000 ranking over a total order (totalprice desc, key).
+    The rank-filter rewrite matters at scale: Catalyst pushes the
+    ``rn <= 1000`` bound through the global row_number into a
+    TakeOrderedAndProject (per-partition top-1000 + bounded driver
+    merge), so the final Window ranks 1000 rows instead of funneling the
+    corpus through one task — verified by the plan-shape test."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 1000)
+    )
+
+
 def _q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-set aggregates: EXACT interpolated percentiles of order
     totalprice per status (Spark percentile == DuckDB quantile_cont, both
@@ -1114,6 +1148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": _q_top_orders_per_cust,
         "asof_latest_order": _q_asof_latest_order,
         "cube_order_stats": _q_cube_order_stats,
+        "rollup_date_status": _q_rollup_date_status,
+        "global_sort_orders": _q_global_sort_orders,
         "order_percentiles": _q_order_percentiles,
         "distinct_users_per_type": _q_distinct_users,
         "routed_hybrid": _q_routed_hybrid,
@@ -1758,6 +1794,22 @@ def oracle_sql() -> dict[str, str]:
                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE), {_R})
                     AS revenue
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "rollup_date_status": f"""
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
+                COUNT(*) AS n_orders,
+                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE), {_R})
+                    AS revenue,
+                CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_year,
+                CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+            FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+        """,
+        "global_sort_orders": """
+            SELECT o_orderkey, o_totalprice,
+                row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+                    AS rn
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1000
         """,
         "order_percentiles": f"""
             SELECT o_orderstatus,

@@ -29,7 +29,12 @@ def test_topk_queries_use_take_ordered(queries):
 # queries whose INTENDED plan is a broadcast nested-loop join: knn_batch
 # pairs every row with the bounded broadcast query batch (there is no
 # equi-key by construction). Everything else must stay equi-join.
-_BNLJ_BY_DESIGN = {"knn_batch_topk"}
+_BNLJ_BY_DESIGN = {
+    "knn_batch_topk",
+    # BM25's corpus-stats table is a broadcast 1-row cross join
+    "bm25_topk_docs",
+    "hybrid_rrf_retrieval",
+}
 
 
 def test_no_cartesian_products_anywhere(queries):
@@ -85,3 +90,12 @@ def test_nested_items_scan_prunes_and_pushes(queries):
         assert "color" not in s and "model_year" not in s and "country" not in s, s
     pushed = re.search(r"PushedFilters: \[([^\]]*)\].*brand", p)
     assert pushed and "IsNotNull" in pushed.group(1), p[:500]
+
+
+def test_global_rank_filter_pushes_to_take_ordered(queries):
+    """rn <= 1000 over a global row_number must rewrite to
+    TakeOrderedAndProject feeding a 1000-row Window — never a
+    corpus-sized single-partition Window."""
+    p = _plan(queries["global_sort_orders"])
+    assert "TakeOrderedAndProject" in p
+    assert p.index("TakeOrderedAndProject") > p.index("Window")
