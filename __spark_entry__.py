@@ -636,6 +636,37 @@ def _q_global_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py):
+    events split into a historical batch and a delta batch (day-of-month
+    boundary), each reduced to MERGEABLE partials (count + decimal-exact
+    sums), folded with merge_rollups, avg derived at read time. The
+    oracle aggregates the full table directly — hash equality IS the
+    maintenance identity rollup(base ∪ delta) == merge(rollup(base),
+    rollup(delta))."""
+    from acorn_hybrid_vector_search_spark.operators.incremental import (
+        merge_rollups,
+        mergeable_rollup,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    base = e.where(F.dayofmonth("ts") <= 15)
+    delta = e.where(F.dayofmonth("ts") > 15)
+    merged = merge_rollups(
+        [
+            mergeable_rollup(base, ["event_type"], ["value"]),
+            mergeable_rollup(delta, ["event_type"], ["value"]),
+        ],
+        ["event_type"],
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.round(F.col("sum_value").cast("double"), _R).alias("sum_value"),
+        F.round(F.col("sum_value").cast("double") / F.col("n"), _R).alias("avg_value"),
+    )
+
+
 def _q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-set aggregates: EXACT interpolated percentiles of order
     totalprice per status (Spark percentile == DuckDB quantile_cont, both
@@ -1150,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_stats": _q_cube_order_stats,
         "rollup_date_status": _q_rollup_date_status,
         "global_sort_orders": _q_global_sort_orders,
+        "incremental_rollup_events": _q_incremental_rollup,
         "order_percentiles": _q_order_percentiles,
         "distinct_users_per_type": _q_distinct_users,
         "routed_hybrid": _q_routed_hybrid,
@@ -1803,6 +1835,14 @@ def oracle_sql() -> dict[str, str]:
                 CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_year,
                 CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
             FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+        """,
+        "incremental_rollup_events": f"""
+            SELECT event_type, COUNT(*) AS n,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE), {_R})
+                    AS sum_value,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+                    / COUNT(*), {_R}) AS avg_value
+            FROM events GROUP BY event_type
         """,
         "global_sort_orders": """
             SELECT o_orderkey, o_totalprice,
