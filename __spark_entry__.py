@@ -667,6 +667,38 @@ def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch layer (operators/sketches.py): per-event-type distinct
+    users via MERGED DataSketches HLL (the base/delta split proves the
+    exact union identity on real data) + GK approx median of value.
+    Legitimately rows-only at the oracle gate — sketch registers are not
+    portable across engines; pytest pins the error bounds and the merge
+    identity (tests/test_sketches.py)."""
+    from acorn_hybrid_vector_search_spark.operators.sketches import (
+        approx_quantiles,
+        distinct_sketches,
+        estimate_distinct,
+        merge_distinct_sketches,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    base = e.where(F.dayofmonth("ts") <= 15)
+    delta = e.where(F.dayofmonth("ts") > 15)
+    hll = estimate_distinct(
+        merge_distinct_sketches(
+            [
+                distinct_sketches(base, ["event_type"], "user_id"),
+                distinct_sketches(delta, ["event_type"], "user_id"),
+            ],
+            ["event_type"],
+        )
+    )
+    q = approx_quantiles(e, ["event_type"], "value", [0.5])
+    return hll.join(q, "event_type").select(
+        "event_type", "approx_distinct", F.round("q_50", _R).alias("median_value")
+    )
+
+
 def _q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-set aggregates: EXACT interpolated percentiles of order
     totalprice per status (Spark percentile == DuckDB quantile_cont, both
@@ -1182,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_date_status": _q_rollup_date_status,
         "global_sort_orders": _q_global_sort_orders,
         "incremental_rollup_events": _q_incremental_rollup,
+        "approx_distinct_users": _q_approx_distinct_users,
         "order_percentiles": _q_order_percentiles,
         "distinct_users_per_type": _q_distinct_users,
         "routed_hybrid": _q_routed_hybrid,
