@@ -667,6 +667,52 @@ def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining (operators/mining.py): top-5 nearest
+    WRONG-label items per query — the closest impostors that drive a
+    contrastive loss. Broadcast query batch over one corpus scan; the
+    label-mismatch conjunct filters pairs map-side before the per-query
+    rank."""
+    from acorn_hybrid_vector_search_spark.operators.mining import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = hard_negatives(emb, queries, 5)
+    return out.select(
+        "query_id", "rank", "vec_id", "label", F.round("dist", _R).alias("dist")
+    )
+
+
+def _q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation (plans/skew.py::salted_agg): two-stage
+    tree over (event_type, salt) — a hot key's state spreads over 16
+    reducers before the trivial per-key merge. Decimal-exact sums make
+    the salted result BIT-IDENTICAL to the plain aggregate, which is
+    exactly what the oracle (a plain GROUP BY) verifies."""
+    from acorn_hybrid_vector_search_spark.plans.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "v", F.col("value").cast("decimal(24,6)")
+    )
+    out = salted_agg(
+        e,
+        ["event_type"],
+        {"n": ("v", "count"), "sum_value": ("v", "sum"), "max_value": ("value", "max")},
+        n_salts=16,
+        salt_src=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("sum_value").cast("double"), _R).alias("sum_value"),
+        "max_value",
+    )
+
+
 def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch layer (operators/sketches.py): per-event-type distinct
     users via MERGED DataSketches HLL (the base/delta split proves the
@@ -1215,6 +1261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_sort_orders": _q_global_sort_orders,
         "incremental_rollup_events": _q_incremental_rollup,
         "approx_distinct_users": _q_approx_distinct_users,
+        "hard_negatives_topk": _q_hard_negatives,
+        "salted_event_stats": _q_salted_event_stats,
         "order_percentiles": _q_order_percentiles,
         "distinct_users_per_type": _q_distinct_users,
         "routed_hybrid": _q_routed_hybrid,
@@ -1868,6 +1916,35 @@ def oracle_sql() -> dict[str, str]:
                 CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_year,
                 CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
             FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+        """,
+        "hard_negatives_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, label AS query_label,
+                     embedding AS qv
+              FROM embeddings WHERE vec_id < 4
+            ),
+            pairs AS (
+              SELECT q.query_id, e.vec_id, e.label,
+                list_sum(list_transform(list_zip(e.embedding, q.qv),
+                    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))^2))
+                  AS dist
+              FROM embeddings e CROSS JOIN q
+              WHERE e.label <> q.query_label
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+              FROM pairs
+            )
+            SELECT query_id, rank, vec_id, label, ROUND(dist, {_R}) AS dist
+            FROM r WHERE rank <= 5
+        """,
+        "salted_event_stats": f"""
+            SELECT event_type, COUNT(*) AS n,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE), {_R})
+                    AS sum_value,
+                MAX(value) AS max_value
+            FROM events GROUP BY event_type
         """,
         "incremental_rollup_events": f"""
             SELECT event_type, COUNT(*) AS n,

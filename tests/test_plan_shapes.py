@@ -34,6 +34,8 @@ _BNLJ_BY_DESIGN = {
     # BM25's corpus-stats table is a broadcast 1-row cross join
     "bm25_topk_docs",
     "hybrid_rrf_retrieval",
+    # bounded broadcast query batch, label-mismatch filtered map-side
+    "hard_negatives_topk",
 }
 
 
