@@ -713,6 +713,24 @@ def _q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_curve_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (plans/zorder.py): Morton-interleave
+    (user_id, hour-index) per event — the single sort/partition key that
+    keeps BOTH dimensions prunable (zorder_write materializes it;
+    tests/test_zorder.py proves the partition-pruning payoff). First 200
+    events along the curve, bit-exact against the DuckDB replay."""
+    from acorn_hybrid_vector_search_spark.plans.zorder import z_value
+
+    e = _t(spark, sf_dir, "events")
+    a = F.pmod(F.col("user_id"), F.lit(65536))
+    b = F.pmod(F.expr("unix_timestamp(ts) div 3600"), F.lit(65536))
+    return (
+        e.select("event_id", z_value(a, b, bits=16).alias("z"))
+        .orderBy(F.col("z").asc(), F.col("event_id").asc())
+        .limit(200)
+    )
+
+
 def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch layer (operators/sketches.py): per-event-type distinct
     users via MERGED DataSketches HLL (the base/delta split proves the
@@ -1263,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "hard_negatives_topk": _q_hard_negatives,
         "salted_event_stats": _q_salted_event_stats,
+        "zorder_curve_keys": _q_zorder_curve_keys,
         "order_percentiles": _q_order_percentiles,
         "distinct_users_per_type": _q_distinct_users,
         "routed_hybrid": _q_routed_hybrid,
@@ -1540,6 +1559,24 @@ def _hybrid_rrf_sql() -> str:
         )
         SELECT doc_id, rrf_score, n_lists, fused_rank
         FROM r WHERE fused_rank <= 15
+    """
+
+
+def _zorder_sql() -> str:
+    """DuckDB replica of plans.zorder.z_value over (user_id mod 2^16,
+    epoch-hour mod 2^16): the same 16-bit Morton interleave built from
+    shift/and/or — bit arithmetic is engine-exact."""
+    a = "(user_id % 65536)"
+    b = "((epoch(ts)::BIGINT // 3600) % 65536)"
+    parts = []
+    for i in range(16):
+        parts.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(parts)
+    return f"""
+        SELECT event_id, ({z}) AS z
+        FROM events
+        ORDER BY z ASC, event_id ASC LIMIT 200
     """
 
 
@@ -1917,6 +1954,7 @@ def oracle_sql() -> dict[str, str]:
                 CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
             FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
         """,
+        "zorder_curve_keys": _zorder_sql(),
         "hard_negatives_topk": f"""
             WITH q AS (
               SELECT vec_id AS query_id, label AS query_label,
