@@ -713,6 +713,21 @@ def _q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep splitter (operators/chunking.py): overlapping 32-token
+    windows with stride 24 per document — no shuffle, one tokenization,
+    pipelines straight into an embedding UDF at scale. Chunk text is
+    md5-digested to keep the gate compact; integer-only chunk-count
+    arithmetic replays exactly in SQL."""
+    from acorn_hybrid_vector_search_spark.operators.chunking import sliding_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    c = sliding_chunks(d, chunk_tokens=32, stride=24)
+    return c.select(
+        "doc_id", "chunk_id", "n_tokens", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
 def _q_zorder_curve_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key (plans/zorder.py): Morton-interleave
     (user_id, hour-index) per event — the single sort/partition key that
@@ -1282,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_topk": _q_hard_negatives,
         "salted_event_stats": _q_salted_event_stats,
         "zorder_curve_keys": _q_zorder_curve_keys,
+        "chunk_documents_sliding": _q_chunk_documents,
         "order_percentiles": _q_order_percentiles,
         "distinct_users_per_type": _q_distinct_users,
         "routed_hybrid": _q_routed_hybrid,
@@ -1955,6 +1971,27 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
         """,
         "zorder_curve_keys": _zorder_sql(),
+        "chunk_documents_sliding": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            c AS (
+              SELECT doc_id, t,
+                1 + CASE WHEN len(t) > 32
+                    THEN (len(t) - 32 + 23) // 24 ELSE 0 END AS n_chunks
+              FROM toks
+            ),
+            x AS (
+              SELECT doc_id, t, unnest(range(0, n_chunks)) AS chunk_id FROM c
+            ),
+            w AS (
+              SELECT doc_id, chunk_id,
+                t[chunk_id * 24 + 1 : chunk_id * 24 + 32] AS w
+              FROM x
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+              CAST(len(w) AS BIGINT) AS n_tokens,
+              md5(array_to_string(w, ' ')) AS chunk_md5
+            FROM w
+        """,
         "hard_negatives_topk": f"""
             WITH q AS (
               SELECT vec_id AS query_id, label AS query_label,
