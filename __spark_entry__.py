@@ -1124,6 +1124,37 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", "label", F.round("dist", _R).alias("dist"))
 
 
+_PQ_CACHE: dict[str, tuple] = {}
+
+
+def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py): 8 subspaces × 32
+    centroids compress each 64-dim vector to 8 ints (32× vs float32);
+    search is ADC — a literal (M,K) lookup table riding the plan, M
+    element_at lookups per row in whole-stage codegen, no Python, topped
+    by TakeOrderedAndProject. Codebook + encoded table are build
+    artifacts cached per sf_dir (like the IVF index); trained codebooks
+    are legitimately non-portable → rows-only, with the exactness gate
+    (overcomplete codebook == brute force) and cluster-accuracy floor in
+    tests/test_pq.py."""
+    from acorn_hybrid_vector_search_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    cached = _PQ_CACHE.get(sf_dir)
+    if cached is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        cb = pq_train(emb, m=8, k=32)
+        enc = pq_encode(emb, cb).select("vec_id", "pq_code").cache()
+        enc.count()
+        _PQ_CACHE[sf_dir] = cached = (cb, enc)
+    cb, enc = cached
+    res = pq_topk(enc, cb, _query_vec(spark, sf_dir, vec_id=1), 10)
+    return res.select("vec_id", F.round("pq_dist", _R).alias("pq_dist"))
+
+
 # ---------------------------------------------------------------------------
 # round-2 extensions: temporal range join, sliding windows, LLM-pipeline
 # packing/sampling/tf-idf, vector centroids, set operations.
@@ -1307,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_segment_revenue": _q_sql_segment_revenue,
         "sql_parttype_revenue": _q_sql_parttype_revenue,
         "ann_ivf_topk": _q_ann_ivf,
+        "pq_ann_topk": _q_pq_ann_topk,
         "ann_ivf_exact_topk": _q_ann_ivf_exact,
         "knn_batch_topk": _q_knn_batch,
         "nested_prefilter_weight_brand": _q_nested_prefilter_weight_brand,

@@ -1,0 +1,154 @@
+"""Product quantization (PQ) — the compression rung below int8 on the
+ANN memory ladder.
+
+Split each D-dim vector into M subspaces of D/M dims; quantize each
+subspace against its own K-centroid codebook (trained on a bounded
+driver-side sample, like the IVF builder); store ONE byte-ish code per
+subspace. At K ≤ 256 the vector becomes M small ints — 32× smaller than
+float32 at D=64/M=8 — and search uses asymmetric distance computation
+(ADC): per query, precompute the (M, K) table of squared distances from
+each query subvector to every centroid, then a candidate's approximate
+distance is just M table lookups summed.
+
+Spark shapes:
+- **train**: bounded sample collect + NumPy Lloyd's per subspace —
+  cost independent of table size (reuses operators.ann._kmeans).
+- **encode**: one Arrow-batched pandas UDF (BLAS argmin per subspace);
+  write the code column and drop the floats for the 32× table.
+- **search**: NO Python at all — the LUT is inlined as a literal
+  array-of-arrays and ADC is ``zip_with(code, lut, element_at) →
+  aggregate``, inside whole-stage codegen, finished by
+  TakeOrderedAndProject. Scan bandwidth per row = M ints.
+
+Like the IVF codebook, a trained PQ codebook is legitimately
+non-portable to a SQL oracle — the driver entry is rows-only; pytest
+pins an EXACTNESS gate (an overcomplete codebook reproduces brute-force
+top-k bit-for-bit) and a recall floor on clustered data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from acorn_hybrid_vector_search_spark.operators.ann import _kmeans
+
+__all__ = ["PQCodebook", "pq_train", "pq_encode", "pq_topk"]
+
+
+@dataclass
+class PQCodebook:
+    """(M, K, D/M) centroid tensor; tiny, driver-side."""
+
+    centroids: np.ndarray
+
+    @property
+    def m(self) -> int:
+        return int(self.centroids.shape[0])
+
+    @property
+    def k(self) -> int:
+        return int(self.centroids.shape[1])
+
+    @property
+    def dim(self) -> int:
+        return int(self.centroids.shape[0] * self.centroids.shape[2])
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 32,
+    vec_col: str = "embedding",
+    sample_rows: int = 20_000,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> PQCodebook:
+    """Train per-subspace codebooks on a bounded sample. D must divide
+    evenly into ``m`` subspaces."""
+    n = df.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    s = df.select(vec_col) if frac >= 1.0 else df.select(vec_col).sample(frac, seed=seed)
+    sample = np.asarray([r[0] for r in s.collect()], dtype=np.float64)
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = [
+        _kmeans(sample[:, i * dsub : (i + 1) * dsub].copy(), k, n_iter, seed + i)
+        for i in range(m)
+    ]
+    return PQCodebook(centroids=np.stack(books))
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: PQCodebook,
+    *,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Add ``code_col`` (ARRAY<INT>, length M): per-subspace nearest
+    centroid. Arrow-batched BLAS argmin — the only Python in PQ, and
+    only at build/ingest time."""
+    cent = codebook.centroids  # (M, K, dsub)
+    m, _, dsub = cent.shape
+    cent_sq = (cent**2).sum(axis=2)  # (M, K)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(v: pd.Series) -> pd.Series:
+        x = np.asarray(list(v), dtype=np.float64)  # (B, D)
+        codes = np.empty((x.shape[0], m), dtype=np.int32)
+        for i in range(m):
+            sub = x[:, i * dsub : (i + 1) * dsub]  # (B, dsub)
+            scores = -2.0 * (sub @ cent[i].T) + cent_sq[i][None, :]
+            codes[:, i] = scores.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(code_col, encode(F.col(vec_col)))
+
+
+def _adc_lut(codebook: PQCodebook, query_vec) -> np.ndarray:
+    """(M, K) squared distances from each query subvector to every
+    centroid — the per-query ADC lookup table."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    cent = codebook.centroids
+    m, _, dsub = cent.shape
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != codebook dim {m * dsub}")
+    qs = q.reshape(m, 1, dsub)
+    return ((cent - qs) ** 2).sum(axis=2)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebook: PQCodebook,
+    query_vec,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    dist_col: str = "pq_dist",
+) -> DataFrame:
+    """Top-``k`` by ADC distance. The LUT rides the plan as a literal
+    array-of-arrays; the per-row cost is M ``element_at`` lookups and a
+    sum — whole-stage codegen, no UDF, TakeOrderedAndProject on top."""
+    lut = _adc_lut(codebook, query_vec)
+    lut_col: Column = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+    )
+    picked = F.zip_with(
+        F.col(code_col), lut_col, lambda c, l: F.element_at(l, c + 1)
+    )
+    dist = F.aggregate(picked, F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        encoded.select(F.col(id_col), dist.alias(dist_col))
+        .orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,103 @@
+"""Product quantization (operators/pq.py): the overcomplete-codebook
+exactness gate, recall floor on clustered data, encode determinism, and
+the no-UDF search plan."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+from acorn_hybrid_vector_search_spark.operators.pq import (
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+
+
+@pytest.fixture(scope="module")
+def distinct16(spark):
+    """16 distinct vectors — with k=16 every subvector becomes its own
+    centroid, so PQ distortion is zero."""
+    rng = random.Random(4)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(16)]) for i in range(16)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    """5 well-separated clusters of 60 points each."""
+    rng = random.Random(8)
+    centers = [[(c * 7.0) + d for d in range(8)] for c in range(5)]
+    rows = []
+    for i in range(300):
+        c = centers[i % 5]
+        rows.append((i, [x + rng.uniform(-0.3, 0.3) for x in c]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_overcomplete_codebook_is_exact(spark, distinct16):
+    cb = pq_train(distinct16, m=4, k=16, n_iter=25)
+    enc = pq_encode(distinct16, cb).cache()
+    q = distinct16.where(F.col("vec_id") == 3).head()["embedding"]
+    approx = [(r["vec_id"], r["pq_dist"]) for r in pq_topk(enc, cb, q, 5).collect()]
+    exact = [
+        (r["vec_id"], r["dist"])
+        for r in knn_exact(distinct16, q, 5).select("vec_id", "dist").collect()
+    ]
+    assert [v for v, _ in approx] == [v for v, _ in exact]
+    for (_, da), (_, de) in zip(approx, exact):
+        assert da == pytest.approx(de, abs=1e-9)
+
+
+def test_cluster_level_accuracy_on_blobs(spark, blobs):
+    """PQ resolves BETWEEN clusters, not within-cluster noise finer than
+    the codebook: every ADC top-10 hit must come from the query's true
+    cluster (vec_id ≡ 2 mod 5), even though the within-cluster ranking
+    is quantization-tied."""
+    cb = pq_train(blobs, m=4, k=8)
+    enc = pq_encode(blobs, cb).cache()
+    rng = random.Random(1)
+    q = [(2 * 7.0) + d + rng.uniform(-0.2, 0.2) for d in range(8)]
+    approx = [r["vec_id"] for r in pq_topk(enc, cb, q, 10).collect()]
+    assert len(approx) == 10
+    assert all(v % 5 == 2 for v in approx), approx
+    # and the ADC distance of the query's cluster is far below the others
+    d = {r["vec_id"]: r["pq_dist"] for r in pq_topk(enc, cb, q, 300).collect()}
+    worst_right = max(v for i, v in d.items() if i % 5 == 2)
+    best_wrong = min(v for i, v in d.items() if i % 5 != 2)
+    assert worst_right < best_wrong
+
+
+def test_encode_deterministic_across_partitioning(spark, blobs):
+    cb = pq_train(blobs, m=4, k=8)
+    a = {r["vec_id"]: r["pq_code"] for r in pq_encode(blobs, cb).collect()}
+    b = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(blobs.repartition(7), cb).collect()
+    }
+    assert a == b
+    assert all(len(c) == 4 for c in a.values())  # M ints per vector
+
+
+def test_search_plan_has_no_python_and_no_shuffle(spark, blobs, tmp_path):
+    """Search over a MATERIALIZED code table (the real deployment: floats
+    dropped at write time) must be pure codegen — no Python eval, no
+    shuffle, TakeOrdered on top."""
+    cb = pq_train(blobs, m=4, k=8)
+    path = str(tmp_path / "codes")
+    pq_encode(blobs, cb).select("vec_id", "pq_code").write.parquet(path)
+    enc = spark.read.parquet(path)
+    plan = (
+        pq_topk(enc, cb, [14.0 + d for d in range(8)], 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
