@@ -746,6 +746,36 @@ def _q_zorder_curve_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style validation (operators/validate.py): the whole
+    rule set compiles into ONE conditional-count aggregate — a single
+    scan, no shuffle of row data. The testdata is clean, so the demo
+    plants deterministic corruption first (the PII-demo pattern): every
+    97th value negated, every 131st event_type nulled; NULL predicate
+    results count as violations."""
+    from acorn_hybrid_vector_search_spark.operators.validate import validate
+
+    e = _t(spark, sf_dir, "events").withColumns(
+        {
+            "value": F.when(
+                F.col("event_id") % 97 == 0, -F.col("value") - 1.0
+            ).otherwise(F.col("value")),
+            "event_type": F.when(F.col("event_id") % 131 == 0, F.lit(None)).otherwise(
+                F.col("event_type")
+            ),
+        }
+    )
+    return validate(
+        e,
+        {
+            "value_non_negative": F.col("value") >= 0,
+            "event_type_present": F.col("event_type").isNotNull(),
+            "user_id_in_range": F.col("user_id") >= 0,
+            "ts_in_decade": F.year("ts").between(2020, 2029),
+        },
+    )
+
+
 def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch layer (operators/sketches.py): per-event-type distinct
     users via MERGED DataSketches HLL (the base/delta split proves the
@@ -1329,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_stats": _q_salted_event_stats,
         "zorder_curve_keys": _q_zorder_curve_keys,
         "chunk_documents_sliding": _q_chunk_documents,
+        "validate_events": _q_validate_events,
         "order_percentiles": _q_order_percentiles,
         "distinct_users_per_type": _q_distinct_users,
         "routed_hybrid": _q_routed_hybrid,
@@ -2003,6 +2034,37 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
         """,
         "zorder_curve_keys": _zorder_sql(),
+        "validate_events": """
+            WITH e AS (
+              SELECT
+                CASE WHEN event_id % 97 = 0
+                     THEN -value - CAST(1 AS DOUBLE) ELSE value END AS value,
+                CASE WHEN event_id % 131 = 0 THEN NULL
+                     ELSE event_type END AS event_type,
+                user_id, ts
+              FROM events
+            ),
+            agg AS (
+              SELECT COUNT(*) AS n,
+                COUNT(CASE WHEN NOT COALESCE(value >= 0, FALSE)
+                      THEN 1 END) AS v0,
+                COUNT(CASE WHEN NOT COALESCE(event_type IS NOT NULL, FALSE)
+                      THEN 1 END) AS v1,
+                COUNT(CASE WHEN NOT COALESCE(user_id >= 0, FALSE)
+                      THEN 1 END) AS v2,
+                COUNT(CASE WHEN NOT COALESCE(year(ts) BETWEEN 2020 AND 2029,
+                      FALSE) THEN 1 END) AS v3
+              FROM e
+            )
+            SELECT 'value_non_negative' AS rule, n AS n_checked,
+                   v0 AS n_violations, v0 = 0 AS pass FROM agg
+            UNION ALL
+            SELECT 'event_type_present', n, v1, v1 = 0 FROM agg
+            UNION ALL
+            SELECT 'user_id_in_range', n, v2, v2 = 0 FROM agg
+            UNION ALL
+            SELECT 'ts_in_decade', n, v3, v3 = 0 FROM agg
+        """,
         "chunk_documents_sliding": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             c AS (

@@ -1,11 +1,12 @@
-"""Recall sweep for the approximate paths: IVF (recall@k vs nprobe) and
-LSH near-dup (pair recall vs n_planes), measured against the exact
+"""Recall sweep for the approximate paths: IVF (recall@k vs nprobe),
+LSH near-dup (pair recall vs n_planes), int8 quantization, and product
+quantization (recall@k vs compression), measured against the exact
 operators on driver testdata.
 
     python tools/recall_sweep.py [sf_dir] [n_queries]
 
 Prints one JSON line per configuration — the tuning evidence behind the
-defaults (nprobe=4/16 clusters, n_planes=8).
+defaults (nprobe=4/16 clusters, n_planes=8, PQ m=8/k=32).
 """
 
 from __future__ import annotations
@@ -59,6 +60,65 @@ def main() -> None:
                     "n_clusters": index.n_clusters,
                     "recall_at_k": round(hits / tot, 4),
                     "scan_fraction": round(nprobe / index.n_clusters, 4),
+                }
+            )
+        )
+
+    # --- memory-ladder sweeps: int8 (4×) and PQ (byte-codes) vs exact L2 ---
+    from acorn_hybrid_vector_search_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+    from acorn_hybrid_vector_search_spark.operators.quantize import quantized_topk
+
+    # exact top-k by L2 is the IVF/PQ truth; int8 ranks by cosine, so its
+    # truth is the exact cosine ranking
+    from acorn_hybrid_vector_search_spark.functions.distance import cosine_similarity
+
+    cos_exact = {}
+    for vid, v in qvecs:
+        rows = (
+            emb.select("vec_id", cosine_similarity("embedding", v).alias("s"))
+            .orderBy(F.col("s").desc(), "vec_id")
+            .limit(k)
+            .collect()
+        )
+        cos_exact[vid] = {r["vec_id"] for r in rows}
+    hits = sum(
+        len({r["vec_id"] for r in quantized_topk(emb, v, k).collect()} & cos_exact[vid])
+        for vid, v in qvecs
+    )
+    print(
+        json.dumps(
+            {
+                "sweep": "int8",
+                "compression": "4x",
+                "recall_at_k": round(hits / (k * len(qvecs)), 4),
+            }
+        )
+    )
+
+    for m, kc in ((8, 32), (8, 256), (16, 32)):
+        if dim % m:
+            continue
+        cb = pq_train(emb, m=m, k=kc)
+        enc = pq_encode(emb, cb).select("vec_id", "pq_code").cache()
+        enc.count()
+        hits = sum(
+            len({r["vec_id"] for r in pq_topk(enc, cb, v, k).collect()} & set(exact[vid]))
+            for vid, v in qvecs
+        )
+        enc.unpersist()
+        print(
+            json.dumps(
+                {
+                    "sweep": "pq",
+                    "m": m,
+                    "k_centroids": kc,
+                    "bytes_per_vec": m,
+                    "compression": f"{dim * 4 // m}x",
+                    "recall_at_k": round(hits / (k * len(qvecs)), 4),
                 }
             )
         )
