@@ -746,6 +746,27 @@ def _q_zorder_curve_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning (operators/curriculum.py): decile-bin every
+    document by quality score using broadcast EXACT-percentile
+    boundaries — one scalar reduce for the thresholds, then a
+    shuffle-free comparison map (never a global ntile window). Per-bin
+    counts + score ranges prove the binning."""
+    from acorn_hybrid_vector_search_spark.operators.curriculum import (
+        with_quality_bin,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.quality_score("text").alias("q")
+    )
+    out = with_quality_bin(d, "q", 10)
+    return out.groupBy("quality_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("q"), _R).alias("q_min"),
+        F.round(F.max("q"), _R).alias("q_max"),
+    )
+
+
 def _q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expectations-style validation (operators/validate.py): the whole
     rule set compiles into ONE conditional-count aggregate — a single
@@ -1360,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_curve_keys": _q_zorder_curve_keys,
         "chunk_documents_sliding": _q_chunk_documents,
         "validate_events": _q_validate_events,
+        "quality_curriculum_bins": _q_quality_curriculum,
         "order_percentiles": _q_order_percentiles,
         "distinct_users_per_type": _q_distinct_users,
         "routed_hybrid": _q_routed_hybrid,
@@ -1656,6 +1678,52 @@ def _zorder_sql() -> str:
         SELECT event_id, ({z}) AS z
         FROM events
         ORDER BY z ASC, event_id ASC LIMIT 200
+    """
+
+
+def _quality_curriculum_sql() -> str:
+    """DuckDB replica of the curriculum binning: the SAME quality
+    arithmetic as the text_quality oracle (unrounded), quantile_cont
+    decile boundaries (== Spark's exact interpolated percentile), CASE
+    binning with ties-to-lower."""
+    qual = (
+        "0.35 * least(n / 200.0, 1.0)"
+        " + 0.25 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0"
+        " THEN 1.0 ELSE 0.5 END)"
+        " + 0.25 * least(stop_r * 4.0, 1.0)"
+        " + 0.15 * (1.0 - least((punct_r + digit_r) * 2.0, 1.0))"
+    )
+    probs = "[" + ", ".join(str(i / 10) for i in range(1, 10)) + "]"
+    cases = " ".join(
+        f"WHEN q <= qs[{i}] THEN {i - 1}" for i in range(1, 10)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKS} AS toks,
+                length(text) AS n,
+                CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                    / length(text) AS punct_r,
+                CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                    / length(text) AS digit_r
+            FROM documents
+        ), m AS (
+            SELECT doc_id, n, punct_r, digit_r,
+                CAST(len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+                    / len(toks) AS stop_r,
+                CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                    / len(toks) AS mean_wl
+            FROM t
+        ), s AS (
+            SELECT doc_id, {qual} AS q FROM m
+        ), b AS (
+            SELECT quantile_cont(q, {probs}) AS qs FROM s
+        ), binned AS (
+            SELECT q, CAST(CASE {cases} ELSE 9 END AS BIGINT) AS quality_bin
+            FROM s, b
+        )
+        SELECT quality_bin, COUNT(*) AS n_docs,
+            ROUND(MIN(q), {_R}) AS q_min, ROUND(MAX(q), {_R}) AS q_max
+        FROM binned GROUP BY quality_bin
     """
 
 
@@ -2034,6 +2102,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
         """,
         "zorder_curve_keys": _zorder_sql(),
+        "quality_curriculum_bins": _quality_curriculum_sql(),
         "validate_events": """
             WITH e AS (
               SELECT
