@@ -1130,6 +1130,31 @@ def _q_histogram_brand_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_images_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+E1 ingest (sources/images.py): binaryFile scan over the
+    sharded fixture image tree (00/…4f layout, /root/reference/
+    vector_embeddings.py:101-106) + the Arrow pandas-UDF embedder
+    (deterministic md5 fallback, dim=8). The SCAN is fully
+    oracle-checked — DuckDB read_blob sees the same files, sizes, and
+    content digests (fixture bytes are ASCII so md5(blob) ==
+    md5(varchar)); the embedding VALUES are pytest-gated
+    (test_ingestion) since md5-over-binary isn't SQL-replayable, but the
+    schema contract (dim) rides the oracle as a checked column."""
+    from acorn_hybrid_vector_search_spark.sources.images import (
+        read_images,
+        with_embeddings,
+    )
+
+    imgs = read_images(spark, f"{ABO_FIXTURE}/images")
+    emb = with_embeddings(imgs, dim=8)
+    return emb.select(
+        "filename",
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+        F.size("embedding").cast("long").alias("n_dims"),
+    )
+
+
 def _q_items_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S2+J1+P1 end-to-end from the RAW fixture files: JSONL listings +
     CSV mappings → correlation join (first-match-wins: main beats other,
@@ -1402,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_predicate_quirks": _q_nested_predicate_quirks,
         "histogram_brand_nested": _q_histogram_brand_nested,
         "items_etl": _q_items_etl,
+        "images_etl": _q_images_etl,
         "range_join_error_windows": _q_range_join_error_windows,
         "sliding_rollup_events": _q_sliding_rollup,
         "chunked_packing_docs": _q_chunked_packing,
@@ -2103,6 +2129,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_curve_keys": _zorder_sql(),
         "quality_curriculum_bins": _quality_curriculum_sql(),
+        "images_etl": f"""
+            SELECT string_split(filename, '/')[-1] AS filename,
+                CAST(size AS BIGINT) AS n_bytes,
+                md5(CAST(content AS VARCHAR)) AS content_md5,
+                CAST(8 AS BIGINT) AS n_dims
+            FROM read_blob('{ABO_FIXTURE}/images/*/*.jpg')
+        """,
         "validate_events": """
             WITH e AS (
               SELECT

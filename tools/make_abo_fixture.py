@@ -186,7 +186,24 @@ def gen_mappings(rng: random.Random, listings: list[dict]) -> list[tuple[str, in
     return rows
 
 
+def write_image_fixtures() -> None:
+    """Deterministic fake 'images' in the reference's 2-hex-shard layout
+    (vector_embeddings.py:101-106) for the S3/E1 driver oracle. Content
+    is ASCII-only ON PURPOSE: DuckDB has no md5(BLOB), so the oracle
+    hashes CAST(content AS VARCHAR) — identical bytes iff ASCII."""
+    import os
+
+    for shard in ("00", "01", "4f"):
+        os.makedirs(f"{ROOT}/images/{shard}", exist_ok=True)
+    for i in range(12):
+        shard = ("00", "01", "4f")[i % 3]
+        body = (f"FAKEIMG {i:04d} " + "pixeldata " * (10 + i)).strip()
+        with open(f"{ROOT}/images/{shard}/img{i:04d}.jpg", "w") as f:
+            f.write(body)
+
+
 def main() -> None:
+    write_image_fixtures()
     rng = random.Random(42)
     listings = gen_listings(rng)
     mappings = gen_mappings(rng, listings)
