@@ -38,7 +38,7 @@ from pyspark.sql.types import ArrayType, IntegerType
 
 from acorn_hybrid_vector_search_spark.operators.ann import _kmeans
 
-__all__ = ["PQCodebook", "pq_train", "pq_encode", "pq_topk"]
+__all__ = ["PQCodebook", "pq_train", "pq_encode", "pq_topk", "ivfpq_topk"]
 
 
 @dataclass
@@ -124,6 +124,37 @@ def _adc_lut(codebook: PQCodebook, query_vec) -> np.ndarray:
         raise ValueError(f"query dim {q.shape[0]} != codebook dim {m * dsub}")
     qs = q.reshape(m, 1, dsub)
     return ((cent - qs) ** 2).sum(axis=2)
+
+
+def ivfpq_topk(
+    ivf_index,
+    codebook: PQCodebook,
+    query_vec,
+    k: int,
+    *,
+    nprobe: int = 4,
+    code_col: str = "pq_code",
+    dist_col: str = "pq_dist",
+) -> DataFrame:
+    """IVF × PQ composed (the FAISS-IVFPQ shape): the IVF cluster ranking
+    prunes the scan to ~nprobe/C of the table (partition pruning at
+    rest), and PQ codes shrink every scanned row to M ints — the two
+    multipliers a 100 TB vector table needs at once. ``ivf_index.df``
+    must already carry ``code_col`` (encode once at build:
+    ``pq_encode(index.df, codebook)``)."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    d2 = ((ivf_index.centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2, kind="stable")[:nprobe]]
+    scan = ivf_index.df.filter(F.col("cluster_id").isin(probe))
+    return pq_topk(
+        scan,
+        codebook,
+        query_vec,
+        k,
+        id_col=ivf_index.id_col,
+        code_col=code_col,
+        dist_col=dist_col,
+    )
 
 
 def pq_topk(

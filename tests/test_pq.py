@@ -101,3 +101,25 @@ def test_search_plan_has_no_python_and_no_shuffle(spark, blobs, tmp_path):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_ivfpq_composition(spark, blobs):
+    """IVF pruning × PQ codes: at full probe the composition equals plain
+    PQ search; at nprobe=1 on separated blobs it still finds the query's
+    cluster members (the IVF ranking and PQ agree on blob geometry)."""
+    from acorn_hybrid_vector_search_spark.operators.ann import ivf_build
+    from acorn_hybrid_vector_search_spark.operators.pq import ivfpq_topk
+
+    cb = pq_train(blobs, m=4, k=8)
+    idx = ivf_build(blobs, n_clusters=5)
+    idx.df = pq_encode(idx.df, cb).cache()
+
+    q = [(3 * 7.0) + d for d in range(8)]
+    full = [(r["vec_id"], r["pq_dist"]) for r in ivfpq_topk(idx, cb, q, 10, nprobe=5).collect()]
+    enc_all = idx.df.select("vec_id", "pq_code")
+    plain = [(r["vec_id"], r["pq_dist"]) for r in pq_topk(enc_all, cb, q, 10).collect()]
+    assert full == plain
+
+    pruned = [r["vec_id"] for r in ivfpq_topk(idx, cb, q, 10, nprobe=1).collect()]
+    assert len(pruned) == 10
+    assert all(v % 5 == 3 for v in pruned), pruned
