@@ -687,6 +687,25 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides of the contrastive batch (operators/mining.py): per
+    query, top-3 same-label positives (self excluded) AND top-3
+    wrong-label hard negatives, tagged — one corpus scan feeds both
+    windows."""
+    from acorn_hybrid_vector_search_spark.operators.mining import mined_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = mined_pairs(emb, queries, 3)
+    return out.select(
+        "query_id", "pair_type", "rank", "vec_id", F.round("dist", _R).alias("dist")
+    )
+
+
 def _q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated aggregation (plans/skew.py::salted_agg): two-stage
     tree over (event_type, salt) — a hot key's state spreads over 16
@@ -1402,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup_events": _q_incremental_rollup,
         "approx_distinct_users": _q_approx_distinct_users,
         "hard_negatives_topk": _q_hard_negatives,
+        "mined_contrastive_pairs": _q_mined_pairs,
         "salted_event_stats": _q_salted_event_stats,
         "zorder_curve_keys": _q_zorder_curve_keys,
         "chunk_documents_sliding": _q_chunk_documents,
@@ -2209,6 +2229,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, rank, vec_id, label, ROUND(dist, {_R}) AS dist
             FROM r WHERE rank <= 5
+        """,
+        "mined_contrastive_pairs": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, label AS query_label,
+                     embedding AS qv
+              FROM embeddings WHERE vec_id < 3
+            ),
+            pairs AS (
+              SELECT q.query_id, e.vec_id, e.label, q.query_label,
+                list_sum(list_transform(list_zip(e.embedding, q.qv),
+                    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))^2))
+                  AS dist
+              FROM embeddings e CROSS JOIN q
+            ),
+            pos AS (
+              SELECT query_id, 'pos' AS pair_type, vec_id, dist,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist ASC, vec_id ASC) AS rank
+              FROM pairs
+              WHERE label = query_label AND vec_id <> query_id
+            ),
+            neg AS (
+              SELECT query_id, 'neg' AS pair_type, vec_id, dist,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist ASC, vec_id ASC) AS rank
+              FROM pairs WHERE label <> query_label
+            )
+            SELECT query_id, pair_type, rank, vec_id, ROUND(dist, {_R}) AS dist
+            FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+            WHERE rank <= 3
         """,
         "salted_event_stats": f"""
             SELECT event_type, COUNT(*) AS n,

@@ -36,6 +36,7 @@ _BNLJ_BY_DESIGN = {
     "hybrid_rrf_retrieval",
     # bounded broadcast query batch, label-mismatch filtered map-side
     "hard_negatives_topk",
+    "mined_contrastive_pairs",
 }
 
 
