@@ -1243,25 +1243,28 @@ def _q_items_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_CACHE: dict[str, object] = {}
+_IVF_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: nprobe-pruned approximate top-k (no portable SQL oracle —
     rows-only driver check; recall/exactness properties in tests/test_ann.py).
     The index is a build artifact (reference builds HNSW once per process,
-    /root/reference/acorn.py:274-277) — cached per sf_dir, not per query."""
+    /root/reference/acorn.py:274-277) — cached per (session, sf_dir) like
+    testdata._HOT_CACHE, so a later SparkSession in the same process
+    never sees DataFrames bound to a stopped context."""
     from acorn_hybrid_vector_search_spark.operators.ann import ivf_build, ivf_search
 
-    idx = _IVF_CACHE.get(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVF_CACHE.get(key)
     if idx is None:
         idx = ivf_build(_t(spark, sf_dir, "embeddings"), n_clusters=16)
-        _IVF_CACHE[sf_dir] = idx
+        _IVF_CACHE[key] = idx
     res = ivf_search(idx, _query_vec(spark, sf_dir), k=10, nprobe=4)
     return res.select("vec_id", "label", F.round("dist", _R).alias("dist"))
 
 
-_PQ_CACHE: dict[str, tuple] = {}
+_PQ_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,7 +1273,7 @@ def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     search is ADC — a literal (M,K) lookup table riding the plan, M
     element_at lookups per row in whole-stage codegen, no Python, topped
     by TakeOrderedAndProject. Codebook + encoded table are build
-    artifacts cached per sf_dir (like the IVF index); trained codebooks
+    artifacts cached per (session, sf_dir) (like the IVF index); trained codebooks
     are legitimately non-portable → rows-only, with the exactness gate
     (overcomplete codebook == brute force) and cluster-accuracy floor in
     tests/test_pq.py."""
@@ -1280,13 +1283,14 @@ def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train,
     )
 
-    cached = _PQ_CACHE.get(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PQ_CACHE.get(key)
     if cached is None:
         emb = _t(spark, sf_dir, "embeddings")
         cb = pq_train(emb, m=8, k=32)
         enc = pq_encode(emb, cb).select("vec_id", "pq_code").cache()
         enc.count()
-        _PQ_CACHE[sf_dir] = cached = (cb, enc)
+        _PQ_CACHE[key] = cached = (cb, enc)
     cb, enc = cached
     res = pq_topk(enc, cb, _query_vec(spark, sf_dir, vec_id=1), 10)
     return res.select("vec_id", F.round("pq_dist", _R).alias("pq_dist"))

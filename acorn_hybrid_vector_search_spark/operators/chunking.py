@@ -48,9 +48,13 @@ def sliding_chunks(
 
     def build(t: F.Column) -> F.Column:
         n = F.size(t)
+        # integer division (IntegralDivide, same op as DuckDB's `//`) —
+        # double division + cast would only match below 2^53
         n_chunks = F.lit(1) + F.when(
             n > chunk_tokens,
-            ((n - chunk_tokens + (stride - 1)) / stride).cast("int"),
+            F.call_function(
+                "div", (n - chunk_tokens + (stride - 1)).cast("long"), F.lit(int(stride)).cast("long")
+            ).cast("int"),
         ).otherwise(F.lit(0))
         return F.transform(
             F.sequence(F.lit(0), n_chunks - 1),

@@ -86,17 +86,28 @@ def mined_pairs(
     *,
     label_col: str = "label",
     query_label_col: str = "query_label",
+    exclude_cond: F.Column | None = None,
     **kw,
 ) -> DataFrame:
     """Both sides of the contrastive batch in one pass: per query, the
     top-``k`` same-label items (positives, excluding the query row
     itself) and top-``k`` different-label items (hard negatives), tagged
-    ``pair_type`` ∈ {'pos', 'neg'}. One corpus scan feeds both windows."""
+    ``pair_type`` ∈ {'pos', 'neg'}. One corpus scan feeds both windows.
+
+    Self-exclusion contract: by default the query row is excluded from
+    its own positives by ``id_col != query_id_col`` — this ASSUMES query
+    ids share the corpus id namespace (queries drawn from the corpus,
+    the usual in-batch mining setup). With EXTERNAL query ids that
+    comparison is meaningless: a genuine positive whose corpus id
+    collides with a query id would be silently dropped, and the actual
+    query row would not be excluded. Pass ``exclude_cond`` (a boolean
+    Column over the pair row, True = keep) to define exclusion in that
+    case, e.g. ``F.col("doc_uri") != F.col("query_uri")``."""
     qid = kw.get("query_id_col", "query_id")
     idc = kw.get("id_col", "vec_id")
-    pos_cond = (F.col(label_col) == F.col(query_label_col)) & (
-        F.col(idc) != F.col(qid)
-    )
+    if exclude_cond is None:
+        exclude_cond = F.col(idc) != F.col(qid)
+    pos_cond = (F.col(label_col) == F.col(query_label_col)) & exclude_cond
     neg_cond = F.col(label_col) != F.col(query_label_col)
     pos = _ranked_pairs(
         df, queries, k, pos_cond,

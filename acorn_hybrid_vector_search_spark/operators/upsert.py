@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["last_wins", "merge_upsert", "upsert_partitioned"]
+__all__ = [
+    "cross_partition_moves",
+    "last_wins",
+    "merge_upsert",
+    "upsert_partitioned",
+]
 
 
 def last_wins(
@@ -68,12 +73,40 @@ def merge_upsert(
     return kept.unionByName(updates)
 
 
+def cross_partition_moves(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_col: str,
+) -> DataFrame:
+    """Update keys that ALREADY exist in a partition the update batch
+    does not touch — the rows ``upsert_partitioned`` would silently
+    leave stale (duplicate keys after the merge). Empty ⇔ safe.
+
+    Cost: one scan of the NON-affected partitions projected to
+    (key, partition) with the update-key set broadcast into the join —
+    map-side, no base shuffle, but still a read of the rest of the
+    table; that is why ``upsert_partitioned`` gates it behind
+    ``check_moves`` instead of always paying it."""
+    affected = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    other = (
+        spark.read.parquet(base_path)
+        .filter(~F.col(partition_col).isin(affected))
+        .select(*key_cols, partition_col)
+    )
+    keys = F.broadcast(updates.select(*key_cols).distinct())
+    return other.join(keys, list(key_cols), "left_semi")
+
+
 def upsert_partitioned(
     spark: SparkSession,
     base_path: str,
     updates: DataFrame,
     key_cols: Sequence[str],
     partition_col: str,
+    *,
+    check_moves: bool = False,
 ) -> None:
     """Merge ``updates`` into a partitioned parquet table IN PLACE,
     rewriting only the partitions that contain updated keys.
@@ -82,8 +115,25 @@ def upsert_partitioned(
     pruning at the scan), and dynamic partition overwrite replaces
     exactly the partitions present in the written result — untouched
     partitions keep their files byte-for-byte. ``updates`` must carry
-    ``partition_col``; an update may move a key only within its
-    partition (cross-partition moves would need a delete-vector step)."""
+    ``partition_col``.
+
+    CONTRACT: an update may move a key only within its partition. A
+    cross-partition update would leave the stale row in the old
+    partition (duplicate keys) — cross-partition moves need a
+    delete-vector step this parquet-only primitive does not have.
+    Pass ``check_moves=True`` to enforce the contract (raises
+    ``ValueError`` with the offending keys; costs one projected scan of
+    the non-affected partitions), or call ``cross_partition_moves``
+    yourself where the batch's provenance already guarantees it."""
+    if check_moves:
+        moved = cross_partition_moves(
+            spark, base_path, updates, key_cols, partition_col
+        ).limit(5).collect()
+        if moved:
+            raise ValueError(
+                "cross-partition key moves would leave stale duplicates: "
+                + ", ".join(str(tuple(r)) for r in moved)
+            )
     affected = [r[0] for r in updates.select(partition_col).distinct().collect()]
     base = spark.read.parquet(base_path).filter(
         F.col(partition_col).isin(affected)

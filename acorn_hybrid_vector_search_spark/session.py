@@ -49,5 +49,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # console progress interleaves carriage-return frames with stdout;
+        # bench.py's one-line JSON contract requires a clean stream
+        # (BENCH_r02 was truncated mid-JSON by exactly this)
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

@@ -1,17 +1,34 @@
-"""Benchmark harness: runs the headline query battery at
+"""Benchmark harness: runs the full query battery at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line (LAST, on stdout):
 
-    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "mode": "hot"|"cold", "memory_mb": {...}}
 
 Per-query time is the median of ``RUNS`` executions after one warm-up
 (JVM/codegen warm), measured to ``collect()`` — full plan execution.
 
-Inputs are HOT: base tables are cached (and materialized during warm-up)
-before timing, because the reference's baseline numbers are measured over
-in-memory NumPy arrays after load (BASELINE.md / SURVEY.md §6) — timing
-our queries over resident DataFrames is the like-for-like comparison.
-Set ``SPARK_GRAFT_CACHE_INPUTS=0`` to time cold parquet scans instead.
+Inputs are HOT by default: base tables are cached (and materialized
+during warm-up) before timing, because the reference's baseline numbers
+are measured over in-memory NumPy arrays after load (BASELINE.md /
+SURVEY.md §6) — timing our queries over resident DataFrames is the
+like-for-like comparison. Set ``SPARK_GRAFT_CACHE_INPUTS=0`` to time
+cold parquet scans instead (the number that predicts 100 TB, where
+inputs are never resident).
+
+Driver-parseability contract (r2 regression: the JSON line was truncated
+mid-stream by interleaved Spark console-progress output):
+- ``spark.ui.showConsoleProgress=false`` is forced BEFORE the session
+  exists, log level is ERROR before any job runs;
+- the JSON object is compact (3-decimal timings) and printed last, after
+  an explicit flush of anything buffered;
+- the same object is ALSO written to ``BENCH.json`` (hot) /
+  ``BENCH_COLD.json`` (cold) in the repo root, so the artifact survives
+  even if stdout is mangled.
+
+``memory_mb`` reports peak RSS (VmHWM) of the JVM (where Spark's data
+lives in local mode) and of this Python driver — the Z1 parity metric
+with the reference's psutil RSS (/root/reference/README.md:233).
 """
 
 from __future__ import annotations
@@ -32,11 +49,37 @@ from acorn_hybrid_vector_search_spark.session import get_spark
 RUNS = 3
 
 
+def _peak_rss_mb(pid: int) -> float | None:
+    """Peak resident set size (VmHWM) of a live process, in MB."""
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return round(int(line.split()[1]) / 1024.0, 1)
+    except OSError:
+        return None
+    return None
+
+
+def _memory_mb(spark) -> dict[str, float | None]:
+    # Java 17: ProcessHandle gives the JVM's own pid (the gateway child).
+    try:
+        jvm_pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+        jvm = _peak_rss_mb(jvm_pid)
+    except Exception:
+        jvm = None
+    return {"jvm_peak_rss": jvm, "python_peak_rss": _peak_rss_mb(os.getpid())}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    mode = "hot" if os.environ.get("SPARK_GRAFT_CACHE_INPUTS") != "0" else "cold"
 
+    # session.py forces spark.ui.showConsoleProgress=false (set before the
+    # JVM exists — getOrCreate can't retro-apply it), keeping stdout clean
+    # for the one-line JSON contract.
     spark = get_spark("acorn-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -49,20 +92,29 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 4)
+        timings[name] = round(samples[len(samples) // 2], 3)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "hybrid_query_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(timings.values()), 3)
+    payload = {
+        "metric": "hybrid_query_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "mode": mode,
+        "memory_mb": _memory_mb(spark),
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+
+    out_name = "BENCH.json" if mode == "hot" else "BENCH_COLD.json"
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name)
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+
+    # the JSON line must be the LAST stdout content, unbroken
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

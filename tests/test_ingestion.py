@@ -193,3 +193,40 @@ def test_abo_fixture_items_schema_and_density(spark):
     # sparse attribute stays sparse (the attribute-partitioned regime)
     my = items.where(F.col("model_year").isNotNull() & (F.size("model_year") > 0)).count()
     assert 0 < my < n * 0.08
+
+
+def test_torch_embedder_golden_contract():
+    """E1 real-model contract (/root/reference/vector_embeddings.py:12-35,
+    65-94): torch is absent in this container, so the torch branch can't
+    execute here — instead pin its TRANSFORM CHAIN structurally so a
+    drive-by edit can't silently diverge from the reference. Where torch
+    exists, README §'Real-model embeddings' describes the value-level
+    validation against the reference's .npy artifacts."""
+    import inspect
+    import re
+
+    from acorn_hybrid_vector_search_spark.sources import images
+
+    src = inspect.getsource(images._try_torch_embedder)
+
+    # seed 42 (vector_embeddings.py:12)
+    assert re.search(r"manual_seed\(\s*42\s*\)", src)
+    # resize to exactly 224×224 (vector_embeddings.py:29)
+    assert re.search(r"Resize\(\s*\(\s*224\s*,\s*224\s*\)\s*\)", src)
+    # ImageNet normalization constants (vector_embeddings.py:31-33)
+    assert re.search(r"mean=\[0\.485,\s*0\.456,\s*0\.406\]", src)
+    assert re.search(r"std=\[0\.229,\s*0\.224,\s*0\.225\]", src)
+    # ResNet-50 with the final FC stripped → 2048-d penultimate features
+    # (vector_embeddings.py:65-67: children()[:-1] wrapped in Sequential)
+    assert "resnet50" in src
+    assert re.search(r"children\(\)\)\[:-1\]", src)
+    # eval mode + no_grad inference (vector_embeddings.py:67, 88)
+    assert re.search(r"\.eval\(\)", src)
+    assert re.search(r"no_grad\(\)", src)
+    # ToTensor precedes Normalize (normalize operates on [0,1] tensors)
+    assert src.index("ToTensor") < src.index("Normalize")
+    # RGB convert guards grayscale/CMYK jpegs (PIL default would crash
+    # the 3-channel normalize)
+    assert 'convert("RGB")' in src
+    # the declared default dim matches the penultimate layer width
+    assert images.EMBED_DIM_DEFAULT == 2048

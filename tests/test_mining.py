@@ -81,3 +81,26 @@ def test_mined_pairs_tags_and_excludes_self(spark, corpus, queries):
     assert out.where((F.col("pair_type") == "pos") & (F.col("vec_id") == F.col("query_id"))).count() == 0
     # 4 queries × 3 pos + 4 × 3 neg
     assert out.count() == 24
+
+
+def test_mined_pairs_external_ids_exclude_cond(spark, corpus, queries):
+    """With EXTERNAL query ids the default id==query_id exclusion is
+    meaningless (docstring contract): an explicit exclude_cond must
+    control which positives are dropped."""
+    ext = queries.select(
+        (F.col("query_id") + 1000).alias("query_id"),
+        "query_label",
+        "query_vec",
+        F.col("query_id").alias("source_vec_id"),  # provenance column
+    )
+    got = mined_pairs(
+        corpus,
+        ext,
+        3,
+        exclude_cond=F.col("vec_id") != F.col("source_vec_id"),
+    )
+    pos = got.where(F.col("pair_type") == "pos").collect()
+    assert pos, "no positives mined"
+    for r in pos:
+        # the query's own corpus row never appears as its positive
+        assert r["vec_id"] != r["query_id"] - 1000

@@ -94,3 +94,25 @@ def test_upsert_partitioned_equals_full_merge(spark, base, tmp_path):
         for r in merge_upsert(base, updates, ["k"]).collect()
     )
     assert got == want
+
+
+def test_cross_partition_move_guard(spark, base, tmp_path):
+    from acorn_hybrid_vector_search_spark.operators.upsert import (
+        cross_partition_moves,
+    )
+
+    path = str(tmp_path / "tbl3")
+    base.write.partitionBy("p").parquet(path)
+    # k=4 lives in p=1 (4 % 3); this update claims p=0 — a move
+    moving = spark.createDataFrame([(4, "MOVED", 0)], "k long, v string, p long")
+    flagged = cross_partition_moves(spark, path, moving, ["k"], "p").collect()
+    assert [(r["k"], r["p"]) for r in flagged] == [(4, 1)]
+    with pytest.raises(ValueError, match="cross-partition"):
+        upsert_partitioned(spark, path, moving, ["k"], "p", check_moves=True)
+
+    # same-partition update passes the guard and merges normally
+    ok = spark.createDataFrame([(4, "NEW4", 1)], "k long, v string, p long")
+    assert cross_partition_moves(spark, path, ok, ["k"], "p").count() == 0
+    upsert_partitioned(spark, path, ok, ["k"], "p", check_moves=True)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got[4] == "NEW4" and len(got) == 30
