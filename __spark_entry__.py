@@ -518,6 +518,57 @@ def _q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM watermarked interval join through the driver oracle:
+    views joined to same-user purchases within 1 hour (the attribution
+    shape), run as a REAL streaming query — two file-source streams over
+    the events parquet, availableNow trigger, append-mode memory sink —
+    and hash-compared against the batch equi+range-join SQL oracle.
+    The explicit event-time bound in the join condition is what makes
+    stream state evictable (streaming/pipeline.py::interval_join)."""
+    import os
+
+    from acorn_hybrid_vector_search_spark.streaming.pipeline import interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+
+    def _stream(event_type: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts_dt = dict(s.dtypes).get("ts")
+        if ts_dt == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dt == "timestamp_ntz":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s.where(F.col("event_type") == event_type).select(
+            "event_id", "user_id", "ts"
+        )
+
+    joined = interval_join(
+        _stream("view"),
+        _stream("purchase"),
+        horizon="1 hour",
+        left_prefix="view_",
+        right_prefix="purch_",
+    ).select("user_id", "view_event_id", "view_ts", "purch_event_id", "purch_ts")
+    name = f"stream_attribution_{next(_STREAM_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (session_window, 30 min) over events —
     batch shape of the streaming sessionizer."""
@@ -1519,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "pq_ann_topk": _q_pq_ann_topk,
         "range_join_error_windows": _q_range_join_error_windows,
+        "stream_attribution_join": _q_stream_attribution_join,
         "sliding_rollup_events": _q_sliding_rollup,
         "chunked_packing_docs": _q_chunked_packing,
         "stratified_sample_docs": _q_stratified_sample,
@@ -2595,6 +2647,19 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_sql(),
         # range join: plain inequality join is the oracle spec; the engine
         # executes it as a chunked equi-join (operators/rangejoin.py)
+        # stream_attribution_join: the batch equi+range join IS the
+        # streaming result — the availableNow run processes the single
+        # parquet file in one micro-batch, so no match crosses a
+        # state-eviction boundary (inner join, append mode).
+        "stream_attribution_join": """
+            SELECT a.user_id,
+                a.event_id AS view_event_id, a.ts AS view_ts,
+                b.event_id AS purch_event_id, b.ts AS purch_ts
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+            WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+        """,
         "range_join_error_windows": """
             SELECT e.event_id AS err_event_id,
                 COUNT(*) AS n_purchases,

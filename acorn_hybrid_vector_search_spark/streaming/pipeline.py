@@ -215,6 +215,63 @@ def sessionize_by_window(
 
 
 # ---------------------------------------------------------------------------
+# stream-stream interval join (attribution)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon: str = "1 hour",
+    watermark: str = "30 minutes",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Event-time interval join: every (left, right) pair sharing
+    ``key_col`` with ``right.ts ∈ [left.ts, left.ts + horizon]`` — the
+    attribution shape (purchase within an hour of a view).
+
+    Batch input: a plain equi+range join (Catalyst plans the equi key as
+    the shuffle key; the range lives in the join condition — never a
+    cartesian). Streaming inputs: the canonical WATERMARKED stream-stream
+    inner join — both sides buffered in state, and the explicit
+    event-time bound in the join condition is what lets Spark compute a
+    state-eviction horizon: left rows older than
+    ``watermark + horizon`` and right rows older than ``watermark`` are
+    dropped from state, so state is O(arrival rate × horizon), not O(stream).
+    Without the time bound the state would grow forever — the bound is
+    the scale contract, not an optimization.
+
+    Output: key, then every non-key column of each side under its
+    prefix. Works identically on batch DataFrames (the DuckDB-replayable
+    shape the oracle checks) and streaming ones (append mode).
+    """
+    lt = left
+    rt = right
+    if lt.isStreaming:
+        lt = lt.withWatermark(ts_col, watermark)
+    if rt.isStreaming:
+        rt = rt.withWatermark(ts_col, watermark)
+    lt = lt.select(
+        F.col(key_col),
+        *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns if c != key_col],
+    )
+    rt = rt.select(
+        F.col(key_col).alias("_rkey"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns if c != key_col],
+    )
+    lts, rts = f"{left_prefix}{ts_col}", f"{right_prefix}{ts_col}"
+    cond = (
+        (F.col(key_col) == F.col("_rkey"))
+        & (F.col(rts) >= F.col(lts))
+        & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {horizon}"))
+    )
+    return lt.join(rt, cond, "inner").drop("_rkey")
+
+
+# ---------------------------------------------------------------------------
 # custom stateful operator (applyInPandasWithState)
 
 _TOTALS_STATE = StructType(

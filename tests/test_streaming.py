@@ -232,3 +232,60 @@ def test_exact_search_after_ingest_with_refreshed_radii(spark, tmp_path):
     got = [r["vec_id"] for r in ivf_search_exact(grown, qvec, 10).collect()]
     want = [r["vec_id"] for r in knn_exact(emb, qvec, 10).collect()]
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events, stream_dir):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch equi+range join's pairs — including across micro-batch
+    boundaries (the stream_dir fixture splits events into 2 files; with
+    maxFilesPerTrigger=1 view rows from batch 0 must still match
+    purchase rows arriving in batch 1 out of the join state)."""
+    from acorn_hybrid_vector_search_spark.streaming.pipeline import interval_join
+
+    def sides(df):
+        views = df.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        )
+        purch = df.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        return views, purch
+
+    sv, sp = sides(_stream(spark, stream_dir, events, max_files=1))
+    joined = interval_join(
+        sv, sp, horizon="1 hour", left_prefix="v_", right_prefix="p_"
+    ).select("user_id", "v_event_id", "p_event_id")
+    _run_to_memory(joined, "attrib_stream", "append")
+    got = {
+        (r["user_id"], r["v_event_id"], r["p_event_id"])
+        for r in spark.sql("SELECT * FROM attrib_stream").collect()
+    }
+
+    bv, bp = sides(events)
+    want = {
+        (r["user_id"], r["v_event_id"], r["p_event_id"])
+        for r in interval_join(
+            bv, bp, horizon="1 hour", left_prefix="v_", right_prefix="p_"
+        )
+        .select("user_id", "v_event_id", "p_event_id")
+        .collect()
+    }
+    assert got == want and want, "stream != batch (or empty join)"
+
+
+def test_interval_join_batch_plan_no_cartesian(spark, events):
+    """The batch shape must shuffle on the equi key with the range bound
+    in the join condition — never a cartesian product."""
+    from acorn_hybrid_vector_search_spark.streaming.pipeline import interval_join
+
+    v = events.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    p = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    plan = (
+        interval_join(v, p, horizon="1 hour")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
