@@ -1017,6 +1017,30 @@ def _q_pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — pivot's inverse: the per-returnflag measure
+    columns fold into (measure, value) rows, the long/tidy shape feature
+    stores and metric pipelines ingest. Spark ``DataFrame.unpivot`` is a
+    single Expand over the aggregated (tiny) relation — the wide-to-long
+    rewrite happens AFTER aggregation, so the expansion factor applies
+    to groups, not base rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), _R).alias("sum_qty"),
+        F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), _R).alias(
+            "sum_price"
+        ),
+        F.round(F.sum(_dec(F.col("l_discount"))).cast("double"), _R).alias("sum_disc"),
+        F.round(F.sum(_dec(F.col("l_tax"))).cast("double"), _R).alias("sum_tax"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc", "sum_tax"],
+        "measure",
+        "value",
+    )
+
+
 def _q_sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-dialect SQL interface: the literal same SQL string runs on
     Spark (via registered views) and on DuckDB as the oracle."""
@@ -1565,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_stats": _q_salted_event_stats,
         "json_props_histogram": _q_json_props,
         "pivot_events_daily": _q_pivot_events_daily,
+        "unpivot_lineitem_measures": _q_unpivot_lineitem_measures,
         "sql_segment_revenue": _q_sql_segment_revenue,
         "sql_parttype_revenue": _q_sql_parttype_revenue,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2462,6 +2487,19 @@ def oracle_sql() -> dict[str, str]:
                 COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                 COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
             FROM events GROUP BY 1
+        """,
+        # unpivot: DuckDB UNPIVOT over the same aggregated relation;
+        # per-row DECIMAL(24,6) sums keep both engines bit-identical
+        "unpivot_lineitem_measures": """
+            UNPIVOT (
+                SELECT l_returnflag,
+                    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_qty,
+                    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_price,
+                    ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_disc,
+                    ROUND(CAST(SUM(CAST(l_tax AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_tax
+                FROM lineitem GROUP BY l_returnflag
+            ) ON sum_qty, sum_price, sum_disc, sum_tax
+            INTO NAME measure VALUE value
         """,
         # exact pruned ANN answers to the brute-force oracle (query vec 2)
         "ann_ivf_exact_topk": f"""
