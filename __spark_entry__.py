@@ -1339,6 +1339,25 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", "label", F.round("dist", _R).alias("dist"))
 
 
+def _q_nsw_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local NSW graph ANN (operators/graph_ann.py) — the
+    distributed X1/X2 analog of the reference's modified hnswlib (budget
+    + blocked-set knobs; /root/reference/acorn.py:26-49, hnswlib
+    hnswalg.h:315,346-348) — run in its DEGENERATE-EXACT mode for the
+    oracle gate: ef ≥ N means the beam never saturates, best-first
+    traverses the whole (connected-by-construction) partition graph, and
+    the per-partition-top-k ∪ global-rank merge returns the exact
+    answer. The approximate regime (bounded ef / max_visits / blocked)
+    is gated in tests/test_graph_ann.py, like IVF's nprobe and PQ's
+    codebook."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import nsw_batch_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, vec_id=3)
+    res = nsw_batch_topk(emb, [(3, list(q))], k=10, ef=1_000_000)
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
 _PQ_CACHE: dict[tuple[str, str], tuple] = {}
 
 
@@ -1594,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_parttype_revenue": _q_sql_parttype_revenue,
         "ann_ivf_topk": _q_ann_ivf,
         "pq_ann_topk": _q_pq_ann_topk,
+        "nsw_exact_topk": _q_nsw_exact_topk,
         "range_join_error_windows": _q_range_join_error_windows,
         "stream_attribution_join": _q_stream_attribution_join,
         "sliding_rollup_events": _q_sliding_rollup,
@@ -2500,6 +2520,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem GROUP BY l_returnflag
             ) ON sum_qty, sum_price, sum_disc, sum_tax
             INTO NAME measure VALUE value
+        """,
+        # NSW graph ANN in degenerate-exact mode (ef ≥ N ⇒ full
+        # traversal of the connected partition graphs) answers the
+        # brute-force oracle (query vec 3)
+        "nsw_exact_topk": f"""
+            WITH {_QV.format(vid=3)}
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM embeddings e, q
+            ORDER BY {_D2}, e.vec_id LIMIT 10
         """,
         # exact pruned ANN answers to the brute-force oracle (query vec 2)
         "ann_ivf_exact_topk": f"""

@@ -1,0 +1,202 @@
+"""Partition-local NSW graph ANN — the distributed analog of the
+reference's modified hnswlib (X1 build / X2 bounded search).
+
+The reference builds ONE process-wide HNSW (M=64, ef_construction=200,
+seed 42; /root/reference/acorn.py:26-38, 275-277) and searches it with a
+``max_visits`` budget — its ACORN-enabling C++ modification terminates
+base-layer expansion once the visit counter hits the budget
+(hnswlib/hnswlib/hnswalg.h:315, 346-348) — plus a node filter that
+excludes ids from RESULTS while still traversing them
+(bindings.cpp:83-87; the blocked-set semantics SURVEY.md §2's discrepancy
+note pins down).
+
+A single global graph cannot exist on a 1000-executor cluster; the
+standard distributed pattern (SURVEY.md §7 Phase 4) is an index PER
+PARTITION: each task builds a navigable-small-world graph over its
+partition's vectors (one build amortized over the whole query batch —
+mirroring the reference's build-once-query-many lifecycle), answers
+every query with the budgeted best-first search, emits its local top-k
+per query, and a global per-query rank over the O(P·|Q|·k) candidate
+stream merges partitions — the same partial→final reduction shape as
+``knn_batch_blas``, with the scan replaced by graph traversal.
+
+Fidelity knobs (names match the reference):
+- ``m`` / ``ef_construction``: build-time degree bound / beam
+  (acorn.py:35).
+- ``ef``: search beam width (acorn.py:64, 150).
+- ``max_visits``: hard cap on nodes expanded per (query, partition) —
+  X2's anytime-search budget. ``None`` = unbounded (post-filter mode,
+  acorn.py:68-69 passes 100000 ≫ N).
+- ``blocked``: ids excluded from results but still traversed — the
+  declared blocked-set/filter semantics (M1).
+
+Approximation contract: recall is gated in pytest against the exact
+oracle (like IVF/PQ — graph ANN is inherently non-SQL-replayable);
+candidates are always real rows with exact distances, so precision of
+the returned set is 1.0 by construction.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["NswGraph", "nsw_batch_topk"]
+
+
+class NswGraph:
+    """In-memory single-layer navigable-small-world graph (numpy).
+
+    Deterministic: insertion follows input order, the entry point is
+    node 0, and neighbor pruning is by exact distance — no RNG (the
+    reference fixes random_seed=42 for the same reproducibility goal;
+    a seedless deterministic build is the stronger guarantee).
+    Distances are squared L2 (space='l2', acorn.py:26).
+    """
+
+    def __init__(self, vectors: np.ndarray, *, m: int = 8, ef_construction: int = 32):
+        self.x = np.ascontiguousarray(vectors, dtype=np.float64)
+        self.n = self.x.shape[0]
+        self.m = m
+        self.neighbors: list[list[int]] = [[] for _ in range(self.n)]
+        self._sq = (self.x**2).sum(axis=1)
+        for i in range(1, self.n):
+            cand, _ = self._search(self.x[i], ef_construction, upto=i)
+            near = cand[: self.m]
+            for j in near:
+                self.neighbors[i].append(int(j))
+                self.neighbors[int(j)].append(i)
+                if len(self.neighbors[int(j)]) > 2 * self.m:
+                    self._prune(int(j))
+
+    def _dist(self, q: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        # |x|² - 2x·q + |q|² without materializing diffs (BLAS dot)
+        return self._sq[idx] - 2.0 * (self.x[idx] @ q) + float(q @ q)
+
+    def _prune(self, j: int) -> None:
+        nb = np.asarray(self.neighbors[j], dtype=np.int64)
+        d = self._dist(self.x[j], nb)
+        keep = nb[np.argsort(d, kind="stable")[: 2 * self.m]]
+        self.neighbors[j] = [int(v) for v in keep]
+
+    def _search(
+        self,
+        q: np.ndarray,
+        ef: int,
+        *,
+        upto: int | None = None,
+        max_visits: int | None = None,
+    ) -> tuple[list[int], int]:
+        """Best-first beam search. Returns (candidate ids sorted by
+        distance, visit count). ``upto`` restricts to nodes < upto
+        (build-time incremental view); ``max_visits`` is the X2 budget —
+        expansion stops once that many nodes have been popped."""
+        n = self.n if upto is None else upto
+        if n == 0:
+            return [], 0
+        entry = 0
+        d0 = float(self._dist(q, np.asarray([entry]))[0])
+        visited = {entry}
+        frontier = [(d0, entry)]  # min-heap by distance
+        result: list[tuple[float, int]] = [(-d0, entry)]  # max-heap (neg)
+        visits = 0
+        while frontier:
+            if max_visits is not None and visits >= max_visits:
+                break
+            d, node = heapq.heappop(frontier)
+            if result and d > -result[0][0] and len(result) >= ef:
+                break
+            visits += 1
+            nbrs = [v for v in self.neighbors[node] if v < n and v not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            nd = self._dist(q, np.asarray(nbrs, dtype=np.int64))
+            for v, dv in zip(nbrs, nd):
+                dv = float(dv)
+                if len(result) < ef or dv < -result[0][0]:
+                    heapq.heappush(result, (-dv, v))
+                    if len(result) > ef:
+                        heapq.heappop(result)
+                    heapq.heappush(frontier, (dv, v))
+        out = sorted((-nd, v) for nd, v in result)
+        return [v for _, v in out], visits
+
+
+def nsw_batch_topk(
+    df: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int,
+    *,
+    m: int = 8,
+    ef_construction: int = 32,
+    ef: int = 64,
+    max_visits: int | None = None,
+    blocked: frozenset[int] | set[int] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Approximate batch top-k via per-partition NSW graphs.
+
+    Plan: mapInPandas builds ONE graph per partition (amortized over all
+    ``queries`` — the bounded broadcast-style parameter, as in
+    ``knn_batch_blas``), runs the budgeted search per query, emits each
+    partition's local top-k (≤ |Q|·k rows per partition), and a global
+    per-query ``row_number() ≤ k`` merges partitions. ``max_visits``
+    bounds work per (query, partition): with P partitions the effective
+    global budget is P·max_visits, degrading gracefully to partial
+    results exactly like the reference's anytime search.
+
+    ``blocked`` ids are traversed but never returned (the reference's
+    declared blocked-set semantics) — post-search exclusion keeps the
+    graph walk identical, matching hnswlib's BaseFilterFunctor.
+    """
+    qids = [int(q) for q, _ in queries]
+    qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
+    blocked_set = frozenset(int(b) for b in (blocked or ()))
+
+    out_schema = f"query_id long, {id_col} long, {dist_col} double"
+
+    def gen(batches):
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if not len(pdf):
+            return
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        g = NswGraph(x, m=m, ef_construction=ef_construction)
+        rows_q, rows_i, rows_d = [], [], []
+        for qi, qid in enumerate(qids):
+            cand, _ = g._search(qmat[qi], max(ef, k), max_visits=max_visits)
+            kept = 0
+            for local in cand:
+                gid = int(ids[local])
+                if gid in blocked_set:
+                    continue
+                rows_q.append(qid)
+                rows_i.append(gid)
+                rows_d.append(float(g._dist(qmat[qi], np.asarray([local]))[0]))
+                kept += 1
+                if kept >= k:
+                    break
+        yield pd.DataFrame({"query_id": rows_q, id_col: rows_i, dist_col: rows_d})
+
+    from pyspark.sql.window import Window
+
+    cand = df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(dist_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

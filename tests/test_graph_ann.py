@@ -1,0 +1,164 @@
+"""Partition-local NSW graph ANN (operators/graph_ann.py): recall gate
+vs exact, max_visits budget semantics, blocked-set exclusion,
+determinism — the X1/X2 parity contract."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+    NswGraph,
+    nsw_batch_topk,
+)
+
+N, DIM, K = 300, 8, 10
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(DIM)]) for i in range(N)
+    ]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        .repartition(3)
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def vectors(corpus):
+    rows = corpus.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, x
+
+
+def _exact_topk(ids, x, q, k, exclude=()):
+    d = ((x - q) ** 2).sum(axis=1)
+    order = sorted(range(len(ids)), key=lambda i: (d[i], ids[i]))
+    return [int(ids[i]) for i in order if ids[i] not in exclude][:k]
+
+
+QUERY_IDS = [0, 5, 9]
+
+
+def _queries(vectors):
+    ids, x = vectors
+    pos = {int(v): i for i, v in enumerate(ids)}
+    return [(qid, list(x[pos[qid]])) for qid in QUERY_IDS]
+
+
+def test_recall_floor_vs_exact(spark, corpus, vectors):
+    ids, x = vectors
+    got = nsw_batch_topk(corpus, _queries(vectors), K, ef=64).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert set(by_q) == set(QUERY_IDS)
+    for qid, found in by_q.items():
+        assert len(found) == K
+        exact = _exact_topk(ids, x, x[list(ids).index(qid)], K)
+        recall = len(set(found) & set(exact)) / K
+        assert recall >= 0.9, f"query {qid}: recall {recall}"
+
+
+def test_distances_are_exact_for_returned_rows(spark, corpus, vectors):
+    """Approximation affects WHICH rows come back, never their distances
+    (candidates are real rows re-scored exactly)."""
+    ids, x = vectors
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for r in nsw_batch_topk(corpus, _queries(vectors), K, ef=64).collect():
+        q = x[pos[r["query_id"]]]
+        d = float(((x[pos[r["vec_id"]]] - q) ** 2).sum())
+        assert r["dist"] == pytest.approx(d, rel=1e-9)
+
+
+def test_max_visits_budget_bounds_and_degrades(spark, corpus, vectors):
+    """X2 semantics: a tiny budget still answers (anytime search) with
+    recall ≤ the unbounded run; the unbounded run dominates."""
+    ids, x = vectors
+    tiny = nsw_batch_topk(corpus, _queries(vectors), K, ef=64, max_visits=1).collect()
+    assert tiny, "budget=1 must still return the entry neighborhood"
+    by_q: dict[int, set[int]] = {}
+    for r in tiny:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert all(len(v) <= K for v in by_q.values())
+
+    def recall_at(mv):
+        got = nsw_batch_topk(
+            corpus, _queries(vectors), K, ef=64, max_visits=mv
+        ).collect()
+        bq: dict[int, set[int]] = {}
+        for r in got:
+            bq.setdefault(r["query_id"], set()).add(r["vec_id"])
+        tot = 0.0
+        for qid in QUERY_IDS:
+            exact = set(_exact_topk(ids, x, x[list(ids).index(qid)], K))
+            tot += len(bq.get(qid, set()) & exact) / K
+        return tot / len(QUERY_IDS)
+
+    assert recall_at(None) >= recall_at(2) - 1e-9
+
+
+def test_blocked_ids_never_returned_and_next_best_fills(spark, corpus, vectors):
+    """Blocked-set semantics (M1 / hnswlib filter): excluded from
+    results, still traversed — so blocking the true NN yields the
+    next-nearest, not a hole."""
+    ids, x = vectors
+    qid = QUERY_IDS[0]
+    q = x[list(ids).index(qid)]
+    exact = _exact_topk(ids, x, q, K)
+    blocked = frozenset(exact[:2])  # block the 2 nearest (incl. self)
+    got = [
+        r["vec_id"]
+        for r in nsw_batch_topk(
+            corpus, [(qid, list(q))], K, ef=64, blocked=blocked
+        ).collect()
+    ]
+    assert not (set(got) & blocked)
+    want = _exact_topk(ids, x, q, K, exclude=blocked)
+    assert len(set(got) & set(want)) / K >= 0.9
+
+
+def test_deterministic_across_runs(spark, corpus, vectors):
+    a = sorted(
+        map(tuple, nsw_batch_topk(corpus, _queries(vectors), K, ef=64).collect())
+    )
+    b = sorted(
+        map(tuple, nsw_batch_topk(corpus, _queries(vectors), K, ef=64).collect())
+    )
+    assert a == b
+
+
+def test_graph_build_connectivity():
+    rng = np.random.RandomState(3)
+    g = NswGraph(rng.standard_normal((50, 4)), m=4, ef_construction=16)
+    assert all(len(nb) >= 1 for nb in g.neighbors)
+    # degree bound: pruning caps lists at 2m
+    assert max(len(nb) for nb in g.neighbors) <= 8
+    # single-node and two-node graphs degenerate cleanly
+    g1 = NswGraph(rng.standard_normal((1, 4)), m=4)
+    cand, _ = g1._search(np.zeros(4), 8)
+    assert cand == [0]
+
+
+def test_exact_at_full_beam(spark, corpus, vectors):
+    """Degenerate-exactness gate (the IVF nprobe=C / overcomplete-PQ
+    pattern): with ef ≥ N the beam never saturates, so best-first
+    traverses the whole graph — which is connected by construction
+    (every inserted node links to an earlier one) — and the merged
+    result IS the exact top-k."""
+    ids, x = vectors
+    got = nsw_batch_topk(corpus, _queries(vectors), K, ef=N).collect()
+    by_q: dict[int, list[tuple]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["dist"], r["vec_id"]))
+    for qid in QUERY_IDS:
+        want = _exact_topk(ids, x, x[list(ids).index(qid)], K)
+        assert [v for _, v in sorted(by_q[qid])] == want
