@@ -1041,6 +1041,18 @@ def _q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality filter: per-doc mean token log10-prob under
+    the corpus' own smoothed unigram LM (operators/lm_quality.py) — the
+    CCNet-style perplexity-filter signal next to text_quality's
+    heuristics. Decimal-exact log sum keeps both engines order-free."""
+    from acorn_hybrid_vector_search_spark.operators.lm_quality import (
+        unigram_logprob_scores,
+    )
+
+    return unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 def _q_sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-dialect SQL interface: the literal same SQL string runs on
     Spark (via registered views) and on DuckDB as the oracle."""
@@ -1609,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_histogram": _q_json_props,
         "pivot_events_daily": _q_pivot_events_daily,
         "unpivot_lineitem_measures": _q_unpivot_lineitem_measures,
+        "unigram_lm_quality": _q_unigram_lm_quality,
         "sql_segment_revenue": _q_sql_segment_revenue,
         "sql_parttype_revenue": _q_sql_parttype_revenue,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2507,6 +2520,32 @@ def oracle_sql() -> dict[str, str]:
                 COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                 COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
             FROM events GROUP BY 1
+        """,
+        # unigram LM quality: same tokenization, same add-0.5 smoothing;
+        # per-token log10 rounded to 12dp then summed as DECIMAL(28,12)
+        # (order-free in both engines; libm ulp differences land far
+        # below the final 6-dp round)
+        "unigram_lm_quality": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok
+                FROM documents WHERE length({_NORM}) > 0
+            ),
+            c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+            s AS (
+                SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+                    CAST(COUNT(*) AS DOUBLE) AS vocab
+                FROM c
+            )
+            SELECT t.doc_id,
+                COUNT(*) AS n_tokens,
+                ROUND(
+                    CAST(SUM(CAST(ROUND(
+                        log10((c.cnt + CAST(0.5 AS DOUBLE))
+                              / (s.total + CAST(0.5 AS DOUBLE) * s.vocab)),
+                    12) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*),
+                6) AS mean_logprob
+            FROM t JOIN c USING (tok), s
+            GROUP BY t.doc_id
         """,
         # unpivot: DuckDB UNPIVOT over the same aggregated relation;
         # per-row DECIMAL(24,6) sums keep both engines bit-identical

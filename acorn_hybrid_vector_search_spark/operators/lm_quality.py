@@ -1,0 +1,79 @@
+"""Corpus unigram-LM quality scoring — the statistical text-quality
+filter (CCNet-style) that complements the heuristic signals in
+functions/text.py.
+
+A document whose tokens are improbable under the corpus' own unigram
+distribution is OOV-heavy, garbled, or foreign to the corpus — the
+classic cheap LM filter used to rank/prune web-scale training data
+(perplexity filtering with the simplest possible LM). Not in the
+reference (no text analysis at all, SURVEY.md §2.1); charter extension.
+
+Plan shape at 100 TB:
+- tokenize + explode (codegen, no Python),
+- token→count aggregation (one shuffle on token, map-side partial),
+- score join token→count: SHUFFLE join co-partitioned on token — the
+  vocabulary of a web corpus is itself huge, so broadcasting it is
+  wrong; both sides arrive token-partitioned from the same exchange,
+- per-doc aggregation (one shuffle on doc_id).
+  The 1-row (total, vocab) relation rides along as a broadcast.
+
+Determinism contract (the oracle gate hashes 6-dp values): each token's
+log10-prob is rounded to 12 dp and summed as DECIMAL(28,12) — exact,
+order-free addition in both engines — so the only cross-engine wiggle
+is a ≤1-ulp libm log10 difference per token, bounded far below the
+final 6-dp rounding. A raw double sum would be partial-aggregation-
+order-dependent run to run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from acorn_hybrid_vector_search_spark.functions.text import normalize_text, tokens
+
+__all__ = ["unigram_logprob_scores"]
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean token log10-probability under the corpus'
+    add-``alpha``-smoothed unigram LM:
+
+        p(tok) = (count(tok) + α) / (total_tokens + α·|vocab|)
+        score(doc) = mean over its tokens of log10 p(tok)
+
+    Output: (id_col, n_tokens BIGINT, mean_logprob DOUBLE 6dp). Docs with
+    zero tokens after normalization carry no distribution mass and are
+    omitted (consistent in the SQL oracle). Higher is more typical of
+    the corpus; rank ascending to surface junk."""
+    toks = docs.where(F.length(normalize_text(text_col)) > 0).select(
+        id_col, F.explode(tokens(text_col)).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = F.broadcast(
+        counts.agg(
+            F.sum("cnt").cast("double").alias("_total"),
+            F.count(F.lit(1)).cast("double").alias("_vocab"),
+        )
+    )
+    logp = F.round(
+        F.log10((F.col("cnt") + F.lit(alpha)) / (F.col("_total") + F.lit(alpha) * F.col("_vocab"))),
+        12,
+    ).cast("decimal(28,12)")
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(stats)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                (F.sum(logp).cast("double") / F.count(F.lit(1))), 6
+            ).alias("mean_logprob"),
+        )
+    )
