@@ -534,38 +534,52 @@ def _q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
 
-    def _stream(event_type: str) -> DataFrame:
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        ts_dt = dict(s.dtypes).get("ts")
-        if ts_dt == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_dt == "timestamp_ntz":
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    # ONE streaming source, two filtered views — a stream-stream
+    # SELF-join (supported since Spark 2.4) pays one source's listing /
+    # offset bookkeeping instead of two
+    s = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_dt = dict(s.dtypes).get("ts")
+    if ts_dt == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dt == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def _side(event_type: str) -> DataFrame:
         return s.where(F.col("event_type") == event_type).select(
             "event_id", "user_id", "ts"
         )
 
     joined = interval_join(
-        _stream("view"),
-        _stream("purchase"),
+        _side("view"),
+        _side("purchase"),
         horizon="1 hour",
         left_prefix="view_",
         right_prefix="purch_",
     ).select("user_id", "view_event_id", "view_ts", "purch_event_id", "purch_ts")
     name = f"stream_attribution_{next(_STREAM_SEQ)}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # a stream-stream join materializes FOUR state stores per shuffle
+    # partition, fixed cost per micro-batch regardless of data; size the
+    # state partitioning to the join's key throughput (the partition
+    # count is pinned into the checkpoint at first run — a real
+    # deployment chooses it per stream, not per cluster default)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
