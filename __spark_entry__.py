@@ -506,15 +506,23 @@ def _q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     name = f"stream_hourly_rollup_{next(_STREAM_SEQ)}"
-    q = (
-        hourly_rollup(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state stores are per shuffle partition — size state partitioning
+    # to the aggregation's group cardinality for this run (same
+    # reasoning as stream_attribution_join)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            hourly_rollup(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
