@@ -1063,6 +1063,35 @@ def _q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hourly_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap filling (operators/resample.py): the hourly
+    rollup densified to EVERY hour between each event_type's first and
+    last activity, zero-filled where nothing happened — the hypertable
+    time_bucket_gapfill shape dashboards and feature frames need. Both
+    join sides are aggregate-sized; the raw table is scanned once."""
+    from acorn_hybrid_vector_search_spark.operators.resample import resample_fill
+
+    e = _t(spark, sf_dir, "events")
+    rolled = (
+        e.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(24,6)")).cast("double"), _R
+            ).alias("sum_value"),
+        )
+    )
+    return resample_fill(
+        rolled,
+        ["event_type"],
+        "window_start",
+        fill={"sum_value": 0.0},
+    ).withColumn("n_events", F.col("n_events").cast("long"))
+
+
 def _q_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical quality filter: per-doc mean token log10-prob under
     the corpus' own smoothed unigram LM (operators/lm_quality.py) — the
@@ -1644,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events_daily": _q_pivot_events_daily,
         "unpivot_lineitem_measures": _q_unpivot_lineitem_measures,
         "unigram_lm_quality": _q_unigram_lm_quality,
+        "hourly_rollup_gapfill": _q_hourly_rollup_gapfill,
         "sql_segment_revenue": _q_sql_segment_revenue,
         "sql_parttype_revenue": _q_sql_parttype_revenue,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2542,6 +2572,33 @@ def oracle_sql() -> dict[str, str]:
                 COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                 COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
             FROM events GROUP BY 1
+        """,
+        # gap-filled rollup: generate_series spine per event_type between
+        # its min/max hour, left join, zero-fill (timestamps stay
+        # TIMESTAMP on both sides — DATE/TS stringification gotcha)
+        "hourly_rollup_gapfill": """
+            WITH r AS (
+                SELECT event_type, date_trunc('hour', ts) AS window_start,
+                    COUNT(*) AS n_events,
+                    ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 6)
+                        AS sum_value
+                FROM events GROUP BY 1, 2
+            ),
+            b AS (
+                SELECT event_type, MIN(window_start) AS lo,
+                    MAX(window_start) AS hi
+                FROM r GROUP BY event_type
+            ),
+            g AS (
+                SELECT event_type,
+                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                        AS window_start
+                FROM b
+            )
+            SELECT g.event_type, g.window_start,
+                COALESCE(r.n_events, 0) AS n_events,
+                COALESCE(r.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
+            FROM g LEFT JOIN r USING (event_type, window_start)
         """,
         # unigram LM quality: same tokenization, same add-0.5 smoothing;
         # per-token log10 rounded to 12dp then summed as DECIMAL(28,12)
