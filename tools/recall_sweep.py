@@ -123,6 +123,26 @@ def main() -> None:
             )
         )
 
+    # --- NSW graph ANN: recall@k vs search beam (ef), one batched job per ef ---
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import nsw_batch_topk
+
+    n_total = emb.count()
+    for ef in (16, 32, 64, n_total):
+        got_rows = nsw_batch_topk(emb, qvecs, k, ef=ef).collect()
+        by_q: dict[int, set[int]] = {}
+        for r in got_rows:
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(by_q.get(vid, set()) & set(exact[vid])) for vid, _ in qvecs)
+        print(
+            json.dumps(
+                {
+                    "sweep": "nsw",
+                    "ef": "N" if ef == n_total else ef,
+                    "recall_at_k": round(hits / (k * len(qvecs)), 4),
+                }
+            )
+        )
+
     threshold = 0.5
     truth = {
         (r["id_a"], r["id_b"])
