@@ -1063,6 +1063,47 @@ def _q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_order_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic rank family in one pass: percent_rank, cume_dist and
+    ntile(4) over totalprice within order status — one window partition
+    serves all three (single sort, single exchange). Quartile assignment
+    is the curriculum/binning shape expressed with built-ins."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), _R).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), _R).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def _q_user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation: per user, seconds since the previous event
+    and until the next (the inter-arrival feature sessionization's
+    gap threshold is built from). One window, two offsets."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    # integer epoch-micros on both sides (DuckDB epoch_us) — fractional
+    # seconds would diverge under unix_timestamp's floor-to-second
+    ts_us = F.unix_micros("ts")
+    return e.select(
+        "event_id",
+        "user_id",
+        (ts_us - F.lag(ts_us, 1).over(w)).alias("micros_since_prev"),
+        (F.lead(ts_us, 1).over(w) - ts_us).alias("micros_until_next"),
+    )
+
+
 def _q_hourly_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucket gap filling (operators/resample.py): the hourly
     rollup densified to EVERY hour between each event_type's first and
@@ -1674,6 +1715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem_measures": _q_unpivot_lineitem_measures,
         "unigram_lm_quality": _q_unigram_lm_quality,
         "hourly_rollup_gapfill": _q_hourly_rollup_gapfill,
+        "order_rank_functions": _q_order_rank_functions,
+        "user_event_deltas": _q_user_event_deltas,
         "sql_segment_revenue": _q_sql_segment_revenue,
         "sql_parttype_revenue": _q_sql_parttype_revenue,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2572,6 +2615,25 @@ def oracle_sql() -> dict[str, str]:
                 COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                 COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
             FROM events GROUP BY 1
+        """,
+        # analytic rank family: identical SQL-standard semantics; the
+        # (totalprice, orderkey) sort is unique ⇒ deterministic ranks
+        "order_rank_functions": """
+            SELECT o_orderkey, o_orderstatus,
+                ROUND(percent_rank() OVER w, 6) AS pct_rank,
+                ROUND(cume_dist() OVER w, 6) AS cume,
+                ntile(4) OVER w AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice ASC, o_orderkey ASC)
+        """,
+        # lag/lead inter-arrival deltas in integer epoch-micros
+        "user_event_deltas": """
+            SELECT event_id, user_id,
+                epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS micros_since_prev,
+                lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS micros_until_next
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         """,
         # gap-filled rollup: generate_series spine per event_type between
         # its min/max hour, left join, zero-fill (timestamps stay
