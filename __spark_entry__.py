@@ -1063,6 +1063,31 @@ def _q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalancing (operators/sampling.py): target shares
+    → per-language sampling rates (sample_rates_for_mixture: rate =
+    min(1, share·total/count), A1-histogram-sized driver arithmetic) →
+    deterministic md5 stratified thinning. Here: drop the dominant 'en',
+    equalize de/es/fr/zh at share 0.25 of a 160-doc budget (0.25·160 =
+    40 is binary-exact, so the SQL oracle recomputes the identical
+    rates from its own GROUP BY). Small strata cap at rate 1.0."""
+    from acorn_hybrid_vector_search_spark.operators.sampling import (
+        sample_rates_for_mixture,
+        stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    shares = {lang: 0.25 for lang in ("de", "es", "fr", "zh")}
+    rates = sample_rates_for_mixture(counts, shares, total_out=160)
+    return stratified_sample(
+        d, rates, stratum_col="lang", key_col="doc_id", salt="mix"
+    ).select("doc_id", "lang")
+
+
 def _q_order_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic rank family in one pass: percent_rank, cume_dist and
     ntile(4) over totalprice within order status — one window partition
@@ -1717,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_rollup_gapfill": _q_hourly_rollup_gapfill,
         "order_rank_functions": _q_order_rank_functions,
         "user_event_deltas": _q_user_event_deltas,
+        "domain_mixture_sample": _q_domain_mixture_sample,
         "sql_segment_revenue": _q_sql_segment_revenue,
         "sql_parttype_revenue": _q_sql_parttype_revenue,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2615,6 +2641,26 @@ def oracle_sql() -> dict[str, str]:
                 COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                 COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
             FROM events GROUP BY 1
+        """,
+        # mixture rebalance: the oracle recomputes the SAME per-lang
+        # rates (0.25·160 = 40 binary-exact ⇒ LEAST(1, 40/n) matches the
+        # python min(1, share·total/n) bit-for-bit) and replays the md5
+        # keep-decision; 'en' has no target share ⇒ default rate 0
+        "domain_mixture_sample": f"""
+            WITH c AS (
+                SELECT lang, COUNT(*) AS n FROM documents
+                WHERE lang IN ('de', 'es', 'fr', 'zh') GROUP BY lang
+            ),
+            r AS (
+                SELECT lang,
+                    LEAST(CAST(1.0 AS DOUBLE), CAST(40.0 AS DOUBLE) / n)
+                        AS rate
+                FROM c
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r USING (lang)
+            WHERE ({_h64_sql("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000)
+                / 1000000.0 < r.rate
         """,
         # analytic rank family: identical SQL-standard semantics; the
         # (totalprice, orderkey) sort is unique ⇒ deterministic ranks
