@@ -162,3 +162,38 @@ def test_exact_at_full_beam(spark, corpus, vectors):
     for qid in QUERY_IDS:
         want = _exact_topk(ids, x, x[list(ids).index(qid)], K)
         assert [v for _, v in sorted(by_q[qid])] == want
+
+
+def test_acorn_loop_composes_over_nsw(spark, corpus, vectors):
+    """The reference's ACORN-1 control loop (acorn.py:149-238) composed
+    over the distributed graph operator: escalating max_visits rounds,
+    predicate-failing candidates accumulate into the blocked set
+    (negative cache, acorn.py:154,220-223), survivors accumulate, and
+    the final escalation runs at full beam (the escape hatch's
+    degenerate-exact endpoint). The composed result must satisfy the
+    predicate everywhere and match the exact filtered top-k."""
+    ids, x = vectors
+    qid = QUERY_IDS[1]
+    q = x[list(ids).index(qid)]
+    passes = lambda v: v % 2 == 0  # stand-in metadata predicate
+
+    blocked: set[int] = set()
+    survivors: dict[int, float] = {}
+    large_k = 3 * K  # the reference oversamples (large_k=200 for k=3)
+    for mv, ef in ((2, 16), (8, 32), (None, N)):  # escalate; last = exact
+        rows = nsw_batch_topk(
+            corpus, [(qid, list(q))], large_k, ef=ef, max_visits=mv,
+            blocked=frozenset(blocked),
+        ).collect()
+        for r in rows:
+            if passes(r["vec_id"]):
+                survivors[r["vec_id"]] = r["dist"]
+            else:
+                blocked.add(r["vec_id"])  # never traversed into results again
+        if len(survivors) >= K and mv is not None:
+            continue  # keep escalating anyway to pin the exact endpoint
+
+    final = [v for v, _ in sorted(survivors.items(), key=lambda kv: (kv[1], kv[0]))][:K]
+    assert all(passes(v) for v in final)
+    want = [v for v in _exact_topk(ids, x, q, 3 * K) if passes(v)][:K]
+    assert final == want
