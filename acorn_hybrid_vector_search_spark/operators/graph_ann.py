@@ -34,6 +34,15 @@ Approximation contract: recall is gated in pytest against the exact
 oracle (like IVF/PQ — graph ANN is inherently non-SQL-replayable);
 candidates are always real rows with exact distances, so precision of
 the returned set is 1.0 by construction.
+
+Cost honesty: the graph build is a per-task Python loop —
+O(n·ef_construction) distance evaluations per partition (BLAS per
+step). That is the right trade when one build serves a large query
+batch (the reference amortizes a 51 s build the same way,
+README.md:232); for single-query workloads or frequent rebuilds,
+prefer the IVF path (codebook build is one sampled KMeans) or persist
+partition graphs alongside the data the way ivf_write persists
+cluster assignments.
 """
 
 from __future__ import annotations
