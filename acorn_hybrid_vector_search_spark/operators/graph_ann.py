@@ -82,6 +82,51 @@ class NswGraph:
                 self.neighbors[int(j)].append(i)
                 if len(self.neighbors[int(j)]) > 2 * self.m:
                     self._prune(int(j))
+        # _prune keeps only a node's 2m closest neighbors and can drop
+        # another node's LAST in-link, disconnecting it from entry 0 —
+        # ~1-2 of 500 nodes on roughly half of Gaussian seeds at the
+        # defaults. Re-link every orphan so reachability (and the
+        # exact-at-full-beam contract) holds for every input.
+        self.repair_edges: list[tuple[int, int]] = []
+        self._repair_connectivity()
+
+    def _reachable_from(self, start: int) -> set[int]:
+        seen = {start}
+        stack = [start]
+        while stack:
+            node = stack.pop()
+            for v in self.neighbors[node]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        return seen
+
+    def _repair_connectivity(self) -> None:
+        """Add a directed edge nearest-reachable → orphan for every node
+        unreachable from entry 0. Deterministic: orphans processed in id
+        order, nearest-by-distance with lowest-id tie-break. Repair
+        edges are added after all pruning, so they cannot themselves be
+        dropped; the handful of extra edges (≲0.5% of nodes) may push a
+        source node past the 2m degree bound, which only widens its
+        out-fan."""
+        if self.n <= 1:
+            return
+        reachable = self._reachable_from(0)
+        while len(reachable) < self.n:
+            u = min(set(range(self.n)) - reachable)
+            ridx = np.fromiter(sorted(reachable), dtype=np.int64)
+            d = self._dist(self.x[u], ridx)
+            r = int(ridx[int(np.argmin(d))])
+            self.neighbors[r].append(u)
+            self.repair_edges.append((r, u))
+            stack = [u]
+            reachable.add(u)
+            while stack:
+                node = stack.pop()
+                for v in self.neighbors[node]:
+                    if v not in reachable:
+                        reachable.add(v)
+                        stack.append(v)
 
     def _dist(self, q: np.ndarray, idx: np.ndarray) -> np.ndarray:
         # |x|² - 2x·q + |q|² without materializing diffs (BLAS dot)
@@ -133,6 +178,20 @@ class NswGraph:
                     if len(result) > ef:
                         heapq.heappop(result)
                     heapq.heappush(frontier, (dv, v))
+        # Exact-mode safety net: at full beam (ef ≥ n) with no visit
+        # budget the contract is brute-force-equivalent results. The
+        # connectivity repair should make every node reachable; if any
+        # node was still never scored, score the remainder directly
+        # rather than silently returning a wrong "exact" answer.
+        if max_visits is None and ef >= n and len(visited) < n:
+            rest = np.setdiff1d(
+                np.arange(n, dtype=np.int64),
+                np.fromiter(visited, dtype=np.int64, count=len(visited)),
+            )
+            if rest.size:
+                rd = self._dist(q, rest)
+                for v, dv in zip(rest, rd):
+                    result.append((-float(dv), int(v)))
         out = sorted((-nd, v) for nd, v in result)
         return [v for _, v in out], visits
 

@@ -151,9 +151,11 @@ def test_graph_build_connectivity():
 def test_exact_at_full_beam(spark, corpus, vectors):
     """Degenerate-exactness gate (the IVF nprobe=C / overcomplete-PQ
     pattern): with ef ≥ N the beam never saturates, so best-first
-    traverses the whole graph — which is connected by construction
-    (every inserted node links to an earlier one) — and the merged
-    result IS the exact top-k."""
+    traverses the whole graph and the merged result IS the exact top-k.
+    NOTE: insertion alone does NOT guarantee connectivity (_prune can
+    drop a node's last in-link); exactness here rests on the post-build
+    connectivity repair plus the exact-mode remainder scan — see
+    test_prune_orphans_are_repaired for the direct regression."""
     ids, x = vectors
     got = nsw_batch_topk(corpus, _queries(vectors), K, ef=N).collect()
     by_q: dict[int, list[tuple]] = {}
@@ -162,6 +164,35 @@ def test_exact_at_full_beam(spark, corpus, vectors):
     for qid in QUERY_IDS:
         want = _exact_topk(ids, x, x[list(ids).index(qid)], K)
         assert [v for _, v in sorted(by_q[qid])] == want
+
+
+def test_prune_orphans_are_repaired():
+    """Regression: _prune keeps only a node's 2m closest neighbors, so
+    it can drop another node's LAST in-link and orphan it from entry 0
+    (observed on ~half of Gaussian seeds at the defaults — e.g. seeds
+    1, 3, 5 orphan 1-2 of 500 nodes). Pre-fix, a full-beam "exact"
+    search for an orphaned node's own vector missed that node. The
+    build must (a) detect and re-link every orphan, and (b) return the
+    true NN for a query sitting exactly on a previously-orphaned node."""
+    found_orphan_seed = False
+    for seed in (1, 3, 5):
+        rng = np.random.RandomState(seed)
+        x = rng.standard_normal((500, 16))
+        g = NswGraph(x, m=8, ef_construction=32)
+        if not g.repair_edges:
+            continue
+        found_orphan_seed = True
+        # every node reachable from entry 0 after repair
+        assert len(g._reachable_from(0)) == g.n
+        # full-beam search lands exactly on each previously-orphaned node
+        for _, orphan in g.repair_edges:
+            cand, _ = g._search(x[orphan], g.n)
+            assert cand[0] == orphan
+            # and the full result IS the brute-force order for the top-10
+            d = ((x - x[orphan]) ** 2).sum(axis=1)
+            want = sorted(range(len(x)), key=lambda i: (d[i], i))[:10]
+            assert cand[:10] == want
+    assert found_orphan_seed, "expected at least one seed to exercise repair"
 
 
 def test_acorn_loop_composes_over_nsw(spark, corpus, vectors):

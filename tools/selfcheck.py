@@ -6,11 +6,19 @@ compares row count, sorted column names, and an order-insensitive value
 hash. Usage::
 
     python tools/selfcheck.py [sf_dir] [query_name ...]
+
+A full-battery run (no query_name filter) also writes ``SELFCHECK.json``
+to the repo root — per-query {rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err} in driver CORRECTNESS format — so the
+queries past the driver's 50-entry window have durable committed
+evidence (round-3 advisor ask).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 import time
 
@@ -57,6 +65,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
 
     # smoke: entry()
     if not only:
@@ -77,6 +86,9 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": f"spark: {e}"[:300]}
             continue
         el_spark = time.time() - t0
 
@@ -85,6 +97,10 @@ def main() -> int:
                   f"[{el_spark:.1f}s]")
             if len(srows) == 0:
                 print(f"     WARNING: {name} returned 0 rows")
+            report[name] = {"rows_match": len(srows) > 0, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": None,
+                            "note": "rows-only (no oracle by design)"}
             continue
 
         try:
@@ -96,6 +112,9 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": f"duckdb: {e}"[:300]}
             continue
 
         ok_count = len(srows) == len(drows)
@@ -105,6 +124,9 @@ def main() -> int:
         status = "PASS" if (ok_count and ok_schema and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
+        report[name] = {"rows_match": ok_count, "schema_match": ok_schema,
+                        "hash_match": ok_hash, "spark_rows": len(srows),
+                        "oracle_rows": len(drows), "err": None}
         print(f"{status} {name}: rows {len(srows)}/{len(drows)} "
               f"schema={'ok' if ok_schema else f'{sorted(scols)} vs {sorted(dcols)}'} "
               f"hash={'ok' if ok_hash else f'{sh} vs {dh}'} "
@@ -118,6 +140,14 @@ def main() -> int:
                 if a != b:
                     print(f"     spark: {a}\n     duck : {b}")
                     break
+
+    if not only:
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "SELFCHECK.json")
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(report),
+                       "failures": failures, "results": report}, f, indent=1)
+        print(f"wrote {out}")
 
     print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
