@@ -37,12 +37,16 @@ the returned set is 1.0 by construction.
 
 Cost honesty: the graph build is a per-task Python loop —
 O(n·ef_construction) distance evaluations per partition (BLAS per
-step). That is the right trade when one build serves a large query
-batch (the reference amortizes a 51 s build the same way,
-README.md:232); for single-query workloads or frequent rebuilds,
-prefer the IVF path (codebook build is one sampled KMeans) or persist
-partition graphs alongside the data the way ivf_write persists
-cluster assignments.
+step). That is the right trade ONLY when one build serves many
+queries, so the build is persistable: ``nsw_write`` (the analog of
+hnswlib's ``save_index``, bindings.cpp — the reference instead
+re-pays a ~51 s build every process, README.md:232) stores each
+partition's adjacency lists + vectors as parquet partitioned by
+part_id, and ``nsw_read_topk`` answers query batches from the stored
+graphs with ZERO rebuild — at 100 TB the build is amortized across
+days of query traffic, not a session. For single-query workloads with
+no persisted index, prefer the IVF path (codebook build is one
+sampled KMeans).
 """
 
 from __future__ import annotations
@@ -55,7 +59,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["NswGraph", "nsw_batch_topk"]
+__all__ = ["NswGraph", "nsw_batch_topk", "nsw_write", "nsw_read_topk"]
 
 
 class NswGraph:
@@ -128,6 +132,23 @@ class NswGraph:
                         reachable.add(v)
                         stack.append(v)
 
+    @classmethod
+    def from_adjacency(
+        cls, vectors: np.ndarray, neighbors: Sequence[Sequence[int]]
+    ) -> "NswGraph":
+        """Reconstruct a graph from persisted adjacency lists — no build
+        loop, no pruning, no repair (the stored lists already include
+        repair edges). Searches over a reconstructed graph are
+        bit-identical to searches over the graph that was written."""
+        g = cls.__new__(cls)
+        g.x = np.ascontiguousarray(vectors, dtype=np.float64)
+        g.n = g.x.shape[0]
+        g.m = 0  # build-time knob; unused after construction
+        g.neighbors = [[int(v) for v in nb] for nb in neighbors]
+        g._sq = (g.x**2).sum(axis=1)
+        g.repair_edges = []
+        return g
+
     def _dist(self, q: np.ndarray, idx: np.ndarray) -> np.ndarray:
         # |x|² - 2x·q + |q|² without materializing diffs (BLAS dot)
         return self._sq[idx] - 2.0 * (self.x[idx] @ q) + float(q @ q)
@@ -196,6 +217,52 @@ class NswGraph:
         return [v for _, v in out], visits
 
 
+def _local_topk_frame(
+    g: NswGraph,
+    ids: np.ndarray,
+    qids: list[int],
+    qmat: np.ndarray,
+    k: int,
+    ef: int,
+    max_visits: int | None,
+    blocked_set: frozenset[int],
+    id_col: str,
+    dist_col: str,
+) -> pd.DataFrame:
+    """One partition's local top-k for every query — shared by the
+    build-and-search and the load-persisted paths so both emit
+    bit-identical candidates."""
+    rows_q, rows_i, rows_d = [], [], []
+    for qi, qid in enumerate(qids):
+        cand, _ = g._search(qmat[qi], max(ef, k), max_visits=max_visits)
+        kept = 0
+        for local in cand:
+            gid = int(ids[local])
+            if gid in blocked_set:
+                continue
+            rows_q.append(qid)
+            rows_i.append(gid)
+            rows_d.append(float(g._dist(qmat[qi], np.asarray([local]))[0]))
+            kept += 1
+            if kept >= k:
+                break
+    return pd.DataFrame({"query_id": rows_q, id_col: rows_i, dist_col: rows_d})
+
+
+def _merge_topk(cand: DataFrame, k: int, id_col: str, dist_col: str) -> DataFrame:
+    """Global per-query rank over the O(P·|Q|·k) candidate stream."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(dist_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def nsw_batch_topk(
     df: DataFrame,
     queries: Sequence[tuple[int, Sequence[float]]],
@@ -241,30 +308,104 @@ def nsw_batch_topk(
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
         g = NswGraph(x, m=m, ef_construction=ef_construction)
-        rows_q, rows_i, rows_d = [], [], []
-        for qi, qid in enumerate(qids):
-            cand, _ = g._search(qmat[qi], max(ef, k), max_visits=max_visits)
-            kept = 0
-            for local in cand:
-                gid = int(ids[local])
-                if gid in blocked_set:
-                    continue
-                rows_q.append(qid)
-                rows_i.append(gid)
-                rows_d.append(float(g._dist(qmat[qi], np.asarray([local]))[0]))
-                kept += 1
-                if kept >= k:
-                    break
-        yield pd.DataFrame({"query_id": rows_q, id_col: rows_i, dist_col: rows_d})
-
-    from pyspark.sql.window import Window
+        yield _local_topk_frame(
+            g, ids, qids, qmat, k, max(ef, k), max_visits, blocked_set,
+            id_col, dist_col,
+        )
 
     cand = df.select(id_col, vec_col).mapInPandas(gen, out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col(dist_col).asc(), F.col(id_col).asc()
+    return _merge_topk(cand, k, id_col, dist_col)
+
+
+def nsw_write(
+    df: DataFrame,
+    path: str,
+    *,
+    m: int = 8,
+    ef_construction: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build per-partition NSW graphs ONCE and persist them — the
+    ``save_index`` analog (hnswlib bindings.cpp; the reference re-pays
+    a ~51 s build per process, README.md:232; SURVEY §4 "Index
+    persistence").
+
+    Layout: one parquet row per graph node —
+    ``(part_id, seq, <id_col>, vector double[], neighbors long[])`` —
+    written ``partitionBy(part_id)`` so each partition's graph is its
+    own directory (the ``ivf_write`` pattern, ann.py:176): a search
+    loads every graph in parallel, one task per directory, and a future
+    partition-pruned variant can skip graphs wholesale. ``seq`` is the
+    node's insertion position — local neighbor ids index into the
+    seq-sorted order, and vectors are stored as the float64 the build
+    used, so a reconstructed graph searches bit-identically.
+    """
+    tagged = df.select(id_col, vec_col).withColumn(
+        "part_id", F.spark_partition_id()
     )
-    return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+    out_schema = (
+        f"part_id int, seq long, {id_col} long, "
+        "vector array<double>, neighbors array<long>"
     )
+
+    def build(batches):
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if not len(pdf):
+            return
+        x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        g = NswGraph(x, m=m, ef_construction=ef_construction)
+        yield pd.DataFrame(
+            {
+                "part_id": pdf["part_id"].astype("int32"),
+                "seq": np.arange(g.n, dtype=np.int64),
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                "vector": [list(map(float, row)) for row in g.x],
+                "neighbors": [list(map(int, nb)) for nb in g.neighbors],
+            }
+        )
+
+    nodes = tagged.mapInPandas(build, out_schema)
+    nodes.write.mode("overwrite").partitionBy("part_id").parquet(path)
+
+
+def nsw_read_topk(
+    spark,
+    path: str,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int,
+    *,
+    ef: int = 64,
+    max_visits: int | None = None,
+    blocked: frozenset[int] | set[int] | None = None,
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Answer a query batch from graphs persisted by ``nsw_write`` —
+    zero rebuild (the reference's build-once/query-many lifecycle made
+    durable). Each stored graph directory is one ``applyInPandas``
+    group: reconstruct via ``NswGraph.from_adjacency``, run the same
+    budgeted best-first search, merge with the same global rank — so
+    persisted results are bit-for-bit the rebuilt results (pytest
+    pins this)."""
+    qids = [int(q) for q, _ in queries]
+    qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
+    blocked_set = frozenset(int(b) for b in (blocked or ()))
+    out_schema = f"query_id long, {id_col} long, {dist_col} double"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq", ignore_index=True)
+        x = np.asarray(list(pdf["vector"]), dtype=np.float64)
+        g = NswGraph.from_adjacency(x, list(pdf["neighbors"]))
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        return _local_topk_frame(
+            g, ids, qids, qmat, k, max(ef, k), max_visits, blocked_set,
+            id_col, dist_col,
+        )
+
+    stored = spark.read.parquet(path)
+    cand = stored.groupBy("part_id").applyInPandas(run, out_schema)
+    return _merge_topk(cand, k, id_col, dist_col)

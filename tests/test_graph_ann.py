@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from acorn_hybrid_vector_search_spark.operators.graph_ann import (
     NswGraph,
     nsw_batch_topk,
+    nsw_read_topk,
+    nsw_write,
 )
 
 N, DIM, K = 300, 8, 10
@@ -193,6 +195,50 @@ def test_prune_orphans_are_repaired():
             want = sorted(range(len(x)), key=lambda i: (d[i], i))[:10]
             assert cand[:10] == want
     assert found_orphan_seed, "expected at least one seed to exercise repair"
+
+
+def test_persisted_graph_equals_rebuilt(spark, corpus, vectors, tmp_path):
+    """save_index analog (nsw_write/nsw_read_topk): searching graphs
+    loaded from parquet must be BIT-FOR-BIT the searching of freshly
+    built graphs — across the exact, budgeted, and blocked regimes —
+    because the stored adjacency IS the built adjacency (repair edges
+    included) and both paths share the same search/merge code."""
+    path = str(tmp_path / "nsw_index")
+    nsw_write(corpus, path)
+    variants = (
+        {"ef": 64},
+        {"ef": N},  # degenerate-exact
+        {"ef": 32, "max_visits": 4},  # anytime budget
+        {"ef": 64, "blocked": frozenset([0, 5, 9])},  # blocked set
+    )
+    for kw in variants:
+        rebuilt = sorted(
+            map(tuple, nsw_batch_topk(corpus, _queries(vectors), K, **kw).collect())
+        )
+        loaded = sorted(
+            map(
+                tuple,
+                nsw_read_topk(spark, path, _queries(vectors), K, **kw).collect(),
+            )
+        )
+        assert rebuilt == loaded, f"variant {kw}"
+
+
+def test_from_adjacency_preserves_search_including_repairs():
+    """Reconstruction from adjacency (the load path) must reproduce the
+    built graph's searches exactly — including on a graph whose
+    connectivity depended on repair edges (seed 3 orphans 2 of 500)."""
+    rng = np.random.RandomState(3)
+    x = rng.standard_normal((500, 16))
+    g = NswGraph(x, m=8, ef_construction=32)
+    assert g.repair_edges, "seed 3 should exercise repair"
+    g2 = NswGraph.from_adjacency(g.x, g.neighbors)
+    probe = [x[7], x[g.repair_edges[0][1]], rng.standard_normal(16)]
+    for q in probe:
+        for kw in ({"max_visits": None}, {"max_visits": 5}):
+            a, _ = g._search(q, 500, **kw)
+            b, _ = g2._search(q, 500, **kw)
+            assert a == b
 
 
 def test_acorn_loop_composes_over_nsw(spark, corpus, vectors):
