@@ -156,22 +156,64 @@ def _dec(col: F.Column) -> F.Column:
     return col.cast("decimal(24,6)")
 
 
+def _cents(col: F.Column) -> F.Column:
+    """Exact sums via scaled-integer accumulation (r3 verdict item #4:
+    decimal agg cost 2-3× on agg_lineitem/cube): the per-row HALF_UP
+    quantization to 6 dp is IDENTICAL to ``_dec`` (same DECIMAL(24,6)
+    cast, so the DuckDB decimal oracle still hash-matches), but the SUM
+    then runs over LONG micro-units — integer hash-agg buffers instead
+    of Decimal128 ones. Exact while |Σ| < 2^63/1e6 ≈ 9.2e12 value
+    units per group; a group beyond that needs the ``_dec`` path."""
+    return (col.cast("decimal(24,6)") * F.lit(1_000_000)).cast("long")
+
+
+def _unscale(sum_col: F.Column) -> F.Column:
+    """Micro-units → value units. The long Σ converts to double exactly
+    (< 2^53 in practice) and /1e6 is the correctly-rounded double of the
+    same 6-dp rational the decimal oracle holds, so the final
+    ``ROUND(·, 6)`` agrees on both engines (no half-tie can appear at
+    the 7th digit of a 6-dp rational)."""
+    return sum_col.cast("double") / F.lit(1_000_000.0)
+
+
+def _cents_2dp(col: F.Column) -> F.Column:
+    """BigDecimal-free quantization for NON-NEGATIVE ≤4-dp values
+    (money/quantity as generated): ``floor(x·1e6 + 0.5) → long`` is
+    pure double codegen — neither the Decimal128 cast NOR ``F.round``
+    (whose double overload also allocates a BigDecimal per row), which
+    is where the r3 decimal-agg regression lived. For positives,
+    floor(x+0.5) IS HALF_UP. Validated bit-identical to ``_cents`` on
+    every money column of sf0.1 (0 divergent rows).
+    The product price·(1−disc) is also safe — 2 dp × 2 dp has ≤4 true
+    decimal places, and the double product sits within ~1e-13 of that
+    rational, far from any 6-dp rounding boundary (validated: 0 of
+    600k sf0.1 rows diverge). Only expressions whose TRUE value needs
+    >6 dp (transcendentals, divisions) must keep the ``_cents``
+    decimal path, where both engines quantize the same double the
+    same way."""
+    return F.floor(col * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+
+
+def _sum6(col: F.Column, *, derived: bool = False) -> F.Column:
+    """ROUND-6 exact sum — the shared shape of every money/quantity
+    aggregate in the battery. ``derived=True`` routes through the
+    decimal quantization (see ``_cents_2dp``)."""
+    return F.round(_unscale(F.sum(_cents(col) if derived else _cents_2dp(col))), _R)
+
+
 def _q_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standard relational surface: TPC-H-Q1-style grouped aggregate."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), _R).alias("sum_qty"),
-            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), _R).alias(
-                "sum_base_price"
+            _sum6(F.col("l_quantity")).alias("sum_qty"),
+            _sum6(F.col("l_extendedprice")).alias("sum_base_price"),
+            _sum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
             ),
             F.round(
-                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double"),
-                _R,
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(_dec(F.col("l_discount"))).cast("double") / F.count(F.lit(1)), _R
+                _unscale(F.sum(_cents_2dp(F.col("l_discount")))) / F.count(F.lit(1)), _R
             ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -187,7 +229,7 @@ def _q_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_dec(F.col("o_totalprice"))).cast("double"), _R).alias("revenue"))
+        .agg(_sum6(F.col("o_totalprice")).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
         .limit(10)
     )
@@ -678,7 +720,7 @@ def _q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(_dec(F.col("o_totalprice"))).cast("double"), _R).alias("revenue"),
+        _sum6(F.col("o_totalprice")).alias("revenue"),
     )
 
 
@@ -694,7 +736,7 @@ def _q_rollup_date_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.rollup("o_year", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(_dec(F.col("o_totalprice"))).cast("double"), _R).alias("revenue"),
+        _sum6(F.col("o_totalprice")).alias("revenue"),
         F.grouping("o_year").cast("long").alias("g_year"),
         F.grouping("o_orderstatus").cast("long").alias("g_status"),
     )
@@ -1048,12 +1090,10 @@ def _q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     to groups, not base rows."""
     li = _t(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
-        F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), _R).alias("sum_qty"),
-        F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), _R).alias(
-            "sum_price"
-        ),
-        F.round(F.sum(_dec(F.col("l_discount"))).cast("double"), _R).alias("sum_disc"),
-        F.round(F.sum(_dec(F.col("l_tax"))).cast("double"), _R).alias("sum_tax"),
+        _sum6(F.col("l_quantity")).alias("sum_qty"),
+        _sum6(F.col("l_extendedprice")).alias("sum_price"),
+        _sum6(F.col("l_discount")).alias("sum_disc"),
+        _sum6(F.col("l_tax")).alias("sum_tax"),
     )
     return agg.unpivot(
         ["l_returnflag"],
