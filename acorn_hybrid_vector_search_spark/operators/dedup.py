@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from acorn_hybrid_vector_search_spark.functions.text import (
     fingerprint_md5,
@@ -32,34 +31,11 @@ from acorn_hybrid_vector_search_spark.functions.text import (
 )
 
 
-_PINNED: list[DataFrame] = []
-_PINNED_MAX = 4
-
-
-def _materialize(df: DataFrame) -> DataFrame:
-    """Persist + eagerly compute a fingerprint/signature relation that a
-    pair self-join consumes on BOTH sides.
-
-    Without this, each join side re-executes the projection subtree —
-    Spark's exchange-reuse does not fire across the two sides of a
-    self-join with extra join conjuncts, so the (comparatively expensive)
-    signature computation runs twice per query. The eager count matters:
-    lazy persistence would let the two join-side stages race and each
-    compute the subtree anyway. At production scale this relation is what
-    a pipeline writes to a signatures table; persist is the in-session
-    equivalent (MEMORY_AND_DISK — signature tables are row-scaled).
-
-    A small LRU bounds the pinned set: repeated operator calls (bench
-    loops, notebooks) would otherwise accumulate cache entries without
-    limit and degrade the whole session. Evicting an entry a caller still
-    holds only costs recompute on next use — never correctness.
-    """
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    _PINNED.append(df)
-    while len(_PINNED) > _PINNED_MAX:
-        _PINNED.pop(0).unpersist()
-    return df
+# Pinned materialization for signature relations a pair self-join
+# consumes on BOTH sides — shared LRU semantics live in _cache.py.
+from acorn_hybrid_vector_search_spark.operators._cache import (
+    materialize as _materialize,
+)
 
 
 def _probe_parallelism(df: DataFrame) -> int:

@@ -9,7 +9,8 @@ classic cheap LM filter used to rank/prune web-scale training data
 reference (no text analysis at all, SURVEY.md §2.1); charter extension.
 
 Plan shape at 100 TB:
-- tokenize + explode (codegen, no Python),
+- tokenize + explode ONCE (codegen, no Python; pinned — both the count
+  aggregate and the join probe read the materialized token relation),
 - token→count aggregation (one shuffle on token, map-side partial),
 - score join token→count: SHUFFLE join co-partitioned on token — the
   vocabulary of a web corpus is itself huge, so broadcasting it is
@@ -31,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from acorn_hybrid_vector_search_spark.functions.text import normalize_text, tokens
+from acorn_hybrid_vector_search_spark.operators._cache import materialize
 
 __all__ = ["unigram_logprob_scores"]
 
@@ -52,8 +54,15 @@ def unigram_logprob_scores(
     zero tokens after normalization carry no distribution mass and are
     omitted (consistent in the SQL oracle). Higher is more typical of
     the corpus; rank ascending to surface junk."""
-    toks = docs.where(F.length(normalize_text(text_col)) > 0).select(
-        id_col, F.explode(tokens(text_col)).alias("tok")
+    # The tokenized/exploded corpus feeds BOTH the count aggregate and
+    # the probe side of the token join; without pinning it the most
+    # expensive stage (normalize+tokenize+explode of the whole corpus)
+    # runs twice per query (round-3 advisor finding). Materialized once —
+    # at pipeline scale this relation is the tokens intermediate table.
+    toks = materialize(
+        docs.where(F.length(normalize_text(text_col)) > 0).select(
+            id_col, F.explode(tokens(text_col)).alias("tok")
+        )
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     stats = F.broadcast(

@@ -25,6 +25,7 @@ list across maintenance runs for very large tables.
 from __future__ import annotations
 
 import math
+import urllib.parse
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -51,8 +52,11 @@ def list_partition_files(
             if f.isFile() and f.getPath().getName().endswith(".parquet"):
                 n += 1
                 total += f.getLen()
-        # value kept as the raw path string; compared via cast-to-string
-        out[name[len(prefix):]] = (n, total)
+        # Hive escapes special path chars (':', ' ', '/', '%', …) as %XX
+        # in partition dir names (ExternalCatalogUtils.escapePathName);
+        # unquote is its inverse, so the value compares equal to the
+        # column's cast-to-string rendering (e.g. timestamps).
+        out[urllib.parse.unquote(name[len(prefix):])] = (n, total)
     return out
 
 
@@ -95,10 +99,17 @@ def compact_partitioned(
     untouched partitions keep their files byte-for-byte.
 
     One partition-pruned job per fragmented partition: the scan reads
-    only that partition (PartitionFilters), ``coalesce`` (no shuffle —
-    narrow merge of splits) packs it into the target file count, and
-    dynamic partition overwrite atomically replaces just that partition
-    dir."""
+    only that partition (PartitionFilters), the rows are MATERIALIZED
+    (localCheckpoint) before the write — never overwrite a directory a
+    lazy plan still reads from, and the dynamic-overwrite mid-commit
+    window no longer races the scan — then ``coalesce`` (no shuffle —
+    narrow merge of splits) packs them into the target file count and
+    dynamic partition overwrite replaces just that partition dir.
+
+    Two guards make a silent no-op impossible (a value that failed to
+    round-trip through dir-name escaping used to match 0 rows and
+    "compact" nothing): the pruned read must return rows, and the
+    post-compaction file listing must show ≤ the target count."""
     todo = fragmented_partitions(
         spark, path, partition_col, target_bytes=target_bytes, min_files=min_files
     )
@@ -106,9 +117,17 @@ def compact_partitioned(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         for value, n_files in todo.items():
-            part = spark.read.parquet(path).where(
-                F.col(partition_col).cast("string") == value
+            part = (
+                spark.read.parquet(path)
+                .where(F.col(partition_col).cast("string") == value)
+                .localCheckpoint(eager=True)
             )
+            if not part.take(1):
+                raise RuntimeError(
+                    f"compact_partitioned: {partition_col}={value!r} matched "
+                    "0 rows — the partition value did not round-trip from "
+                    "its directory name; refusing a silent no-op rewrite"
+                )
             (
                 part.coalesce(n_files)
                 .write.mode("overwrite")
@@ -117,4 +136,12 @@ def compact_partitioned(
             )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = list_partition_files(spark, path, partition_col)
+    for value, want in todo.items():
+        now = after.get(value, (0, 0))[0]
+        if now > want:
+            raise RuntimeError(
+                f"compact_partitioned: {partition_col}={value!r} still has "
+                f"{now} files (target {want}) — rewrite did not take effect"
+            )
     return todo

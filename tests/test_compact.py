@@ -62,6 +62,29 @@ def test_compact_preserves_rows_and_reduces_files(spark, table):
     assert compact_partitioned(spark, path, "p", target_bytes=1 << 30) == {}
 
 
+def test_compact_escaped_partition_values(spark, tmp_path):
+    """Regression (round-3 advisor): a partition value needing Hive
+    dir-name escaping (here ':' → %3A) was read back escaped, matched 0
+    rows against the unescaped column, and compact silently rewrote
+    nothing while reporting the partition compacted. It must now be
+    listed unescaped, actually compacted, and row-preserved."""
+    path = str(tmp_path / "tbl")
+    rows = [(k, f"a:b{k % 2}") for k in range(400)]
+    df = spark.createDataFrame(rows, "k long, p string")
+    df.repartition(6).write.mode("append").partitionBy("p").parquet(path)
+
+    listing = list_partition_files(spark, path, "p")
+    assert set(listing) == {"a:b0", "a:b1"}  # unescaped values
+
+    before = sorted((r["k"], r["p"]) for r in spark.read.parquet(path).collect())
+    done = compact_partitioned(spark, path, "p", target_bytes=1 << 30)
+    assert set(done) == {"a:b0", "a:b1"}
+    after_listing = list_partition_files(spark, path, "p")
+    assert all(n == 1 for n, _ in after_listing.values())  # really rewritten
+    after = sorted((r["k"], r["p"]) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
 def test_compact_respects_target_file_count(spark, table):
     path, _ = table
     # pick a target that wants ~2 files for p=0
