@@ -149,6 +149,33 @@ class Route:
     subset_name: str | None = None
 
 
+# Committed recall floors (RECALL.md, min across measured SFs — the
+# curves are measured on near-uniform vectors, IVF/NSW's adversarial
+# case, so these are floors; real clustered corpora sit higher).
+# IVF: recall@10 per nprobe of 16 clusters (scan fraction nprobe/16).
+IVF_RECALL: tuple[tuple[int, float], ...] = (
+    (1, 0.285),
+    (2, 0.425),
+    (4, 0.580),
+    (8, 0.815),
+)
+# NSW: recall@10 per search beam ef (m=8, ef_construction=32).
+NSW_RECALL: tuple[tuple[int, float], ...] = (
+    (16, 0.900),
+    (32, 0.920),
+    (64, 0.945),
+)
+
+
+@dataclass
+class AnnRoute:
+    strategy: str  # "prefilter" | "exact" | "ivf_exact" | "nsw" | "ivf"
+    selectivity: float
+    nprobe: int | None = None
+    ef: int | None = None
+    expected_recall: float = 1.0
+
+
 class StrategyRouter:
     """Chooses the physical strategy for one hybrid query.
 
@@ -191,6 +218,63 @@ class StrategyRouter:
         if sel * self.default_large_k >= self.safety * k:
             return Route("postfilter", sel, large_k=self.default_large_k)
         return Route("prefilter", sel)
+
+    def route_ann(
+        self,
+        k: int,
+        *,
+        predicates: Predicates | None = None,
+        min_recall: float = 1.0,
+        has_ivf_index: bool = False,
+        has_nsw_index: bool = False,
+        small_corpus: int = 100_000,
+        selective_cutoff: float = 0.05,
+    ) -> AnnRoute:
+        """Pick the ANN escalation rung from corpus size × k ×
+        selectivity × recall requirement, using RECALL.md's committed
+        curves (round-3 verdict item #7). The escalation ladder, cheap
+        to expensive:
+
+            NSW(ef 16→64)  →  IVF(nprobe 1→8)  →  IVF ball-bound
+            exact (ivf_exact)  →  brute-force exact
+
+        Decision rules (each grounded in a measured finding):
+
+        1. Selective predicate (sel ≤ ``selective_cutoff``) → exact
+           PREFILTER: the scan only touches survivors, and approximate
+           recall under filtering degrades (the reference's own ACORN
+           motivation) — exact is both cheaper and correct here.
+        2. Tiny corpus (≤ ``small_corpus`` rows) → brute-force exact:
+           k·n distance work is below index build/probe overhead.
+        3. Recall budget < 1.0 → the cheapest rung meeting it. NSW
+           outranks IVF at every measured recall level (RECALL.md:
+           recall 0.90 at ef=16 where IVF needs nprobe=8 = half the
+           table — graph traversal adapts to local geometry, cluster
+           pruning can't), so NSW is tried first when its index
+           exists; IVF rungs otherwise. The NSW curve tops out at
+           0.945 (ef=64) — a stricter budget falls through to exact.
+        4. Exact demanded (or nothing meets the budget) → ``ivf_exact``
+           (ball-bound pruned, provably exact, scans a data-adaptive
+           fraction) when an IVF index exists, else brute force.
+        """
+        sel = estimate_selectivity(self.stats, predicates)
+        n = self.stats.n_rows
+        if predicates and sel <= selective_cutoff:
+            return AnnRoute("prefilter", sel)
+        if n <= small_corpus and not (has_ivf_index or has_nsw_index):
+            return AnnRoute("exact", sel)
+        if min_recall < 1.0:
+            if has_nsw_index:
+                for ef, r in NSW_RECALL:
+                    if r >= min_recall:
+                        return AnnRoute("nsw", sel, ef=max(ef, k), expected_recall=r)
+            if has_ivf_index:
+                for nprobe, r in IVF_RECALL:
+                    if r >= min_recall:
+                        return AnnRoute("ivf", sel, nprobe=nprobe, expected_recall=r)
+        if has_ivf_index:
+            return AnnRoute("ivf_exact", sel)
+        return AnnRoute("exact", sel)
 
     def search(
         self,

@@ -196,6 +196,62 @@ def test_router_routes_by_selectivity(stats):
     assert r.route(None, k=10).strategy == "postfilter"  # sel=1.0
 
 
+def test_router_ann_decision_matrix():
+    """Pin the ANN escalation ladder (round-3 verdict item #7): the
+    router chooses exact / ivf_exact / IVF(nprobe) / NSW(ef) from
+    corpus size × k × selectivity × recall budget, with rungs taken
+    from RECALL.md's committed curves."""
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        AttributeStats,
+        TableStats,
+    )
+
+    big = TableStats(
+        n_rows=10_000_000,
+        attrs={
+            "label": AttributeStats(
+                counts={i: 1_000_000 for i in range(10)},
+                n_rows=10_000_000,
+                n_null=0,
+            )
+        },
+    )
+    r = StrategyRouter(big)
+
+    # 1. selective predicate → exact prefilter, indexes notwithstanding
+    a = r.route_ann(
+        10, predicates={"label": ["exact", 3]}, min_recall=0.9,
+        has_nsw_index=True, has_ivf_index=True, selective_cutoff=0.15,
+    )
+    assert a.strategy == "prefilter" and abs(a.selectivity - 0.1) < 1e-9
+
+    # 2. tiny corpus, no index → brute force
+    assert StrategyRouter(TableStats(n_rows=50_000)).route_ann(10).strategy == "exact"
+
+    # 3. recall budget met by NSW rungs, cheapest first (RECALL.md:
+    #    0.90@ef16, 0.92@ef32, 0.945@ef64); ef never below k
+    a = r.route_ann(10, min_recall=0.90, has_nsw_index=True, has_ivf_index=True)
+    assert (a.strategy, a.ef, a.expected_recall) == ("nsw", 16, 0.900)
+    a = r.route_ann(10, min_recall=0.94, has_nsw_index=True)
+    assert (a.strategy, a.ef) == ("nsw", 64)
+    assert r.route_ann(40, min_recall=0.9, has_nsw_index=True).ef == 40
+
+    # 4. no NSW index → IVF rung from its curve (0.285/0.425/0.58/0.815)
+    a = r.route_ann(10, min_recall=0.5, has_ivf_index=True)
+    assert (a.strategy, a.nprobe, a.expected_recall) == ("ivf", 4, 0.580)
+    assert r.route_ann(10, min_recall=0.28, has_ivf_index=True).nprobe == 1
+    assert r.route_ann(10, min_recall=0.8, has_ivf_index=True).nprobe == 8
+
+    # 5. budget beyond every approximate rung → exact paths
+    a = r.route_ann(10, min_recall=0.99, has_nsw_index=True, has_ivf_index=True)
+    assert a.strategy == "ivf_exact"
+    assert r.route_ann(10, min_recall=0.99, has_nsw_index=True).strategy == "exact"
+
+    # 6. exact demanded (default min_recall=1.0)
+    assert r.route_ann(10, has_ivf_index=True).strategy == "ivf_exact"
+    assert r.route_ann(10).strategy == "exact"
+
+
 def test_router_prefers_registered_subset(stats, emb):
     r = StrategyRouter(stats, default_large_k=50)
     subset = emb.filter("label = 3")
