@@ -410,11 +410,10 @@ def _q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     merged = merge_upsert(o, upd.unionByName(ins), ["o_orderkey"])
+    # ×2 keeps 2-dp values 2-dp → the scaled-long fast path stays exact
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(24,6)")).cast("double"), _R
-        ).alias("total"),
+        _sum6(F.col("o_totalprice")).alias("total"),
     )
 
 
@@ -1224,25 +1223,37 @@ def _q_sql_parttype_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_shared(spark, sf_dir, "sql_parttype_revenue")
 
 
-_IVF_EXACT_CACHE: dict[str, object] = {}
+_IVF_EXACT_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROVABLY EXACT pruned ANN: ball-bound (triangle-inequality) cluster
     pruning over the radii-annotated IVF index — exact results with a
     data-adaptive probe set, so the oracle is plain brute-force top-k
-    (unlike nprobe search, whose approximation has no portable oracle)."""
+    (unlike nprobe search, whose approximation has no portable oracle).
+    The index is round-tripped through ivf_write/ivf_read on first use
+    (round-3 verdict item #8): this driver-window oracle row therefore
+    proves the PERSISTED index — cluster-partitioned lists + codebook
+    with radii — answers exactly."""
+    import tempfile
+
     from acorn_hybrid_vector_search_spark.operators.ann import (
         ivf_build,
+        ivf_read,
         ivf_search_exact,
+        ivf_write,
     )
 
-    idx = _IVF_EXACT_CACHE.get(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVF_EXACT_CACHE.get(key)
     if idx is None:
-        idx = ivf_build(
+        built = ivf_build(
             _t(spark, sf_dir, "embeddings"), n_clusters=16, with_radii=True
         )
-        _IVF_EXACT_CACHE[sf_dir] = idx
+        path = tempfile.mkdtemp(prefix="acorn_ivfx_idx_") + "/ivf"
+        ivf_write(built, path)
+        idx = ivf_read(spark, path)
+        _IVF_EXACT_CACHE[key] = idx
     res = ivf_search_exact(idx, _query_vec(spark, sf_dir, vec_id=2), k=10)
     return res.select("vec_id", "label", F.round("dist", _R).alias("dist"))
 
@@ -1490,21 +1501,40 @@ def _q_items_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CACHE: dict[tuple[str, str], object] = {}
 
 
-def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: nprobe-pruned approximate top-k (no portable SQL oracle —
-    rows-only driver check; recall/exactness properties in tests/test_ann.py).
-    The index is a build artifact (reference builds HNSW once per process,
-    /root/reference/acorn.py:274-277) — cached per (session, sf_dir) like
-    testdata._HOT_CACHE, so a later SparkSession in the same process
-    never sees DataFrames bound to a stopped context."""
-    from acorn_hybrid_vector_search_spark.operators.ann import ivf_build, ivf_search
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    """Session-cached PERSISTED IVF index: first call per (session,
+    sf_dir) builds and round-trips it through ``ivf_write``/``ivf_read``
+    (round-3 verdict item #8 — the layout op now sits in the oracle
+    path of every driver-window IVF query: search runs over the on-disk
+    cluster-partitioned lists, so nprobe pruning is a file skip), later
+    calls reuse the loaded index. The reference instead rebuilds its
+    index every process (/root/reference/acorn.py:274-277)."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_write,
+    )
 
     key = (spark.sparkContext.applicationId, sf_dir)
     idx = _IVF_CACHE.get(key)
     if idx is None:
-        idx = ivf_build(_t(spark, sf_dir, "embeddings"), n_clusters=16)
+        built = ivf_build(_t(spark, sf_dir, "embeddings"), n_clusters=16)
+        path = tempfile.mkdtemp(prefix="acorn_ivf_idx_") + "/ivf"
+        ivf_write(built, path)
+        idx = ivf_read(spark, path)
         _IVF_CACHE[key] = idx
-    res = ivf_search(idx, _query_vec(spark, sf_dir), k=10, nprobe=4)
+    return idx
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nprobe-pruned approximate top-k (no portable SQL oracle —
+    rows-only driver check; recall/exactness properties in tests/test_ann.py).
+    Searches the PERSISTED index (see _ivf_index)."""
+    from acorn_hybrid_vector_search_spark.operators.ann import ivf_search
+
+    res = ivf_search(_ivf_index(spark, sf_dir), _query_vec(spark, sf_dir), k=10, nprobe=4)
     return res.select("vec_id", "label", F.round("dist", _R).alias("dist"))
 
 
@@ -1526,6 +1556,50 @@ def _q_nsw_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir, vec_id=3)
     res = nsw_batch_topk(emb, [(3, list(q))], k=10, ef=1_000_000)
     return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
+_COMPACTED_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q_compacted_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance ops with oracle-gated evidence (round-3 verdict item
+    #8): first call per (session, sf_dir) simulates streaming-ingest
+    decay — the events table appended 3× as 4-file batches into an
+    event_type-partitioned layout (12 small files per partition, rows
+    tripled) — then ``compact_partitioned`` rewrites every fragmented
+    partition to its target file count (with its round-trip and
+    file-count guards, plans/compact.py). Every timed run reads the
+    POST-COMPACTION table; the DuckDB oracle aggregates the ORIGINAL
+    parquet ×3, proving compaction was a pure layout change (row- and
+    value-exact) while the scan now opens ~1 file per partition."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.plans.compact import compact_partitioned
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _COMPACTED_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="acorn_compact_") + "/events"
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        for _ in range(3):
+            ev.repartition(4).write.mode("append").partitionBy("event_type").parquet(path)
+        done = compact_partitioned(spark, path, "event_type", target_bytes=1 << 30)
+        if not done:
+            raise RuntimeError("expected fragmented partitions to compact")
+        _COMPACTED_CACHE[key] = path
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            # value is an arbitrary-precision double → decimal quantization
+            # (both engines quantize the same double identically)
+            _sum6(F.col("value"), derived=True).alias("sum_value"),
+        )
+    )
 
 
 _NSW_INDEX_CACHE: dict[tuple[str, str], str] = {}
@@ -1826,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "pq_ann_topk": _q_pq_ann_topk,
         "nsw_persisted_topk": _q_nsw_persisted_topk,
+        "compacted_rollup_events": _q_compacted_rollup_events,
         "range_join_error_windows": _q_range_join_error_windows,
         "stream_attribution_join": _q_stream_attribution_join,
         "sliding_rollup_events": _q_sliding_rollup,
@@ -2841,6 +2916,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
             FROM embeddings e, q
             ORDER BY {_D2}, e.vec_id LIMIT 10
+        """,
+        # the Spark side reads the COMPACTED (fragment→compact) copy of
+        # events appended 3×; the oracle aggregates the original table
+        # with every count/sum tripled (distinct users unchanged) —
+        # proving the maintenance rewrite was a pure layout change
+        "compacted_rollup_events": f"""
+            SELECT event_type,
+                3 * COUNT(*) AS n_events,
+                COUNT(DISTINCT user_id) AS n_users,
+                ROUND(CAST(3 * SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE), {_R})
+                    AS sum_value
+            FROM events GROUP BY event_type
         """,
         # exact pruned ANN answers to the brute-force oracle (query vec 2)
         "ann_ivf_exact_topk": f"""
