@@ -1,0 +1,92 @@
+"""Property tests for the REAL media parsers (pure Python — no Spark):
+round-trip parse_wav against stdlib wave encoding, parse_y4m against a
+direct encoder, across randomized geometry/rates/payloads."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from acorn_hybrid_vector_search_spark.sources.media import parse_wav, parse_y4m
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 11025, 16000, 22050, 44100, 48000]),
+    channels=st.integers(1, 2),
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+)
+def test_parse_wav_roundtrip(rate, channels, samples):
+    """Encode with stdlib wave, decode with our chunk walker: header and
+    integer stats must match an independent recompute."""
+    n_frames = len(samples) // channels
+    payload = samples[: n_frames * channels]
+    if not payload:
+        return
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    w.writeframes(struct.pack(f"<{len(payload)}h", *payload))
+    w.close()
+
+    rec = parse_wav(buf.getvalue())
+    assert rec["sample_rate"] == rate
+    assert rec["n_channels"] == channels
+    assert rec["bit_depth"] == 16
+    assert rec["n_samples"] == n_frames
+    assert rec["duration_ms"] == n_frames * 1000 // rate
+    assert rec["sum_sq"] == sum(v * v for v in payload)
+    assert rec["peak_abs"] == max(abs(v) for v in payload)
+
+
+def _encode_y4m(width, height, frames, colorspace="C444", fps=(25, 1)):
+    header = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n"
+    out = [header.encode()]
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(f)
+    return b"".join(out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    width=st.integers(2, 16).map(lambda x: 2 * x),   # even dims (C420-safe)
+    height=st.integers(1, 12).map(lambda x: 2 * x),
+    n_frames=st.integers(1, 8),
+    c420=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_parse_y4m_roundtrip(width, height, n_frames, c420, seed):
+    plane = width * height
+    frame_bytes = (
+        plane + 2 * ((width // 2) * (height // 2)) if c420 else 3 * plane
+    )
+    frames = [
+        bytes((seed + f * 31 + i) % 256 for i in range(frame_bytes))
+        for f in range(n_frames)
+    ]
+    blob = _encode_y4m(width, height, frames, "C420" if c420 else "C444")
+    head, got = parse_y4m(blob)
+    assert (head["width"], head["height"]) == (width, height)
+    assert head["n_frames"] == n_frames
+    assert got == frames
+
+
+@settings(max_examples=20, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=64))
+def test_parse_wav_rejects_garbage(junk):
+    """Arbitrary non-RIFF bytes never parse as audio (no silent
+    misdecode on a corrupt object in a 100 TB lake — the error is the
+    contract the quarantine path relies on)."""
+    import pytest
+
+    if junk[:4] == b"RIFF" and junk[8:12] == b"WAVE":
+        return
+    with pytest.raises(ValueError):
+        parse_wav(junk)
