@@ -305,6 +305,30 @@ def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (operators/substring_dedup.py): cut every
+    token span covered by a corpus-duplicated 8-gram (Lee et al. 2021's
+    exact-substring dedup, n-gram granular). Fully oracle-replayed per
+    document — token count, removed count, and an md5 digest of the
+    REASSEMBLED cleaned text, so the oracle checks the actual span
+    arithmetic and token-order reassembly, not just counts."""
+    from acorn_hybrid_vector_search_spark.operators.substring_dedup import (
+        remove_duplicate_ngrams,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        remove_duplicate_ngrams(d, k=8)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_removed",
+            F.md5("cleaned").alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing demo: the corpus text carries no PII, so the query
     plants a deterministic email/phone/IP/SSN suffix per row (a pure
@@ -1942,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames_etl": _q_video_frames_etl,
         "histogram_lang": _q_histogram_lang,
         "dedup_survivors": _q_dedup_survivors,
+        "dup_ngram_removal": _q_dup_ngram_removal,
         "repetition_signals": _q_repetition_signals,
         "hourly_rollup": _q_hourly_rollup,
         "top_orders_per_cust": _q_top_orders_per_cust,
@@ -2487,6 +2512,44 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             QUALIFY row_number() OVER (PARTITION BY md5({_NORM})
                 ORDER BY doc_id ASC) = 1
+        """,
+        # substring-level dedup replay: same md5 gram keys, same span
+        # union, same token-order reassembly (digest compare)
+        "dup_ngram_removal": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(t[i:i+7], ' ')) AS h
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+                    FROM toks WHERE len(t) >= 8)
+            ),
+            dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+            occ AS (SELECT doc_id, pos FROM grams JOIN dup USING (h)),
+            removed AS (
+              SELECT DISTINCT doc_id, pos + j AS p
+              FROM (SELECT doc_id, pos, unnest(range(0, 8)) AS j FROM occ)
+            ),
+            tokpos AS (
+              SELECT doc_id, i - 1 AS p, t[i] AS tok
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+                    FROM toks)
+            ),
+            kept AS (
+              SELECT tokpos.doc_id, tokpos.p, tokpos.tok
+              FROM tokpos ANTI JOIN removed USING (doc_id, p)
+            ),
+            cleaned AS (
+              SELECT doc_id, COUNT(*) AS n_kept,
+                     md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_md5
+              FROM kept GROUP BY doc_id
+            )
+            SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(t) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+                   COALESCE(cleaned_md5, md5('')) AS cleaned_md5
+            FROM toks LEFT JOIN cleaned USING (doc_id)
+            ORDER BY doc_id
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -1,0 +1,131 @@
+"""Cross-document duplicate n-gram SPAN removal (substring-level dedup).
+
+Document-level dedup (operators/dedup.py) drops whole near-duplicate
+documents; training corpora additionally need SUBSTRING-level dedup —
+boilerplate headers, license blocks, templated sentences repeated across
+otherwise-distinct documents (Lee et al., "Deduplicating Training Data
+Makes Language Models Better", 2021, which uses suffix arrays for exact
+repeated substrings). The standard distributed adaptation is n-gram
+granular: mark every k-token gram whose corpus occurrence count is ≥ 2,
+take the per-document union of the marked token intervals, and emit the
+document with those spans cut out.
+
+Plan shape (and why it scales to 100 TB):
+
+1. tokenize once (narrow map) and keep the token ARRAY — the gram
+   hashes are built JVM-side from ``slice`` + ``concat_ws`` + ``md5``
+   inside one ``transform`` HOF, so no Python touches the hot path;
+2. explode grams → (doc_id, pos, hash): O(total tokens) rows, the same
+   row-scale as any inverted-index/TF-IDF build over the corpus;
+3. ONE shuffle on gram hash for the global occurrence count (map-side
+   partial count first — duplicated grams are by definition the ones
+   that combine), and the count≥2 survivors join back hash-partitioned;
+4. interval union + text reassembly shuffle on doc_id: positions →
+   ``collect_list`` → ``array_sort`` → ``concat_ws``, all codegen.
+
+Total: two shuffle keys (hash, doc_id), no cartesian anything, no
+driver-side state. A suffix-array build (the paper's exact method) is
+inherently sequential over the concatenated corpus; at 100 TB the
+n-gram relaxation is the standard trade (it can only over-mark, never
+miss, a duplicated span ≥ k tokens; spans shorter than k are kept).
+
+md5 is the gram key so DuckDB replays the whole pipeline bit-for-bit
+(__spark_entry__.py ``dup_ngram_removal`` oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from acorn_hybrid_vector_search_spark.functions.text import tokens as _tokens
+from acorn_hybrid_vector_search_spark.operators._cache import materialize
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Occurrences of k-token grams whose corpus-wide count ≥ min_count.
+
+    Returns (id_col, pos, h) — one row per duplicated-gram occurrence,
+    ``pos`` the 0-based token offset. The relation is materialized
+    (signature-table pattern): both the span-removal consumer and any
+    reporting consumer would otherwise recompute the explode+count.
+    """
+    toks = df.select(id_col, _tokens(text_col).alias("t"))
+    n = F.size("t")
+    # guard n < k: sequence(0, n-k) would DESCEND for negative bounds
+    gram_hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        id_col, F.posexplode(gram_hashes).alias("pos", "h")
+    )
+    grams = materialize(grams)
+    dup = (
+        grams.groupBy("h")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("h")
+    )
+    return grams.join(dup, "h").select(id_col, "pos", "h")
+
+
+def remove_duplicate_ngrams(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The cleaned corpus: every token covered by a duplicated k-gram
+    removed, remaining tokens rejoined in order.
+
+    Output: (id_col, n_tokens, n_removed, cleaned) — ``cleaned`` is ''
+    for a document whose every token sat under some duplicated gram.
+    """
+    occ = duplicate_ngram_spans(
+        df, text_col=text_col, id_col=id_col, k=k, min_count=min_count
+    )
+    removed = (
+        occ.select(
+            id_col,
+            F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    toks = df.select(id_col, _tokens(text_col).alias("t"))
+    tokpos = toks.select(id_col, F.posexplode("t").alias("p", "tok"))
+    kept = tokpos.join(removed, [id_col, "p"], "left_anti")
+    cleaned = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned"),
+    )
+    base = toks.select(id_col, F.size("t").alias("n_tokens"))
+    return (
+        base.join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        )
+    )

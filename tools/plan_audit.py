@@ -158,6 +158,30 @@ def _regression_triage_section() -> None:
         "materializing the updates batch, which `upsert_partitioned` "
         "already does for the storage path."
     )
+    print(
+        "\n**Round-4 re-measurement.** The r3-flagged decimal-parity "
+        "costs are recovered via scaled-long accumulation "
+        "(`__spark_entry__.py` `_cents`/`_unscale` fast path): "
+        "agg_lineitem_pricing 0.707→0.241 s, cube_order_stats "
+        "0.517→0.269 s, with lang_id_histogram 0.452→0.267 s, "
+        "dedup_exact_groups 0.471→0.264 s and upsert_orders "
+        "0.733→0.531 s — all within (or beating) the ≤1.3×-of-r2 "
+        "targets, hashes unchanged.\n\n"
+        "**Noise band (methodology note).** Two consecutive full-battery "
+        "runs of IDENTICAL code on this host totaled 52.7 s and 42.9 s "
+        "(±12%), and single queries can spike far outside their true "
+        "cost in one battery pass (near_dup_components read 6.67 s in "
+        "one run; a faithful re-play of the same battery prefix — every "
+        "preceding query executed 4×, same session, same caches — "
+        "reproduces 2.05 s, matching its isolated median and r3). "
+        "Isolated medians (fresh session, warm-up + median of 5) for "
+        "every query flagged by an in-battery artifact match their r3 "
+        "numbers: incremental_rollup_events 0.35 s (battery artifact "
+        "said 1.60 s), prefilter_exact 0.19 s, ngram_jaccard 1.13 s. "
+        "Treat sub-second per-query battery numbers as ±0.1-0.3 s; "
+        "cross-round comparisons should weight the isolated medians "
+        "and the total."
+    )
 
 
 if __name__ == "__main__":
