@@ -92,13 +92,17 @@ def _hot_cold_section() -> None:
     worst = ", ".join(f"{k} +{d:.2f}s" for d, k in deltas[:5])
     print(f"Largest per-query penalties: {worst}.\n")
     print(
-        "Analysis: the cold penalty is small and concentrated in the "
-        "queries that re-read the WIDE columns (lineitem's decimals, "
-        "documents' full text) every run — exactly the queries whose "
+        "Analysis: the cold penalty is small and concentrated in (a) "
+        "queries that re-read the WIDE columns (documents' full text, "
+        "lineitem's decimals) every run — exactly the queries whose "
         "scans Catalyst already prunes to the referenced columns, so "
-        "the gap is bounded by parquet decode, not plan shape. The "
-        "top-k/vector family is nearly cold-immune (its scan is one "
-        "pruned column + pushed filter). This is the number that "
+        "the gap is bounded by parquet decode, not plan shape — and "
+        "(b) index-derivation paths (nsw_exact_topk) that re-derive "
+        "their per-partition structure from a cold vector scan, which "
+        "is the cost the persisted-index paths (nsw_persisted_topk, "
+        "ivf_write/ivf_read) exist to amortize. The plain top-k "
+        "distance family is nearly cold-immune (one pruned column + "
+        "pushed filter). This is the number that "
         "predicts 100 TB — inputs are never resident there — and the "
         "plans hold: no query shifts from compute-bound to scan-bound "
         "by more than the decode cost of its referenced columns. "
