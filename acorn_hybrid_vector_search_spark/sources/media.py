@@ -213,42 +213,70 @@ def parse_wav(content: bytes) -> dict:
     }
 
 
-AUDIO_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType()),
-        StructField("filename", StringType()),
-        StructField("sample_rate", IntegerType()),
-        StructField("n_channels", IntegerType()),
-        StructField("bit_depth", IntegerType()),
-        StructField("n_samples", LongType()),
-        StructField("duration_ms", LongType()),
-        StructField("sum_sq", LongType()),
-        StructField("peak_abs", LongType()),
-        StructField("rms", DoubleType()),
-    ]
+_AUDIO_FIELDS = [
+    StructField("media_id", LongType()),
+    StructField("filename", StringType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("bit_depth", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_ms", LongType()),
+    StructField("sum_sq", LongType()),
+    StructField("peak_abs", LongType()),
+    StructField("rms", DoubleType()),
+]
+
+AUDIO_SCHEMA = StructType(_AUDIO_FIELDS)
+AUDIO_SCHEMA_PERMISSIVE = StructType(
+    _AUDIO_FIELDS + [StructField("corrupt_reason", StringType())]
+)
+
+_AUDIO_STAT_KEYS = (
+    "sample_rate", "n_channels", "bit_depth", "n_samples",
+    "duration_ms", "sum_sq", "peak_abs", "rms",
 )
 
 
-def decode_audio(media: DataFrame) -> DataFrame:
+def decode_audio(media: DataFrame, *, mode: str = "failfast") -> DataFrame:
     """audio binary → header fields + integer-exact waveform stats.
 
     One output row per input file; narrow map (no shuffle). At 100 TB
     this is the canonical "probe + fingerprint" pass over an audio lake:
     constant memory per batch, the binary column never leaves the
     executor, and the emitted row is a few dozen bytes.
+
+    ``mode``: ``failfast`` (default) raises on the first undecodable
+    object — the contract correctness gates want. ``permissive`` is the
+    100 TB contract (mirrors spark.read's PERMISSIVE/_corrupt_record):
+    a lake WILL contain truncated/mislabeled objects, and one of them
+    must not kill a week-long ingest — the row survives with NULL stats
+    and the parse error in ``corrupt_reason``, so the quarantine branch
+    is an ordinary ``filter(corrupt_reason IS NOT NULL)``.
     """
+    if mode not in ("failfast", "permissive"):
+        raise ValueError(f"mode must be failfast|permissive, got {mode!r}")
+    permissive = mode == "permissive"
+    schema = AUDIO_SCHEMA_PERMISSIVE if permissive else AUDIO_SCHEMA
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, uri, content in zip(pdf["media_id"], pdf["uri"], pdf["content"]):
-                rec = parse_wav(bytes(content or b""))
+                try:
+                    rec = parse_wav(bytes(content or b""))
+                    if permissive:
+                        rec["corrupt_reason"] = None
+                except ValueError as e:
+                    if not permissive:
+                        raise
+                    rec = dict.fromkeys(_AUDIO_STAT_KEYS)
+                    rec["corrupt_reason"] = str(e)
                 rec["media_id"] = mid
                 rec["filename"] = uri.rsplit("/", 1)[-1]
                 rows.append(rec)
-            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA])
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
-    return media.select("media_id", "uri", "content").mapInPandas(gen, AUDIO_SCHEMA)
+    return media.select("media_id", "uri", "content").mapInPandas(gen, schema)
 
 
 def parse_y4m(content: bytes) -> tuple[dict, list[bytes]]:
@@ -347,6 +375,50 @@ def decode_y4m_frames(media: DataFrame, stride: int = 1) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in Y4M_FRAMES_SCHEMA])
 
     return media.select("media_id", "uri", "content").mapInPandas(gen, Y4M_FRAMES_SCHEMA)
+
+
+LUMA_GRID_SCHEMA_EXTRA = StructField("features", ArrayType(FloatType()))
+
+
+def luma_grid_features(frames: DataFrame, grid: int = 8) -> DataFrame:
+    """REAL frame featurization: block-mean pool the decoded Y plane to
+    a ``grid×grid`` intensity map (the classic decode→resize→feature
+    step, here an exact area-binned downscale — numpy reduceat over row
+    and column bins, no codec needed). Output column ``features`` is
+    ``grid²`` floats; frames smaller than the grid bin to their own
+    pixel rows/cols (bins are ``i*dim//grid`` boundaries, never empty
+    for dim ≥ grid, degenerate-safe below).
+
+    This is the production shape for video near-dup / similarity over
+    the frames relation: a pandas-UDF-free mapInPandas batch, fed
+    straight into operators.dedup.embedding_near_dups or the ANN
+    family.
+    """
+    import numpy as np
+
+    out_fields = list(frames.schema.fields) + [LUMA_GRID_SCHEMA_EXTRA]
+    schema = StructType(out_fields)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for frame, w, h in zip(pdf["frame"], pdf["width"], pdf["height"]):
+                y = np.frombuffer(bytes(frame), dtype=np.uint8)[: w * h]
+                y = y.reshape(int(h), int(w)).astype(np.float64)
+                gh, gw = min(grid, y.shape[0]), min(grid, y.shape[1])
+                rb = (np.arange(gh) * y.shape[0]) // gh
+                cb = (np.arange(gw) * y.shape[1]) // gw
+                pooled = np.add.reduceat(np.add.reduceat(y, rb, axis=0), cb, axis=1)
+                counts = np.outer(
+                    np.diff(np.append(rb, y.shape[0])),
+                    np.diff(np.append(cb, y.shape[1])),
+                )
+                feats.append((pooled / counts).astype(np.float32).ravel().tolist())
+            out = pdf.copy()
+            out["features"] = feats
+            yield out
+
+    return frames.mapInPandas(gen, schema)
 
 
 def media_summary(media: DataFrame) -> DataFrame:
