@@ -1553,6 +1553,58 @@ def _q_video_frames_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_video_frame_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal similarity pipeline, end-to-end and fully
+    oracle-replayed: real Y4M decode → real feature extraction (4×4
+    area-binned luma pooling, float64 = exact integer-sum/count IEEE
+    quotients) → per-frame top-3 most-similar frames from OTHER clips
+    by cosine. The 25-frame candidate set rides a broadcast
+    nested-loop join — a QUERY-side constant; the row-scaled production
+    path for the same relation is embedding_near_dups / the ANN family
+    (documented in sources/media.py), this query pins the MATH parity.
+    Ranking ties break deterministically on (rounded sim, file, frame)."""
+    from acorn_hybrid_vector_search_spark.sources.media import (
+        decode_y4m_frames,
+        luma_grid_features,
+        read_media_dir,
+    )
+
+    media = read_media_dir(spark, f"{MEDIA_FIXTURE}/video", "video", "*.y4m")
+    frames = decode_y4m_frames(media, stride=2)
+    feats = luma_grid_features(frames, grid=4, dtype="float64").select(
+        "filename", "frame_no", "features"
+    )
+    a, b = feats.alias("a"), feats.alias("b")
+
+    def _dot(x: F.Column, y: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    fa, fb = F.col("a.features"), F.col("b.features")
+    sim = _dot(fa, fb) / (F.sqrt(_dot(fa, fa)) * F.sqrt(_dot(fb, fb)))
+    pairs = (
+        a.join(b, F.col("a.filename") != F.col("b.filename"))
+        .select(
+            F.col("a.filename").alias("q_file"),
+            F.col("a.frame_no").alias("q_frame"),
+            F.col("b.filename").alias("c_file"),
+            F.col("b.frame_no").alias("c_frame"),
+            F.round(sim, _R).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_file", "q_frame").orderBy(
+        F.desc("sim"), F.asc("c_file"), F.asc("c_frame")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("q_file", "q_frame", "rk")
+    )
+
+
 def _q_items_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S2+J1+P1 end-to-end from the RAW fixture files: JSONL listings +
     CSV mappings → correlation join (first-match-wins: main beats other,
@@ -1964,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefilter_range": _q_prefilter_range,
         "histogram_event_type": _q_histogram_event_type,
         "video_frames_etl": _q_video_frames_etl,
+        "video_frame_similarity": _q_video_frame_similarity,
         "histogram_lang": _q_histogram_lang,
         "dedup_survivors": _q_dedup_survivors,
         "dup_ngram_removal": _q_dup_ngram_removal,
@@ -2550,6 +2603,66 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(cleaned_md5, md5('')) AS cleaned_md5
             FROM toks LEFT JOIN cleaned USING (doc_id)
             ORDER BY doc_id
+        """,
+        # multimodal similarity replay: SQL re-derives the 4x4 pooled
+        # luma features (exact integer-sum/count quotients) from the
+        # decoded frames and re-ranks the cosine top-3
+        "video_frame_similarity": f"""
+            WITH b AS (
+              SELECT string_split(filename,'/')[-1] AS filename,
+                     decode(content) AS s, octet_length(content) AS n_bytes
+              FROM read_blob('{MEDIA_FIXTURE}/video/*/*.y4m')
+            ),
+            hdr AS (
+              SELECT filename, s, n_bytes,
+                length(split_part(s, chr(10), 1)) + 1 AS header_len,
+                regexp_extract(split_part(s, chr(10), 1),
+                               'W([0-9]+)', 1)::INT AS width,
+                regexp_extract(split_part(s, chr(10), 1),
+                               'H([0-9]+)', 1)::INT AS height
+              FROM b
+            ),
+            geo AS (
+              SELECT *, 6 + 3*width*height AS frame_sz,
+                (n_bytes - header_len) // (6 + 3*width*height) AS n_frames
+              FROM hdr
+            ),
+            fr AS (
+              SELECT filename, width, height, s, header_len, frame_sz,
+                     unnest(range(0, n_frames, 2)) AS frame_no
+              FROM geo
+            ),
+            gi_ AS (SELECT *, unnest(range(0, 4)) AS gi FROM fr),
+            gj_ AS (SELECT *, unnest(range(0, 4)) AS gj FROM gi_),
+            r_ AS (SELECT *, unnest(range(gi*height//4, (gi+1)*height//4))
+                          AS r FROM gj_),
+            c_ AS (SELECT *, unnest(range(gj*width//4, (gj+1)*width//4))
+                          AS c FROM r_),
+            feat AS (
+              SELECT filename, frame_no, gi, gj,
+                CAST(SUM(ord(substring(s,
+                  header_len + frame_no*frame_sz + 6 + 1 + r*width + c, 1)))
+                  AS DOUBLE) / COUNT(*) AS v
+              FROM c_ GROUP BY filename, frame_no, gi, gj
+            ),
+            pairs AS (
+              SELECT a.filename AS q_file, a.frame_no AS q_frame,
+                     b.filename AS c_file, b.frame_no AS c_frame,
+                     round(SUM(a.v*b.v)
+                       / (sqrt(SUM(a.v*a.v)) * sqrt(SUM(b.v*b.v))), 6)
+                       AS sim
+              FROM feat a JOIN feat b
+                ON a.gi = b.gi AND a.gj = b.gj AND a.filename <> b.filename
+              GROUP BY ALL
+            )
+            SELECT q_file, CAST(q_frame AS INT) AS q_frame, c_file,
+                   CAST(c_frame AS INT) AS c_frame, sim, CAST(rk AS INT) AS rk
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY q_file, q_frame
+                    ORDER BY sim DESC, c_file, c_frame) AS rk
+                  FROM pairs)
+            WHERE rk <= 3
+            ORDER BY q_file, q_frame, rk
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -377,10 +377,9 @@ def decode_y4m_frames(media: DataFrame, stride: int = 1) -> DataFrame:
     return media.select("media_id", "uri", "content").mapInPandas(gen, Y4M_FRAMES_SCHEMA)
 
 
-LUMA_GRID_SCHEMA_EXTRA = StructField("features", ArrayType(FloatType()))
-
-
-def luma_grid_features(frames: DataFrame, grid: int = 8) -> DataFrame:
+def luma_grid_features(
+    frames: DataFrame, grid: int = 8, *, dtype: str = "float32"
+) -> DataFrame:
     """REAL frame featurization: block-mean pool the decoded Y plane to
     a ``grid×grid`` intensity map (the classic decode→resize→feature
     step, here an exact area-binned downscale — numpy reduceat over row
@@ -393,10 +392,20 @@ def luma_grid_features(frames: DataFrame, grid: int = 8) -> DataFrame:
     the frames relation: a pandas-UDF-free mapInPandas batch, fed
     straight into operators.dedup.embedding_near_dups or the ANN
     family.
+
+    ``dtype='float32'`` (default) is the storage-efficient engine
+    contract; ``'float64'`` keeps each cell the EXACT IEEE quotient of
+    integer pixel-sum / block-count, which an oracle SQL ``AVG(ord(…))``
+    reproduces bit-for-bit (__spark_entry__.py video_frame_similarity).
     """
     import numpy as np
 
-    out_fields = list(frames.schema.fields) + [LUMA_GRID_SCHEMA_EXTRA]
+    if dtype not in ("float32", "float64"):
+        raise ValueError(f"dtype must be float32|float64, got {dtype!r}")
+    elem = FloatType() if dtype == "float32" else DoubleType()
+    out_fields = list(frames.schema.fields) + [
+        StructField("features", ArrayType(elem))
+    ]
     schema = StructType(out_fields)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -413,7 +422,7 @@ def luma_grid_features(frames: DataFrame, grid: int = 8) -> DataFrame:
                     np.diff(np.append(rb, y.shape[0])),
                     np.diff(np.append(cb, y.shape[1])),
                 )
-                feats.append((pooled / counts).astype(np.float32).ravel().tolist())
+                feats.append((pooled / counts).astype(dtype).ravel().tolist())
             out = pdf.copy()
             out["features"] = feats
             yield out
