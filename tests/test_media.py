@@ -299,3 +299,56 @@ def test_luma_grid_features_exact_pooling(spark):
             exp.append(y[rb[i]:rb[i + 1], cb[j]:cb[j + 1]].mean())
     got = r["features"]
     assert max(abs(a - b) for a, b in zip(got, exp)) < 1e-5
+
+
+def test_frames_to_near_dup_composition(spark):
+    """The documented scale path composes: decoded frames → pooled
+    features → embedding_near_dups (LSH-confinable pair join). Planting
+    one duplicated clip verifies identical frames surface as cosine-1.0
+    pairs and distinct-geometry frames never join."""
+    import shutil
+
+    from acorn_hybrid_vector_search_spark.operators.dedup import (
+        embedding_near_dups,
+    )
+    from acorn_hybrid_vector_search_spark.sources.media import (
+        decode_y4m_frames,
+        luma_grid_features,
+        read_media_dir,
+    )
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        shutil.copytree(f"{MEDIA_FIXTURE}/video/00", f"{d}/00")
+        # a byte-identical re-upload of clip_a under a new name
+        shutil.copy(f"{d}/00/clip_a.y4m", f"{d}/00/clip_a_copy.y4m")
+
+        media = read_media_dir(spark, d, "video", "*.y4m")
+        frames = decode_y4m_frames(media, stride=2)
+        feats = luma_grid_features(frames, grid=4).withColumn(
+            "frame_key",
+            F.concat_ws("#", "filename", F.col("frame_no").cast("string")),
+        )
+        pairs = embedding_near_dups(
+            feats,
+            0.9999,
+            vec_col="features",
+            id_col="frame_key",
+            bucket_col="width",  # coarse bucket: identical clips share geometry
+        ).collect()
+        sims = {tuple(sorted([r["id_a"], r["id_b"]])): r["cosine"] for r in pairs}
+        # every sampled frame of the copied clip pairs with its original at
+        # exactly cosine 1.0 (byte-identical decode → identical features)
+        for fno in (0, 2, 4, 6, 8):
+            pair = tuple(sorted([f"clip_a.y4m#{fno}", f"clip_a_copy.y4m#{fno}"]))
+            assert sims.get(pair) == 1.0
+        # the bucket confines the join: no pair crosses frame geometry
+        widths = {
+            r["frame_key"]: r["width"]
+            for r in feats.select("frame_key", "width").collect()
+        }
+        assert all(widths[a] == widths[b] for a, b in sims)
+
+
+from pyspark.sql import functions as F  # noqa: E402  (used by the test above)
