@@ -136,3 +136,76 @@ def test_near_dup_components_and_collapse(spark):
     assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
     kept = sorted(r["doc_id"] for r in collapse_near_dups(docs, pairs).collect())
     assert kept == [0, 3, 5]
+
+
+def test_components_chain_pointer_jumping(spark):
+    """A 64-node chain (the adversarial diameter shape): pointer jumping
+    must converge inside the default budget, match plain propagation,
+    and plain propagation must RAISE (not silently return partial
+    merges) when its round budget is smaller than the diameter."""
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.operators.dedup import (
+        near_dup_components,
+    )
+
+    n = 64
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    got = near_dup_components(docs, pairs).collect()
+    assert all(r["component"] == 0 for r in got) and len(got) == n
+
+    # the same fixpoint via plain propagation (enough rounds)
+    slow = near_dup_components(docs, pairs, shortcut=False, max_iter=70).collect()
+    assert sorted(map(tuple, slow)) == sorted(map(tuple, got))
+
+    # diameter > budget without the shortcut → loud failure
+    with pt.raises(RuntimeError, match="did not converge"):
+        near_dup_components(docs, pairs, shortcut=False, max_iter=5)
+
+
+def test_components_random_graph_parity(spark):
+    """Random sparse graph: shortcut and plain propagation agree with a
+    pure-Python union-find oracle."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.operators.dedup import (
+        near_dup_components,
+    )
+
+    rng = random.Random(42)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id canonical labels
+    exp = {}
+    for v in range(n):
+        root = find(v)
+        exp.setdefault(root, v)  # first (smallest) member seen
+    want = {v: exp[find(v)] for v in range(n)}
+
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pdf = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["doc_id"]: r["component"]
+        for r in near_dup_components(docs, pdf).collect()
+    }
+    assert got == want
