@@ -39,6 +39,9 @@ _BNLJ_BY_DESIGN = {
     # bounded broadcast query batch, label-mismatch filtered map-side
     "hard_negatives_topk",
     "mined_contrastive_pairs",
+    # constant-size sampled-frame set (25 rows) pairs against itself;
+    # the row-scaled path for the same relation is embedding_near_dups
+    "video_frame_similarity",
 }
 
 
