@@ -12,14 +12,17 @@ document with those spans cut out.
 
 Plan shape (and why it scales to 100 TB):
 
-1. tokenize once (narrow map) and keep the token ARRAY — the gram
+1. tokenize ONCE (narrow map, materialized — the normalize+split corpus
+   pass must not run per consumer) and keep the token ARRAY — the gram
    hashes are built JVM-side from ``slice`` + ``concat_ws`` + ``md5``
    inside one ``transform`` HOF, so no Python touches the hot path;
 2. explode grams → (doc_id, pos, hash): O(total tokens) rows, the same
-   row-scale as any inverted-index/TF-IDF build over the corpus;
-3. ONE shuffle on gram hash for the global occurrence count (map-side
-   partial count first — duplicated grams are by definition the ones
-   that combine), and the count≥2 survivors join back hash-partitioned;
+   row-scale as any inverted-index/TF-IDF build over the corpus — and
+   the md5 pass over every gram is the expensive stage, so it runs
+   exactly once;
+3. duplicate marking is a WINDOW count over the gram hash: the same
+   hash-partitioned shuffle a groupBy+join-back's probe side would pay,
+   but single-pass — no second join stage, no re-hashing;
 4. interval union + text reassembly shuffle on doc_id: positions →
    ``collect_list`` → ``array_sort`` → ``concat_ws``, all codegen.
 
@@ -42,6 +45,15 @@ from acorn_hybrid_vector_search_spark.functions.text import tokens as _tokens
 from acorn_hybrid_vector_search_spark.operators._cache import materialize
 
 
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token array), tokenized ONCE: the gram build, the token
+    re-explode, and the per-doc counts all consume this relation, so it
+    is materialized (the tokenize-once rule — at 100 TB the
+    normalize+split pass over the corpus is the expensive stage and
+    must not run per consumer)."""
+    return materialize(df.select(id_col, _tokens(text_col).alias("t")))
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     *,
@@ -49,15 +61,14 @@ def duplicate_ngram_spans(
     id_col: str = "doc_id",
     k: int = 8,
     min_count: int = 2,
+    _toks: DataFrame | None = None,
 ) -> DataFrame:
     """Occurrences of k-token grams whose corpus-wide count ≥ min_count.
 
     Returns (id_col, pos, h) — one row per duplicated-gram occurrence,
-    ``pos`` the 0-based token offset. The relation is materialized
-    (signature-table pattern): both the span-removal consumer and any
-    reporting consumer would otherwise recompute the explode+count.
+    ``pos`` the 0-based token offset.
     """
-    toks = df.select(id_col, _tokens(text_col).alias("t"))
+    toks = _toks if _toks is not None else _tokenized(df, text_col, id_col)
     n = F.size("t")
     # guard n < k: sequence(0, n-k) would DESCEND for negative bounds
     gram_hashes = F.when(
@@ -67,17 +78,23 @@ def duplicate_ngram_spans(
             lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # Duplicate marking is a WINDOW count over the gram hash, not a
+    # groupBy + join-back: the window needs the same hash-partitioned
+    # shuffle the join's probe side would have paid, but the gram
+    # relation is computed ONCE (one explode + one md5 pass — md5 over
+    # every gram is the expensive stage) and there is no second join
+    # stage. One shuffle key, straight-line plan.
+    from pyspark.sql.window import Window
+
     grams = toks.select(
         id_col, F.posexplode(gram_hashes).alias("pos", "h")
     )
-    grams = materialize(grams)
-    dup = (
-        grams.groupBy("h")
-        .count()
-        .filter(F.col("count") >= min_count)
-        .select("h")
+    occ_count = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    return (
+        grams.withColumn("_c", occ_count)
+        .filter(F.col("_c") >= min_count)
+        .select(id_col, "pos", "h")
     )
-    return grams.join(dup, "h").select(id_col, "pos", "h")
 
 
 def remove_duplicate_ngrams(
@@ -94,8 +111,10 @@ def remove_duplicate_ngrams(
     Output: (id_col, n_tokens, n_removed, cleaned) — ``cleaned`` is ''
     for a document whose every token sat under some duplicated gram.
     """
+    toks = _tokenized(df, text_col, id_col)
     occ = duplicate_ngram_spans(
-        df, text_col=text_col, id_col=id_col, k=k, min_count=min_count
+        df, text_col=text_col, id_col=id_col, k=k, min_count=min_count,
+        _toks=toks,
     )
     removed = (
         occ.select(
@@ -104,7 +123,6 @@ def remove_duplicate_ngrams(
         )
         .distinct()
     )
-    toks = df.select(id_col, _tokens(text_col).alias("t"))
     tokpos = toks.select(id_col, F.posexplode("t").alias("p", "tok"))
     kept = tokpos.join(removed, [id_col, "p"], "left_anti")
     cleaned = kept.groupBy(id_col).agg(
