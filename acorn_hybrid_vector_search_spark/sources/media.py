@@ -327,21 +327,26 @@ def parse_y4m(content: bytes) -> tuple[dict, list[bytes]]:
     )
 
 
-Y4M_FRAMES_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType()),
-        StructField("filename", StringType()),
-        StructField("frame_no", IntegerType()),
-        StructField("width", IntegerType()),
-        StructField("height", IntegerType()),
-        StructField("n_frames", IntegerType()),
-        StructField("luma_sum", LongType()),
-        StructField("frame", BinaryType()),
-    ]
+_Y4M_FIELDS = [
+    StructField("media_id", LongType()),
+    StructField("filename", StringType()),
+    StructField("frame_no", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("luma_sum", LongType()),
+    StructField("frame", BinaryType()),
+]
+
+Y4M_FRAMES_SCHEMA = StructType(_Y4M_FIELDS)
+Y4M_FRAMES_SCHEMA_PERMISSIVE = StructType(
+    _Y4M_FIELDS + [StructField("corrupt_reason", StringType())]
 )
 
 
-def decode_y4m_frames(media: DataFrame, stride: int = 1) -> DataFrame:
+def decode_y4m_frames(
+    media: DataFrame, stride: int = 1, *, mode: str = "failfast"
+) -> DataFrame:
     """video binary → one row per sampled frame (every ``stride``-th),
     with the decoded Y-plane payload and its integer luma sum.
 
@@ -349,32 +354,60 @@ def decode_y4m_frames(media: DataFrame, stride: int = 1) -> DataFrame:
     so a 1-hour clip never materializes as one driver-side object; at
     100 TB the per-frame rows feed straight into extract_features /
     dedup without a shuffle.
+
+    ``mode='permissive'`` (same contract as :func:`decode_audio`): an
+    unparseable stream yields ONE quarantine row (NULL frame fields,
+    parse error in ``corrupt_reason``) instead of failing the job;
+    good rows carry ``corrupt_reason`` NULL.
     """
+    if mode not in ("failfast", "permissive"):
+        raise ValueError(f"mode must be failfast|permissive, got {mode!r}")
+    permissive = mode == "permissive"
+    schema = Y4M_FRAMES_SCHEMA_PERMISSIVE if permissive else Y4M_FRAMES_SCHEMA
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, uri, content in zip(pdf["media_id"], pdf["uri"], pdf["content"]):
-                head, frames = parse_y4m(bytes(content or b""))
-                plane = head["width"] * head["height"]
                 fname = uri.rsplit("/", 1)[-1]
-                for i in range(0, len(frames), stride):
-                    y = frames[i][:plane]
+                try:
+                    head, frames = parse_y4m(bytes(content or b""))
+                except ValueError as e:
+                    if not permissive:
+                        raise
                     rows.append(
                         {
                             "media_id": mid,
                             "filename": fname,
-                            "frame_no": i,
-                            "width": head["width"],
-                            "height": head["height"],
-                            "n_frames": head["n_frames"],
-                            "luma_sum": sum(y),
-                            "frame": y,
+                            "frame_no": None,
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                            "luma_sum": None,
+                            "frame": None,
+                            "corrupt_reason": str(e),
                         }
                     )
-            yield pd.DataFrame(rows, columns=[f.name for f in Y4M_FRAMES_SCHEMA])
+                    continue
+                plane = head["width"] * head["height"]
+                for i in range(0, len(frames), stride):
+                    y = frames[i][:plane]
+                    row = {
+                        "media_id": mid,
+                        "filename": fname,
+                        "frame_no": i,
+                        "width": head["width"],
+                        "height": head["height"],
+                        "n_frames": head["n_frames"],
+                        "luma_sum": sum(y),
+                        "frame": y,
+                    }
+                    if permissive:
+                        row["corrupt_reason"] = None
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
-    return media.select("media_id", "uri", "content").mapInPandas(gen, Y4M_FRAMES_SCHEMA)
+    return media.select("media_id", "uri", "content").mapInPandas(gen, schema)
 
 
 def luma_grid_features(

@@ -352,3 +352,33 @@ def test_frames_to_near_dup_composition(spark):
 
 
 from pyspark.sql import functions as F  # noqa: E402  (used by the test above)
+
+
+def test_decode_y4m_permissive_quarantine(spark, tmp_path):
+    import shutil
+
+    from acorn_hybrid_vector_search_spark.sources.media import (
+        decode_y4m_frames,
+        read_media_dir,
+    )
+
+    d = tmp_path / "vids"
+    (d / "00").mkdir(parents=True)
+    shutil.copy(f"{MEDIA_FIXTURE}/video/00/clip_c.y4m", d / "00" / "ok.y4m")
+    (d / "00" / "junk.y4m").write_bytes(b"MPEG4 something else entirely\n")
+
+    media = read_media_dir(spark, str(d), "video", "*.y4m")
+    rows = decode_y4m_frames(media, stride=2, mode="permissive").collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["filename"], []).append(r)
+    assert len(by_file["ok.y4m"]) == 6  # 12 frames, stride 2
+    assert all(r["corrupt_reason"] is None for r in by_file["ok.y4m"])
+    (junk,) = by_file["junk.y4m"]
+    assert junk["corrupt_reason"] == "not a YUV4MPEG2 stream"
+    assert junk["frame_no"] is None and junk["luma_sum"] is None
+
+    import pytest as pt
+
+    with pt.raises(Exception):
+        decode_y4m_frames(media, mode="failfast").collect()
