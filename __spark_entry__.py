@@ -1653,6 +1653,43 @@ def _q_video_frame_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multimodal ingest through the driver oracle: the WAV
+    fixtures arrive via a STREAMING binaryFile source (explicit schema,
+    availableNow trigger, memory sink) and flow through the same real
+    decode_audio mapInPandas stage the batch path uses — then the
+    result answers the FULL batch decode oracle (header fields +
+    integer-exact waveform stats re-derived by DuckDB from the blobs).
+    Proves the continuous-ingest front of the media pipeline computes
+    bit-identical results to batch, on the correctness gate itself."""
+    from acorn_hybrid_vector_search_spark.sources.media import (
+        decode_audio,
+        read_media_stream,
+    )
+
+    stream = read_media_stream(spark, f"{MEDIA_FIXTURE}/audio", "audio", "*.wav")
+    dec = decode_audio(stream).select(
+        "filename",
+        "sample_rate",
+        "n_channels",
+        "bit_depth",
+        "n_samples",
+        "duration_ms",
+        "sum_sq",
+        "peak_abs",
+        F.round("rms", _R).alias("rms"),
+    )
+    name = f"stream_audio_decode_{next(_STREAM_SEQ)}"
+    q = (
+        dec.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("filename")
+
+
 def _q_items_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S2+J1+P1 end-to-end from the RAW fixture files: JSONL listings +
     CSV mappings → correlation join (first-match-wins: main beats other,
@@ -2066,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_event_type": _q_histogram_event_type,
         "video_frames_etl": _q_video_frames_etl,
         "video_frame_similarity": _q_video_frame_similarity,
+        "stream_audio_decode": _q_stream_audio_decode,
         "histogram_lang": _q_histogram_lang,
         "dedup_survivors": _q_dedup_survivors,
         "dup_ngram_removal": _q_dup_ngram_removal,
@@ -3645,6 +3683,8 @@ def oracle_sql() -> dict[str, str]:
     # full-table pre-filter oracle, so any routing loss shows as a mismatch.
     out["nested_routed_model_year"] = out["nested_model_year_sparse"]
     # stream == batch on the gate itself: the streaming rollup answers to
-    # the batch rollup oracle verbatim.
+    # the batch rollup oracle verbatim, and the streaming media ingest
+    # answers the full batch WAV-decode oracle.
     out["stream_hourly_rollup"] = out["hourly_rollup"]
+    out["stream_audio_decode"] = out["audio_etl"]
     return out

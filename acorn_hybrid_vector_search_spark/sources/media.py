@@ -69,6 +69,39 @@ def read_media_dir(spark, path: str, modality: str, pattern: str = "*") -> DataF
         .option("recursiveFileLookup", "true")
         .load(path)
     )
+    return _media_columns(df, modality)
+
+
+def read_media_stream(
+    spark, path: str, modality: str, pattern: str = "*"
+) -> DataFrame:
+    """STREAMING binaryFile source over a media landing directory — the
+    continuous-ingest front of the same pipeline (new objects are
+    decoded as they land; every downstream transform — decode_audio,
+    decode_y4m_frames, featurization — is a stateless narrow map, so it
+    runs unchanged on the stream). The binaryFile streaming source
+    requires an explicit schema; it is fixed for this format."""
+    from pyspark.sql.types import TimestampType
+
+    src_schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    df = (
+        spark.readStream.format("binaryFile")
+        .schema(src_schema)
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    return _media_columns(df, modality)
+
+
+def _media_columns(df: DataFrame, modality: str) -> DataFrame:
     return df.select(
         F.xxhash64("path").alias("media_id"),
         F.col("path").alias("uri"),
