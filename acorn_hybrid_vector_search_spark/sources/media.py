@@ -204,8 +204,12 @@ def extract_features(
 
 
 def parse_wav(content: bytes) -> dict:
-    """Walk the RIFF chunk list of a PCM WAV file and decode the 16-bit
-    samples. Returns header fields plus integer-exact waveform stats.
+    """Walk the RIFF chunk list of a PCM WAV file and decode the
+    samples (8-bit unsigned, 16/24/32-bit signed — the real-world PCM
+    depths, including WAVE_FORMAT_EXTENSIBLE containers with a PCM
+    subformat). Returns header fields plus integer-exact waveform
+    stats; 8-bit samples are centered (−128) so stats share the
+    signed-zero convention across depths.
 
     Chunk-walking (not fixed offsets): tolerates LIST/INFO/fact chunks
     between ``fmt `` and ``data`` as real-world WAVs have.
@@ -216,6 +220,7 @@ def parse_wav(content: bytes) -> dict:
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = b""
     data = None
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
@@ -223,16 +228,46 @@ def parse_wav(content: bytes) -> dict:
         body = content[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _byte_rate, _align, bit_depth = fmt
-    if audio_format != 1 or bit_depth != 16:
-        raise ValueError(f"only PCM16 supported (fmt={audio_format}, bits={bit_depth})")
-    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if audio_format == 0xFFFE and len(fmt_body) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the first 2 bytes
+        # of the 16-byte SubFormat GUID (offset 24 in the fmt body)
+        (audio_format,) = struct.unpack("<H", fmt_body[24:26])
+    if audio_format != 1:
+        raise ValueError(f"only PCM supported (fmt={audio_format})")
+    if bit_depth == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+        samples <<= 8  # normalize to 16-bit full scale (see below)
+    elif bit_depth == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    elif bit_depth == 24:
+        raw = np.frombuffer(data[: len(data) - len(data) % 3], dtype=np.uint8)
+        raw = raw.reshape(-1, 3).astype(np.int64)
+        u = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        samples = np.where(u >= 1 << 23, u - (1 << 24), u) >> 8
+    elif bit_depth == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.int64) >> 16
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bit_depth}")
+    # Stats are computed over samples NORMALIZED to 16-bit full scale
+    # (8-bit << 8, 24-bit >> 8 arithmetic, 32-bit >> 16): sum_sq/peak
+    # become depth-invariant loudness probes AND stay exactly
+    # representable in the LongType columns — a full-scale 32-bit
+    # square is ~2^62, so native-unit accumulation would overflow
+    # after TWO samples. 16-bit input (the fixtures, and the oracle's
+    # replay) is bit-identical to the unnormalized decode.
     n_frames = len(samples) // n_channels
+    # normalized samples are ≤ 2^15 in magnitude → each square ≤ 2^30;
+    # int64 accumulation is exact to ~2^33 samples (≈ 13 h @ 44.1 kHz
+    # stereo) — raise loudly rather than wrap beyond that
+    if len(samples) > 1 << 33:
+        raise ValueError("clip too long for exact int64 sum_sq accumulation")
     sum_sq = int((samples * samples).sum())
     return {
         "sample_rate": sample_rate,

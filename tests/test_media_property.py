@@ -90,3 +90,62 @@ def test_parse_wav_rejects_garbage(junk):
         return
     with pytest.raises(ValueError):
         parse_wav(junk)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    depth=st.sampled_from([8, 24, 32]),
+    channels=st.integers(1, 2),
+    n=st.integers(1, 120),
+    seed=st.integers(0, 2**31),
+)
+def test_parse_wav_deep_depths(depth, channels, n, seed):
+    """8/24/32-bit PCM: hand-encoded canonical WAV vs exact recompute
+    (24/32-bit squares overflow int64 — exact big-int accumulation)."""
+    rng = __import__("random").Random(seed)
+    lo, hi = (0, 255) if depth == 8 else (-(1 << (depth - 1)), (1 << (depth - 1)) - 1)
+    vals = [rng.randint(lo, hi) for _ in range(n * channels)]
+    bw = depth // 8
+    body = b"".join(
+        v.to_bytes(bw, "little", signed=(depth != 8)) for v in vals
+    )
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, 8000, 8000 * channels * bw, channels * bw, depth
+    )
+    blob = (
+        b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    rec = parse_wav(blob)
+    # stats are 16-bit-normalized: 8-bit << 8, 24-bit >> 8, 32-bit >> 16
+    shift = {8: 8, 24: -8, 32: -16}[depth]
+    centered = [v - 128 for v in vals] if depth == 8 else vals
+    norm = [v << shift if shift > 0 else v >> -shift for v in centered]
+    assert rec["bit_depth"] == depth
+    assert rec["n_samples"] == n
+    assert rec["sum_sq"] == sum(v * v for v in norm)
+    assert rec["peak_abs"] == max(abs(v) for v in norm)
+
+
+def test_parse_wav_extensible_container():
+    """WAVE_FORMAT_EXTENSIBLE with a PCM subformat parses as PCM."""
+    body = struct.pack("<4h", 5, -6, 7, -8)
+    sub = struct.pack("<H", 1) + b"\x00" * 14  # PCM GUID head
+    fmt = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        + struct.pack("<HHI", 22, 16, 0x4)
+        + sub[2:]  # cbSize=22, validbits, channel mask, then GUID tail
+    )
+    # rebuild properly: fmt body = 16 base + 2 cbSize + 22 ext (validbits u16,
+    # mask u32, subformat GUID 16B whose first 2 bytes are the format code)
+    ext = struct.pack("<HI", 16, 0x4) + struct.pack("<H", 1) + b"\x00" * 14
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16) + struct.pack("<H", 22) + ext
+    blob = (
+        b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    rec = parse_wav(blob)
+    assert rec["n_samples"] == 4
+    assert rec["sum_sq"] == 25 + 36 + 49 + 64
