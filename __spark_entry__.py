@@ -207,12 +207,19 @@ def _cents(col: F.Column) -> F.Column:
 
 
 def _unscale(sum_col: F.Column) -> F.Column:
-    """Micro-units → value units. The long Σ converts to double exactly
-    (< 2^53 in practice) and /1e6 is the correctly-rounded double of the
-    same 6-dp rational the decimal oracle holds, so the final
-    ``ROUND(·, 6)`` agrees on both engines (no half-tie can appear at
-    the 7th digit of a 6-dp rational)."""
-    return sum_col.cast("double") / F.lit(1_000_000.0)
+    """Micro-units → value units, EXACTLY mirroring the oracle's
+    ``CAST(SUM(decimal) AS DOUBLE)``: long → DECIMAL(38,0) → exact
+    decimal division by 1e6 → one correctly-rounded double of the true
+    6-dp rational. The former ``cast('double')/1e6`` two-step rounded
+    TWICE, and above 2^53 micro-units (the battery's own grand-total
+    rows reach 4.2×2^53) its double could differ from the oracle's by
+    1 ulp — flipping ROUND(·,6) whenever the sum sat near a rounding
+    boundary. The decimal division runs once per OUTPUT group, not per
+    input row, so the scaled-long fast path's aggregation cost is
+    untouched."""
+    return (
+        sum_col.cast("decimal(38,0)") / F.lit(1_000_000).cast("decimal(7,0)")
+    ).cast("double")
 
 
 def _cents_2dp(col: F.Column) -> F.Column:
@@ -1624,15 +1631,13 @@ def _q_video_frame_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = feats.alias("a"), feats.alias("b")
 
-    def _dot(x: F.Column, y: F.Column) -> F.Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    from acorn_hybrid_vector_search_spark.functions.distance import (
+        dot_product,
+        l2_norm,
+    )
 
     fa, fb = F.col("a.features"), F.col("b.features")
-    sim = _dot(fa, fb) / (F.sqrt(_dot(fa, fa)) * F.sqrt(_dot(fb, fb)))
+    sim = dot_product(fa, fb) / (l2_norm(fa) * l2_norm(fb))
     pairs = (
         a.join(b, F.col("a.filename") != F.col("b.filename"))
         .select(

@@ -346,8 +346,11 @@ def lang_id(c: Column | str) -> Column:
             structs.append(F.struct(s.alias("s"), F.lit(-i).alias("r")))
         best = F.greatest(*structs)
         lang_arr = F.array(*[F.lit(lg) for lg in langs])
-        return F.when(best["s"] <= 0, F.lit("und")).otherwise(
-            F.element_at(lang_arr, (-best["r"] + 1).cast("int"))
+        # NULL text: regexp_count yields NULL scores, best["s"] <= 0 is
+        # NULL, and when() would fall through to a phantom language —
+        # require a strictly positive score explicitly
+        return F.when(best["s"] > 0, F.element_at(lang_arr, (-best["r"] + 1).cast("int"))).otherwise(
+            F.lit("und")
         )
 
     return let(normalize_text(c), build)

@@ -223,6 +223,7 @@ def near_dup_components(
             # tagged row per id); propagated rows contribute null
             .agg(F.min("component").alias("component"), F.min("_old").alias("_old"))
         )
+        interim = None
         if shortcut and _round >= 4:
             # component(u) ← component(component(u)). Every label value
             # is a node id, so the inner self-join is total; the parent's
@@ -231,11 +232,16 @@ def near_dup_components(
             # shape — near-dup groups converge in 2-3 propagations)
             # never pay the extra join; a deep chain switches to
             # doubling afterwards, keeping the O(log d) total bound.
-            parent = new.select(
+            # Persist the propagation aggregate FIRST: the self-join
+            # consumes it on both sides, and without this each jump
+            # round would execute the edges-join + union + groupBy
+            # subtree twice.
+            interim = new.persist()
+            parent = interim.select(
                 F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
             )
             new = (
-                new.join(parent, new.component == parent._pid)
+                interim.join(parent, interim.component == parent._pid)
                 .select("id", F.col("_pcomp").alias("component"), "_old")
             )
         # Lineage control: an iterative self-referencing plan grows its
@@ -251,6 +257,8 @@ def near_dup_components(
             new = new.persist()
         changed = new.filter(F.col("component") < F.col("_old")).count()
         labels.unpersist()
+        if interim is not None:
+            interim.unpersist()
         labels = new.drop("_old")
         if changed == 0:
             break

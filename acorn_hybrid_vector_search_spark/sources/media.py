@@ -227,6 +227,8 @@ def parse_wav(content: bytes) -> dict:
         (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
         body = content[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk truncated ({len(body)} < 16 bytes)")
             fmt = struct.unpack("<HHIIHH", body[:16])
             fmt_body = body
         elif cid == b"data":
@@ -235,6 +237,14 @@ def parse_wav(content: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _byte_rate, _align, bit_depth = fmt
+    # corrupt headers must surface as ValueError — the permissive-mode
+    # quarantine catches exactly that, and a struct.error or
+    # ZeroDivisionError leaking out of one bad object would abort the
+    # whole ingest the quarantine exists to protect
+    if n_channels <= 0 or sample_rate <= 0:
+        raise ValueError(
+            f"invalid fmt header (channels={n_channels}, rate={sample_rate})"
+        )
     if audio_format == 0xFFFE and len(fmt_body) >= 26:
         # WAVE_FORMAT_EXTENSIBLE: the real format is the first 2 bytes
         # of the 16-byte SubFormat GUID (offset 24 in the fmt body)
@@ -381,7 +391,16 @@ def parse_y4m(content: bytes) -> tuple[dict, list[bytes]]:
         fnl = content.index(b"\n", pos)
         if content[pos : pos + 5] != b"FRAME":
             raise ValueError(f"expected FRAME marker at byte {pos}")
-        frames.append(content[fnl + 1 : fnl + 1 + frame_bytes])
+        frame = content[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(frame) != frame_bytes:
+            # a silently-short final frame would yield wrong luma stats
+            # and crash the reshape in luma_grid_features — truncation
+            # is a parse error (ValueError → quarantinable)
+            raise ValueError(
+                f"truncated stream: frame {len(frames)} has "
+                f"{len(frame)}/{frame_bytes} bytes"
+            )
+        frames.append(frame)
         pos = fnl + 1 + frame_bytes
     return (
         {

@@ -149,3 +149,41 @@ def test_parse_wav_extensible_container():
     rec = parse_wav(blob)
     assert rec["n_samples"] == 4
     assert rec["sum_sq"] == 25 + 36 + 49 + 64
+
+
+def test_parse_wav_corrupt_headers_raise_valueerror():
+    """Corrupt headers must raise ValueError (the quarantinable type),
+    never struct.error / ZeroDivisionError."""
+    import pytest
+
+    # fmt chunk shorter than 16 bytes
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        parse_wav(short_fmt)
+    # zero channels / zero sample rate
+    for ch, rate in ((0, 8000), (1, 0)):
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, 1, 2, 16)
+        blob = (
+            b"RIFF" + struct.pack("<I", 20 + len(fmt) + 4) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + struct.pack("<hh", 1, 2)
+        )
+        with pytest.raises(ValueError):
+            parse_wav(blob)
+
+
+def test_parse_y4m_truncated_frame_raises():
+    """A stream cut mid-frame must raise, not return short luma data."""
+    import pytest
+
+    w, h = 4, 2
+    full = bytes(range(32, 32 + 3 * w * h))
+    blob = f"YUV4MPEG2 W{w} H{h} F25:1 C444\n".encode() + b"FRAME\n" + full
+    head, frames = parse_y4m(blob)          # intact parses fine
+    assert head["n_frames"] == 1
+    with pytest.raises(ValueError, match="truncated"):
+        parse_y4m(blob[:-5])                 # cut into the V plane

@@ -155,3 +155,22 @@ def test_redact_pii(spark):
     # clean text untouched; bare small numbers and versions are not PII
     clean = "release 1.2 of part 456 weighs 1.5 pounds, built in 2018"
     assert _one(spark, clean, redact_pii("text")) == clean
+
+
+def test_lang_id_null_and_empty_are_und(spark):
+    """NULL/empty text must classify as 'und', not a phantom language
+    (regexp_count over NULL propagates NULL scores; the argmax must not
+    fall through to index 0)."""
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "der und das ist")],
+        ["id", "txt"],
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", T.lang_id("txt").alias("lang")).collect()}
+    assert got[1] == "und"
+    assert got[2] == "und"
+    assert got[3] == "und"
+    assert got[4] == "de"
