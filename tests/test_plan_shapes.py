@@ -144,3 +144,48 @@ def test_asof_driver_entry_is_chunked(queries):
     row_scaled = [w for w in windows if "_ots" in w or " ts" in w or "ts#" in w]
     for w in row_scaled:
         assert "_ck" in w, f"row-scaled window not chunk-partitioned: {w}"
+
+
+def test_scaled_long_sum_matches_decimal_at_adversarial_magnitude(spark):
+    """The _cents/_unscale fast path must agree with the pure decimal
+    path even when the micro-unit sum exceeds 2^53 (where the former
+    double/1e6 two-step could drift 1 ulp from the oracle's
+    CAST(decimal AS DOUBLE) — the round-4 review finding). Sums here
+    reach ~6e17 micro-units ≈ 66×2^53."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as m
+
+    df = spark.range(600).select(
+        (F.col("id") % 3).alias("g"),
+        # 2-dp money values around 1e9: group micro-sums ≈ 2e17
+        # (≈ 22×2^53) — past double-exactness, inside the documented
+        # |Σ| < 2^63 long-accumulation contract
+        (F.round(F.col("id") * 7.77 + 999_999_999.13, 2)).alias("v"),
+    )
+    fast = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g")
+        .agg(F.round(m._unscale(F.sum(m._cents_2dp(F.col("v")))), 6).alias("s"))
+        .collect()
+    }
+    exact = {
+        r["g"]: float(r["s"])
+        for r in df.groupBy("g")
+        .agg(F.round(F.sum(m._dec(F.col("v"))).cast("double"), 6).alias("s"))
+        .collect()
+    }
+    assert fast == exact
+    # and against an independent Python decimal recompute
+    from decimal import Decimal
+
+    rows = df.collect()
+    py = {}
+    for r in rows:
+        q = Decimal(repr(r["v"])).quantize(Decimal("0.000001"))
+        py[r["g"]] = py.get(r["g"], Decimal(0)) + q
+    for g, s in py.items():
+        assert fast[g] == round(float(s), 6), g
