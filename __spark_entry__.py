@@ -2711,12 +2711,18 @@ def oracle_sql() -> dict[str, str]:
                 regexp_extract(split_part(s, chr(10), 1),
                                'W([0-9]+)', 1)::INT AS width,
                 regexp_extract(split_part(s, chr(10), 1),
-                               'H([0-9]+)', 1)::INT AS height
+                               'H([0-9]+)', 1)::INT AS height,
+                regexp_extract(split_part(s, chr(10), 1),
+                               'C([0-9]+)', 1)::INT AS cs
               FROM b
             ),
             geo AS (
-              SELECT *, 6 + 3*width*height AS frame_sz,
-                (n_bytes - header_len) // (6 + 3*width*height) AS n_frames
+              SELECT *, 6 + CASE WHEN cs = 420
+                  THEN width*height + 2*((width//2)*(height//2))
+                  ELSE 3*width*height END AS frame_sz,
+                (n_bytes - header_len) // (6 + CASE WHEN cs = 420
+                  THEN width*height + 2*((width//2)*(height//2))
+                  ELSE 3*width*height END) AS n_frames
               FROM hdr
             ),
             fr AS (
@@ -3007,13 +3013,18 @@ def oracle_sql() -> dict[str, str]:
                 regexp_extract(split_part(s, chr(10), 1),
                                'W([0-9]+)', 1)::INT AS width,
                 regexp_extract(split_part(s, chr(10), 1),
-                               'H([0-9]+)', 1)::INT AS height
+                               'H([0-9]+)', 1)::INT AS height,
+                regexp_extract(split_part(s, chr(10), 1),
+                               'C([0-9]+)', 1)::INT AS cs
               FROM b
             ),
             geo AS (
-              SELECT *, 6 + 3*width*height AS frame_sz,
-                CAST((n_bytes - header_len) // (6 + 3*width*height) AS INT)
-                  AS n_frames
+              SELECT *, 6 + CASE WHEN cs = 420
+                  THEN width*height + 2*((width//2)*(height//2))
+                  ELSE 3*width*height END AS frame_sz,
+                CAST((n_bytes - header_len) // (6 + CASE WHEN cs = 420
+                  THEN width*height + 2*((width//2)*(height//2))
+                  ELSE 3*width*height END) AS INT) AS n_frames
               FROM hdr
             ),
             frames AS (

@@ -37,14 +37,17 @@ WAVS = [
     ("noise_h", "02", 44100, 1, 882, 97, 5000),
 ]
 
-# (name, shard, width, height, n_frames, fps_num, fps_den)
+# (name, shard, width, height, n_frames, fps_num, fps_den, colorspace)
 Y4MS = [
-    ("clip_a", "00", 8, 6, 10, 25, 1),
-    ("clip_b", "00", 12, 8, 6, 30, 1),
-    ("clip_c", "00", 4, 4, 12, 24, 1),
-    ("clip_d", "01", 16, 10, 5, 30000, 1001),
-    ("clip_e", "01", 6, 6, 8, 25, 1),
-    ("clip_f", "01", 10, 4, 7, 50, 1),
+    ("clip_a", "00", 8, 6, 10, 25, 1, "C444"),
+    ("clip_b", "00", 12, 8, 6, 30, 1, "C444"),
+    ("clip_c", "00", 4, 4, 12, 24, 1, "C444"),
+    ("clip_d", "01", 16, 10, 5, 30000, 1001, "C444"),
+    ("clip_e", "01", 6, 6, 8, 25, 1, "C444"),
+    ("clip_f", "01", 10, 4, 7, 50, 1, "C444"),
+    # C420 (the ffmpeg default): Y plane + quarter-size U/V planes
+    ("clip_g", "02", 8, 6, 9, 25, 1, "C420"),
+    ("clip_h", "02", 12, 10, 4, 30, 1, "C420"),
 ]
 
 
@@ -71,18 +74,27 @@ def make_wav(sample_rate: int, n_channels: int, n_samples: int,
 
 
 def make_y4m(width: int, height: int, n_frames: int,
-             fps_num: int, fps_den: int) -> bytes:
-    """YUV4MPEG2 C444: header line, then per frame ``FRAME\\n`` + three
-    W*H planes. Plane bytes cycle through ``a..z`` with a per-frame
+             fps_num: int, fps_den: int, colorspace: str = "C444") -> bytes:
+    """YUV4MPEG2: header line, then per frame ``FRAME\\n`` + planes
+    (C444: three W*H planes; C420: Y = W*H plus two quarter-size
+    chroma planes). Plane bytes cycle through ``a..z`` with a per-frame
     offset — ASCII-only (so blob→VARCHAR round-trips in oracle SQL) and
     never contains the uppercase ``FRAME`` marker."""
-    out = [f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} Ip A1:1 C444\n".encode()]
-    plane = width * height
+    header = f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} Ip A1:1 {colorspace}\n"
+    out = [header.encode()]
+    y_plane = width * height
+    if colorspace == "C444":
+        plane_sizes = [y_plane, y_plane, y_plane]
+    elif colorspace == "C420":
+        c = (width // 2) * (height // 2)
+        plane_sizes = [y_plane, c, c]
+    else:
+        raise ValueError(colorspace)
     for f in range(n_frames):
         out.append(b"FRAME\n")
         body = bytearray()
-        for p in range(3):  # Y, U, V planes
-            for i in range(plane):
+        for p, size in enumerate(plane_sizes):
+            for i in range(size):
                 body.append(ord("a") + (i + 7 * f + 11 * p) % 26)
         out.append(bytes(body))
     return b"".join(out)
@@ -94,11 +106,11 @@ def main() -> None:
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, f"{name}.wav"), "wb") as f:
             f.write(make_wav(rate, ch, n, period, amp))
-    for name, shard, w, h, nf, fn, fd in Y4MS:
+    for name, shard, w, h, nf, fn, fd, cs in Y4MS:
         d = os.path.join(MEDIA, "video", shard)
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, f"{name}.y4m"), "wb") as f:
-            f.write(make_y4m(w, h, nf, fn, fd))
+            f.write(make_y4m(w, h, nf, fn, fd, cs))
     print(f"wrote {len(WAVS)} wav + {len(Y4MS)} y4m under {MEDIA}")
 
 
