@@ -87,3 +87,24 @@ def test_testdata_corpus_has_duplicates(spark):
     assert len(rows) == docs.count()
     assert all(0 <= r["n_removed"] <= r["n_tokens"] for r in rows)
     assert any(r["n_removed"] > 0 for r in rows)
+
+
+def test_random_corpora_match_reference_impl(spark):
+    """Randomized corpora (small vocab → organic cross-doc repeats)
+    against the independent Python implementation, over several k."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(4):
+        k = rng.choice([2, 3, 5])
+        docs = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+            for i in range(rng.randint(2, 12))
+        }
+        df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned"])
+            for r in remove_duplicate_ngrams(df, k=k).collect()
+        }
+        assert got == _py_remove(docs, k), (trial, k)
