@@ -203,7 +203,17 @@ def near_dup_components(
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    labels = df.select(F.col(id_col).alias("id")).distinct().withColumn(
+    # Seed labels from df ids ∪ pair endpoints: an endpoint absent from
+    # ``df`` (caller passed externally-derived pairs) would otherwise
+    # first appear via a propagated row with NULL _old — its label
+    # decreases would never count toward ``changed`` (a cluster
+    # reachable only through such a phantom id could be declared
+    # converged one round early) and the phantom would leak into the
+    # output. Seeding keeps transitive closure THROUGH phantom
+    # intermediates exact; the final select restricts output to df ids.
+    df_ids = df.select(F.col(id_col).alias("id")).distinct()
+    endpoint_ids = edges.select(F.col("src").alias("id")).distinct()
+    labels = df_ids.unionByName(endpoint_ids).distinct().withColumn(
         "component", F.col("id")
     )
     labels = labels.persist()
@@ -267,7 +277,9 @@ def near_dup_components(
             f"near_dup_components did not converge in {max_iter} rounds "
             f"({changed} labels still decreasing) — raise max_iter"
         )
-    return labels.select(F.col("id").alias(id_col), "component")
+    return labels.join(df_ids, "id", "left_semi").select(
+        F.col("id").alias(id_col), "component"
+    )
 
 
 def collapse_near_dups(

@@ -20,9 +20,17 @@ Plan shape (and why it scales to 100 TB):
    row-scale as any inverted-index/TF-IDF build over the corpus — and
    the md5 pass over every gram is the expensive stage, so it runs
    exactly once;
-3. duplicate marking is a WINDOW count over the gram hash: the same
-   hash-partitioned shuffle a groupBy+join-back's probe side would pay,
-   but single-pass — no second join stage, no re-hashing;
+3. duplicate marking is a partial-aggregating ``groupBy(hash).count()``
+   joined back to the gram relation — NOT a window over the hash.
+   Boilerplate grams (license blocks, templated headers) are power-law
+   heavy hitters at web scale: a single gram can occur 10⁶–10⁹ times,
+   and a ``Window.partitionBy(hash)`` puts every occurrence of the
+   hottest key in ONE task with no mitigation path (AQE has no
+   skew-splitting for window partitions). The groupBy's map-side
+   combine means the count shuffle carries at most one row per hash
+   per mapper regardless of key frequency, and the join-back is a
+   shuffled hash join that AQE's ``OptimizeSkewedJoin`` can split
+   across tasks;
 4. interval union + text reassembly shuffle on doc_id: positions →
    ``collect_list`` → ``array_sort`` → ``concat_ws``, all codegen.
 
@@ -78,23 +86,28 @@ def duplicate_ngram_spans(
             lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # Duplicate marking is a WINDOW count over the gram hash, not a
-    # groupBy + join-back: the window needs the same hash-partitioned
-    # shuffle the join's probe side would have paid, but the gram
-    # relation is computed ONCE (one explode + one md5 pass — md5 over
-    # every gram is the expensive stage) and there is no second join
-    # stage. One shuffle key, straight-line plan.
-    from pyspark.sql.window import Window
-
-    grams = toks.select(
-        id_col, F.posexplode(gram_hashes).alias("pos", "h")
+    # Duplicate marking: partial-agg groupBy + join-back, NOT a window
+    # over the raw gram hash. A window count buffers every occurrence
+    # of a hash in one task — and boilerplate grams are exactly the
+    # 10⁶–10⁹-occurrence heavy hitters at corpus scale, with no AQE
+    # skew mitigation for window partitions. Here the count shuffle is
+    # map-side combined (≤ one row per hash per mapper, key frequency
+    # irrelevant), the dup-hash relation it produces holds one row per
+    # DISTINCT duplicated hash (small relative to occurrences), and
+    # the join back to the gram relation is a shuffled hash join AQE's
+    # OptimizeSkewedJoin can split. The gram relation is materialized
+    # so the expensive explode+md5 pass still runs exactly once across
+    # both sides of the join.
+    grams = materialize(
+        toks.select(id_col, F.posexplode(gram_hashes).alias("pos", "h"))
     )
-    occ_count = F.count(F.lit(1)).over(Window.partitionBy("h"))
-    return (
-        grams.withColumn("_c", occ_count)
+    dup_hashes = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= min_count)
-        .select(id_col, "pos", "h")
+        .select("h")
     )
+    return grams.join(dup_hashes, "h").select(id_col, "pos", "h")
 
 
 def remove_duplicate_ngrams(

@@ -291,3 +291,184 @@ class StrategyRouter:
         if r.strategy == "postfilter":
             return postfilter_search(df, query_vec, predicates, k, large_k=r.large_k, **kw)
         return prefilter_search(df, query_vec, predicates, k, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Dedup-strategy routing (round-5, r4 verdict ask #7): the same
+# cost-model-picks-the-plan pattern as route()/route_ann(), applied to
+# the dedup family's strategy surface. Decision matrix in STRATEGY.md
+# §"Dedup routing"; pinned by tests/test_dedup.py::test_route_dedup_matrix.
+
+
+@dataclass
+class DedupRoute:
+    strategy: str  # "exact" | "substring" | "simhash" | "minhash" | "embedding"
+    params: dict[str, Any]
+    rationale: str
+
+
+def minhash_banding(threshold: float, num_hashes: int = 16) -> tuple[int, int]:
+    """(bands, rows_per_band) whose LSH S-curve midpoint ``(1/b)^(1/r)``
+    sits closest to the caller's Jaccard ``threshold`` (the standard
+    MMDS ch.3 tuning rule), among the divisor pairs of ``num_hashes``.
+    More bands → catches lower-similarity pairs (higher recall, more
+    candidate verification work); fewer bands → precision-biased."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best: tuple[float, int, int] | None = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        r = num_hashes // bands
+        mid = (1.0 / bands) ** (1.0 / r)
+        cand = (abs(mid - threshold), bands, r)
+        if best is None or cand < best:
+            best = cand
+    assert best is not None
+    return best[1], best[2]
+
+
+def route_dedup(
+    n_docs: int,
+    avg_tokens: float,
+    *,
+    threshold: float = 1.0,
+    granularity: str = "document",
+    semantic: bool = False,
+    has_embeddings: bool = False,
+    num_hashes: int = 16,
+    long_doc_tokens: float = 200.0,
+    high_threshold: float = 0.9,
+) -> DedupRoute:
+    """Pick the dedup strategy from corpus size × doc length × near-dup
+    tolerance × modality. The ladder, cheap to expensive per row:
+
+        exact (one shuffle on a high-entropy md5 key)
+        → simhash (one 64-bit fingerprint, hamming-banded self-join)
+        → minhash LSH (num_hashes-wide signature, banded self-join)
+        → embedding-cosine LSH (needs an embedding column)
+
+    Rules (each grounded in the operators' measured cost shapes and the
+    standard sketch-accuracy trade-offs):
+
+    1. ``granularity='substring'`` → remove_duplicate_ngrams: the only
+       substring-granular operator (boilerplate spans inside otherwise
+       distinct docs — document-level strategies can't see them).
+    2. ``threshold >= 1`` → exact: byte-identical dedup needs no
+       sketch; the md5 groupBy is the cheapest possible plan and has
+       no false positives/negatives.
+    3. ``semantic`` → embedding (requires ``has_embeddings``):
+       paraphrases share no shingles, so token-sketch strategies
+       (minhash/simhash) structurally CANNOT find them; cosine LSH over
+       an embedding column is the only rung with semantic recall.
+    4. near-exact tolerance (``threshold ≥ high_threshold``) on LONG
+       docs (``avg_tokens ≥ long_doc_tokens``) → simhash: one 64-bit
+       fingerprint per doc (vs num_hashes×64 for minhash) and hamming
+       banding — the cheapest near-dup rung. Gated on length because a
+       short doc yields few weighted features, so single-bit noise
+       dominates the fingerprint (precision collapses); minhash's
+       multi-row signature degrades gracefully instead.
+    5. otherwise → minhash with ``minhash_banding(threshold)``: the
+       general-purpose rung; the banding is tuned so the LSH S-curve
+       midpoint matches the requested threshold, and candidates are
+       verified with exact shingle Jaccard (verify_threshold).
+
+    ``n_docs`` scales parallelism hints only — every rung is a banded
+    (never all-pairs) plan, so corpus size does not change the WINNING
+    strategy, only whether verification should be kept (it should; it
+    is per-candidate-pair, not per-pair-of-docs).
+    """
+    if granularity == "substring":
+        return DedupRoute(
+            "substring",
+            {"k": 8, "min_count": 2},
+            "substring granularity: only remove_duplicate_ngrams sees "
+            "duplicated spans inside otherwise-distinct documents",
+        )
+    if granularity != "document":
+        raise ValueError(f"granularity must be document|substring, got {granularity!r}")
+    if threshold >= 1.0:
+        return DedupRoute(
+            "exact",
+            {},
+            "threshold 1.0: byte-identical dedup — md5 groupBy, no sketch, "
+            "no false positives",
+        )
+    if semantic:
+        if not has_embeddings:
+            raise ValueError(
+                "semantic dedup requires an embedding column: token-sketch "
+                "strategies cannot see paraphrases"
+            )
+        return DedupRoute(
+            "embedding",
+            {"threshold": threshold},
+            "semantic tolerance: paraphrases share no shingles — cosine LSH "
+            "over embeddings is the only rung with semantic recall",
+        )
+    if threshold >= high_threshold and avg_tokens >= long_doc_tokens:
+        # hamming budget ≈ bits scaled by the dissimilarity tolerance:
+        # at cosine-ish similarity s over random hyperplanes the expected
+        # differing-bit fraction is acos-linear; the standard operating
+        # points are 3/64 at 0.97 and 8/64 at 0.9.
+        max_hamming = max(1, round((1.0 - threshold) * 64))
+        return DedupRoute(
+            "simhash",
+            {"max_hamming": max_hamming},
+            "near-exact threshold on long docs: one 64-bit fingerprint/doc "
+            "(8x cheaper than a minhash signature), noise-safe because long "
+            "docs have many weighted features",
+        )
+    bands, rows_per_band = minhash_banding(threshold, num_hashes)
+    return DedupRoute(
+        "minhash",
+        {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "verify_threshold": threshold,
+        },
+        f"general near-dup rung: LSH banding {bands}x{rows_per_band} puts "
+        f"the S-curve midpoint at {(1.0 / bands) ** (1.0 / rows_per_band):.2f} "
+        f"~= requested {threshold}; candidates exact-verified",
+    )
+
+
+def dedup_search(
+    df: DataFrame,
+    route: DedupRoute,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Apply a DedupRoute: dispatch to the chosen operator with the
+    routed parameters (the route() → search() pattern of the hybrid
+    family). Returns pairs for the near-dup rungs, the survivor
+    relation for 'exact', the cleaned corpus for 'substring'."""
+    from acorn_hybrid_vector_search_spark.operators import dedup as D
+    from acorn_hybrid_vector_search_spark.operators.substring_dedup import (
+        remove_duplicate_ngrams,
+    )
+
+    if route.strategy == "substring":
+        return remove_duplicate_ngrams(
+            df, text_col=text_col, id_col=id_col, **route.params
+        )
+    if route.strategy == "exact":
+        return D.exact_dedup(df, text_col=text_col, id_col=id_col)
+    if route.strategy == "simhash":
+        return D.simhash_near_dups(
+            df, text_col=text_col, id_col=id_col, **route.params
+        )
+    if route.strategy == "minhash":
+        return D.minhash_near_dups(
+            df, text_col=text_col, id_col=id_col, **route.params
+        )
+    if route.strategy == "embedding":
+        return D.embedding_near_dups(
+            df,
+            route.params["threshold"],
+            id_col=id_col,
+            vec_col=embedding_col,
+        )
+    raise ValueError(f"unknown dedup strategy {route.strategy!r}")

@@ -251,13 +251,24 @@ def parse_wav(content: bytes) -> dict:
         (audio_format,) = struct.unpack("<H", fmt_body[24:26])
     if audio_format != 1:
         raise ValueError(f"only PCM supported (fmt={audio_format})")
+    # a data chunk that is not a whole number of sample frames is
+    # corrupt for EVERY depth — raise the same quarantinable ValueError
+    # the 16/32-bit np.frombuffer paths raise, instead of the 24-bit
+    # path silently truncating trailing bytes into wrong stats
+    frame_bytes = (bit_depth // 8) * n_channels
+    if bit_depth in (8, 16, 24, 32) and frame_bytes and len(data) % frame_bytes:
+        raise ValueError(
+            f"data chunk length {len(data)} is not a multiple of the "
+            f"{frame_bytes}-byte sample frame ({bit_depth}-bit × "
+            f"{n_channels}ch)"
+        )
     if bit_depth == 8:
         samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
         samples <<= 8  # normalize to 16-bit full scale (see below)
     elif bit_depth == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
     elif bit_depth == 24:
-        raw = np.frombuffer(data[: len(data) - len(data) % 3], dtype=np.uint8)
+        raw = np.frombuffer(data, dtype=np.uint8)
         raw = raw.reshape(-1, 3).astype(np.int64)
         u = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
         samples = np.where(u >= 1 << 23, u - (1 << 24), u) >> 8
@@ -517,6 +528,12 @@ def luma_grid_features(
     contract; ``'float64'`` keeps each cell the EXACT IEEE quotient of
     integer pixel-sum / block-count, which an oracle SQL ``AVG(ord(…))``
     reproduces bit-for-bit (__spark_entry__.py video_frame_similarity).
+
+    Quarantine rows pass through with NULL ``features``: permissive-mode
+    decoding emits rows with NULL frame/width/height and a
+    ``corrupt_reason``, and the documented decode→features composition
+    must not abort the job on them (the quarantine contract is that
+    corruption stays a *data* property, never an exception).
     """
     import numpy as np
 
@@ -532,6 +549,9 @@ def luma_grid_features(
         for pdf in batches:
             feats = []
             for frame, w, h in zip(pdf["frame"], pdf["width"], pdf["height"]):
+                if frame is None or pd.isna(w) or pd.isna(h):
+                    feats.append(None)
+                    continue
                 y = np.frombuffer(bytes(frame), dtype=np.uint8)[: w * h]
                 y = y.reshape(int(h), int(w)).astype(np.float64)
                 gh, gw = min(grid, y.shape[0]), min(grid, y.shape[1])

@@ -209,3 +209,84 @@ def test_components_random_graph_parity(spark):
         for r in near_dup_components(docs, pdf).collect()
     }
     assert got == want
+
+
+def test_components_phantom_pair_endpoints(spark):
+    """Pair endpoints absent from df (externally-derived pairs): the
+    transitive closure must still route THROUGH the phantom id, the
+    phantom must not leak into the output, and convergence must not be
+    declared early (ADVICE r4: NULL _old rows never counted toward
+    `changed`). Chain a-900-b connects a and b only via phantom 900."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import (
+        near_dup_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(2, 900), (900, 4)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in near_dup_components(docs, pairs).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3, 4: 2}
+
+
+def test_route_dedup_matrix():
+    """Pin the dedup router's decision matrix (STRATEGY.md §Dedup
+    routing, r4 verdict ask #7)."""
+    import pytest as pt
+
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        minhash_banding,
+        route_dedup,
+    )
+
+    # exact-only tolerance → exact, regardless of size/length
+    assert route_dedup(10**9, 500, threshold=1.0).strategy == "exact"
+    assert route_dedup(100, 5, threshold=1.0).strategy == "exact"
+    # substring granularity wins over everything else
+    assert route_dedup(10**9, 500, granularity="substring").strategy == "substring"
+    # near-exact on long docs → simhash; short docs fall to minhash
+    assert route_dedup(10**6, 300, threshold=0.95).strategy == "simhash"
+    assert route_dedup(10**6, 30, threshold=0.95).strategy == "minhash"
+    # looser tolerance → minhash even on long docs
+    assert route_dedup(10**6, 300, threshold=0.7).strategy == "minhash"
+    # semantic → embedding, and demands the column
+    assert (
+        route_dedup(10**6, 50, threshold=0.8, semantic=True, has_embeddings=True).strategy
+        == "embedding"
+    )
+    with pt.raises(ValueError, match="embedding column"):
+        route_dedup(10**6, 50, threshold=0.8, semantic=True)
+    # banding follows the MMDS S-curve midpoint rule
+    for threshold, expect in [(0.95, (2, 8)), (0.7, (4, 4)), (0.4, (8, 2))]:
+        assert minhash_banding(threshold, 16) == expect
+    # simhash hamming budget scales with dissimilarity tolerance
+    assert route_dedup(10**6, 300, threshold=0.97).params["max_hamming"] == 2
+    assert route_dedup(10**6, 300, threshold=0.90).params["max_hamming"] == 6
+
+
+def test_dedup_search_dispatch(spark):
+    """dedup_search applies the routed strategy end-to-end: exact route
+    returns survivors; minhash route returns verified pairs."""
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        dedup_search,
+        route_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different text about spark physical planning"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = dedup_search(docs, route_dedup(3, 11, threshold=1.0))
+    assert sorted(r["doc_id"] for r in exact.collect()) == [1, 3]
+
+    pairs = dedup_search(docs, route_dedup(3, 11, threshold=0.7)).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}

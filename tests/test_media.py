@@ -412,3 +412,31 @@ def test_stream_decode_equals_batch(spark):
     b = sorted(map(tuple, batch.select(*cols).collect()))
     s = sorted(map(tuple, got.select(*cols).collect()))
     assert b == s and len(b) == 8
+
+
+def test_luma_grid_features_passes_quarantine_rows(spark, tmp_path):
+    """decode→features composition on a permissive-mode relation: rows
+    quarantined by the decoder (NULL frame/width/height + corrupt_reason)
+    must flow through luma_grid_features as NULL features, not abort the
+    job (ADVICE r4 medium)."""
+    import shutil
+
+    from acorn_hybrid_vector_search_spark.sources.media import (
+        decode_y4m_frames,
+        luma_grid_features,
+        read_media_dir,
+    )
+
+    d = tmp_path / "vids"
+    (d / "00").mkdir(parents=True)
+    shutil.copy(f"{MEDIA_FIXTURE}/video/00/clip_c.y4m", d / "00" / "ok.y4m")
+    (d / "00" / "junk.y4m").write_bytes(b"MPEG4 nope\n")
+
+    media = read_media_dir(spark, str(d), "video", "*.y4m")
+    frames = decode_y4m_frames(media, stride=2, mode="permissive")
+    rows = luma_grid_features(frames, grid=4).collect()
+    good = [r for r in rows if r["corrupt_reason"] is None]
+    bad = [r for r in rows if r["corrupt_reason"] is not None]
+    assert len(good) == 6 and len(bad) == 1
+    assert all(r["features"] is not None and len(r["features"]) == 16 for r in good)
+    assert bad[0]["features"] is None

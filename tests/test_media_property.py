@@ -187,3 +187,36 @@ def test_parse_y4m_truncated_frame_raises():
     assert head["n_frames"] == 1
     with pytest.raises(ValueError, match="truncated"):
         parse_y4m(blob[:-5])                 # cut into the V plane
+
+
+@given(
+    depth=st.sampled_from([8, 16, 24, 32]),
+    channels=st.integers(1, 2),
+    n=st.integers(1, 40),
+    cut=st.integers(1, 5),
+)
+def test_parse_wav_misaligned_data_raises_valueerror(depth, channels, n, cut):
+    """A data chunk that is not a whole number of sample frames must be
+    a quarantinable ValueError for EVERY depth — the 24-bit path used to
+    silently truncate trailing bytes into wrong stats while 16/32-bit
+    raised (ADVICE r4)."""
+    bw = depth // 8
+    frame_bytes = bw * channels
+    cut = cut % frame_bytes if frame_bytes > 1 else 0
+    if cut == 0:
+        cut = 1 if frame_bytes > 1 else 0
+    if cut == 0:
+        return  # 8-bit mono: every length is frame-aligned
+    body = bytes(frame_bytes * n - cut)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, 8000, 8000 * frame_bytes, frame_bytes, depth
+    )
+    blob = (
+        b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        parse_wav(blob)

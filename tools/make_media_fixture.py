@@ -70,7 +70,19 @@ def make_wav(sample_rate: int, n_channels: int, n_samples: int,
     w.setframerate(sample_rate)
     w.writeframes(b"".join(frames))
     w.close()
-    return buf.getvalue()
+    out = buf.getvalue()
+    # CANONICAL-LAYOUT CONTRACT: the driver oracles (__spark_entry__.py
+    # audio_etl) replay the decode with hardcoded 44-byte-header /
+    # 16-bit offsets, far narrower than what parse_wav accepts
+    # (LIST/fact chunks, 8/24/32-bit, EXTENSIBLE). Fixture drift must
+    # break GENERATION loudly, never silently diverge the oracle.
+    assert out[:4] == b"RIFF" and out[8:12] == b"WAVE"
+    assert out[12:16] == b"fmt " and struct.unpack("<I", out[16:20])[0] == 16
+    assert struct.unpack("<H", out[20:22])[0] == 1  # plain PCM, no EXTENSIBLE
+    assert struct.unpack("<H", out[34:36])[0] == 16  # sampwidth 2
+    assert out[36:40] == b"data", "header is not the canonical 44 bytes"
+    assert struct.unpack("<I", out[40:44])[0] == len(out) - 44
+    return out
 
 
 def make_y4m(width: int, height: int, n_frames: int,
@@ -91,11 +103,16 @@ def make_y4m(width: int, height: int, n_frames: int,
     else:
         raise ValueError(colorspace)
     for f in range(n_frames):
+        # CANONICAL-LAYOUT CONTRACT: bare 6-byte ``FRAME\n`` lines (no
+        # frame parameters) — the video oracles hardcode this offset
+        # arithmetic even though parse_y4m accepts FRAME params. Keep
+        # the generator the narrow one so drift fails here, not there.
         out.append(b"FRAME\n")
         body = bytearray()
         for p, size in enumerate(plane_sizes):
             for i in range(size):
                 body.append(ord("a") + (i + 7 * f + 11 * p) % 26)
+        assert all(97 <= b <= 122 for b in body) and b"FRAME" not in bytes(body)
         out.append(bytes(body))
     return b"".join(out)
 
