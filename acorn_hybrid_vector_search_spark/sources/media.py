@@ -368,6 +368,100 @@ def decode_audio(media: DataFrame, *, mode: str = "failfast") -> DataFrame:
     return media.select("media_id", "uri", "content").mapInPandas(gen, schema)
 
 
+_IMAGE_FIELDS = [
+    StructField("media_id", LongType()),
+    StructField("filename", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_components", IntegerType()),
+    StructField("y_sum", LongType()),
+    StructField("y_min", IntegerType()),
+    StructField("y_max", IntegerType()),
+    StructField("pix_sha256", StringType()),
+]
+
+IMAGE_SCHEMA = StructType(_IMAGE_FIELDS)
+IMAGE_SCHEMA_PERMISSIVE = StructType(
+    _IMAGE_FIELDS + [StructField("corrupt_reason", StringType())]
+)
+
+_IMAGE_STAT_KEYS = (
+    "width", "height", "n_components", "y_sum", "y_min", "y_max", "pix_sha256",
+)
+
+
+def decode_images(
+    media: DataFrame, *, mode: str = "failfast", emit_pixels: bool = False
+) -> DataFrame:
+    """image binary → REAL baseline-JPEG decode (sources/jpeg.py):
+    dimensions + integer-exact Y-plane stats + a sha256 of the decoded
+    pixel bytes. The image-modality analog of ``decode_audio`` — the
+    reference's PIL ``Image.open`` step
+    (/root/reference/vector_embeddings.py:41-59) re-expressed as a
+    stateless narrow map with a from-the-spec decoder.
+
+    Same ``failfast``/``permissive`` quarantine contract as the other
+    decoders; the pixel digest is what the golden-parity gate compares
+    (fixtures/golden/jpeg_pixels.parquet, generated by an independent
+    pure-python IDCT — agreement is bit-exact because the IDCT contract
+    is fixed-point integer arithmetic).
+
+    ``emit_pixels=True`` adds a ``frame`` binary column holding the
+    decoded Y plane, schema-compatible with ``luma_grid_features`` —
+    the decode→featurize composition the video path already has
+    (quarantine rows carry NULL ``frame`` and flow through it as NULL
+    features).
+    """
+    import hashlib
+
+    from acorn_hybrid_vector_search_spark.sources.jpeg import parse_jpeg
+
+    if mode not in ("failfast", "permissive"):
+        raise ValueError(f"mode must be failfast|permissive, got {mode!r}")
+    permissive = mode == "permissive"
+    fields = list(_IMAGE_FIELDS)
+    if emit_pixels:
+        fields.append(StructField("frame", BinaryType()))
+    if permissive:
+        fields.append(StructField("corrupt_reason", StringType()))
+    schema = StructType(fields)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, uri, content in zip(pdf["media_id"], pdf["uri"], pdf["content"]):
+                try:
+                    dec = parse_jpeg(bytes(content or b""))
+                    px = dec["pixels"]
+                    y = px if px.ndim == 2 else px[..., 0]
+                    rec = {
+                        "width": dec["width"],
+                        "height": dec["height"],
+                        "n_components": dec["n_components"],
+                        "y_sum": int(y.sum(dtype="int64")),
+                        "y_min": int(y.min()),
+                        "y_max": int(y.max()),
+                        "pix_sha256": hashlib.sha256(px.tobytes()).hexdigest(),
+                    }
+                    if emit_pixels:
+                        rec["frame"] = y.tobytes()
+                    if permissive:
+                        rec["corrupt_reason"] = None
+                except ValueError as e:
+                    if not permissive:
+                        raise
+                    rec = dict.fromkeys(_IMAGE_STAT_KEYS)
+                    if emit_pixels:
+                        rec["frame"] = None
+                    rec["corrupt_reason"] = str(e)
+                rec["media_id"] = mid
+                rec["filename"] = uri.rsplit("/", 1)[-1]
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return media.select("media_id", "uri", "content").mapInPandas(gen, schema)
+
+
 def parse_y4m(content: bytes) -> tuple[dict, list[bytes]]:
     """Parse a YUV4MPEG2 stream: header line + FRAME-delimited raw
     planes. Returns (header fields, list of per-frame plane payloads).
