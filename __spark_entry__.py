@@ -1560,6 +1560,37 @@ def _q_images_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
 MEDIA_FIXTURE = "/root/repo/fixtures/media"
 GOLDEN_FIXTURE = "/root/repo/fixtures/golden"
 
+# JPEG decode oracle (shared by images_decode and its streaming-parity
+# twin): header fields re-read from the canonical SOF0 byte offsets
+# (tools/make_jpeg_fixture.py ASSERTS the layout — one 16-byte APP0 +
+# one combined 2-table DQT puts SOF0 at byte 154; the WHERE pins the
+# FFC0 marker so layout drift fails loudly as a row-count mismatch);
+# pixel stats + digest joined from the golden parquet computed at
+# generation by an INDEPENDENT pure-python fixed-point IDCT.
+_IMAGES_DECODE_SQL = f"""
+    WITH b AS (
+      SELECT string_split(filename,'/')[-1] AS filename,
+             hex(content) AS h
+      FROM read_blob('{MEDIA_FIXTURE}/images/*/*.jpg')
+    ),
+    hdr AS (
+      SELECT filename,
+        ('0x'||substring(h,2*161+1,2)||substring(h,2*162+1,2))::INT
+          AS width,
+        ('0x'||substring(h,2*159+1,2)||substring(h,2*160+1,2))::INT
+          AS height,
+        ('0x'||substring(h,2*163+1,2))::INT AS n_components
+      FROM b
+      WHERE substring(h, 2*154+1, 4) = 'FFC0'
+    )
+    SELECT hdr.filename, hdr.width, hdr.height, hdr.n_components,
+      g.y_sum, g.y_min, g.y_max, g.pix_sha256
+    FROM hdr
+    JOIN read_parquet('{GOLDEN_FIXTURE}/jpeg_pixels.parquet') g
+      USING (filename)
+    ORDER BY filename
+"""
+
 
 def _q_audio_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio ingest with a REAL decoder (sources/media.py
@@ -1748,6 +1779,34 @@ def _q_stream_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", _R).alias("rms"),
     )
     name = f"stream_audio_decode_{next(_STREAM_SEQ)}"
+    q = (
+        dec.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("filename")
+
+
+def _q_stream_images_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming image ingest through the driver oracle: the REAL JPEG
+    fixtures arrive via the streaming binaryFile source and flow through
+    the same decode_images mapInPandas stage as batch (real baseline
+    decode per micro-batch), then answer the full batch images_decode
+    oracle — stream ≡ batch on the correctness gate, completing the
+    audio/video/image streaming-parity triangle."""
+    from acorn_hybrid_vector_search_spark.sources.media import (
+        decode_images,
+        read_media_stream,
+    )
+
+    stream = read_media_stream(spark, f"{MEDIA_FIXTURE}/images", "image", "*.jpg")
+    dec = decode_images(stream).select(
+        "filename", "width", "height", "n_components",
+        "y_sum", "y_min", "y_max", "pix_sha256",
+    )
+    name = f"stream_images_decode_{next(_STREAM_SEQ)}"
     q = (
         dec.writeStream.format("memory")
         .queryName(name)
@@ -2186,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_event_type": _q_histogram_event_type,
         "pii_redaction": _q_pii_redaction,
         "images_grid_features": _q_images_grid_features,
+        "stream_images_decode": _q_stream_images_decode,
         "video_frame_similarity": _q_video_frame_similarity,
         "histogram_lang": _q_histogram_lang,
         "dedup_survivors": _q_dedup_survivors,
@@ -3074,36 +3134,9 @@ def oracle_sql() -> dict[str, str]:
             FROM hdr JOIN stats USING (filename)
             ORDER BY filename
         """,
-        # JPEG oracle: header fields re-read from the canonical SOF0 byte
-        # offsets (tools/make_jpeg_fixture.py ASSERTS the layout: one
-        # 16-byte APP0 + one combined 2-table DQT puts SOF0 at byte 154;
-        # the WHERE pins the FFC0 marker so layout drift fails loudly as
-        # a row-count mismatch, never a silent misread); pixel stats +
-        # digest joined from the golden parquet computed at generation
-        # by an INDEPENDENT pure-python fixed-point IDCT.
-        "images_decode": f"""
-            WITH b AS (
-              SELECT string_split(filename,'/')[-1] AS filename,
-                     hex(content) AS h
-              FROM read_blob('{MEDIA_FIXTURE}/images/*/*.jpg')
-            ),
-            hdr AS (
-              SELECT filename,
-                ('0x'||substring(h,2*161+1,2)||substring(h,2*162+1,2))::INT
-                  AS width,
-                ('0x'||substring(h,2*159+1,2)||substring(h,2*160+1,2))::INT
-                  AS height,
-                ('0x'||substring(h,2*163+1,2))::INT AS n_components
-              FROM b
-              WHERE substring(h, 2*154+1, 4) = 'FFC0'
-            )
-            SELECT hdr.filename, hdr.width, hdr.height, hdr.n_components,
-              g.y_sum, g.y_min, g.y_max, g.pix_sha256
-            FROM hdr
-            JOIN read_parquet('{GOLDEN_FIXTURE}/jpeg_pixels.parquet') g
-              USING (filename)
-            ORDER BY filename
-        """,
+        "images_decode": _IMAGES_DECODE_SQL,
+        # streaming parity: the stream answers the SAME batch oracle
+        "stream_images_decode": _IMAGES_DECODE_SQL,
         # Grid features re-derived from the golden RAW PIXEL BYTES (not
         # the digest): same area-bin boundaries (i*dim//grid floor-div)
         # as luma_grid_features, value = exact IEEE quotient of integer

@@ -54,7 +54,7 @@ def main() -> None:
         nsw_write,
     )
     from acorn_hybrid_vector_search_spark.operators.hybrid import prefilter_search
-    from acorn_hybrid_vector_search_spark.operators.knn import knn_topk
+    from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
     from acorn_hybrid_vector_search_spark.operators.substring_dedup import (
         remove_duplicate_ngrams,
     )
@@ -82,7 +82,7 @@ def main() -> None:
             print(f"x{factor} {name}: {el:.2f}s over {rows_in} rows -> {out}",
                   flush=True)
 
-        run("pure_topk", lambda: len(knn_topk(emb, qvec, 10).collect()), n_vec)
+        run("pure_topk", lambda: len(knn_exact(emb, qvec, 10).collect()), n_vec)
         run(
             "prefilter_topk",
             lambda: len(
@@ -139,10 +139,16 @@ def main() -> None:
         }
 
     out_path = os.path.join(ROOT, "BENCH_LADDER.json")
+    merged = {"base_sf": 0.1, "host": "local[32]", "results": {}}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged["results"].update(results)
+    merged["results"] = dict(
+        sorted(merged["results"].items(), key=lambda kv: int(kv[0][1:]))
+    )
     with open(out_path, "w") as f:
-        json.dump(
-            {"base_sf": 0.1, "host": "local[32]", "results": results}, f, indent=1
-        )
+        json.dump(merged, f, indent=1)
     print(f"wrote {out_path}")
 
 
