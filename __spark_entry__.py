@@ -494,6 +494,144 @@ def _q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_inputs(spark: SparkSession, sf_dir: str):
+    """Deterministic SCD-2 inputs from orders: the initial load as an
+    all-open history (valid_from = o_orderdate), plus one CDC batch —
+    status-change+price-double updates (keys % 41), NO-OP rows (keys
+    % 53 excluding the % 41 overlap — idempotency evidence: they must
+    produce no new versions), and brand-new keys (% 223, shifted)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    history = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 41 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2.0).alias("o_totalprice"),
+    )
+    noop = o.filter(
+        (F.col("o_orderkey") % 53 == 0) & (F.col("o_orderkey") % 41 != 0)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    ins = o.filter(F.col("o_orderkey") % 223 == 0).select(
+        (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    return history, upd.unionByName(noop).unionByName(ins)
+
+
+_SCD2_EFF = "1999-01-01 00:00:00"
+
+# shared CTE chain replaying the SCD-2 merge in DuckDB (both scd2
+# oracles consume the `merged` relation)
+_SCD2_MERGED_SQL = """
+            hist AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     o_orderdate AS valid_from,
+                     CAST(NULL AS TIMESTAMP) AS valid_to
+              FROM orders
+            ),
+            batch AS (
+              SELECT o_orderkey, 'X' AS o_orderstatus,
+                     o_totalprice * CAST(2 AS DOUBLE) AS o_totalprice
+              FROM orders WHERE o_orderkey % 41 = 0
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 53 = 0 AND o_orderkey % 41 <> 0
+              UNION ALL
+              SELECT o_orderkey + 200000000, 'N', o_totalprice
+              FROM orders WHERE o_orderkey % 223 = 0
+            ),
+            j AS (
+              SELECT h.*, (b.o_orderkey IS NOT NULL) AS hit,
+                     b.o_orderstatus AS b_status, b.o_totalprice AS b_price
+              FROM hist h LEFT JOIN batch b USING (o_orderkey)
+            ),
+            flagged AS (
+              SELECT *, hit AND (
+                  (o_orderstatus IS DISTINCT FROM b_status)
+                  OR (o_totalprice IS DISTINCT FROM b_price)
+                ) AS changed
+              FROM j
+            ),
+            kept AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from,
+                CASE WHEN changed THEN TIMESTAMP '1999-01-01 00:00:00' END
+                  AS valid_to
+              FROM flagged
+            ),
+            newv AS (
+              SELECT o_orderkey, b_status AS o_orderstatus,
+                     b_price AS o_totalprice,
+                     TIMESTAMP '1999-01-01 00:00:00' AS valid_from,
+                     CAST(NULL AS TIMESTAMP) AS valid_to
+              FROM flagged WHERE changed
+              UNION ALL
+              SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
+                     TIMESTAMP '1999-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+              FROM batch b
+              WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM hist)
+            ),
+            merged AS (
+              SELECT * FROM kept UNION ALL SELECT * FROM newv
+            )
+"""
+
+
+def _q_scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history merge (operators/scd.py): change rows close the
+    current version at the effective timestamp and append a new open
+    one; no-op rows (attributes unchanged) append NOTHING (idempotent
+    re-apply); new keys open fresh versions. The per-(status, is_open)
+    count + decimal-exact price sum is whole-history evidence every
+    version row was closed/kept/appended exactly right — the DuckDB
+    oracle replays the full merge with IS DISTINCT FROM change
+    detection."""
+    from acorn_hybrid_vector_search_spark.operators.scd import scd2_apply
+
+    history, batch = _scd2_inputs(spark, sf_dir)
+    merged = scd2_apply(
+        history, batch,
+        ["o_orderkey"], ["o_orderstatus", "o_totalprice"],
+        _SCD2_EFF,
+    )
+    return merged.groupBy(
+        "o_orderstatus", F.col("valid_to").isNull().alias("is_open")
+    ).agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        _sum6(F.col("o_totalprice")).alias("total"),
+    )
+
+
+def _q_scd2_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction over the merged SCD-2 history: the
+    snapshot one second BEFORE the batch's effective timestamp must see
+    the pre-batch world (closed versions are visible again, new keys
+    invisible) — the as-of guarantee training-data reconstruction
+    relies on. Evidence: per-status count + decimal sum at the
+    snapshot instant, fully SQL-replayed."""
+    from acorn_hybrid_vector_search_spark.operators.scd import (
+        scd2_apply,
+        scd2_snapshot,
+    )
+
+    history, batch = _scd2_inputs(spark, sf_dir)
+    merged = scd2_apply(
+        history, batch,
+        ["o_orderkey"], ["o_orderstatus", "o_totalprice"],
+        _SCD2_EFF,
+    )
+    snap = scd2_snapshot(merged, "1998-12-31 23:59:59")
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _sum6(F.col("o_totalprice")).alias("total"),
+    )
+
+
 @_prepared
 def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized cosine top-10 (operators/quantize.py): symmetric
@@ -1286,6 +1424,22 @@ def _q_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One rung up the perplexity-filter ladder: per-doc mean TRANSITION
+    log10-prob under the corpus' interpolated bigram LM
+    (operators/lm_quality.py::bigram_logprob_scores) — captures the
+    word-order signal the unigram is blind to (shuffled-token junk
+    scores high under unigram, low here). Same decimal-exact log-sum
+    contract; DuckDB replays the full train+score (transition build via
+    zipped list slices, both count joins, interpolation with the exact
+    same IEEE double operands)."""
+    from acorn_hybrid_vector_search_spark.operators.lm_quality import (
+        bigram_logprob_scores,
+    )
+
+    return bigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
 def _q_sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2261,12 +2415,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events_daily": _q_pivot_events_daily,
         "unpivot_lineitem_measures": _q_unpivot_lineitem_measures,
         "unigram_lm_quality": _q_unigram_lm_quality,
+        "bigram_lm_quality": _q_bigram_lm_quality,
         "hourly_rollup_gapfill": _q_hourly_rollup_gapfill,
         "order_rank_functions": _q_order_rank_functions,
         "user_event_deltas": _q_user_event_deltas,
         "domain_mixture_sample": _q_domain_mixture_sample,
         "sql_segment_revenue": _q_sql_segment_revenue,
         "sql_parttype_revenue": _q_sql_parttype_revenue,
+        "scd2_orders_history": _q_scd2_orders_history,
+        "scd2_snapshot_orders": _q_scd2_snapshot_orders,
         "ann_ivf_topk": _q_ann_ivf,
         "pq_ann_topk": _q_pq_ann_topk,
         "compacted_rollup_events": _q_compacted_rollup_events,
@@ -3485,6 +3642,49 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN c USING (tok), s
             GROUP BY t.doc_id
         """,
+        # interpolated bigram LM: transition relation via zipped list
+        # slices; λ·p_bi + (1−λ)·p_uni with (1−λ) written as the SAME
+        # IEEE subtraction Spark evaluates (literal 0.3 is a different
+        # double than 1−0.7); per-transition log10 rounded to 12 dp,
+        # summed as DECIMAL(28,12) — order-free in both engines.
+        "bigram_lm_quality": f"""
+            WITH tk AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+                WHERE len({_TOKS}) >= 2
+            ),
+            tr AS (
+                SELECT doc_id, unnest(t[1:len(t)-1]) AS prev,
+                       unnest(t[2:len(t)]) AS cur
+                FROM tk
+            ),
+            bi AS (SELECT prev, cur, COUNT(*) AS bcnt FROM tr GROUP BY prev, cur),
+            tok_ AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok
+                FROM documents WHERE length({_NORM}) > 0
+            ),
+            u AS (SELECT tok, COUNT(*) AS ucnt FROM tok_ GROUP BY tok),
+            s AS (
+                SELECT CAST(SUM(ucnt) AS DOUBLE) AS total,
+                    CAST(COUNT(*) AS DOUBLE) AS vocab
+                FROM u
+            )
+            SELECT tr.doc_id, COUNT(*) AS n_transitions,
+                ROUND(
+                    CAST(SUM(CAST(ROUND(log10(
+                        CAST(0.7 AS DOUBLE)
+                          * ((bi.bcnt + CAST(0.5 AS DOUBLE))
+                             / (up.ucnt + CAST(0.5 AS DOUBLE) * s.vocab))
+                        + (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                          * ((uc.ucnt + CAST(0.5 AS DOUBLE))
+                             / (s.total + CAST(0.5 AS DOUBLE) * s.vocab))
+                    ), 12) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*),
+                6) AS mean_logprob
+            FROM tr
+            JOIN bi USING (prev, cur)
+            JOIN u up ON up.tok = tr.prev
+            JOIN u uc ON uc.tok = tr.cur, s
+            GROUP BY tr.doc_id
+        """,
         # unpivot: DuckDB UNPIVOT over the same aggregated relation;
         # per-row DECIMAL(24,6) sums keep both engines bit-identical
         "unpivot_lineitem_measures": """
@@ -3690,6 +3890,27 @@ def oracle_sql() -> dict[str, str]:
               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE), 6)
                 AS total
             FROM merged GROUP BY o_orderstatus
+        """,
+        # SCD-2: full merge replay — IS DISTINCT FROM change detection,
+        # close-at-eff + append-open + no-op suppression, then the same
+        # per-(status, open) rollup / point-in-time snapshot.
+        "scd2_orders_history": f"""
+            WITH {_SCD2_MERGED_SQL}
+            SELECT o_orderstatus, (valid_to IS NULL) AS is_open,
+              COUNT(*) AS n_versions,
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE), 6)
+                AS total
+            FROM merged GROUP BY o_orderstatus, (valid_to IS NULL)
+        """,
+        "scd2_snapshot_orders": f"""
+            WITH {_SCD2_MERGED_SQL}
+            SELECT o_orderstatus, COUNT(*) AS n,
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE), 6)
+                AS total
+            FROM merged
+            WHERE valid_from <= TIMESTAMP '1998-12-31 23:59:59'
+              AND (valid_to IS NULL OR valid_to > TIMESTAMP '1998-12-31 23:59:59')
+            GROUP BY o_orderstatus
         """,
         "near_dup_components": f"""
             WITH RECURSIVE pr AS (
