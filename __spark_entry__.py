@@ -1442,6 +1442,93 @@ def _q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
+_BPE_MERGES = 10
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): learn the
+    first 10 merges from the documents corpus — the Sennrich-et-al
+    algorithm on the vocab-scaled word-frequency state, one 1-row
+    argmax collect per round (the merge table IS the training output
+    and is O(rounds) by definition; the corpus is scanned exactly
+    once). Output = the learned merge table (rank, left, right,
+    weighted count). The DuckDB oracle replays ALL ten rounds as an
+    unrolled CTE chain over a ~-bounded string encoding (greedy fold ≡
+    leftmost non-overlapping replace — pinned in pytest), same
+    deterministic tie-break (count desc, pair asc)."""
+    from acorn_hybrid_vector_search_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+    rows = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, cnt long"
+    ).orderBy("rank")
+
+
+def _q_bpe_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: segment the corpus with the merges just
+    learned (bpe_segment applies the fold chain to the DISTINCT word
+    relation and joins back — the corpus never runs the chain) and
+    return the top-40 subwords by occurrence. Oracle: the same
+    unrolled training replay, final-state segmentation re-expanded
+    over the word stream in SQL."""
+    from acorn_hybrid_vector_search_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, _BPE_MERGES)
+    seg = bpe_segment(docs, merges)
+    return (
+        seg.groupBy("subword")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("subword").asc())
+        .limit(40)
+    )
+
+
+def _bpe_oracle_sql(n_rounds: int, final: str) -> str:
+    """Unrolled BPE training replay: round i = weighted pair counts
+    over the ~-bounded string state, deterministic argmax (guarded by
+    min_count=2; an exhausted round leaves the state unchanged via the
+    chr(1) never-matching sentinel), leftmost-non-overlapping replace.
+    ``final`` selects either the merge table or the segmentation."""
+    parts = [f"""
+        WITH toks AS (SELECT unnest({_TOKS}) AS word FROM documents),
+        w AS (
+          SELECT word, COUNT(*) AS freq FROM toks
+          WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word
+        ),
+        s0 AS MATERIALIZED (
+          SELECT word, freq,
+            regexp_replace(word, '(.)', '~\\1~ ', 'g') || '~</w>~' AS s
+          FROM w
+        )"""]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+        p{i} AS MATERIALIZED (
+          SELECT a, b, SUM(freq) AS cnt FROM (
+            SELECT freq, unnest(l[1:len(l)-1]) AS a, unnest(l[2:len(l)]) AS b
+            FROM (SELECT freq, string_split(s, ' ') AS l FROM s{i-1})
+          ) GROUP BY a, b
+        ),
+        best{i} AS MATERIALIZED (
+          SELECT a, b, cnt FROM p{i} WHERE cnt >= 2
+          ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+        ),
+        s{i} AS MATERIALIZED (
+          SELECT word, freq, replace(s,
+            COALESCE((SELECT a || ' ' || b FROM best{i}), chr(1)),
+            COALESCE((SELECT '~' || replace(a, '~', '') || replace(b, '~', '')
+                      || '~' FROM best{i}), chr(1))
+          ) AS s
+          FROM s{i-1}
+        )""")
+    parts.append(final)
+    return "".join(parts)
+
+
 def _q_sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-dialect SQL interface: the literal same SQL string runs on
     Spark (via registered views) and on DuckDB as the oracle."""
@@ -2416,6 +2503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem_measures": _q_unpivot_lineitem_measures,
         "unigram_lm_quality": _q_unigram_lm_quality,
         "bigram_lm_quality": _q_bigram_lm_quality,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_subword_vocab": _q_bpe_subword_vocab,
         "hourly_rollup_gapfill": _q_hourly_rollup_gapfill,
         "order_rank_functions": _q_order_rank_functions,
         "user_event_deltas": _q_user_event_deltas,
@@ -3642,6 +3731,27 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN c USING (tok), s
             GROUP BY t.doc_id
         """,
+        # BPE training fully replayed: every round's argmax + merge as
+        # an unrolled CTE chain (see _bpe_oracle_sql)
+        "bpe_merges": _bpe_oracle_sql(_BPE_MERGES, f"""
+            SELECT * FROM (
+              {" UNION ALL ".join(
+                  f'''SELECT {i} AS rank, replace(a, '~', '') AS "left",
+                      replace(b, '~', '') AS "right", CAST(cnt AS BIGINT) AS cnt
+                      FROM best{i}'''
+                  for i in range(1, _BPE_MERGES + 1)
+              )}
+            ) ORDER BY rank
+        """),
+        "bpe_subword_vocab": _bpe_oracle_sql(_BPE_MERGES, f"""
+            SELECT replace(sub, '~', '') AS subword,
+                   CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (
+              SELECT freq, unnest(string_split(s, ' ')) AS sub
+              FROM s{_BPE_MERGES}
+            )
+            GROUP BY 1 ORDER BY cnt DESC, subword ASC LIMIT 40
+        """),
         # interpolated bigram LM: transition relation via zipped list
         # slices; λ·p_bi + (1−λ)·p_uni with (1−λ) written as the SAME
         # IEEE subtraction Spark evaluates (literal 0.3 is a different

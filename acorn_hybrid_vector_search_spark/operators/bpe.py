@@ -1,0 +1,176 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary induction — the
+tokenizer-TRAINING operator of the pipeline (functions/text.py's
+``subword_proxy`` counts BPE-ish tokens with a fixed regex; this
+LEARNS the merge table from the corpus, the Sennrich et al. 2016
+algorithm).
+
+The classic distributed formulation (what every tokenizer trainer
+does): BPE statistics depend only on the WORD-FREQUENCY table, so the
+corpus collapses to one vocab-scaled relation up front —
+
+1. words = whitespace tokens of the normalized text, restricted to
+   ``[a-z]+`` (the separator-safety contract: symbols are then closed
+   under concatenation and can never contain the ``~`` boundary marker
+   the SQL oracle uses);
+2. state = (word, freq, syms) where ``syms`` is the character split +
+   ``</w>`` end-of-word sentinel — ONE groupBy over the corpus; every
+   training round after that runs on this small relation, never the
+   corpus;
+3. each round: weighted adjacent-pair counts (slices-zip explode +
+   groupBy, map-side partial agg) → argmax with a total deterministic
+   order (count desc, pair asc) — a ONE-ROW collect, the only driver
+   traffic per round (the merge table itself is the training output
+   and is O(num_merges) by definition) → apply the merge to ``syms``
+   with a greedy left-to-right fold (``F.aggregate`` HOF — JVM
+   codegen, no Python). Lineage is localCheckpoint-truncated every
+   few rounds (same iterative-plan hygiene as near_dup_components).
+
+At 100 TB: the corpus is touched exactly once (the word groupBy);
+rounds cost O(|vocab| · avg word length) each. This is why real BPE
+trainers run fine on web-scale corpora — and the same reason the plan
+holds here.
+
+Greedy-fold/left-to-right-replace equivalence: applying merge (a,b)
+by folding (append, or coalesce the tail when it equals ``a`` and the
+next symbol is ``b``) produces exactly the leftmost-non-overlapping
+replacement — the property the DuckDB oracle exploits by replaying
+each round as a string ``replace`` over ``~``-bounded symbols
+(__spark_entry__.py ``bpe_merges``; pytest pins parity against an
+independent pure-python reference implementation as well).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["bpe_segment", "bpe_train", "bpe_word_state"]
+
+EOW = "</w>"
+
+
+def bpe_word_state(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq, syms) — the vocab-scaled training state. Words are
+    lowercase ``[a-z]+`` whitespace tokens; ``syms`` is the character
+    split with the ``</w>`` sentinel appended."""
+    from acorn_hybrid_vector_search_spark.functions.text import tokens
+
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = F.concat(
+        F.split(F.col("word"), "(?!$)"),  # chars
+        F.array(F.lit(EOW)),
+    )
+    return words.select("word", "freq", syms.alias("syms"))
+
+
+def _apply_merge(syms_col, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) → a+b inside a
+    symbol array, as a JVM fold (F.aggregate)."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        # F.get is 0-indexed and NULL-safe out of bounds (never throws
+        # under ANSI, unlike element_at) — NULL == a is false, so the
+        # empty-accumulator case falls through to append
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int,
+    *,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns (merges, final_state): ``merges`` is [(left, right,
+    weighted_count)] in learned order; ``final_state`` the (word, freq,
+    syms) relation after all merges (the segmentation of every corpus
+    word). Training stops early when the best pair's count falls below
+    ``min_count`` (merging hapax pairs is noise).
+
+    Tie-break is total and deterministic: count desc, then (left,
+    right) lexicographic asc — both engines and the pytest reference
+    implement the identical order.
+    """
+    state = bpe_word_state(docs, text_col=text_col).persist()
+    state.count()
+    merges: list[tuple[str, str, int]] = []
+    for rnd in range(num_merges):
+        n = F.size("syms")
+        pairs = state.filter(n >= 2).select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", 1, n - 1).alias("a"),
+                    F.slice("syms", 2, n - 1).alias("b"),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        new = state.select(
+            "word", "freq", _apply_merge(F.col("syms"), a, b).alias("syms")
+        )
+        # iterative-plan hygiene: truncate lineage periodically, persist
+        # between truncations (see near_dup_components)
+        if (rnd + 1) % 4 == 0:
+            new = new.localCheckpoint(eager=False)
+        else:
+            new = new.persist()
+        new.count()
+        state.unpersist()
+        state = new
+    return merges, state
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment documents with a learned merge list: (id, word, subword)
+    one row per subword occurrence, merges applied in learned order.
+
+    Scale shape: the merge chain is applied to the DISTINCT word
+    relation (vocab-scaled — the same collapse training uses), then
+    joined back to the corpus word stream; the corpus itself never
+    runs the fold chain."""
+    from acorn_hybrid_vector_search_spark.functions.text import tokens
+
+    stream = (
+        docs.select(id_col, F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+    )
+    vocab = stream.select("word").distinct()
+    syms = F.concat(F.split(F.col("word"), "(?!$)"), F.array(F.lit(EOW)))
+    seg = vocab.select("word", syms.alias("syms"))
+    for m in merges:
+        seg = seg.select("word", _apply_merge(F.col("syms"), m[0], m[1]).alias("syms"))
+    return stream.join(seg, "word").select(
+        id_col, "word", F.explode("syms").alias("subword")
+    )

@@ -1,0 +1,133 @@
+"""Distributed BPE training (operators/bpe.py): parity against an
+independent pure-python Sennrich reference, greedy-fold semantics,
+deterministic tie-breaks, early stop, segmentation reconstruction."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from acorn_hybrid_vector_search_spark.operators.bpe import (
+    EOW,
+    bpe_segment,
+    bpe_train,
+)
+
+
+def _py_bpe(texts, num_merges, min_count=2):
+    """Independent reference: the textbook dict-of-tuples formulation
+    (Sennrich et al. 2016, learn_bpe), same tie-break contract."""
+    words = Counter()
+    for t in texts:
+        for w in " ".join(t.lower().split()).split(" "):
+            if w and all("a" <= c <= "z" for c in w):
+                words[w] += 1
+    state = {w: tuple(list(w) + [EOW]) for w in words}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, syms in state.items():
+            for j in range(len(syms) - 1):
+                pairs[(syms[j], syms[j + 1])] += words[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        new_state = {}
+        for w, syms in state.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_state[w] = tuple(out)
+        state = new_state
+    return merges, state
+
+
+CORPUS = [
+    (0, "low lower lowest low low"),
+    (1, "new newer newest new"),
+    (2, "low new lower newer newest"),
+    (3, "the lowest of the low"),
+]
+
+
+def test_train_matches_python_reference(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got, state = bpe_train(df, 12)
+    want, want_state = _py_bpe([t for _, t in CORPUS], 12)
+    assert got == want
+    got_segs = {r["word"]: tuple(r["syms"]) for r in state.collect()}
+    assert got_segs == want_state
+
+
+def test_overlapping_merge_is_greedy_left_to_right(spark):
+    """aaaa + merge (a,a) must give [aa, aa, </w>] (leftmost
+    non-overlapping), never [a, aa, a] or [aaa, a]."""
+    df = spark.createDataFrame([(0, "aaaa aaaa aa")], "doc_id long, text string")
+    merges, state = bpe_train(df, 1)
+    assert merges[0][:2] == ("a", "a")
+    segs = {r["word"]: list(r["syms"]) for r in state.collect()}
+    assert segs["aaaa"] == ["aa", "aa", EOW]
+    assert segs["aa"] == ["aa", EOW]
+
+
+def test_min_count_early_stop(spark):
+    """Every pair is a hapax → zero merges learned."""
+    df = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
+    merges, _ = bpe_train(df, 5)
+    assert merges == []
+
+
+def test_non_alpha_words_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, "beta beta beta x9 x9 x9 x9 !! !!")], "doc_id long, text string"
+    )
+    merges, state = bpe_train(df, 3)
+    words = {r["word"] for r in state.collect()}
+    assert words == {"beta"}  # x9 / !! fail the [a-z]+ gate
+    assert all(
+        "9" not in a + b and "!" not in a + b for a, b, _ in merges
+    )
+
+
+def test_segment_reconstructs_words_randomized(spark):
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "alphabet", "gambit", "beam"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(12))) for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges, _ = bpe_train(df, 8)
+    seg = bpe_segment(df, merges)
+    rows = seg.collect()
+    # group subwords per (doc, word) occurrence is lost after explode;
+    # instead check totals: per word, concat of its final symbols == word+EOW
+    by_word = {}
+    for r in rows:
+        by_word.setdefault(r["word"], []).append(r["subword"])
+    stream = Counter()
+    for _, t in docs:
+        for w in t.split():
+            stream[w] += 1
+    for w, subs in by_word.items():
+        per_occurrence = len(subs) // stream[w]
+        assert len(subs) % stream[w] == 0
+        one = subs[:per_occurrence]
+        assert "".join(one) == w + EOW
+
+
+def test_merge_order_is_deterministic_tiebreak(spark):
+    """Equal-count pairs resolve lexicographically: corpus 'xy xy ab ab'
+    has pairs (a,b) (b,</w>) (x,y) (y,</w>) all count 2 — (a,b) wins."""
+    df = spark.createDataFrame([(0, "xy xy ab ab")], "doc_id long, text string")
+    merges, _ = bpe_train(df, 1)
+    assert merges[0][:2] == ("a", "b")
