@@ -1442,6 +1442,98 @@ def _q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
+_HTML_PREFIX = (
+    '<html><head><title>Doc</title><script type="text/javascript">var x = '
+    "1 &amp;&amp; 2;</script><style>.m{color:red}</style></head><body>"
+    "<nav>Home | About</nav><!-- boilerplate --><h1>Doc</h1><p>"
+)
+_HTML_SUFFIX = (
+    "</p><p>Tom &amp; Jerry &lt;3&nbsp;&quot;quoted&quot;</p>"
+    "<footer>&copy; 2024 Corp</footer></body></html>"
+)
+
+
+def _q_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus text extraction (functions/html.py): each document is
+    wrapped in a deterministic HTML page (script/style/nav/footer
+    boilerplate, comments, entities — the pii_redaction planted-input
+    pattern) and run through the full extract chain: container strip →
+    comment strip → tag strip → entity decode (&amp; last, the
+    double-escape ordering) → whitespace collapse. All JVM regex/
+    replace expressions in the RE2 ∩ java.regex portable dialect; the
+    oracle replays the identical chain generated from the SAME pattern
+    lists (flag 'g' for DuckDB's first-match default). The md5 of every
+    extracted text is hash-compared — any dialect divergence on any
+    document fails the gate."""
+    from acorn_hybrid_vector_search_spark.functions.html import extract_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX))
+    extracted = extract_text(html)
+    return docs.select(
+        "doc_id",
+        F.length(html).alias("n_chars_html"),
+        F.length(extracted).alias("n_chars_text"),
+        F.md5(extracted).alias("text_md5"),
+    )
+
+
+def _html_extraction_sql() -> str:
+    """The same chain, generated from functions.html's own pattern
+    lists — the Spark and DuckDB sides cannot drift independently."""
+    from acorn_hybrid_vector_search_spark.functions import html as H
+
+    p = _HTML_PREFIX.replace("'", "''")
+    sfx = _HTML_SUFFIX.replace("'", "''")
+    c = f"'{p}' || text || '{sfx}'"
+    expr = c
+    for pat in H._CONTAINER_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '{H._COMMENT_PATTERN}', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '{H._TAG_PATTERN}', ' ', 'g')"
+    for ent, ch in H._ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{ch_sql}')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"""
+        WITH e AS (
+          SELECT doc_id, {c} AS html, {expr} AS extracted FROM documents
+        )
+        SELECT doc_id, length(html) AS n_chars_html,
+               length(extracted) AS n_chars_text,
+               md5(extracted) AS text_md5
+        FROM e
+    """
+
+
+def _q_routed_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy-routed dedup (plans/router.py::route_dedup, round-5
+    ask #7): corpus stats (size, mean token count — one 1-row aggregate)
+    feed the router at near-dup threshold 0.7; the short-doc corpus
+    routes to MINHASH with MMDS-tuned 4×4 banding, and dedup_search
+    dispatches end-to-end. Oracle: the SAME parameterized MinHash SQL
+    replay at the ROUTED banding — proving the router's choice is
+    computed, not hard-coded, and its output exactly matches the
+    declared strategy."""
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        dedup_search,
+        route_dedup,
+    )
+    from acorn_hybrid_vector_search_spark.functions.text import tokens as _tk
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(_tk("text"))).alias("avg_tok"),
+    ).collect()[0]
+    route = route_dedup(int(stats["n"]), float(stats["avg_tok"]), threshold=0.7)
+    assert route.strategy == "minhash" and route.params["bands"] == 4, route
+    return dedup_search(docs, route).select(
+        "id_a", "id_b", F.round("sig_agreement", _R).alias("sig_agreement"),
+        F.round("jaccard", _R).alias("jaccard"),
+    )
+
+
 _BPE_MERGES = 10
 
 
@@ -2505,6 +2597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_quality": _q_bigram_lm_quality,
         "bpe_merges": _q_bpe_merges,
         "bpe_subword_vocab": _q_bpe_subword_vocab,
+        "routed_dedup_pairs": _q_routed_dedup_pairs,
+        "html_text_extraction": _q_html_text_extraction,
         "hourly_rollup_gapfill": _q_hourly_rollup_gapfill,
         "order_rank_functions": _q_order_rank_functions,
         "user_event_deltas": _q_user_event_deltas,
@@ -2603,7 +2697,7 @@ def _pii_sql() -> str:
     """
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(bands: int = 8, verify: float = 0.5) -> str:
     """DuckDB replica of operators.dedup.minhash_near_dups (num_hashes=16,
     bands=8, shingle_n=3, verify_threshold=0.5): word-3-gram shingles →
     portable 60-bit md5 hash (functions.text._hash64: first 15 hex chars
@@ -2628,6 +2722,11 @@ def _minhash_sql() -> str:
         "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
         " / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6)"
     )
+    rows_per_band = 16 // bands
+    band_eq = " AND ".join(
+        f"a.sig[{rows_per_band}*bb+{r + 1}] = b.sig[{rows_per_band}*bb+{r + 1}]"
+        for r in range(rows_per_band)
+    )
     return f"""
         WITH base AS (
           SELECT id, sh, len(sh) AS n FROM (
@@ -2648,10 +2747,9 @@ def _minhash_sql() -> str:
               AS DOUBLE) / 16, 6) AS sig_agreement,
           {jac} AS jaccard
         FROM sigs a JOIN sigs b ON a.id < b.id
-        WHERE len(list_filter(range(0, 8),
-              bb -> a.sig[2*bb+1] = b.sig[2*bb+1]
-                AND a.sig[2*bb+2] = b.sig[2*bb+2])) > 0
-          AND {jac} >= 0.5
+        WHERE len(list_filter(range(0, {bands}),
+              bb -> {band_eq})) > 0
+          AND {jac} >= {verify}
     """
 
 
@@ -3731,6 +3829,10 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN c USING (tok), s
             GROUP BY t.doc_id
         """,
+        "html_text_extraction": _html_extraction_sql(),
+        # routed dedup: the SAME parameterized MinHash replay at the
+        # banding the router computed (4x4 for threshold 0.7)
+        "routed_dedup_pairs": _minhash_sql(bands=4, verify=0.7),
         # BPE training fully replayed: every round's argmax + merge as
         # an unrolled CTE chain (see _bpe_oracle_sql)
         "bpe_merges": _bpe_oracle_sql(_BPE_MERGES, f"""
