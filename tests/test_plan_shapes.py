@@ -31,11 +31,12 @@ def test_topk_queries_use_take_ordered(queries):
 # equi-key by construction). Everything else must stay equi-join.
 _BNLJ_BY_DESIGN = {
     "knn_batch_topk",
-    # BM25's / the LM scorer's corpus-stats table is a broadcast 1-row
+    # BM25's / the LM scorers' corpus-stats table is a broadcast 1-row
     # cross join
     "bm25_topk_docs",
     "hybrid_rrf_retrieval",
     "unigram_lm_quality",
+    "bigram_lm_quality",
     # bounded broadcast query batch, label-mismatch filtered map-side
     "hard_negatives_topk",
     "mined_contrastive_pairs",
