@@ -203,22 +203,25 @@ def near_dup_components(
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    # Seed labels from df ids ∪ pair endpoints: an endpoint absent from
-    # ``df`` (caller passed externally-derived pairs) would otherwise
-    # first appear via a propagated row with NULL _old — its label
-    # decreases would never count toward ``changed`` (a cluster
-    # reachable only through such a phantom id could be declared
-    # converged one round early) and the phantom would leak into the
-    # output. Seeding keeps transitive closure THROUGH phantom
-    # intermediates exact; the final select restricts output to df ids.
-    df_ids = df.select(F.col(id_col).alias("id")).distinct()
-    endpoint_ids = edges.select(F.col("src").alias("id")).distinct()
-    labels = df_ids.unionByName(endpoint_ids).distinct().withColumn(
+    # Phantom-endpoint contract (r4 ADVICE): a pair endpoint absent
+    # from ``df`` (externally-derived pairs) first enters the label
+    # relation as a propagated row whose ``_old`` is NULL. Transitive
+    # closure THROUGH such ids already works (they join ``labels`` from
+    # the next round on); the two hazards are (a) their first
+    # appearance never counted toward ``changed`` — a cluster reachable
+    # only through a phantom could be declared converged one round
+    # early — and (b) they leaked into the output. Fix (a) by counting
+    # NULL-_old rows as changes (zero extra cost: in the normal
+    # endpoints ⊆ df case ``_old`` is never NULL, so no extra rounds),
+    # and (b) by a final df-id semi-join applied ONLY when a phantom
+    # was actually observed — the common case pays nothing.
+    labels = df.select(F.col(id_col).alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
     labels = labels.persist()
     labels.count()
     changed = 0
+    phantom_seen = False
     for _round in range(max_iter):
         prop = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"),
@@ -265,7 +268,12 @@ def near_dup_components(
             new = new.localCheckpoint(eager=False)
         else:
             new = new.persist()
-        changed = new.filter(F.col("component") < F.col("_old")).count()
+        counts = new.agg(
+            F.count(F.when(F.col("component") < F.col("_old"), 1)).alias("dec"),
+            F.count(F.when(F.col("_old").isNull(), 1)).alias("fresh"),
+        ).collect()[0]
+        changed = counts["dec"] + counts["fresh"]
+        phantom_seen = phantom_seen or counts["fresh"] > 0
         labels.unpersist()
         if interim is not None:
             interim.unpersist()
@@ -277,9 +285,10 @@ def near_dup_components(
             f"near_dup_components did not converge in {max_iter} rounds "
             f"({changed} labels still decreasing) — raise max_iter"
         )
-    return labels.join(df_ids, "id", "left_semi").select(
-        F.col("id").alias(id_col), "component"
-    )
+    if phantom_seen:
+        df_ids = df.select(F.col(id_col).alias("id")).distinct()
+        labels = labels.join(df_ids, "id", "left_semi")
+    return labels.select(F.col("id").alias(id_col), "component")
 
 
 def collapse_near_dups(
