@@ -1555,6 +1555,42 @@ def _bpe_trained(spark: SparkSession, sf_dir: str, *, force: bool = False):
     return _BPE_CACHE[key]
 
 
+def _q_stream_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC → SCD-2 through the driver oracle: the same CDC
+    batch as scd2_orders_history arrives via a file-source STREAM and
+    folds into the history with foreachBatch + scd2_apply
+    (streaming/pipeline.py::scd2_stream_apply — per-batch eager
+    localCheckpoint keeps lineage O(1) over an unbounded stream;
+    idempotent no-op suppression makes at-least-once replay safe). The
+    merged history answers the IDENTICAL batch merge oracle — stream ≡
+    batch on the correctness gate, the same parity contract as
+    stream_hourly_rollup / stream_audio_decode / stream_images_decode.
+    Multi-batch sequencing is pytest-pinned (tests/test_scd.py)."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.streaming.pipeline import (
+        scd2_stream_apply,
+        stream_from_parquet_dir,
+    )
+
+    history, batch = _scd2_inputs(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="scd2cdc_")
+    batch.coalesce(1).write.mode("overwrite").parquet(d)
+    cdc = stream_from_parquet_dir(spark, d, schema=batch.schema)
+    q, current = scd2_stream_apply(
+        history, cdc,
+        ["o_orderkey"], ["o_orderstatus", "o_totalprice"],
+        _SCD2_EFF,
+    )
+    q.awaitTermination()
+    return current().groupBy(
+        "o_orderstatus", F.col("valid_to").isNull().alias("is_open")
+    ).agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        _sum6(F.col("o_totalprice")).alias("total"),
+    )
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): learn the
     first 10 merges from the documents corpus — the Sennrich-et-al
@@ -2621,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_parttype_revenue": _q_sql_parttype_revenue,
         "scd2_orders_history": _q_scd2_orders_history,
         "scd2_snapshot_orders": _q_scd2_snapshot_orders,
+        "stream_scd2_orders": _q_stream_scd2_orders,
         "ann_ivf_topk": _q_ann_ivf,
         "pq_ann_topk": _q_pq_ann_topk,
         "compacted_rollup_events": _q_compacted_rollup_events,
@@ -4121,6 +4158,16 @@ def oracle_sql() -> dict[str, str]:
         # close-at-eff + append-open + no-op suppression, then the same
         # per-(status, open) rollup / point-in-time snapshot.
         "scd2_orders_history": f"""
+            WITH {_SCD2_MERGED_SQL}
+            SELECT o_orderstatus, (valid_to IS NULL) AS is_open,
+              COUNT(*) AS n_versions,
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE), 6)
+                AS total
+            FROM merged GROUP BY o_orderstatus, (valid_to IS NULL)
+        """,
+        # streaming parity: the foreachBatch CDC fold answers the SAME
+        # batch merge oracle
+        "stream_scd2_orders": f"""
             WITH {_SCD2_MERGED_SQL}
             SELECT o_orderstatus, (valid_to IS NULL) AS is_open,
               COUNT(*) AS n_versions,

@@ -323,3 +323,66 @@ def running_user_totals(events: DataFrame, *, timeout_ms: int | None = None) -> 
     return events.groupBy("user_id").applyInPandasWithState(
         fn, _TOTALS_OUT, _TOTALS_STATE, "append", timeout
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC → SCD-2 history (foreachBatch)
+
+
+def scd2_stream_apply(
+    history: DataFrame,
+    cdc_stream: DataFrame,
+    key_cols,
+    attr_cols,
+    effective_ts=None,
+    *,
+    eff_from_col: str | None = None,
+    order_col: str | None = None,
+):
+    """Continuously fold a CDC stream into an SCD-2 history relation —
+    the streaming front of operators/scd.py, via ``foreachBatch`` (the
+    standard pattern for merge-shaped sinks, which no streaming output
+    mode expresses directly).
+
+    Each micro-batch runs one ``scd2_apply``: idempotent no-op
+    suppression makes at-least-once batch replay safe (re-applying a
+    delivered batch changes nothing — the exactly-once story without a
+    transactional sink). The evolving history is eagerly
+    ``localCheckpoint``-ed per batch: lineage stays O(1) across an
+    unbounded stream instead of growing one merge-plan layer per batch,
+    and the handle outlives the micro-batch DataFrame it was derived
+    from.
+
+    ``effective_ts``: a literal applied to every batch, or set
+    ``eff_from_col`` to stamp each batch with the max of that column —
+    per-batch event-time versioning. Returns ``(query, current)``:
+    await the query, then ``current()`` is the merged history.
+    """
+    from acorn_hybrid_vector_search_spark.operators.scd import scd2_apply
+
+    if (effective_ts is None) == (eff_from_col is None):
+        raise ValueError("pass exactly one of effective_ts / eff_from_col")
+    state = {"hist": history}
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eff = (
+            effective_ts
+            if eff_from_col is None
+            else batch_df.agg(F.max(eff_from_col)).collect()[0][0]
+        )
+        batch = batch_df.select(*key_cols, *attr_cols) if order_col is None else (
+            batch_df.select(*key_cols, *attr_cols, order_col)
+        )
+        merged = scd2_apply(
+            state["hist"], batch, key_cols, attr_cols, eff, order_col=order_col
+        )
+        state["hist"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        cdc_stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, lambda: state["hist"]

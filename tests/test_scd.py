@@ -133,3 +133,65 @@ def test_scd2_plan_has_no_rowscaled_window_and_broadcasts(spark, history, batch)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_scd2_stream_multibatch_equals_sequential_batch(spark, tmp_path, history):
+    """Two CDC files processed as TWO micro-batches (maxFilesPerTrigger=1,
+    per-batch event-time stamping) produce exactly scd2_apply(scd2_apply(
+    h, b1), b2) — the streaming fold is the batch fold."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.streaming.pipeline import (
+        scd2_stream_apply,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "C", 11.0, "2024-06-01 00:00:00")],
+        "k long, status string, price double, eff string",
+    ).withColumn("eff", F.col("eff").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [(1, "D", 12.0, "2024-07-01 00:00:00"),
+         (6, "E", 60.0, "2024-07-01 00:00:00")],
+        "k long, status string, price double, eff string",
+    ).withColumn("eff", F.col("eff").cast("timestamp"))
+
+    d = tmp_path / "cdc"
+    b1.coalesce(1).write.parquet(str(d / "f1"))
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(d / "f2"))
+    # flatten into one dir with ordered mtimes for the file source
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    seq = 0
+    for sub in ("f1", "f2"):
+        for f in sorted(os.listdir(d / sub)):
+            if f.endswith(".parquet"):
+                src = d / sub / f
+                dst = flat / f"{seq}_{f}"
+                dst.write_bytes(src.read_bytes())
+                os.utime(dst, (1700000000 + seq, 1700000000 + seq))
+                seq += 1
+
+    cdc = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q, current = scd2_stream_apply(
+        history, cdc, KEYS, ATTRS, eff_from_col="eff", order_col="eff"
+    )
+    q.awaitTermination()
+    got = _rows(current())
+
+    expected = scd2_apply(
+        scd2_apply(history, b1.select(*KEYS, *ATTRS), KEYS, ATTRS,
+                   "2024-06-01 00:00:00"),
+        b2.select(*KEYS, *ATTRS), KEYS, ATTRS, "2024-07-01 00:00:00",
+    )
+    assert got == _rows(expected)
+    # and key 1 carries the full 3-version paper trail
+    hist_1 = [r for r in got if r[0] == 1]
+    assert len(hist_1) == 3
