@@ -877,17 +877,27 @@ def _q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_prepared
 def _q_acorn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 ACORN-equivalent: escalating-oversample post-filter with exact
     pre-filter fallback (/root/reference/acorn.py:149-238's contract —
     "filtered top-k with bounded work"). The escalation is deterministic
     (rounds 4k→16k→64k, then exact fallback), so the oracle encodes the
-    same round-selection logic in SQL."""
-    from acorn_hybrid_vector_search_spark.operators.hybrid import acorn_search
+    same round-selection logic in SQL.
 
-    emb = _t(spark, sf_dir, "embeddings")
-    res = acorn_search(
-        emb,
+    Round 5: the escalation is now ONE declarative plan
+    (hybrid.py::acorn_search_plan — ranked bounded candidates, scalar
+    round selection, plan-side fallback branch; no collect, no local
+    relation, no driver loop), which makes it legitimately
+    ``@_prepared``: the executed plan is distributed end-to-end (the
+    LocalTableScan guard test covers it), and every bench iteration
+    re-executes the candidate + round-selection jobs. pytest pins
+    plan ≡ the loop-based acorn_search on fill/under-fill/fallback
+    corpora."""
+    from acorn_hybrid_vector_search_spark.operators.hybrid import acorn_search_plan
+
+    res = acorn_search_plan(
+        _t(spark, sf_dir, "embeddings"),
         _query_vec(spark, sf_dir),
         {"label": ["exact", 3]},
         k=10,

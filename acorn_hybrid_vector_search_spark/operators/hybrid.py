@@ -157,6 +157,109 @@ def acorn_search(
     the vectors; at 2048-dim that is ~5 MB of floats the caller usually
     drops. Passing the projection keeps the collect to a few KB.
     """
+    return acorn_prepare(
+        df,
+        query_vec,
+        predicates,
+        k,
+        initial_oversample=initial_oversample,
+        max_rounds=max_rounds,
+        accessors=accessors,
+        vec_col=vec_col,
+        id_col=id_col,
+        dist_col=dist_col,
+        payload_cols=payload_cols,
+    ).search()
+
+
+class AcornPrepared:
+    """The build/search split of the K4 escalation, mirroring the
+    reference's lifecycle exactly (acorn.py:274-277 builds the index
+    once per process; the reported latencies time ``knn_query`` alone):
+    ``acorn_prepare`` pays Python plan construction + analysis ONCE;
+    every ``search()`` call re-EXECUTES the candidate scan (a real
+    cluster job — nothing about the data is cached here), re-runs the
+    bounded round selection, and re-executes the exact-prefilter plan
+    when escalation under-fills. Results are identical to a fresh
+    ``acorn_search`` call by construction (same plans, same
+    arithmetic)."""
+
+    __slots__ = ("cand", "fallback", "k", "initial_oversample",
+                 "max_rounds", "dist_col", "id_col", "_spark")
+
+    def __init__(self, cand: DataFrame, fallback: DataFrame, *, k: int,
+                 initial_oversample: int, max_rounds: int,
+                 dist_col: str, id_col: str) -> None:
+        self.cand = cand
+        self.fallback = fallback
+        self.k = k
+        self.initial_oversample = initial_oversample
+        self.max_rounds = max_rounds
+        self.dist_col = dist_col
+        self.id_col = id_col
+        self._spark = cand.sparkSession
+
+    def search(self) -> DataFrame:
+        rows = sorted(
+            self.cand.collect(), key=lambda r: (r[self.dist_col], r[self.id_col])
+        )
+        for round_i in range(self.max_rounds):
+            large_k = self.initial_oversample * (4**round_i) * self.k
+            hits = [r for r in rows[:large_k] if r["_passes"]]
+            if len(hits) >= self.k:
+                out = self._spark.createDataFrame(
+                    hits[: self.k], schema=self.cand.schema
+                )
+                return out.drop("_passes")
+        return self.fallback
+
+
+def acorn_search_plan(
+    df: DataFrame,
+    query_vec: Column | Sequence[float],
+    predicates: Predicates | Column | None,
+    k: int,
+    *,
+    initial_oversample: int = 4,
+    max_rounds: int = 3,
+    accessors: Mapping[str, AttributeAccessor] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """The K4 escalation as ONE declarative plan — no driver-side round
+    loop, no collect, no local relation: fully Catalyst-expressible,
+    and therefore eligible for the prepared-statement contract (its
+    executed plan is distributed end-to-end).
+
+    Encoding of "smallest round whose candidate prefix holds ≥ k
+    passing rows":
+
+    - rank the bounded candidate set (top ``max_large_k`` by (dist,
+      id) — a TakeOrderedAndProject) with ``row_number`` → ``rn``, and
+      the PASSING rows with their own ``row_number`` → ``pass_rank``.
+      Both windows run on a single partition of ≤ ``max_large_k`` rows
+      (a query-size constant, NOT row-scaled — the one place a
+      single-partition window is the right plan);
+    - a 1-row aggregate computes the chosen prefix ``least(L_r where
+      count(_passes ∧ rn ≤ L_r) ≥ k)`` and broadcasts it back
+      (1-row cross join);
+    - if ``count_passing(prefix) ≥ k`` then the first k passing rows
+      by rank necessarily sit inside the prefix, so the escalation
+      answer is ``_passes ∧ pass_rank ≤ k`` guarded by ``chosen IS NOT
+      NULL``;
+    - the exact-prefilter fallback rides in the same plan as a UNION
+      branch filtered on ``chosen IS NULL`` — when escalation fills,
+      the branch's filter eliminates its rows (its bounded top-k scan
+      still executes; that is the price of a collect-free plan, and it
+      is the same TakeOrderedAndProject shape as the candidate scan).
+
+    Result rows/ordering are identical to ``acorn_search`` (pytest
+    pins plan ≡ loop on fill, under-fill and fallback corpora).
+    """
+    from pyspark.sql.window import Window
+
     cond = _resolve_predicate(df, predicates, accessors)
     if payload_cols is None:
         proj, drop_vec = df, False
@@ -170,16 +273,87 @@ def acorn_search(
     ).withColumn("_passes", cond)
     if payload_cols is not None and drop_vec:
         cand = cand.drop(vec_col)
-    rows = sorted(cand.collect(), key=lambda r: (r[dist_col], r[id_col]))
 
-    for round_i in range(max_rounds):
-        large_k = initial_oversample * (4**round_i) * k
-        hits = [r for r in rows[:large_k] if r["_passes"]]
-        if len(hits) >= k:
-            out = df.sparkSession.createDataFrame(hits[:k], schema=cand.schema)
-            return out.drop("_passes")
-    return prefilter_search(
+    order = [F.col(dist_col).asc(), F.col(id_col).asc()]
+    w = Window.orderBy(*order)
+    ranked = cand.select(
+        "*",
+        F.row_number().over(w).alias("_rn"),
+        F.sum(F.when(F.col("_passes"), 1).otherwise(0)).over(w).alias("_prefix_hits"),
+    )
+    rounds = [initial_oversample * (4**r) * k for r in range(max_rounds)]
+    chosen = F.least(
+        *[
+            F.min(
+                F.when(
+                    (F.col("_rn") <= L) & (F.col("_prefix_hits") >= k), F.lit(L)
+                )
+            )
+            for L in rounds
+        ]
+    ).alias("_chosen") if len(rounds) > 1 else F.min(
+        F.when((F.col("_rn") <= rounds[0]) & (F.col("_prefix_hits") >= k),
+               F.lit(rounds[0]))
+    ).alias("_chosen")
+    sel = F.broadcast(ranked.agg(chosen))
+
+    pass_rank = F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(*order)
+    )
+    escalation = (
+        ranked.filter(F.col("_passes"))
+        .withColumn("_pass_rank", pass_rank)
+        .crossJoin(sel)
+        .filter(F.col("_chosen").isNotNull() & (F.col("_pass_rank") <= k))
+        .drop("_passes", "_rn", "_prefix_hits", "_pass_rank", "_chosen")
+    )
+    out_cols = escalation.columns
+    fallback = (
+        prefilter_search(
+            df, query_vec, cond, k, vec_col=vec_col, id_col=id_col, dist_col=dist_col
+        )
+        .select(*out_cols)
+        .crossJoin(sel)
+        .filter(F.col("_chosen").isNull())
+        .drop("_chosen")
+    )
+    return escalation.unionByName(fallback)
+
+
+def acorn_prepare(
+    df: DataFrame,
+    query_vec: Column | Sequence[float],
+    predicates: Predicates | Column | None,
+    k: int,
+    *,
+    initial_oversample: int = 4,
+    max_rounds: int = 3,
+    accessors: Mapping[str, AttributeAccessor] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+    payload_cols: Sequence[str] | None = None,
+) -> AcornPrepared:
+    """Build the K4 plans once (see AcornPrepared)."""
+    cond = _resolve_predicate(df, predicates, accessors)
+    if payload_cols is None:
+        proj, drop_vec = df, False
+    else:
+        keep = list(dict.fromkeys([id_col, *payload_cols]))
+        drop_vec = vec_col not in keep
+        proj = df.select(*dict.fromkeys([*keep, vec_col]))
+    max_large_k = initial_oversample * (4 ** (max_rounds - 1)) * k
+    cand = knn_exact(
+        proj, query_vec, max_large_k, vec_col=vec_col, id_col=id_col, dist_col=dist_col
+    ).withColumn("_passes", cond)
+    if payload_cols is not None and drop_vec:
+        cand = cand.drop(vec_col)
+    fallback = prefilter_search(
         df, query_vec, cond, k, vec_col=vec_col, id_col=id_col, dist_col=dist_col
+    )
+    return AcornPrepared(
+        cand, fallback, k=k, initial_oversample=initial_oversample,
+        max_rounds=max_rounds, dist_col=dist_col, id_col=id_col,
     )
 
 

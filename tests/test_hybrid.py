@@ -166,3 +166,59 @@ def test_knn_batch_blas_matches_jvm_path(embeddings_df):
         (r["query_id"], r["vec_id"]) for r in knn_batch(embeddings_df, queries_df, 5).collect()
     }
     assert blas == jvm
+
+
+def test_acorn_plan_equals_loop_all_branches(spark):
+    """acorn_search_plan (declarative escalation) ≡ acorn_search
+    (driver loop) on every branch: round-1 fill, late-round fill, and
+    exact-prefilter fallback."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        acorn_search,
+        acorn_search_plan,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim = 400, 8
+    vecs = rng.rand(n, dim).round(3)
+    # labels: 0 is common (round-1 fill), 1 is rare (late fill),
+    # 2 is near-absent (fallback)
+    labels = [0 if i % 2 == 0 else (1 if i % 29 == 0 else 3) for i in range(n)]
+    labels[397] = 2
+    labels[31] = 2
+    rows = [(i, [float(x) for x in vecs[i]], labels[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = [float(x) for x in vecs[7]]
+
+    for label, k in [(0, 5), (1, 4), (2, 2)]:
+        loop = acorn_search(
+            df, q, {"label": ["exact", label]}, k=k, initial_oversample=2,
+            max_rounds=3, payload_cols=["vec_id", "label"],
+        ).select("vec_id", "label", "dist")
+        plan = acorn_search_plan(
+            df, q, {"label": ["exact", label]}, k=k, initial_oversample=2,
+            max_rounds=3, payload_cols=["vec_id", "label"],
+        ).select("vec_id", "label", "dist")
+        lr = sorted((r["vec_id"], r["label"], round(r["dist"], 9)) for r in loop.collect())
+        pr = sorted((r["vec_id"], r["label"], round(r["dist"], 9)) for r in plan.collect())
+        assert lr == pr, (label, k, lr, pr)
+        assert len(pr) == k, (label, k)
+
+
+def test_acorn_plan_is_distributed_and_bounded(spark, embeddings_df):
+    """The declarative escalation never materializes a local relation
+    and its windows run over the bounded candidate set only."""
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        acorn_search_plan,
+    )
+
+    emb = embeddings_df
+    q = emb.filter("vec_id = 0").head()["embedding"]
+    plan_df = acorn_search_plan(
+        emb, q, {"label": ["exact", 3]}, k=10, payload_cols=["vec_id", "label"]
+    )
+    p = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in p
+    assert "TakeOrderedAndProject" in p

@@ -43,6 +43,9 @@ _BNLJ_BY_DESIGN = {
     # constant-size sampled-frame set (25 rows) pairs against itself;
     # the row-scaled path for the same relation is embedding_near_dups
     "video_frame_similarity",
+    # K4 declarative escalation: 1-row round-selection scalar broadcast
+    # back over the bounded candidate set (acorn_search_plan)
+    "acorn_hybrid",
 }
 
 
