@@ -1544,6 +1544,27 @@ def _q_routed_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format coverage beyond parquet (S4 family): orders →
+    ORC sink → ORC source → grouped decimal-exact aggregate. The oracle
+    computes the same aggregate over the PARQUET table — equality
+    proves the ORC write/read roundtrip is value-faithful (types:
+    bigint, string, double, timestamp). ORC is the other built-in
+    columnar format a lakehouse migration actually encounters; the
+    scan supports the same pushdown/pruning contracts as parquet."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="orc_rt_")
+    o.write.mode("overwrite").orc(d)
+    back = spark.read.orc(d)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _sum6(F.col("o_totalprice")).alias("total"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
 _BPE_MERGES = 10
 # learned merge tables per (session, sf_dir) — the train-once/apply-many
 # split: bpe_merges (the TRAINING query) always retrains and repopulates
@@ -2070,6 +2091,51 @@ def _q_images_grid_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.select("filename", F.posexplode("features").alias("cell", "v"))
         .select("filename", "cell", F.round("v", _R).alias("v"))
         .orderBy("filename", "cell")
+    )
+
+
+def _q_image_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image similarity over REAL decoded pixels: JPEG decode
+    → 4×4 luma grid features → cosine top-3 per image across the fixture
+    set (the video_frame_similarity pattern on the image modality — the
+    constant-size set pairs via an allowed broadcast NLJ; the row-scaled
+    path for feature relations is embedding_near_dups/ANN). Oracle:
+    DuckDB re-derives every feature cell from the golden RAW pixel
+    bytes, then re-ranks the cosine top-3 — the whole pipeline
+    (decode → pool → similarity → rank) is replayed from pixels."""
+    from pyspark.sql.window import Window
+
+    from acorn_hybrid_vector_search_spark.functions.distance import (
+        cosine_similarity,
+    )
+    from acorn_hybrid_vector_search_spark.sources.media import (
+        decode_images,
+        luma_grid_features,
+        read_media_dir,
+    )
+
+    media = read_media_dir(spark, f"{MEDIA_FIXTURE}/images", "image", "*.jpg")
+    feats = luma_grid_features(
+        decode_images(media, emit_pixels=True), grid=4, dtype="float64"
+    ).select("filename", "features")
+    a, b = feats.alias("a"), feats.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.filename") != F.col("b.filename"))
+        .select(
+            F.col("a.filename").alias("q_file"),
+            F.col("b.filename").alias("c_file"),
+            F.round(
+                cosine_similarity(F.col("a.features"), F.col("b.features")), _R
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_file").orderBy(
+        F.col("sim").desc(), F.col("c_file").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("q_file", "rk")
     )
 
 
@@ -2644,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_event_type": _q_histogram_event_type,
         "pii_redaction": _q_pii_redaction,
         "images_grid_features": _q_images_grid_features,
+        "image_similarity": _q_image_similarity,
         "stream_images_decode": _q_stream_images_decode,
         "video_frame_similarity": _q_video_frame_similarity,
         "histogram_lang": _q_histogram_lang,
@@ -2665,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_subword_vocab": _q_bpe_subword_vocab,
         "routed_dedup_pairs": _q_routed_dedup_pairs,
         "html_text_extraction": _q_html_text_extraction,
+        "orc_roundtrip_orders": _q_orc_roundtrip_orders,
         "hourly_rollup_gapfill": _q_hourly_rollup_gapfill,
         "order_rank_functions": _q_order_rank_functions,
         "user_event_deltas": _q_user_event_deltas,
@@ -3897,6 +3965,49 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t.doc_id
         """,
         "html_text_extraction": _html_extraction_sql(),
+        # ORC roundtrip: the oracle aggregates the PARQUET table — value
+        # equality proves the ORC write/read is faithful
+        "orc_roundtrip_orders": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE), 6)
+                AS total,
+              MAX(o_orderdate) AS last_date
+            FROM orders GROUP BY o_orderstatus
+        """,
+        # image similarity: features re-derived from golden RAW pixels,
+        # cosine + rank fully re-computed in SQL (the video pattern)
+        "image_similarity": f"""
+            WITH g AS (
+              SELECT filename, width, height, hex(y_plane) AS h
+              FROM read_parquet('{GOLDEN_FIXTURE}/jpeg_pixels.parquet')
+            ),
+            gi_ AS (SELECT *, unnest(range(0, 4)) AS gi FROM g),
+            gj_ AS (SELECT *, unnest(range(0, 4)) AS gj FROM gi_),
+            r_ AS (SELECT *, unnest(range(gi*height//4, (gi+1)*height//4))
+                          AS r FROM gj_),
+            c_ AS (SELECT *, unnest(range(gj*width//4, (gj+1)*width//4))
+                          AS c FROM r_),
+            feat AS (
+              SELECT filename, gi, gj,
+                CAST(SUM(('0x'||substring(h, 2*(r*width+c)+1, 2))::INT)
+                  AS DOUBLE) / COUNT(*) AS v
+              FROM c_ GROUP BY filename, gi, gj
+            ),
+            pairs AS (
+              SELECT a.filename AS q_file, b.filename AS c_file,
+                round(SUM(a.v*b.v)
+                  / (sqrt(SUM(a.v*a.v)) * sqrt(SUM(b.v*b.v))), {_R}) AS sim
+              FROM feat a JOIN feat b
+                ON a.gi = b.gi AND a.gj = b.gj AND a.filename <> b.filename
+              GROUP BY ALL
+            )
+            SELECT q_file, c_file, sim, CAST(rk AS INT) AS rk
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY q_file ORDER BY sim DESC, c_file) AS rk
+                  FROM pairs)
+            WHERE rk <= 3
+            ORDER BY q_file, rk
+        """,
         # routed dedup: the SAME parameterized MinHash replay at the
         # banding the router computed (4x4 for threshold 0.7)
         "routed_dedup_pairs": _minhash_sql(bands=4, verify=0.7),

@@ -40,9 +40,11 @@ _BNLJ_BY_DESIGN = {
     # bounded broadcast query batch, label-mismatch filtered map-side
     "hard_negatives_topk",
     "mined_contrastive_pairs",
-    # constant-size sampled-frame set (25 rows) pairs against itself;
-    # the row-scaled path for the same relation is embedding_near_dups
+    # constant-size sampled-frame / fixture-image sets pair against
+    # themselves; the row-scaled path for the same relations is
+    # embedding_near_dups / the ANN family
     "video_frame_similarity",
+    "image_similarity",
     # K4 declarative escalation: 1-row round-selection scalar broadcast
     # back over the bounded candidate set (acorn_search_plan)
     "acorn_hybrid",

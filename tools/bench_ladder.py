@@ -131,6 +131,44 @@ def main() -> None:
             ).count(),
             n_ev,
         )
+        # round-5 families
+        from acorn_hybrid_vector_search_spark.operators.bpe import bpe_train
+        from acorn_hybrid_vector_search_spark.operators.lm_quality import (
+            bigram_logprob_scores,
+        )
+        from acorn_hybrid_vector_search_spark.operators.scd import scd2_apply
+
+        run(
+            "bigram_lm_quality",
+            lambda: bigram_logprob_scores(docs)
+            .agg(F.count(F.lit(1)), F.sum("mean_logprob"))
+            .collect()[0][0],
+            n_docs,
+        )
+        run(
+            "bpe_train_5",
+            lambda: len(bpe_train(docs, 5)[0]),
+            n_docs,
+        )
+        n_orders = orders.count()
+        hist = orders.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.col("o_orderdate").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+        cdc = orders.filter(F.col("o_orderkey") % 41 == 0).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2.0).alias("o_totalprice"),
+        )
+        run(
+            "scd2_apply",
+            lambda: scd2_apply(
+                hist, cdc, ["o_orderkey"], ["o_orderstatus", "o_totalprice"],
+                "1999-01-01 00:00:00",
+            ).count(),
+            n_orders,
+        )
         results[f"x{factor}"] = {
             "n_docs": n_docs,
             "n_vectors": n_vec,
