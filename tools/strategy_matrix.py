@@ -26,7 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from acorn_hybrid_vector_search_spark.functions.predicates import abo_accessors  # noqa: E402
 from acorn_hybrid_vector_search_spark.operators.hybrid import (  # noqa: E402
-    acorn_search,
+    acorn_search_plan,
     postfilter_search,
     prefilter_search,
 )
@@ -69,8 +69,10 @@ def main() -> None:
             coll, q, pred, k, large_k=50, accessors=acc, id_col="item_id"
         ),
         # payload must carry every column the predicate reads (operator
-        # contract) — project to id + the 5 ABO attributes
-        "acorn": lambda pred: acorn_search(
+        # contract) — project to id + the 5 ABO attributes. Round 5:
+        # the DECLARATIVE escalation (acorn_search_plan) — same results
+        # as the loop (pytest-pinned), no per-call driver round loop.
+        "acorn": lambda pred: acorn_search_plan(
             coll, q, pred, k, accessors=acc, id_col="item_id",
             payload_cols=[
                 "item_id", "brand", "color", "item_weight", "model_year", "country",
