@@ -939,6 +939,34 @@ def _q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("event_id", F.col("_asof_ts").alias("asof_ts"), "o_orderkey")
 
 
+def _q_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (round-5 direction parity with pandas
+    merge_asof — backward/forward/nearest are pytest-pinned against
+    pandas itself): each event matched to the customer's NEXT order at
+    or after the event time. Oracle: DuckDB native ASOF JOIN with the
+    flipped inequality. Same union+window plan as backward, scanning
+    the following frame."""
+    from acorn_hybrid_vector_search_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    res = asof_join(
+        ev,
+        orders,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        value_cols=["o_orderkey"],
+        direction="forward",
+    )
+    return res.select("event_id", F.col("_asof_ts").alias("asof_ts"), "o_orderkey")
+
+
 def _q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: CUBE over (status, priority) — count + decimal-exact
     revenue at every aggregation level."""
@@ -2742,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_orders_history": _q_scd2_orders_history,
         "scd2_snapshot_orders": _q_scd2_snapshot_orders,
         "stream_scd2_orders": _q_stream_scd2_orders,
+        "asof_next_order": _q_asof_next_order,
         "ann_ivf_topk": _q_ann_ivf,
         "pq_ann_topk": _q_pq_ann_topk,
         "compacted_rollup_events": _q_compacted_rollup_events,
@@ -3536,6 +3565,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey
             FROM events e ASOF LEFT JOIN r
                 ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        # forward direction: DuckDB native ASOF with the flipped
+        # inequality (smallest right ts >= event ts)
+        "asof_next_order": """
+            WITH r AS (
+                SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, r.o_orderdate AS asof_ts, r.o_orderkey
+            FROM events e ASOF LEFT JOIN r
+                ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
         """,
         "cube_order_stats": f"""
             SELECT o_orderstatus, o_orderpriority,

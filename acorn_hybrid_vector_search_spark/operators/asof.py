@@ -34,11 +34,22 @@ def asof_join(
     right_by: str,
     value_cols: Sequence[str] | None = None,
     tolerance_expr=None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each ``left`` row, attach the columns of the ``right`` row with
-    the greatest ``right_on`` ≤ ``left_on`` within the same ``by`` group
-    (ties on the timestamp: the right row sorts first, so it IS visible to
-    an equal-timestamp left row — the pandas ``merge_asof`` convention).
+    """For each ``left`` row, attach the columns of the matching
+    ``right`` row within the same ``by`` group:
+
+    - ``backward`` (default): greatest ``right_on`` ≤ ``left_on``
+      (ties on the timestamp: the right row sorts first, so it IS
+      visible to an equal-timestamp left row — the pandas
+      ``merge_asof`` convention);
+    - ``forward``: smallest ``right_on`` ≥ ``left_on`` (inclusive,
+      pandas convention) — one union + ONE window scanning the
+      following frame, the mirror plan;
+    - ``nearest``: whichever of the two is closer in absolute time
+      (ties → backward, the pandas convention). Both candidate windows
+      run over the SAME merged relation — one shuffle on the key,
+      two window passes, no extra join.
 
     value_cols: right columns to carry (default: all but key/time).
     tolerance_expr: optional Column over the joined row, evaluated while
@@ -46,6 +57,8 @@ def asof_join(
     ``F.col("_match._asof_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")``)
     applied AFTER the match; misses become NULLs, rows are kept.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (right_on, right_by)]
 
@@ -71,14 +84,43 @@ def asof_join(
         )
     )
 
-    w = (
+    # backward: right rows sort BEFORE equal-ts left rows (side 0 < 1
+    # asc) so last() over the preceding frame sees them; forward: right
+    # rows sort AFTER equal-ts left rows (side desc) so first() over
+    # the following frame sees them — inclusive semantics both ways.
+    w_back = (
         Window.partitionBy(left_by)
         .orderBy(F.col(left_on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = merged.withColumn("_match", F.last("_rpay", ignorenulls=True).over(w)).filter(
-        F.col("_side") == 1
+    w_fwd = (
+        Window.partitionBy(left_by)
+        .orderBy(F.col(left_on).asc(), F.col("_side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    if direction == "backward":
+        out = merged.withColumn("_match", F.last("_rpay", ignorenulls=True).over(w_back))
+    elif direction == "forward":
+        out = merged.withColumn("_match", F.first("_rpay", ignorenulls=True).over(w_fwd))
+    else:
+        bwd = F.last("_rpay", ignorenulls=True).over(w_back)
+        fwd = F.first("_rpay", ignorenulls=True).over(w_fwd)
+        gap_b = F.col(left_on).cast("double") - F.col("_b._asof_ts").cast("double")
+        gap_f = F.col("_f._asof_ts").cast("double") - F.col(left_on).cast("double")
+        out = (
+            merged.withColumn("_b", bwd)
+            .withColumn("_f", fwd)
+            .withColumn(
+                "_match",
+                F.when(F.col("_b").isNull(), F.col("_f"))
+                .when(F.col("_f").isNull(), F.col("_b"))
+                # tie → backward (pandas convention)
+                .when(gap_b <= gap_f, F.col("_b"))
+                .otherwise(F.col("_f")),
+            )
+            .drop("_b", "_f")
+        )
+    out = out.filter(F.col("_side") == 1)
     if tolerance_expr is not None:
         out = out.withColumn(
             "_match", F.when(tolerance_expr, F.col("_match"))

@@ -158,3 +158,76 @@ def test_asof_chunked_hot_key_spreads_partitions(spark):
         for r in asof_join_chunked(left, right, chunk="1 day", **kw).collect()
     }
     assert chunked == plain
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """backward / forward / nearest against pandas.merge_asof on a
+    randomized keyed series — the API-parity oracle."""
+    import random
+
+    import pandas as pd
+
+    from acorn_hybrid_vector_search_spark.operators.asof import asof_join
+
+    rng = random.Random(4)
+    left = [(k, rng.randint(0, 1000)) for k in (1, 2, 3) for _ in range(40)]
+    right = [
+        (k, rng.randint(0, 1000), f"v{k}_{i}")
+        for k in (1, 2, 3)
+        for i in range(25)
+    ]
+    # merge_asof requires unique right timestamps per key for a clean
+    # comparison of the payload (our op takes the later-sorted row on
+    # exact dupes); dedupe right times per key
+    seen = set()
+    right = [r for r in right if not (r[:2] in seen or seen.add(r[:2]))]
+
+    ldf = spark.createDataFrame(left, "k long, t long")
+    rdf = spark.createDataFrame(right, "k long, rt long, val string")
+
+    lpd = pd.DataFrame(left, columns=["k", "t"]).sort_values("t", kind="stable")
+    rpd = pd.DataFrame(right, columns=["k", "rt", "val"]).sort_values(
+        "rt", kind="stable"
+    )
+
+    for direction in ("backward", "forward", "nearest"):
+        got = asof_join(
+            ldf, rdf, left_on="t", right_on="rt", left_by="k", right_by="k",
+            value_cols=["val"], direction=direction,
+        )
+        got_set = sorted(
+            (r["k"], r["t"], r["val"]) for r in got.collect()
+        )
+        want = pd.merge_asof(
+            lpd, rpd, left_on="t", right_on="rt", by="k", direction=direction
+        )
+        want_set = sorted(
+            (int(r.k), int(r.t), None if pd.isna(r.val) else r.val)
+            for r in want.itertuples()
+        )
+        assert got_set == want_set, direction
+
+
+def test_asof_forward_inclusive_and_nearest_tie(spark):
+    from acorn_hybrid_vector_search_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame([(1, 10), (1, 15)], "k long, t long")
+    rdf = spark.createDataFrame(
+        [(1, 10, "at10"), (1, 20, "at20")], "k long, rt long, val string"
+    )
+    fwd = {
+        r["t"]: r["val"]
+        for r in asof_join(
+            ldf, rdf, left_on="t", right_on="rt", left_by="k", right_by="k",
+            value_cols=["val"], direction="forward",
+        ).collect()
+    }
+    assert fwd == {10: "at10", 15: "at20"}  # inclusive at equal ts
+    near = {
+        r["t"]: r["val"]
+        for r in asof_join(
+            ldf, rdf, left_on="t", right_on="rt", left_by="k", right_by="k",
+            value_cols=["val"], direction="nearest",
+        ).collect()
+    }
+    assert near == {10: "at10", 15: "at10"}  # tie at 15 → backward
