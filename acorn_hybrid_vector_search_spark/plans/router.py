@@ -149,15 +149,19 @@ class Route:
     subset_name: str | None = None
 
 
-# Committed recall floors (RECALL.md, min across measured SFs — the
-# curves are measured on near-uniform vectors, IVF/NSW's adversarial
-# case, so these are floors; real clustered corpora sit higher).
+# Committed recall floors (RECALL.md, min across ALL measured scales —
+# sf0.01, sf0.1, and the round-5 x16 ladder at 32k vectors; the curves
+# are measured on near-uniform vectors, IVF/NSW's adversarial case, so
+# these are floors; real clustered corpora sit higher). IVF recall
+# SOFTENS with corpus size on this geometry (more vectors per cluster
+# boundary), so the 32k point sets most floors; NSW recall RISES with
+# corpus size, so its floors stay the small-scale numbers.
 # IVF: recall@10 per nprobe of 16 clusters (scan fraction nprobe/16).
 IVF_RECALL: tuple[tuple[int, float], ...] = (
     (1, 0.285),
-    (2, 0.425),
-    (4, 0.580),
-    (8, 0.815),
+    (2, 0.383),
+    (4, 0.492),
+    (8, 0.742),
 )
 # NSW: recall@10 per search beam ef (m=8, ef_construction=32).
 NSW_RECALL: tuple[tuple[int, float], ...] = (
