@@ -296,7 +296,9 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated table itself: min-id row per normalized-text
-    fingerprint (one window shuffle, no self-join)."""
+    fingerprint. Partial-agg groupBy (map-side combine) + skew-splittable
+    semi-join-back — no Window on the power-law duplicate fingerprint
+    (r6 de-skew; plan pinned by test_exact_dedup_survivors_has_no_window)."""
     from acorn_hybrid_vector_search_spark.operators.dedup import exact_dedup
 
     d = _t(spark, sf_dir, "documents")
@@ -2567,7 +2569,10 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain contribution cap (≤15 docs per source), survivors chosen
     by the portable per-row hash so the capped corpus is reproducible on
-    any partitioning/engine. One window shuffle on the domain key."""
+    any partitioning/engine. Two-phase de-skewed plan (r6): count
+    join-back lets under-cap domains bypass ranking; over-cap domains
+    rank per salt-bucket (composite window key) + bounded sort-agg — no
+    Window on the bare domain key (test_domain_caps_no_window_on_bare_group_key)."""
     from acorn_hybrid_vector_search_spark.operators.sampling import cap_per_group
 
     d = _t(spark, sf_dir, "documents")
