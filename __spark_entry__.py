@@ -501,7 +501,11 @@ def _scd2_inputs(spark: SparkSession, sf_dir: str):
     all-open history (valid_from = o_orderdate), plus one CDC batch —
     status-change+price-double updates (keys % 41), NO-OP rows (keys
     % 53 excluding the % 41 overlap — idempotency evidence: they must
-    produce no new versions), and brand-new keys (% 223, shifted)."""
+    produce no new versions), and brand-new keys (% 223, shifted).
+    The batch's effective_ts (2002-01-01) is AFTER max(o_orderdate)
+    (2001-08-01): scd2_apply enforces the monotonic-effective_ts
+    precondition (ADVICE r5 — a late batch would create inverted
+    validity intervals) and raises otherwise."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
@@ -526,7 +530,7 @@ def _scd2_inputs(spark: SparkSession, sf_dir: str):
     return history, upd.unionByName(noop).unionByName(ins)
 
 
-_SCD2_EFF = "1999-01-01 00:00:00"
+_SCD2_EFF = "2002-01-01 00:00:00"
 
 # shared CTE chain replaying the SCD-2 merge in DuckDB (both scd2
 # oracles consume the `merged` relation)
@@ -562,19 +566,19 @@ _SCD2_MERGED_SQL = """
             ),
             kept AS (
               SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from,
-                CASE WHEN changed THEN TIMESTAMP '1999-01-01 00:00:00' END
+                CASE WHEN changed THEN TIMESTAMP '2002-01-01 00:00:00' END
                   AS valid_to
               FROM flagged
             ),
             newv AS (
               SELECT o_orderkey, b_status AS o_orderstatus,
                      b_price AS o_totalprice,
-                     TIMESTAMP '1999-01-01 00:00:00' AS valid_from,
+                     TIMESTAMP '2002-01-01 00:00:00' AS valid_from,
                      CAST(NULL AS TIMESTAMP) AS valid_to
               FROM flagged WHERE changed
               UNION ALL
               SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
-                     TIMESTAMP '1999-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+                     TIMESTAMP '2002-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
               FROM batch b
               WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM hist)
             ),
@@ -627,7 +631,7 @@ def _q_scd2_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey"], ["o_orderstatus", "o_totalprice"],
         _SCD2_EFF,
     )
-    snap = scd2_snapshot(merged, "1998-12-31 23:59:59")
+    snap = scd2_snapshot(merged, "2001-12-31 23:59:59")
     return snap.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         _sum6(F.col("o_totalprice")).alias("total"),
@@ -1696,7 +1700,12 @@ def _bpe_oracle_sql(n_rounds: int, final: str) -> str:
     over the ~-bounded string state, deterministic argmax (guarded by
     min_count=2; an exhausted round leaves the state unchanged via the
     chr(1) never-matching sentinel), leftmost-non-overlapping replace.
-    ``final`` selects either the merge table or the segmentation."""
+    ``final`` selects either the merge table or the segmentation.
+
+    The argmax tie-break strips the ``~`` wrapper before ordering so it
+    matches Spark's RAW-symbol lexicographic order: '~' (0x7E) sorts
+    above lowercase, so ordering the wrapped forms would resolve a
+    count-tied prefix pair ('a' vs 'ab') oppositely (ADVICE r5)."""
     parts = [f"""
         WITH toks AS (SELECT unnest({_TOKS}) AS word FROM documents),
         w AS (
@@ -1718,7 +1727,8 @@ def _bpe_oracle_sql(n_rounds: int, final: str) -> str:
         ),
         best{i} AS MATERIALIZED (
           SELECT a, b, cnt FROM p{i} WHERE cnt >= 2
-          ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+          ORDER BY cnt DESC, replace(a, '~', '') ASC, replace(b, '~', '') ASC
+          LIMIT 1
         ),
         s{i} AS MATERIALIZED (
           SELECT word, freq, replace(s,
@@ -4353,8 +4363,8 @@ def oracle_sql() -> dict[str, str]:
               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE), 6)
                 AS total
             FROM merged
-            WHERE valid_from <= TIMESTAMP '1998-12-31 23:59:59'
-              AND (valid_to IS NULL OR valid_to > TIMESTAMP '1998-12-31 23:59:59')
+            WHERE valid_from <= TIMESTAMP '2001-12-31 23:59:59'
+              AND (valid_to IS NULL OR valid_to > TIMESTAMP '2001-12-31 23:59:59')
             GROUP BY o_orderstatus
         """,
         "near_dup_components": f"""

@@ -105,8 +105,26 @@ def asof_join(
     else:
         bwd = F.last("_rpay", ignorenulls=True).over(w_back)
         fwd = F.first("_rpay", ignorenulls=True).over(w_fwd)
-        gap_b = F.col(left_on).cast("double") - F.col("_b._asof_ts").cast("double")
-        gap_f = F.col("_f._asof_ts").cast("double") - F.col(left_on).cast("double")
+        # exact gap arithmetic (ADVICE r5): a double's ulp at modern
+        # epochs (~1.8e9 s) is ~0.24 µs, so cast('double') can
+        # mis-resolve microsecond ties against the documented
+        # tie-to-backward convention. Timestamps → epoch micros
+        # (exact long), dates → epoch days; numeric on-columns
+        # subtract in their own type.
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        on_type = left.schema[left_on].dataType
+        if isinstance(on_type, (TimestampType, TimestampNTZType)):
+            def _ord(c: Column) -> Column:
+                return F.unix_micros(c.cast("timestamp"))
+        elif isinstance(on_type, DateType):
+            def _ord(c: Column) -> Column:
+                return F.datediff(c, F.to_date(F.lit("1970-01-01")))
+        else:
+            def _ord(c: Column) -> Column:
+                return c
+        gap_b = _ord(F.col(left_on)) - _ord(F.col("_b._asof_ts"))
+        gap_f = _ord(F.col("_f._asof_ts")) - _ord(F.col(left_on))
         out = (
             merged.withColumn("_b", bwd)
             .withColumn("_f", fwd)

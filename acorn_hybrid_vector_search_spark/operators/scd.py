@@ -75,7 +75,16 @@ def scd2_apply(
       effective_ts + new open version;
     - known key, attributes equal → NOTHING (idempotent re-apply).
     Keys absent from the batch are untouched.
-    """
+
+    **Precondition — monotonic effective_ts** (ADVICE r5): batches must
+    be applied in effective-time order. A late batch whose
+    ``effective_ts`` predates a changed key's current ``valid_from``
+    would close that version with valid_to < valid_from — an inverted
+    interval that silently corrupts every later ``scd2_snapshot``. Since
+    retried/replayed CDC pipelines are exactly where late batches occur,
+    this is VALIDATED in the plan, not just documented: such a row
+    raises at execution time (``raise_error`` inside the close branch —
+    zero cost on the happy path, no extra action/scan)."""
     keys = list(key_cols)
     attrs = list(attr_cols)
     eff = F.lit(effective_ts).cast(history.schema[ts_col].dataType)
@@ -96,12 +105,28 @@ def scd2_apply(
     joined = cur.join(b, keys, "left")
     is_changed = F.col("_hit").isNotNull() & _null_safe_any_change(attrs)
 
-    # current rows: unchanged stay open; changed get closed at eff
+    # current rows: unchanged stay open; changed get closed at eff.
+    # Out-of-order guard: closing a version opened AFTER eff would
+    # produce an inverted validity interval — raise instead (per-row
+    # branch, only evaluated for changed keys; no extra scan).
+    close_at = F.when(
+        eff < F.col(f"cur.{ts_col}"),
+        F.raise_error(
+            F.concat(
+                F.lit("scd2_apply: out-of-order batch - effective_ts "),
+                eff.cast("string"),
+                F.lit(" predates current valid_from "),
+                F.col(f"cur.{ts_col}").cast("string"),
+                F.lit(" for key "),
+                F.concat_ws("|", *[F.col(f"cur.{k}").cast("string") for k in keys]),
+            )
+        ).cast(history.schema[end_col].dataType),
+    ).otherwise(eff)
     kept_current = joined.select(
         *keys,
         *[F.col(f"cur.{a}").alias(a) for a in attrs],
         F.col(f"cur.{ts_col}").alias(ts_col),
-        F.when(is_changed, eff).otherwise(F.lit(None).cast(
+        F.when(is_changed, close_at).otherwise(F.lit(None).cast(
             history.schema[end_col].dataType
         )).alias(end_col),
     )

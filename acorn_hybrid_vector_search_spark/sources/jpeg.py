@@ -100,7 +100,12 @@ class _BitReader:
                 self.pos += 1  # stuffed byte
             else:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} mid-scan")
-        self.bitbuf = (self.bitbuf << 8) | b
+        # mask to 16 bits: bitcnt never exceeds 8 before a fill, so the
+        # live window fits in 16 — without the mask the Python int grows
+        # by 8 bits per scan byte and every fill is O(bytes-read-so-far)
+        # (quadratic in entropy-scan length; pathological on real-size
+        # JPEGs even though only the low bits are ever read)
+        self.bitbuf = ((self.bitbuf << 8) | b) & 0xFFFF
         self.bitcnt += 8
 
     def read_bit(self) -> int:

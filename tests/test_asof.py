@@ -231,3 +231,35 @@ def test_asof_forward_inclusive_and_nearest_tie(spark):
         ).collect()
     }
     assert near == {10: "at10", 15: "at10"}  # tie at 15 → backward
+
+
+def test_asof_nearest_microsecond_ties_modern_epoch(spark):
+    """ADVICE r5: nearest-gap arithmetic must be exact integers, not
+    cast('double') — at modern epochs (~1.8e9 s) a double's ulp is
+    ~0.24 µs, so µs-granularity ties (and 1 µs differences) can
+    mis-resolve vs the documented tie-to-backward convention. Sweep a
+    range of epoch bases so at least some would round under doubles."""
+    from datetime import datetime, timedelta, timezone
+
+    base = datetime(2027, 5, 11, 3, 4, 5, tzinfo=timezone.utc)
+    rows_l, rows_r, expect = [], [], {}
+    i = 0
+    for off_s in range(0, 40):  # 40 distinct anchor instants
+        t = base + timedelta(seconds=off_s * 977, microseconds=off_s * 7)
+        # exact tie at ±3 µs → backward; and a 1 µs-closer-forward case
+        for gap_b_us, gap_f_us, want in ((3, 3, "b"), (4, 3, "f"), (3, 4, "b")):
+            i += 1
+            rows_l.append((i, i, t))
+            rows_r.append((i, t - timedelta(microseconds=gap_b_us), "b"))
+            rows_r.append((i, t + timedelta(microseconds=gap_f_us), "f"))
+            expect[i] = want
+    left = spark.createDataFrame(rows_l, "id long, k long, t timestamp")
+    right = spark.createDataFrame(rows_r, "rk long, rt timestamp, v string")
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, left_on="t", right_on="rt", left_by="k",
+            right_by="rk", direction="nearest",
+        ).collect()
+    }
+    assert got == expect

@@ -131,3 +131,35 @@ def test_merge_order_is_deterministic_tiebreak(spark):
     df = spark.createDataFrame([(0, "xy xy ab ab")], "doc_id long, text string")
     merges, _ = bpe_train(df, 1)
     assert merges[0][:2] == ("a", "b")
+
+
+def test_prefix_tiebreak_matches_duckdb_oracle(spark):
+    """ADVICE r5: a count-tied pair where one symbol is a strict prefix
+    of another ('a' vs 'ab') must resolve identically in Spark (raw
+    symbols) and the DuckDB oracle (~-wrapped symbols): '~' (0x7E)
+    sorts above lowercase, so ordering the WRAPPED forms would pick
+    ('ab','c') where raw order picks ('a','c'). Corpus engineered so
+    round 2's max count (3) ties exactly that shape."""
+    import duckdb
+
+    text = "ab acx acx acx abcy abcy abcy"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    merges, _ = bpe_train(df, 2)
+    assert merges[0][:2] == ("a", "b")
+    assert merges[1][:2] == ("a", "c")  # raw order: 'a' < 'ab'
+
+    import __spark_entry__ as m
+
+    sql = m._bpe_oracle_sql(2, """
+        SELECT 1 AS rank, replace(a, '~', '') AS l, replace(b, '~', '') AS r
+        FROM best1
+        UNION ALL
+        SELECT 2, replace(a, '~', ''), replace(b, '~', '') FROM best2
+        ORDER BY rank
+    """)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT 0 AS doc_id, '{text}' AS text"
+    )
+    got = con.execute(sql).fetchall()
+    assert [(r[1], r[2]) for r in got] == [(a, b) for a, b, _ in merges]

@@ -221,3 +221,18 @@ def test_decode_to_grid_features_composition(spark):
         counts = np.outer(np.diff(np.append(rb, h)), np.diff(np.append(cb, w)))
         expect = (pooled / counts).ravel()
         assert np.array_equal(np.array(r["features"]), expect), r["filename"]
+
+
+def test_bitreader_buffer_stays_bounded():
+    """ADVICE r5: without masking, bitbuf grows 8 bits per scan byte —
+    each _fill becomes O(bytes-read-so-far) and decode goes quadratic in
+    entropy-scan length (invisible on ~300-byte fixtures, pathological
+    on real-size JPEGs). The live window is ≤16 bits by construction
+    (bitcnt ≤ 8 before any fill); pin that the int never exceeds it."""
+    from acorn_hybrid_vector_search_spark.sources.jpeg import _BitReader
+
+    data = bytes((i * 37 + 11) % 251 for i in range(50_000))  # no 0xFF
+    br = _BitReader(data, 0)
+    for i in range(49_000 * 8):
+        br.read_bit()
+        assert br.bitbuf <= 0xFFFF

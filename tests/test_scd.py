@@ -195,3 +195,25 @@ def test_scd2_stream_multibatch_equals_sequential_batch(spark, tmp_path, history
     # and key 1 carries the full 3-version paper trail
     hist_1 = [r for r in got if r[0] == 1]
     assert len(hist_1) == 3
+
+
+def test_scd2_out_of_order_batch_raises(spark, history, batch):
+    """ADVICE r5: an effective_ts that predates a changed key's current
+    valid_from would close it with valid_to < valid_from (an inverted
+    interval silently corrupting snapshots) — the plan must raise at
+    execution instead. A no-op/new-key-only late batch stays legal
+    (nothing closes)."""
+    import pyspark.errors
+
+    out = scd2_apply(history, batch, KEYS, ATTRS, "2020-01-01 00:00:00")
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "out-of-order" in str(ei.value)
+
+    # same late timestamp but only no-op + brand-new keys: no close
+    # happens, so nothing raises
+    ok_batch = spark.createDataFrame(
+        [(2, "A", 20.0), (9, "Z", 90.0)], "k long, status string, price double"
+    )
+    res = scd2_apply(history, ok_batch, KEYS, ATTRS, "2020-01-01 00:00:00")
+    assert res.filter("k = 9").count() == 1
