@@ -1606,16 +1606,55 @@ _BPE_MERGES = 10
 # tokenizer, which is what applying a tokenizer means. Same lifecycle
 # analogy as _prepared / the reference's build-vs-search split.
 _BPE_CACHE: dict[tuple[str, str, int], list] = {}
+# persisted tokenizer artifacts per (session, sf_dir): <root>/words is
+# the pre-training word-frequency state (bpe_word_state — the one
+# corpus scan, paid at build time), <root>/state the post-training
+# final segmentation (the shipped tokenizer file). The nsw_write
+# pattern applied to tokenizer training (r5 verdict ask #7): cold
+# tokenizer application reads the vocab-scaled parquet instead of
+# re-deriving the fold chain from a corpus scan.
+_BPE_STATE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _bpe_artifacts(spark: SparkSession, sf_dir: str) -> str:
+    """Artifact root per (session, sf_dir); first use writes the
+    word-frequency state parquet."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.bpe import (
+        bpe_state_write,
+        bpe_word_state,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _BPE_STATE_CACHE if k[0] != key[0]]:
+        del _BPE_STATE_CACHE[stale]
+    root = _BPE_STATE_CACHE.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="acorn_bpe_")
+        bpe_state_write(
+            bpe_word_state(_t(spark, sf_dir, "documents")), root + "/words"
+        )
+        _BPE_STATE_CACHE[key] = root
+    return root
 
 
 def _bpe_trained(spark: SparkSession, sf_dir: str, *, force: bool = False):
-    from acorn_hybrid_vector_search_spark.operators.bpe import bpe_train
+    from acorn_hybrid_vector_search_spark.operators.bpe import (
+        bpe_state_read,
+        bpe_state_write,
+        bpe_train,
+    )
 
     key = (spark.sparkContext.applicationId, sf_dir, _BPE_MERGES)
     for stale in [k for k in _BPE_CACHE if k[0] != key[0]]:
         del _BPE_CACHE[stale]
     if force or key not in _BPE_CACHE:
-        merges, _ = bpe_train(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+        root = _bpe_artifacts(spark, sf_dir)
+        words = bpe_state_read(spark, root + "/words")
+        merges, final_state = bpe_train(None, _BPE_MERGES, state=words)
+        bpe_state_write(final_state, root + "/state")
+        final_state.unpersist()
         _BPE_CACHE[key] = merges
     return _BPE_CACHE[key]
 
@@ -1680,18 +1719,48 @@ def _q_bpe_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_merges; applying a tokenizer does not re-train it) and return
     the top-40 subwords by occurrence. bpe_segment applies the fold
     chain to the DISTINCT word relation and joins back — the corpus
-    never runs the chain. Oracle: the same unrolled training replay,
-    final-state segmentation re-expanded over the word stream in SQL."""
-    from acorn_hybrid_vector_search_spark.operators.bpe import bpe_segment
+    never runs the chain. r6: the fold chain doesn't run AT ALL for
+    in-vocabulary words — segmentation joins the PERSISTED final-state
+    parquet (<root>/state, written once at train time), so a cold
+    session pays one corpus tokenization + a vocab-scaled parquet probe
+    instead of re-deriving 10 fold rounds (PLANS.md hot-vs-cold).
+    Oracle: the same unrolled training replay, final-state segmentation
+    re-expanded over the word stream in SQL."""
+    from acorn_hybrid_vector_search_spark.operators.bpe import (
+        bpe_segment,
+        bpe_state_read,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     merges = _bpe_trained(spark, sf_dir)
-    seg = bpe_segment(docs, merges)
+    root = _BPE_STATE_CACHE[(spark.sparkContext.applicationId, sf_dir)]
+    seg = bpe_segment(
+        docs, merges, seg_state=bpe_state_read(spark, root + "/state")
+    )
     return (
         seg.groupBy("subword")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("subword").asc())
         .limit(40)
+    )
+
+
+def _q_bpe_state_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-tokenizer roundtrip (r5 verdict ask #7): the Spark side
+    READS the final-state parquet written at train time (<root>/state —
+    bpe_state_write/bpe_state_read, the nsw_write pattern applied to
+    tokenizer training); the DuckDB oracle RECOMPUTES all training
+    rounds from the raw corpus. Hash equality = persisted ≡ recomputed,
+    the same persisted-index contract nsw_persisted_topk carries."""
+    from acorn_hybrid_vector_search_spark.operators.bpe import bpe_state_read
+
+    _bpe_trained(spark, sf_dir)  # ensure artifacts exist
+    root = _BPE_STATE_CACHE[(spark.sparkContext.applicationId, sf_dir)]
+    st = bpe_state_read(spark, root + "/state")
+    return st.select(
+        "word",
+        F.col("freq").cast("long").alias("freq"),
+        F.array_join("syms", " ").alias("syms_str"),
     )
 
 
@@ -2773,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_quality": _q_bigram_lm_quality,
         "bpe_merges": _q_bpe_merges,
         "bpe_subword_vocab": _q_bpe_subword_vocab,
+        "bpe_state_persisted": _q_bpe_state_persisted,
         "routed_dedup_pairs": _q_routed_dedup_pairs,
         "html_text_extraction": _q_html_text_extraction,
         "orc_roundtrip_orders": _q_orc_roundtrip_orders,
@@ -4086,6 +4156,13 @@ def oracle_sql() -> dict[str, str]:
               FROM s{_BPE_MERGES}
             )
             GROUP BY 1 ORDER BY cnt DESC, subword ASC LIMIT 40
+        """),
+        # persisted-tokenizer roundtrip: Spark reads the final-state
+        # parquet; the oracle recomputes ALL rounds from the corpus
+        "bpe_state_persisted": _bpe_oracle_sql(_BPE_MERGES, f"""
+            SELECT word, CAST(freq AS BIGINT) AS freq,
+                   replace(s, '~', '') AS syms_str
+            FROM s{_BPE_MERGES}
         """),
         # interpolated bigram LM: transition relation via zipped list
         # slices; λ·p_bi + (1−λ)·p_uni with (1−λ) written as the SAME

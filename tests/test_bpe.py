@@ -163,3 +163,48 @@ def test_prefix_tiebreak_matches_duckdb_oracle(spark):
     )
     got = con.execute(sql).fetchall()
     assert [(r[1], r[2]) for r in got] == [(a, b) for a, b, _ in merges]
+
+
+def test_state_persist_roundtrip(spark, tmp_path):
+    """r5 verdict ask #7: training from a persisted word-state parquet
+    yields the identical merge table; the persisted final state equals
+    the in-memory one; segmentation via the persisted seg_state equals
+    the fold-chain path."""
+    from acorn_hybrid_vector_search_spark.operators.bpe import (
+        bpe_state_read,
+        bpe_state_write,
+        bpe_word_state,
+    )
+
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    merges_direct, final_direct = bpe_train(df, 6)
+
+    wp = str(tmp_path / "words")
+    bpe_state_write(bpe_word_state(df), wp)
+    merges_persisted, final_p = bpe_train(None, 6, state=bpe_state_read(spark, wp))
+    assert merges_persisted == merges_direct
+
+    sp = str(tmp_path / "state")
+    bpe_state_write(final_p, sp)
+    back = {
+        r["word"]: (r["freq"], tuple(r["syms"]))
+        for r in bpe_state_read(spark, sp).collect()
+    }
+    direct = {
+        r["word"]: (r["freq"], tuple(r["syms"])) for r in final_direct.collect()
+    }
+    assert back == direct
+
+    plain = bpe_segment(df, merges_direct).collect()
+    via_state = bpe_segment(
+        df, merges_direct, seg_state=bpe_state_read(spark, sp)
+    ).collect()
+    key = lambda r: (r["doc_id"], r["word"], r["subword"])
+    assert sorted(map(key, plain)) == sorted(map(key, via_state))
+
+    # out-of-state words still segment through the fold chain
+    df2 = spark.createDataFrame(
+        CORPUS + [(9, "unseenword low")], ["doc_id", "text"]
+    )
+    mixed = bpe_segment(df2, merges_direct, seg_state=bpe_state_read(spark, sp))
+    assert mixed.filter("word = 'unseenword'").count() > 0
