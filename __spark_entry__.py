@@ -2729,7 +2729,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (images_decode) — displacing redundant variants
     (prefilter_selective, ann_cosine_topk, nested_prefilter_country_brand,
     nested_routed_model_year, pii_redaction), each family keeping ≥1
-    window row.  Displaced and new 51+ queries remain oracle-checked by
+    window row.  Round 6 rotated again (r5 verdict ask #3): the round-5
+    flagships routed_dedup_pairs, scd2_orders_history, bpe_merges,
+    image_similarity, html_text_extraction moved in-window, displacing
+    nested_prefilter_weight_brand, nested_postfilter_color,
+    knn_batch_topk, histogram_brand_nested, quantized_ann_topk (the
+    verdict's own swap list; family coverage documented at the rotation
+    block below).  Displaced and new 51+ queries remain oracle-checked by
     tools/selfcheck.py and pytest, and every round commits the
     full-battery artifact SELFCHECK.json so the 51+ surface has durable
     evidence.
@@ -2741,19 +2747,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postfilter": _q_postfilter,
         "acorn_hybrid": _q_acorn_hybrid,
         # -- reference §2.3/§2.4 literal surface: nested ABO schema --
-        "nested_prefilter_weight_brand": _q_nested_prefilter_weight_brand,
         "nested_model_year_sparse": _q_nested_model_year_sparse,
-        "nested_postfilter_color": _q_nested_postfilter_color,
         "nested_predicate_quirks": _q_nested_predicate_quirks,
-        "histogram_brand_nested": _q_histogram_brand_nested,
         # -- reference ETL chain (S1/S2/S3/J1/P1/E1) --
         "items_etl": _q_items_etl,
         "images_etl": _q_images_etl,
         # -- ANN family: exact-pruned IVF oracle + batch k-NN + routing --
         "ann_ivf_exact_topk": _q_ann_ivf_exact,
-        "knn_batch_topk": _q_knn_batch,
         "routed_hybrid": _q_routed_hybrid,
-        "quantized_ann_topk": _q_quantized_topk,
         # X2 graph analog's only oracle-green evidence — must sit inside
         # the driver window (round-3 verdict item #2); displaced
         # prefilter_range (K2 retains prefilter_exact/selective + nested)
@@ -2774,6 +2775,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_removal": _q_dup_ngram_removal,
         "nsw_persisted_topk": _q_nsw_persisted_topk,
         "stream_audio_decode": _q_stream_audio_decode,
+        # ==== round-6 rotation (r5 verdict ask #3): the round-5 flagships
+        # get driver-committed evidence — routed dedup, SCD-2 history
+        # merge, distributed BPE training, image similarity over real
+        # decoded pixels, HTML text extraction.  Displaced (each family
+        # keeps >=1 window row): nested_prefilter_weight_brand +
+        # nested_postfilter_color (F1/K2/K3 keep prefilter_exact,
+        # postfilter, nested_model_year_sparse, nested_predicate_quirks),
+        # knn_batch_topk (K1 keeps pure_topk), histogram_brand_nested
+        # (A1 keeps lang_id_histogram), quantized_ann_topk (ANN keeps
+        # ann_ivf_exact_topk + both NSW rows; quantize stays
+        # selfcheck-gated at 51+) ====
+        "routed_dedup_pairs": _q_routed_dedup_pairs,
+        "scd2_orders_history": _q_scd2_orders_history,
+        "bpe_merges": _q_bpe_merges,
+        "image_similarity": _q_image_similarity,
+        "html_text_extraction": _q_html_text_extraction,
         # -- relational core --
         "agg_lineitem_pricing": _q_agg_lineitem,
         "join_revenue_by_nation": _q_join_topk,
@@ -2814,6 +2831,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_curriculum_bins": _q_quality_curriculum,
         # ==== position 51+: redundant variants of operators already gated
         # above; still oracle-verified by tools/selfcheck.py + pytest ====
+        "nested_prefilter_weight_brand": _q_nested_prefilter_weight_brand,
+        "nested_postfilter_color": _q_nested_postfilter_color,
+        "histogram_brand_nested": _q_histogram_brand_nested,
+        "knn_batch_topk": _q_knn_batch,
+        "quantized_ann_topk": _q_quantized_topk,
         "prefilter_range": _q_prefilter_range,
         "prefilter_selective": _q_prefilter_selective,
         "ann_cosine_topk": _q_ann_cosine,
@@ -2822,7 +2844,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_event_type": _q_histogram_event_type,
         "pii_redaction": _q_pii_redaction,
         "images_grid_features": _q_images_grid_features,
-        "image_similarity": _q_image_similarity,
         "stream_images_decode": _q_stream_images_decode,
         "video_frame_similarity": _q_video_frame_similarity,
         "histogram_lang": _q_histogram_lang,
@@ -2840,11 +2861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem_measures": _q_unpivot_lineitem_measures,
         "unigram_lm_quality": _q_unigram_lm_quality,
         "bigram_lm_quality": _q_bigram_lm_quality,
-        "bpe_merges": _q_bpe_merges,
         "bpe_subword_vocab": _q_bpe_subword_vocab,
         "bpe_state_persisted": _q_bpe_state_persisted,
-        "routed_dedup_pairs": _q_routed_dedup_pairs,
-        "html_text_extraction": _q_html_text_extraction,
         "orc_roundtrip_orders": _q_orc_roundtrip_orders,
         "hourly_rollup_gapfill": _q_hourly_rollup_gapfill,
         "order_rank_functions": _q_order_rank_functions,
@@ -2852,7 +2870,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture_sample": _q_domain_mixture_sample,
         "sql_segment_revenue": _q_sql_segment_revenue,
         "sql_parttype_revenue": _q_sql_parttype_revenue,
-        "scd2_orders_history": _q_scd2_orders_history,
         "scd2_snapshot_orders": _q_scd2_snapshot_orders,
         "stream_scd2_orders": _q_stream_scd2_orders,
         "asof_next_order": _q_asof_next_order,
