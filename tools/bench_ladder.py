@@ -165,7 +165,7 @@ def main() -> None:
             "scd2_apply",
             lambda: scd2_apply(
                 hist, cdc, ["o_orderkey"], ["o_orderstatus", "o_totalprice"],
-                "1999-01-01 00:00:00",
+                "2002-01-01 00:00:00",  # after max(o_orderdate): scd2_apply monotonic guard
             ).count(),
             n_orders,
         )

@@ -128,14 +128,64 @@ SCALERS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Skew-adversarial variant (r5 verdict ask #5): the uniform ladder keeps
+# dup/gram volume linear AND near-uniform per key — precisely NOT the
+# regime the de-skew work targets. ``--skew`` writes x{R}skew/documents
+# where three power-law heavy hitters each carry 10-30% of rows:
+#
+# - hot FINGERPRINT: ~14% of docs (doc_id % 7 == 3) become the literal
+#   same boilerplate page — the "empty/boilerplate page duplicated
+#   10^6-10^8 times" shape exact_dedup's survivor join must absorb;
+# - hot GRAM: a further ~17% (doc_id % 6 == 1) get a fixed 8-token
+#   boilerplate sentence prepended — with the fingerprint clones, ONE
+#   8-gram occurs in ~31% of all docs (dup_ngram_removal's marking);
+# - hot DOMAIN: 25% of docs (doc_id % 4 == 0) get source='megadomain'
+#   — the mega-domain cap_per_group exists to cap.
+#
+# Deterministic, same replica perturbation as the uniform ladder for
+# the remaining text so overall volume still scales linearly.
+
+HOT_PAGE = " ".join(
+    f"boiler{w}" for w in "plate page terms of service all rights reserved "
+    "contact privacy cookie policy navigation footer copyright site "
+    "map search login register home about help faq news".split()
+)
+HOT_SENTENCE = "subscribe to our newsletter for updates and exclusive offers"
+
+
+def scale_documents_skew(df: DataFrame, reps: DataFrame) -> DataFrame:
+    base = scale_documents(df, reps)
+    is_clone = F.col("doc_id") % 7 == 3
+    has_gram = F.col("doc_id") % 6 == 1
+    text = (
+        F.when(is_clone, F.lit(HOT_PAGE))
+        .when(has_gram, F.concat(F.lit(HOT_SENTENCE), F.lit(" "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    source = F.when(F.col("doc_id") % 4 == 0, F.lit("megadomain")).otherwise(
+        F.col("source")
+    )
+    return base.select(
+        "doc_id",
+        text.alias("text"),
+        "lang",
+        source.alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    factors = [int(a) for a in sys.argv[2:]] or [4, 16, 48]
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    factors = [int(a) for a in args[1:]] or ([16] if skew else [4, 16, 48])
     spark = get_spark("make-scale-ladder")
     for factor in factors:
-        out_dir = os.path.join(LADDER, f"x{factor}")
+        out_dir = os.path.join(LADDER, f"x{factor}{'skew' if skew else ''}")
         reps = _replicas(spark, factor)
-        for table, scaler in SCALERS.items():
+        scalers = {"documents": scale_documents_skew} if skew else SCALERS
+        for table, scaler in scalers.items():
             dest = os.path.join(out_dir, f"{table}.parquet")
             if os.path.exists(dest):
                 shutil.rmtree(dest)

@@ -75,6 +75,7 @@ def main() -> None:
         print("```")
     _hot_cold_section()
     _scale_ladder_section()
+    _skew_ladder_section()
     _regression_triage_section()
 
 
@@ -152,6 +153,73 @@ def _scale_ladder_section() -> None:
     )
 
 
+def _skew_ladder_section() -> None:
+    """Skew-adversarial ladder analysis (r5 verdict ask #5), regenerated
+    from BENCH_LADDER.json's skew_adversarial block
+    (tools/make_scale_ladder.py --skew + tools/bench_skew_ladder.py)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        lad = json.load(open(os.path.join(root, "BENCH_LADDER.json")))
+    except OSError:
+        return
+    sk = lad.get("skew_adversarial")
+    if not sk:
+        return
+    keys = sorted(sk, key=len)  # uniform first, then the skew variant
+    uni, skw = keys[0], keys[-1]
+    shares = sk[skw]["families"].get("_top_key_share", {})
+    print("\n## Skew-adversarial ladder (power-law keys, measured)\n")
+    print(
+        "The uniform ladder's keys are near-uniform — precisely NOT the "
+        "regime the de-skew rework targets. `make_scale_ladder.py --skew` "
+        "plants three power-law heavy hitters in the x16 documents "
+        f"(MEASURED from the data, not just labeled: top fingerprint "
+        f"{shares.get('fingerprint', 0):.1%} of rows, top domain "
+        f"{shares.get('domain', 0):.1%}; one boilerplate 8-gram appears "
+        "in ~31% of docs). `bench_skew_ladder.py` runs the four de-skew "
+        "families on BOTH datasets in one session and — the actual "
+        "stall evidence — parses per-task durations from the Spark "
+        "event log: a hot-key window would surface as one task with "
+        "max >> p50.\n"
+    )
+    print("| family | uniform x16 | skew x16 | skew task max/p50 | tasks |")
+    print("|---|---|---|---|---|")
+    for fam, rec in sk[skw]["families"].items():
+        if not isinstance(rec, dict) or "sec" not in rec:
+            continue
+        u = sk[uni]["families"][fam]
+        print(
+            f"| {fam} | {u['sec']:.2f}s (max/p50 "
+            f"{u.get('task_max_over_p50', '—')}) | {rec['sec']:.2f}s | "
+            f"{rec.get('task_max_ms', 0)}ms / {rec.get('task_p50_ms', 0)}ms "
+            f"= {rec.get('task_max_over_p50', '—')} | {rec.get('n_tasks', '—')} |"
+        )
+    print(
+        "\nReading: every family's task max/p50 stays ≤ ~4 on the "
+        "adversarial data — no single-task stall anywhere — and skew "
+        "wall-clock is AT OR BELOW uniform for all four (the clone "
+        "cluster collapses in the exact rung, shrinking downstream "
+        "work; the uniform run executed first in-session, so its "
+        "numbers carry the JVM warm-up, which is why the task-duration "
+        "ratios, not the wall-clock deltas, are the stall evidence). "
+        "dedup_survivors absorbs a 14.3%-of-corpus duplicate "
+        "fingerprint through the partial-agg min(id) + semi-join on "
+        "(fingerprint, id) — the join key includes the unique id, so "
+        "the hot fingerprint spreads across the hash space and no "
+        "repartitioning ever keys on the fingerprint alone. "
+        "domain_caps absorbs a 25% mega-domain because only over-cap "
+        "groups rank, per salt-bucket (32-way composite window key), "
+        "then an exact bounded sort-agg picks the global top-cap. "
+        "minhash runs AFTER the exact rung per the router's documented "
+        "rung order — feeding 14% literal clones to pair-emitting LSH "
+        "is quadratic by construction on any engine, which is exactly "
+        "why the router collapses exact duplicates first "
+        "(STRATEGY.md §Dedup routing)."
+    )
+
+
 def _hot_cold_section() -> None:
     """Hot-vs-cold bench delta analysis, regenerated from the committed
     BENCH.json / BENCH_COLD.json artifacts (bench.py writes both)."""
@@ -210,6 +278,37 @@ def _regression_triage_section() -> None:
     fresh session, warmed, median-of-5 at sf0.1 — vs the in-battery
     numbers; static text because the verdicts encode one-time
     measurements and their fixes."""
+    print("\n## Regression triage (round 6: HEAD isolated medians for the two reworked dedup queries)\n")
+    print(
+        "r5 verdict finding #3 asked for fresh-session isolated "
+        "median-of-5 at HEAD (same /tmp/triage pattern, cached inputs, "
+        "sf0.1, no concurrent load; 2026-08-14) before accepting the "
+        "de-skew/pointer-jumping cost:\n\n"
+        "- **dup_ngram_removal** — isolated median **2.30 s** (runs "
+        "1.94-2.86). The committed r5 battery number (2.02 s) is real, "
+        "not a noise spike: the r4→r5 delta is ~+1.0-1.3 s at sf0.1, "
+        "larger than the +0.63 s the in-round comparison attributed. "
+        "Decomposition: the de-skewed marking adds one exchange "
+        "(groupBy(h).count() + join-back) plus a second materialized "
+        "relation (grams) over the single-pass window it replaced — "
+        "both per-run costs at toy scale, both the price of the only "
+        "plan that survives power-law grams (now MEASURED adversarially: "
+        "the skew ladder runs one 8-gram planted in ~31% of 80k docs "
+        "with task max/p50 = 4.0, no stall). Verdict: cost CONFIRMED "
+        "and accepted; not recoverable without reintroducing the "
+        "hot-key window.\n"
+        "- **near_dup_components** — isolated median **3.69 s**, but "
+        "the distribution is the known bimodal shape (runs 2.16, 2.16, "
+        "4.42, 3.70, 3.69): the FIRST runs in the session sit at "
+        "~2.2 s, matching the committed battery 2.47 s, and repeat "
+        "runs inflate as the repeat-call loop churns the materialize "
+        "LRU (each call re-pins the signature relation — a real "
+        "pipeline materializes once; same mechanism documented for "
+        "simhash in the r5 triage below). Verdict: the committed "
+        "+0.68 s r4→r5 delta (phantom-endpoint hardening + pointer "
+        "jumping) is CONFIRMED at ~2.2-2.5 s HEAD steady state; the "
+        "4 s+ tail is repeat-loop cache churn, not plan cost.\n"
+    )
     print("\n## Regression triage (round 5: r3→r4 drift confirmation)\n")
     print(
         "The two r4-flagged drift queries (simhash_near_dups +0.102 s, "
