@@ -714,6 +714,27 @@ def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_stats(corpus, bench, n=3, min_overlap=1)
 
 
+def _q_decontaminate_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened decontamination (operators/decontam.py
+    contamination_stats_bloom): the 100 TB path for a filter side too
+    big to broadcast — a pure-Catalyst Bloom bitset (k x xxhash64
+    probes into a bit_or-aggregated array<bigint>, built distributed,
+    shipped as a 1-row broadcast scalar) screens the corpus gram
+    stream MAP-SIDE; only the screened survivors shuffle into the
+    exact verify join, which removes every false positive. Output is
+    therefore EXACT — the oracle replays plain set semantics (mod-89
+    split, vs decontaminate_docs' mod-101). FP-rate and
+    no-false-negative gates in tests/test_decontam.py."""
+    from acorn_hybrid_vector_search_spark.operators.decontam import (
+        contamination_stats_bloom,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 89 == 0)
+    corpus = d.filter(F.col("doc_id") % 89 != 0)
+    return contamination_stats_bloom(corpus, bench, n=3, min_overlap=1)
+
+
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-distance near-dups (chunk-banded self-join)."""
     d = _t(spark, sf_dir, "documents")
@@ -2886,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_confusion": _q_centroid_confusion,
         "trailing_revenue_7d": _q_trailing_revenue,
         "sql_user_funnel_setops": _q_sql_user_funnel_setops,
+        "decontaminate_docs_bloom": _q_decontaminate_docs_bloom,
     }
 
 
@@ -3206,12 +3228,15 @@ def _quality_curriculum_sql() -> str:
     """
 
 
-def _decontam_sql() -> str:
+def _decontam_sql(mod: int = 101) -> str:
     """DuckDB replica of operators.decontam.contamination_stats (n=3,
-    min_overlap=1) over the mod-101 benchmark split: same normalization
-    (lowercase, whitespace collapse), same distinct word-3-gram shingles,
-    same hit counting (distinct grams present anywhere in the benchmark
-    set), same keep/drop flag and rounded overlap fraction."""
+    min_overlap=1) over the mod-``mod`` benchmark split: same
+    normalization (lowercase, whitespace collapse), same distinct
+    word-3-gram shingles, same hit counting (distinct grams present
+    anywhere in the benchmark set), same keep/drop flag and rounded
+    overlap fraction. The bloom variant reuses this oracle at mod=89 —
+    its two-phase screen+verify plan is EXACT by contract, so the same
+    set semantics replay it."""
     return f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
         grams AS (
@@ -3223,10 +3248,10 @@ def _decontam_sql() -> str:
           FROM toks
         ),
         bench AS (
-          SELECT DISTINCT unnest(sh) AS gram FROM grams WHERE doc_id % 101 = 0
+          SELECT DISTINCT unnest(sh) AS gram FROM grams WHERE doc_id % {mod} = 0
         ),
         corpus AS (
-          SELECT doc_id, sh, len(sh) AS n_grams FROM grams WHERE doc_id % 101 <> 0
+          SELECT doc_id, sh, len(sh) AS n_grams FROM grams WHERE doc_id % {mod} <> 0
         ),
         hits AS (
           SELECT g.doc_id, COUNT(*) AS n_hits
@@ -4401,6 +4426,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_histogram": _lang_id_sql(),
         "minhash_near_dups": _minhash_sql(),
         "decontaminate_docs": _decontam_sql(),
+        "decontaminate_docs_bloom": _decontam_sql(mod=89),
         "bm25_topk_docs": _bm25_rank_sql(20),
         "hybrid_rrf_retrieval": _hybrid_rrf_sql(),
         "quantized_ann_topk": _quantized_topk_sql(),

@@ -28,14 +28,17 @@ double-counting a repeated phrase inside one document.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from acorn_hybrid_vector_search_spark.functions.text import shingles
 
 __all__ = [
     "benchmark_ngrams",
+    "bloom_build",
+    "bloom_might_contain",
     "contamination_stats",
+    "contamination_stats_bloom",
     "contaminated_ids",
     "decontaminate",
 ]
@@ -49,6 +52,132 @@ def benchmark_ngrams(
     at the call sites."""
     return (
         benchmark.select(F.explode(shingles(text_col, n)).alias("gram")).distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-screened variant: when the FILTER side outgrows a broadcast
+# (billions of blocklist grams at 100 TB — the exact-set broadcast above
+# assumes a KB-MB benchmark), the standard plan is a two-phase
+# semi-join reduction: a Bloom bitset screens the corpus gram stream
+# MAP-SIDE (no shuffle; false positives only, never false negatives),
+# and only the screened survivors — contamination candidates, a tiny
+# fraction of the corpus — pay the exact shuffled verify join. The
+# final output is EXACT (the verify join removes every false positive),
+# which is why the DuckDB oracle replays it with plain set semantics.
+#
+# The filter itself is pure Catalyst expressions (no UDF, no JVM-side
+# helper object): k xxhash64 probes into a bit-packed array<bigint>
+# built with a bit_or partial aggregation — the build is distributed
+# (one shuffle over m/64 word indexes, constant-size output), the
+# probe rides whole-stage codegen.
+
+
+# single-bit masks as a 64-entry literal array indexed by bit position
+# (shiftleft/shiftright take literal shift amounts in the DataFrame API;
+# bit 63 is the two's-complement minimum long)
+def _bit_masks() -> Column:
+    return F.array(
+        *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(64)]
+    )
+
+
+def bloom_build(
+    items: DataFrame, col: str, *, m_bits: int = 1 << 18, k: int = 5
+) -> DataFrame:
+    """ONE-row (words: array<bigint>) Bloom bitset over ``items[col]``.
+
+    m_bits/k sizing: fp ≈ (1 − e^(−k·n/m))^k; the 2^18-bit default holds
+    ~18k distinct grams at ≲1% fp. The dense word array (m/64 entries —
+    a build-time CONSTANT, e.g. 4096 longs = 32 KB) is assembled with a
+    bounded collect_list and travels to probes as a broadcast scalar.
+    """
+    m_words = m_bits // 64
+    probes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.concat(F.lit(f"bloom{i}:"), F.col(col))), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    pos = items.select(F.explode(probes).alias("p"))
+    words = (
+        pos.select(
+            F.floor(F.col("p") / 64).alias("w"),
+            F.get(_bit_masks(), F.pmod("p", F.lit(64)).cast("int")).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    spark = items.sparkSession
+    dense = (
+        spark.range(m_words)
+        .join(words, F.col("id") == F.col("w"), "left")
+        .select("id", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("id", "word"))), lambda s: s["word"]
+        ).alias("words")
+    )
+
+
+def bloom_might_contain(
+    words: Column, value: Column, *, m_bits: int = 1 << 18, k: int = 5
+) -> Column:
+    """True iff every one of the k probe bits is set — possibly-member
+    (false positives at the designed rate, false negatives never).
+    Must use the same (m_bits, k) as ``bloom_build``."""
+    cond = F.lit(True)
+    for i in range(k):
+        p = F.pmod(F.xxhash64(F.concat(F.lit(f"bloom{i}:"), value)), F.lit(m_bits))
+        w = F.get(words, F.floor(p / 64).cast("int"))
+        mask = F.get(_bit_masks(), F.pmod(p, F.lit(64)).cast("int"))
+        cond = cond & (w.bitwiseAND(mask) != 0)
+    return cond
+
+
+def contamination_stats_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 3,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    m_bits: int = 1 << 18,
+    k: int = 5,
+) -> DataFrame:
+    """``contamination_stats`` semantics (identical output, same oracle)
+    through the Bloom-screen + exact-verify plan: the corpus gram
+    stream is filtered map-side by the broadcast bitset, and ONLY the
+    survivors shuffle into the verify join (deliberately non-broadcast:
+    this variant models the filter side too big to broadcast — AQE may
+    still choose broadcast at toy scale, and OptimizeSkewedJoin splits
+    at real scale)."""
+    bg = benchmark_ngrams(benchmark, n=n, text_col=bench_text_col or text_col)
+    bloom = bloom_build(bg, "gram", m_bits=m_bits, k=k)
+    grams = docs.select(id_col, F.explode(shingles(text_col, n)).alias("gram"))
+    screened = (
+        grams.crossJoin(F.broadcast(bloom))
+        .where(bloom_might_contain(F.col("words"), F.col("gram"), m_bits=m_bits, k=k))
+        .drop("words")
+    )
+    hits = (
+        screened.join(bg, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = docs.select(id_col, F.size(shingles(text_col, n)).alias("n_grams"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits >= min_overlap).alias("contaminated"),
+        F.round(n_hits / F.greatest(F.col("n_grams"), F.lit(1)), 6).alias(
+            "overlap_frac"
+        ),
     )
 
 

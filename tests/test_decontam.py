@@ -119,3 +119,67 @@ def test_no_shuffle_of_corpus_by_gram(spark, frames):
     # distinct() before its BroadcastExchange. A second one would mean the
     # exploded CORPUS grams are being shuffled.
     assert plan.count("hashpartitioning(gram") <= 1
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """The expression-level Bloom filter: every inserted member passes
+    (no false negatives, by construction), and the FP rate on 2000
+    disjoint non-members stays within ~3x the designed bound
+    (m=2^14, k=5, n=500 → fp ≈ (1-e^(-kn/m))^k ≈ 0.48%)."""
+    from acorn_hybrid_vector_search_spark.operators.decontam import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    m_bits, k = 1 << 14, 5
+    members = spark.range(500).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("v")
+    )
+    bloom = bloom_build(members, "v", m_bits=m_bits, k=k)
+    probe = lambda df: (
+        df.crossJoin(F.broadcast(bloom))
+        .where(bloom_might_contain(F.col("words"), F.col("v"), m_bits=m_bits, k=k))
+        .count()
+    )
+    assert probe(members) == 500  # zero false negatives
+    others = spark.range(2000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("v")
+    )
+    fp = probe(others) / 2000.0
+    assert fp <= 0.015, fp
+
+
+def test_bloom_stats_equal_exact_stats(spark, frames):
+    """contamination_stats_bloom must return the IDENTICAL relation as
+    the broadcast-exact path — the verify join removes every Bloom
+    false positive, which is the whole two-phase contract."""
+    from acorn_hybrid_vector_search_spark.operators.decontam import (
+        contamination_stats_bloom,
+    )
+
+    docs, bench = frames
+    key = lambda r: (r["doc_id"], r["n_grams"], r["n_hits"],
+                     r["contaminated"], r["overlap_frac"])
+    exact = sorted(map(key, contamination_stats(docs, bench, n=3).collect()))
+    bloom = sorted(
+        map(key, contamination_stats_bloom(docs, bench, n=3).collect())
+    )
+    assert bloom == exact
+
+
+def test_bloom_screen_is_maps_side_before_verify_join(spark, frames):
+    """Plan shape: the bitset rides a broadcast (BroadcastNestedLoopJoin
+    over the 1-row scalar), and the gram screen sits in a Filter BEFORE
+    the verify equi-join — i.e. the corpus never shuffles unscreened."""
+    from acorn_hybrid_vector_search_spark.operators.decontam import (
+        contamination_stats_bloom,
+    )
+
+    docs, bench = frames
+    plan = (
+        contamination_stats_bloom(docs, bench, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "xxhash64" in plan  # the probe is a JVM expression, no UDF
+    assert "pythonUDF" not in plan.lower()
