@@ -44,6 +44,18 @@ AUDIT: dict[str, list[str]] = {
     # round 5: real JPEG decode is the same narrow-map shape as audio
     "images_decode": ["MapInPandas"],
     "images_grid_features": ["MapInPandas", "Generate"],
+    # round 6 (de-skewed, r5 verdict findings #1/#2): survivor pick is
+    # partial-agg min(id) + semi-join-back (LeftSemi), never a Window
+    # over the duplicate fingerprint; domain caps are the two-phase
+    # count-join + salted-bucket rank + bounded sort-agg + Union of the
+    # no-rank bypass branch (tests/test_plan_shapes.py pins the
+    # window-key details)
+    "dedup_survivors": ["HashAggregate", "LeftSemi"],
+    "domain_caps": ["HashAggregate", "Union", "Window"],
+    # round 6: bloom-screened decontamination — the bitset is a 1-row
+    # broadcast scalar (BroadcastNestedLoopJoin), the k-probe screen is
+    # a JVM Filter ahead of the exact verify join
+    "decontaminate_docs_bloom": ["BroadcastNestedLoopJoin", "Filter", "HashAggregate"],
 }
 
 
