@@ -1846,6 +1846,89 @@ def _q_sql_parttype_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_shared(spark, sf_dir, "sql_parttype_revenue")
 
 
+_RP_DIMS = (64, 16)
+_RP_SEED = "jl"
+
+
+@_prepared
+def _q_rp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection ANN (r6,
+    operators/similarity.py): project 64-dim embeddings to 16 dims with
+    the md5-derived Achlioptas sparse-sign matrix (deterministic and
+    ENGINE-PORTABLE — the DuckDB oracle rebuilds the identical matrix
+    from the same md5 formula and replays every projected double
+    bit-for-bit), then exact top-10 by squared L2 in the PROJECTED
+    space. The 100 TB story: at the reference's 2048 dims, projection
+    cuts scan arithmetic ~in/out-fold before any coarse search;
+    recall-vs-exact floors are pytest-gated (tests/test_ann.py), and
+    this query's contract — fully hash-verified — is the projected-
+    space ranking itself."""
+    from acorn_hybrid_vector_search_spark.functions.distance import l2_sq_distance
+    from acorn_hybrid_vector_search_spark.operators.similarity import (
+        project_embedding,
+        projection_matrix,
+    )
+
+    in_dim, out_dim = _RP_DIMS
+    R = projection_matrix(in_dim, out_dim, seed=_RP_SEED)
+    q = _query_vec(spark, sf_dir, vec_id=11)
+    # project the query with the same left-to-right float arithmetic
+    # (python float IS the IEEE double both engines compute)
+    qp = []
+    for j in range(out_dim):
+        acc = 0.0
+        for i in range(in_dim):
+            r = R[i][j]
+            if r != 0.0:
+                acc = acc + float(q[i]) * r
+        qp.append(acc)
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id", "label",
+        project_embedding(F.col("embedding"), R).alias("p"),
+    )
+    dist = l2_sq_distance(F.col("p"), qp)
+    return (
+        proj.select("vec_id", "label", dist.alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("d", _R).alias("dist"))
+    )
+
+
+def _rp_sql(k: int = 10) -> str:
+    """Oracle: rebuild the SAME projection matrix (same md5 formula via
+    operators.similarity.projection_matrix — the literals below ARE
+    that matrix) and replay projection + distance + top-k with
+    left-to-right chained additions mirroring the Spark folds."""
+    from acorn_hybrid_vector_search_spark.operators.similarity import (
+        projection_matrix,
+    )
+
+    in_dim, out_dim = _RP_DIMS
+    R = projection_matrix(in_dim, out_dim, seed=_RP_SEED)
+
+    def proj_terms(alias: str) -> list[str]:
+        out = []
+        for j in range(out_dim):
+            terms = [
+                f"CAST({alias}.embedding[{i + 1}] AS DOUBLE) * ({R[i][j]!r})"
+                for i in range(in_dim)
+                if R[i][j] != 0.0
+            ]
+            out.append("(" + " + ".join(terms) + ")")
+        return out
+
+    pe, pq = proj_terms("e"), proj_terms("q")
+    d = " + ".join(f"(({pe[j]}) - ({pq[j]}))^2" for j in range(out_dim))
+    return f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 11)
+        SELECT e.vec_id, e.label, ROUND({d}, {_R}) AS dist
+        FROM embeddings e, q
+        ORDER BY {d}, e.vec_id LIMIT {k}
+    """
+
+
 _IVF_EXACT_CACHE: dict[tuple[str, str], object] = {}
 
 
@@ -2908,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_revenue_7d": _q_trailing_revenue,
         "sql_user_funnel_setops": _q_sql_user_funnel_setops,
         "decontaminate_docs_bloom": _q_decontaminate_docs_bloom,
+        "rp_ann_topk": _q_rp_ann_topk,
     }
 
 
@@ -4427,6 +4511,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_sql(),
         "decontaminate_docs": _decontam_sql(),
         "decontaminate_docs_bloom": _decontam_sql(mod=89),
+        "rp_ann_topk": _rp_sql(),
         "bm25_topk_docs": _bm25_rank_sql(20),
         "hybrid_rrf_retrieval": _hybrid_rrf_sql(),
         "quantized_ann_topk": _quantized_topk_sql(),

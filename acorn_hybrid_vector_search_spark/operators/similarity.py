@@ -248,3 +248,57 @@ def lsh_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])  # same pair can collide in >1 band
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (r6): the dimensionality-
+# reduction scale path BEFORE coarse search. At the reference's 2048
+# dims, a full-precision scan pays 2048 mul-adds/row; projecting to
+# d' = O(log N / eps^2) dims preserves pairwise L2 within (1 ± eps)
+# (JL lemma) and cuts scan cost ~in_dim/out_dim-fold. The matrix is the
+# Achlioptas sparse-sign construction (entries +1/-1/0 with prob
+# 1/6, 1/6, 2/3, scaled sqrt(3/out_dim)) derived DETERMINISTICALLY from
+# the portable md5 hash — a pure function of (seed, i, j), so any
+# engine (the DuckDB oracle included) reproduces the identical matrix
+# and the identical projected doubles. The projection itself is a
+# Catalyst fold per output dim (left-to-right accumulation, the same
+# proven-bit-parity order as functions.distance), the matrix riding the
+# plan as literals — zero Python in the hot path.
+
+
+def projection_matrix(
+    in_dim: int, out_dim: int, *, seed: str = "jl"
+) -> list[list[float]]:
+    """R[i][j] for i<in_dim, j<out_dim: sqrt(3/out_dim)·{+1,-1,0} with
+    md5-derived signs (Achlioptas 2003). Deterministic and portable —
+    md5 is the same bytes everywhere, unlike engine-native hash64s."""
+    import hashlib
+    import math
+
+    s = math.sqrt(3.0 / out_dim)
+    rows = []
+    for i in range(in_dim):
+        row = []
+        for j in range(out_dim):
+            h = int(
+                hashlib.md5(f"rp:{seed}:{i}:{j}".encode()).hexdigest()[:15], 16
+            ) % 6
+            row.append(s if h == 0 else (-s if h == 1 else 0.0))
+        rows.append(row)
+    return rows
+
+
+def project_embedding(vec_col, matrix: list[list[float]]):
+    """ARRAY<double> Column: the input vector times the literal
+    projection matrix. out[j] = Σ_i vec[i]·R[i][j], accumulated
+    left-to-right over i (oracle-matching IEEE order)."""
+    in_dim, out_dim = len(matrix), len(matrix[0])
+    cols = []
+    for j in range(out_dim):
+        acc = F.lit(0.0)
+        for i in range(in_dim):
+            r = matrix[i][j]
+            if r != 0.0:
+                acc = acc + F.get(vec_col, i).cast("double") * F.lit(r)
+        cols.append(acc)
+    return F.array(*cols)

@@ -18,6 +18,7 @@ from acorn_hybrid_vector_search_spark.operators.ann import (
 )
 from acorn_hybrid_vector_search_spark.operators.dedup import embedding_near_dups
 from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+from acorn_hybrid_vector_search_spark.sources.testdata import load_table
 from acorn_hybrid_vector_search_spark.operators.similarity import (
     knn_exact_blas,
     lsh_near_dup_pairs,
@@ -361,3 +362,93 @@ def test_lsh_or_banding_grows_recall_monotonically(emb):
         for r in embedding_near_dups(emb, 0.5, bucket_col=None).collect()
     }
     assert one <= three <= exact
+
+
+def test_projection_matrix_portable_and_deterministic():
+    """The JL matrix is a pure function of (seed, i, j) through md5 —
+    re-derive it with hashlib here (the same computation the DuckDB
+    oracle literals come from) and pin shape, scale, and sparsity."""
+    import hashlib
+    import math
+
+    from acorn_hybrid_vector_search_spark.operators.similarity import (
+        projection_matrix,
+    )
+
+    R = projection_matrix(64, 16, seed="jl")
+    s = math.sqrt(3.0 / 16)
+    n_nonzero = 0
+    for i in range(64):
+        for j in range(16):
+            h = int(hashlib.md5(f"rp:jl:{i}:{j}".encode()).hexdigest()[:15], 16) % 6
+            want = s if h == 0 else (-s if h == 1 else 0.0)
+            assert R[i][j] == want
+            n_nonzero += R[i][j] != 0.0
+    # Achlioptas sparsity: ~1/3 nonzero
+    assert 0.2 < n_nonzero / (64 * 16) < 0.47
+    assert projection_matrix(64, 16, seed="jl") == R  # deterministic
+
+
+def test_projection_distortion_and_candidate_recall(spark):
+    """JL distance preservation, measured: for 64→16 on the sf0.001
+    embeddings, pairwise squared-L2 ratios (projected/original) stay
+    within a loose (0.2, 3.0) band for ≥95% of sampled pairs, and the
+    top-10-of-exact recall of the projected top-50 candidate set
+    averages ≥0.3 at C=50 and ≥0.5 at C=100 (measured 0.40/0.62 on
+    this fixture — 64 input dims give JL little headroom and these
+    synthetic embeddings are label-clustered; the operator's regime is
+    the reference's 2048-dim vectors, where in/out = 128x. The gates
+    document the measured fixture floor, not a production promise)."""
+    import numpy as np
+
+    from acorn_hybrid_vector_search_spark.operators.similarity import (
+        projection_matrix,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    R = np.array(projection_matrix(64, 16, seed="jl"))
+    P = X @ R
+    rng = np.random.RandomState(7)
+    n = len(X)
+    idx = rng.randint(0, n, size=(400, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    do = ((X[idx[:, 0]] - X[idx[:, 1]]) ** 2).sum(1)
+    dp = ((P[idx[:, 0]] - P[idx[:, 1]]) ** 2).sum(1)
+    ratio = dp / np.maximum(do, 1e-12)
+    assert np.mean((ratio > 0.2) & (ratio < 3.0)) >= 0.95, ratio
+    r50, r100 = [], []
+    for qi in range(0, min(20, n)):
+        exact = set(np.argsort(((X - X[qi]) ** 2).sum(1))[:10])
+        order = np.argsort(((P - P[qi]) ** 2).sum(1))
+        r50.append(len(exact & set(order[:50])) / 10)
+        r100.append(len(exact & set(order[:100])) / 10)
+    assert float(np.mean(r50)) >= 0.3, r50
+    assert float(np.mean(r100)) >= 0.5, r100
+
+
+def test_project_embedding_matches_numpy(spark):
+    """The Catalyst fold projection equals the numpy matmul to 1e-9
+    (same matrix, same doubles up to re-association tolerance)."""
+    import numpy as np
+
+    from acorn_hybrid_vector_search_spark.operators.similarity import (
+        project_embedding,
+        projection_matrix,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    R = projection_matrix(64, 16, seed="jl")
+    got = {
+        r["vec_id"]: np.array(r["p"])
+        for r in emb.select(
+            "vec_id", project_embedding(F.col("embedding"), R).alias("p")
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64) @ np.array(R)
+        for r in emb.collect()
+    }
+    for vid, g in got.items():
+        assert np.allclose(g, want[vid], atol=1e-9), vid
