@@ -476,3 +476,69 @@ def dedup_search(
             vec_col=embedding_col,
         )
     raise ValueError(f"unknown dedup strategy {route.strategy!r}")
+
+
+# ---------------------------------------------------------------------------
+# Decontamination routing (r6): exact-broadcast vs bloom two-phase.
+
+
+@dataclass(frozen=True)
+class DecontamRoute:
+    strategy: str  # "broadcast" | "bloom"
+    params: dict[str, Any]
+    rationale: str
+
+
+def route_decontam(
+    n_bench_grams: int,
+    *,
+    avg_gram_bytes: float = 24.0,
+    broadcast_budget_bytes: int = 64 * 1024 * 1024,
+    target_fp: float = 0.01,
+) -> DecontamRoute:
+    """Pick the decontamination plan from the FILTER side's size.
+
+    - The gram set fits the broadcast budget (the session's
+      autoBroadcastJoinThreshold, 64 MB here) → ``broadcast``:
+      map-side semi-join against the exact set — no shuffle of corpus
+      grams, no false-positive screen to verify, strictly the cheapest
+      correct plan (operators/decontam.py::contamination_stats).
+    - Bigger → ``bloom``: a bitset sized for ``target_fp`` at
+      ~9.6 bits/item (m = n·ln(1/fp)/ln2², k = m/n·ln2 ≈ 7 at 1%)
+      screens the corpus stream map-side, and only screened survivors
+      shuffle into the exact verify join
+      (contamination_stats_bloom). A 1-billion-gram blocklist —
+      ~24 GB exact, unbroadcastable — becomes a ~1.2 GB bitset; still
+      big, but a bitset ships once per executor, not per task, and the
+      verify join's probe side shrinks by ~(1 − sel − fp).
+
+    The OUTPUT of both routes is identical (bloom false positives die
+    in the verify join), so routing never changes results — the same
+    invariance contract as route_dedup/route (pinned in test_decontam).
+    """
+    import math
+
+    if n_bench_grams < 0:
+        raise ValueError("n_bench_grams must be >= 0")
+    exact_bytes = n_bench_grams * avg_gram_bytes
+    if exact_bytes <= broadcast_budget_bytes:
+        return DecontamRoute(
+            "broadcast",
+            {},
+            f"exact gram set ~{exact_bytes / 1e6:.0f} MB fits the "
+            f"{broadcast_budget_bytes // (1024 * 1024)} MB broadcast budget: "
+            "map-side exact semi-join, no screen to verify",
+        )
+    m_bits = int(n_bench_grams * math.log(1 / target_fp) / (math.log(2) ** 2))
+    m_bits = max(1 << 16, 1 << (m_bits - 1).bit_length())  # pow2, floor 64Kb
+    # k from the TARGET fp (ln(1/fp)/ln2 ≈ 7 at 1%), not from the
+    # pow2-rounded m — rounding m up only lowers the real fp; a larger
+    # k would just add probe cost per gram
+    k = max(1, round(math.log(1 / target_fp) / math.log(2)))
+    return DecontamRoute(
+        "bloom",
+        {"m_bits": m_bits, "k": k},
+        f"exact set ~{exact_bytes / 1e9:.1f} GB exceeds the broadcast "
+        f"budget: {m_bits / 8 / 1e6:.0f} MB bitset (fp~{target_fp:.0%}) "
+        "screens map-side; exact verify join keeps the output identical",
+    )

@@ -183,3 +183,21 @@ def test_bloom_screen_is_maps_side_before_verify_join(spark, frames):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "xxhash64" in plan  # the probe is a JVM expression, no UDF
     assert "pythonUDF" not in plan.lower()
+
+
+def test_route_decontam_matrix():
+    """Routing matrix: broadcast below the budget, bloom above, with
+    fp-sized bitset; both routes produce identical output by contract
+    (test_bloom_stats_equal_exact_stats is that pin)."""
+    from acorn_hybrid_vector_search_spark.plans.router import route_decontam
+
+    small = route_decontam(100_000)
+    assert small.strategy == "broadcast"
+    big = route_decontam(1_000_000_000)
+    assert big.strategy == "bloom"
+    # ~9.6 bits/item at 1% fp, rounded to a power of two
+    assert big.params["m_bits"] >= 9 * 1_000_000_000
+    assert big.params["m_bits"] & (big.params["m_bits"] - 1) == 0
+    assert 4 <= big.params["k"] <= 10
+    with pytest.raises(ValueError):
+        route_decontam(-1)
