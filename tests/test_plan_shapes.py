@@ -48,6 +48,11 @@ _BNLJ_BY_DESIGN = {
     # K4 declarative escalation: 1-row round-selection scalar broadcast
     # back over the bounded candidate set (acorn_search_plan)
     "acorn_hybrid",
+    # r6 bloom decontamination: the bitset is a 1-row broadcast scalar
+    # (constant-size array<bigint>) crossed onto the gram stream for
+    # the map-side screen — the designed shape, verified exact by the
+    # downstream equi verify-join
+    "decontaminate_docs_bloom",
 }
 
 
