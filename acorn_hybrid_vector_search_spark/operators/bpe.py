@@ -211,14 +211,33 @@ def bpe_segment(
     )
     vocab = stream.select("word").distinct()
     syms = F.concat(F.split(F.col("word"), "(?!$)"), F.array(F.lit(EOW)))
+
+    def _chain(rel: DataFrame) -> DataFrame:
+        # A deep chain of nested F.aggregate folds compiles into one
+        # pathologically large whole-stage-codegen unit (measured ~15 s
+        # of one-time janino compile at 10 rounds, independent of row
+        # count) — break the lineage every few rounds so each plan
+        # segment stays a compilable size. The checkpoint is lazy and
+        # the relation vocab-scaled, so the cost is bounded.
+        seg = rel.select("word", syms.alias("syms"))
+        for i, m in enumerate(merges):
+            seg = seg.select(
+                "word", _apply_merge(F.col("syms"), m[0], m[1]).alias("syms")
+            )
+            if (i + 1) % 3 == 0 and i + 1 < len(merges):
+                seg = seg.localCheckpoint(eager=False)
+        return seg
+
     if seg_state is not None:
         known = seg_state.select("word", "syms")
-        vocab = vocab.join(known.select("word"), "word", "left_anti")
-    seg = vocab.select("word", syms.alias("syms"))
-    for m in merges:
-        seg = seg.select("word", _apply_merge(F.col("syms"), m[0], m[1]).alias("syms"))
-    if seg_state is not None:
-        seg = seg.unionByName(known)
+        unseen = vocab.join(known.select("word"), "word", "left_anti")
+        # applying the tokenizer to (a superset of) its training corpus
+        # leaves no unseen words — then the plan is a pure vocab-scaled
+        # parquet probe with NO fold chain at all (the eager emptiness
+        # check is one tiny job; this is the apply-many lifecycle)
+        seg = known if unseen.isEmpty() else _chain(unseen).unionByName(known)
+    else:
+        seg = _chain(vocab)
     return stream.join(seg, "word").select(
         id_col, "word", F.explode("syms").alias("subword")
     )
