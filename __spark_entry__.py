@@ -450,6 +450,75 @@ def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(d, num_hashes=16, bands=8, verify_threshold=0.5)
 
 
+_MINHASH_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _minhash_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted MinHash signature store over the 'existing corpus'
+    split (doc_id % 3 != 0), written once per (session, sf_dir) — the
+    nsw_write pattern for dedup: ingest pays the text scan once, every
+    later batch probes the parquet store."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.dedup import minhash_write
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _MINHASH_STORE_CACHE if k[0] != key[0]]:
+        del _MINHASH_STORE_CACHE[stale]
+    path = _MINHASH_STORE_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="acorn_minhash_") + "/store"
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 0)
+        minhash_write(d, path, num_hashes=16)
+        _MINHASH_STORE_CACHE[key] = path
+    return path
+
+
+def _q_minhash_store_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-store roundtrip: Spark READS the persisted parquet
+    (id, n, signature); the oracle RECOMPUTES every signature from the
+    raw corpus text — hash equality = persisted ≡ recomputed, the
+    persisted-index contract (nsw_persisted_topk / bpe_state_persisted
+    pattern) applied to the dedup index."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import minhash_read
+
+    path = _minhash_store_path(spark, sf_dir)
+    st = minhash_read(spark, path)
+    return st.select(
+        "id",
+        F.col("n").cast("long").alias("n"),
+        F.concat_ws("|", F.transform("sig", lambda x: x.cast("string"))).alias(
+            "sig_str"
+        ),
+    )
+
+
+def _q_minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup ingestion (operators/dedup.py
+    minhash_probe_pairs): the 'new batch' (doc_id % 3 == 0) is
+    signatured and probed against the PERSISTED store — a banded
+    cross-relation join, cost Σ|new-bucket|·|store-bucket|, the store
+    side never re-reads text. This is the continuous-ingestion shape of
+    production dedup (re-running the full self-join per crawl snapshot
+    is quadratic in snapshots). Oracle: DuckDB recomputes both sides'
+    signatures and replays the cross-relation banding + verification."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import (
+        minhash_probe_pairs,
+        minhash_read,
+        minhash_signatures,
+    )
+
+    path = _minhash_store_path(spark, sf_dir)
+    store = minhash_read(spark, path)
+    new = minhash_signatures(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0),
+        num_hashes=16,
+    )
+    return minhash_probe_pairs(
+        new, store, num_hashes=16, bands=8, verify_threshold=0.5
+    )
+
+
 def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER COLLAPSE: MinHash pair detection → connected
     components (min-label propagation) → (doc_id, component) for the
@@ -2992,6 +3061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_user_funnel_setops": _q_sql_user_funnel_setops,
         "decontaminate_docs_bloom": _q_decontaminate_docs_bloom,
         "rp_ann_topk": _q_rp_ann_topk,
+        "minhash_store_persisted": _q_minhash_store_persisted,
+        "minhash_incremental_pairs": _q_minhash_incremental_pairs,
     }
 
 
@@ -3121,6 +3192,85 @@ def _minhash_sql(bands: int = 8, verify: float = 0.5) -> str:
         FROM sigs a JOIN sigs b ON a.id < b.id
         WHERE len(list_filter(range(0, {bands}),
               bb -> {band_eq})) > 0
+          AND {jac} >= {verify}
+    """
+
+
+def _minhash_sigs_cte(where: str = "TRUE") -> str:
+    """The signatures CTE shared by every MinHash oracle: word-3-gram
+    shingles → portable md5-based 60-bit hash → 16 universal-hash mixes
+    mod 2^31-1 → min per hash (same coefficients and field as
+    functions.text.minhash_from_shingles)."""
+    p = (1 << 31) - 1
+    coeffs = [
+        ((2654435761 * (i + 1)) % p or 1, (40503 * (i + 7) + 12345) % p)
+        for i in range(16)
+    ]
+    h64 = (
+        "CAST(list_sum(list_transform(range(1, 16), i -> "
+        "CAST(strpos('0123456789abcdef', substring(md5(s), i, 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT)"
+    )
+    sig = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))" for a, b in coeffs
+    )
+    return f"""
+        base AS (
+          SELECT id, sh, len(sh) AS n FROM (
+            SELECT doc_id AS id,
+              CASE WHEN len(toks) >= 3 THEN
+                list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE [] END AS sh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+                  WHERE {where})
+          ) WHERE len(sh) > 0
+        ), sigs AS (
+          SELECT id, sh, n, [{sig}] AS sig
+          FROM (SELECT id, sh, n,
+                list_transform(sh, s -> ({h64}) % {p}) AS hs FROM base)
+        )
+    """
+
+
+def _minhash_store_sql() -> str:
+    """Oracle for minhash_store_persisted: recompute the store split's
+    signatures from raw text (the Spark side reads the parquet)."""
+    return f"""
+        WITH {_minhash_sigs_cte("doc_id % 3 <> 0")}
+        SELECT id, CAST(n AS BIGINT) AS n,
+          array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), '|')
+            AS sig_str
+        FROM sigs
+    """
+
+
+def _minhash_incremental_sql(bands: int = 8, verify: float = 0.5) -> str:
+    """Oracle for minhash_incremental_pairs: both sides' signatures
+    recomputed, then the CROSS-relation banded collision + size prune +
+    exact shingle-Jaccard verification (the incremental analog of
+    _minhash_sql's self-join)."""
+    jac = (
+        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6)"
+    )
+    rows_per_band = 16 // bands
+    band_eq = " AND ".join(
+        f"a.sig[{rows_per_band}*bb+{r + 1}] = b.sig[{rows_per_band}*bb+{r + 1}]"
+        for r in range(rows_per_band)
+    )
+    return f"""
+        WITH {_minhash_sigs_cte()}
+        SELECT a.id AS id_new, b.id AS id_store,
+          ROUND(CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
+              AS DOUBLE) / 16, 6) AS sig_agreement,
+          {jac} AS jaccard
+        FROM (SELECT * FROM sigs WHERE id % 3 = 0) a
+        JOIN (SELECT * FROM sigs WHERE id % 3 <> 0) b ON a.id <> b.id
+        WHERE len(list_filter(range(0, {bands}),
+              bb -> {band_eq})) > 0
+          AND CAST(a.n AS DOUBLE) >= {verify} * b.n
+          AND CAST(b.n AS DOUBLE) >= {verify} * a.n
           AND {jac} >= {verify}
     """
 
@@ -4509,6 +4659,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_histogram": _lang_id_sql(),
         "minhash_near_dups": _minhash_sql(),
+        "minhash_store_persisted": _minhash_store_sql(),
+        "minhash_incremental_pairs": _minhash_incremental_sql(),
         "decontaminate_docs": _decontam_sql(),
         "decontaminate_docs_bloom": _decontam_sql(mod=89),
         "rp_ann_topk": _rp_sql(),

@@ -335,6 +335,161 @@ def collapse_near_dups(
 # MinHash + LSH banding
 
 
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh, n, sig) — the MinHash signature relation: word-shingle
+    arrays, their count, and the ``num_hashes``-wide signature. This IS
+    the persistable dedup index of a 100 TB pipeline: signatures are
+    computed once per document at ingest (one md5 per shingle + cheap
+    mixes — the expensive pass over text) and stored; dedup runs join
+    signatures, never re-derive them from the corpus.
+
+    Repartitions BEFORE the shingle/signature projection: a single-file
+    input would otherwise compute every signature on one core."""
+    from acorn_hybrid_vector_search_spark.functions.text import (
+        minhash_from_shingles,
+    )
+
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .repartition(_probe_parallelism(df))
+        .select("id", shingles("_txt", shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    return base.select(
+        "id",
+        "sh",
+        F.size("sh").alias("n"),
+        minhash_from_shingles(F.col("sh"), num_hashes).alias("sig"),
+    )
+
+
+def minhash_write(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """Persist the signature store (the nsw_write pattern for dedup):
+    ingest pays the text scan once; every later batch probes the
+    parquet store (``minhash_probe_pairs``) instead of re-shingling
+    the corpus."""
+    minhash_signatures(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+    ).write.mode("overwrite").parquet(path)
+
+
+def minhash_read(spark, path: str) -> DataFrame:
+    """Load a persisted signature store."""
+    return spark.read.parquet(path)
+
+
+def minhash_probe_pairs(
+    new_sigs: DataFrame,
+    store_sigs: DataFrame,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float | None = 0.7,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: pairs between a NEW batch's
+    signatures and the persisted store — the continuous-ingestion shape
+    (every production dedup pipeline is incremental: comparing each new
+    crawl snapshot against the full corpus from scratch is quadratic in
+    snapshots).
+
+    Plan: band-explode BOTH relations, equi-join on (band index, band
+    key) — cost Σ|new-bucket|·|store-bucket|, never |new|·|store| — with
+    first-agreeing-band emission (no dropDuplicates shuffle) and the
+    same size-band prune + exact shingle-Jaccard verification as the
+    self-join form. The store side never re-derives anything from text.
+    Returns (id_new, id_store, sig_agreement[, jaccard])."""
+    rows_per_band = num_hashes // bands
+
+    def banded(rel: DataFrame) -> DataFrame:
+        band_keys = F.array(
+            *[
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+                for b in range(bands)
+            ]
+        )
+        return rel.select(
+            "id", "sh", "n", "sig", F.posexplode(band_keys).alias("bi", "band_key")
+        )
+
+    a = banded(new_sigs).alias("a")
+    b = banded(store_sigs).alias("b")
+
+    def band_eq(j: int) -> Column:
+        eq = F.lit(True)
+        for r in range(rows_per_band):
+            k = j * rows_per_band + r + 1
+            eq = eq & (
+                F.element_at(F.col("a.sig"), k) == F.element_at(F.col("b.sig"), k)
+            )
+        return eq
+
+    earlier_agrees = F.lit(False)
+    for j in range(bands - 1):
+        earlier_agrees = earlier_agrees | ((F.col("a.bi") > j) & band_eq(j))
+
+    cond = (
+        (F.col("a.bi") == F.col("b.bi"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.id") != F.col("b.id"))
+        & ~earlier_agrees
+    )
+    verify_cols = []
+    if verify_threshold is not None:
+        t = float(verify_threshold)
+        inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+        union = F.col("a.n") + F.col("b.n") - inter
+        jac = F.round(
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 6
+        )
+        cond = (
+            cond
+            & (F.col("a.n").cast("double") >= t * F.col("b.n"))
+            & (F.col("b.n").cast("double") >= t * F.col("a.n"))
+            & (jac >= t)
+        )
+        verify_cols = [jac.alias("jaccard")]
+
+    agree = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")
+            ),
+            lambda v: v == 1,
+        )
+    )
+    return a.join(b, cond).select(
+        F.col("a.id").alias("id_new"),
+        F.col("b.id").alias("id_store"),
+        F.round(agree.cast("double") / num_hashes, 6).alias("sig_agreement"),
+        *verify_cols,
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     *,
@@ -352,27 +507,16 @@ def minhash_near_dups(
     optional exact shingle-Jaccard verification of candidates only.
     Returns (id_a, id_b, sig_agreement[, jaccard]).
     """
-    from acorn_hybrid_vector_search_spark.functions.text import minhash_from_shingles
-
     rows_per_band = num_hashes // bands
-    # materialize shingles once, signature from them once (cheap hash mixes,
-    # one md5 per shingle) — never recompute from text downstream
-    # repartition BEFORE the shingle/signature projection: a single-file
-    # input would otherwise compute every signature on one core
-    base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
-        .repartition(_probe_parallelism(df))
-        .select("id", shingles("_txt", shingle_n).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
     # materialized once (see _materialize): the shingle arrays + signature
     # feed BOTH sides of the banded self-join
     sig = _materialize(
-        base.select(
-            "id",
-            "sh",
-            F.size("sh").alias("n"),
-            minhash_from_shingles(F.col("sh"), num_hashes).alias("sig"),
+        minhash_signatures(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            shingle_n=shingle_n,
         )
     )
 

@@ -290,3 +290,51 @@ def test_dedup_search_dispatch(spark):
 
     pairs = dedup_search(docs, route_dedup(3, 11, threshold=0.7)).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_minhash_store_roundtrip_and_incremental_probe(spark, tmp_path):
+    """r6 incremental dedup: (a) the persisted signature store reads
+    back exactly what minhash_signatures computes; (b) probing a NEW
+    batch against the store finds exactly the cross-relation subset of
+    the full self-join's pairs (same banding, same verification) —
+    i.e. incremental ingestion loses nothing vs recomputing the corpus."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import (
+        minhash_near_dups,
+        minhash_probe_pairs,
+        minhash_read,
+        minhash_signatures,
+        minhash_write,
+    )
+    from acorn_hybrid_vector_search_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store_docs = docs.filter("doc_id % 3 != 0")
+    new_docs = docs.filter("doc_id % 3 = 0")
+
+    path = str(tmp_path / "store")
+    minhash_write(store_docs, path)
+    back = {
+        r["id"]: (r["n"], tuple(r["sig"]), tuple(sorted(r["sh"])))
+        for r in minhash_read(spark, path).collect()
+    }
+    direct = {
+        r["id"]: (r["n"], tuple(r["sig"]), tuple(sorted(r["sh"])))
+        for r in minhash_signatures(store_docs).collect()
+    }
+    assert back == direct
+
+    probe = minhash_probe_pairs(
+        minhash_signatures(new_docs), minhash_read(spark, path),
+        bands=8, verify_threshold=0.5,
+    )
+    got = {
+        frozenset((r["id_new"], r["id_store"])): r["jaccard"]
+        for r in probe.collect()
+    }
+    full = minhash_near_dups(docs, num_hashes=16, bands=8, verify_threshold=0.5)
+    want = {
+        frozenset((r["id_a"], r["id_b"])): r["jaccard"]
+        for r in full.collect()
+        if (r["id_a"] % 3 == 0) != (r["id_b"] % 3 == 0)  # cross-side only
+    }
+    assert got == want
