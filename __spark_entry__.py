@@ -2720,6 +2720,39 @@ def _q_nsw_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("dist", _R).alias("dist"))
 
 
+_NSW_INCR_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q_nsw_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index growth — the ``add_items`` analog (the
+    reference grows its hnswlib index with add_items after init_index,
+    /root/reference/acorn.py:35-40): build the persisted NSW store from
+    the 'existing corpus' split (vec_id % 3 != 0), then APPEND the new
+    batch (% 3 == 0) as fresh graph shards via ``nsw_append`` — no
+    rebuild of existing graphs — and search the union at full beam, so
+    the DuckDB brute-force oracle over ALL embeddings gates it exactly
+    (query vec 5, distinct from the other NSW queries)."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_append,
+        nsw_read_topk,
+        nsw_write,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _NSW_INCR_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="acorn_nsw_incr_") + "/graph"
+        emb = _t(spark, sf_dir, "embeddings")
+        nsw_write(emb.filter(F.col("vec_id") % 3 != 0), path)
+        nsw_append(emb.filter(F.col("vec_id") % 3 == 0), path)
+        _NSW_INCR_CACHE[key] = path
+    q = _query_vec(spark, sf_dir, vec_id=5)
+    res = nsw_read_topk(spark, path, [(5, list(q))], k=10, ef=1_000_000)
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
 _PQ_CACHE: dict[tuple[str, str], tuple] = {}
 
 
@@ -3063,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_ann_topk": _q_rp_ann_topk,
         "minhash_store_persisted": _q_minhash_store_persisted,
         "minhash_incremental_pairs": _q_minhash_incremental_pairs,
+        "nsw_incremental_topk": _q_nsw_incremental_topk,
     }
 
 
@@ -4509,6 +4543,14 @@ def oracle_sql() -> dict[str, str]:
         # oracle (build-once/query-many lifecycle; query vec 7)
         "nsw_persisted_topk": f"""
             WITH {_QV.format(vid=7)}
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM embeddings e, q
+            ORDER BY {_D2}, e.vec_id LIMIT 10
+        """,
+        # store + appended shards at full beam = exact over the UNION —
+        # the same brute-force oracle over ALL embeddings (query vec 5)
+        "nsw_incremental_topk": f"""
+            WITH {_QV.format(vid=5)}
             SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
             FROM embeddings e, q
             ORDER BY {_D2}, e.vec_id LIMIT 10

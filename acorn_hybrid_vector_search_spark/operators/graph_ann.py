@@ -341,8 +341,23 @@ def nsw_write(
     seq-sorted order, and vectors are stored as the float64 the build
     used, so a reconstructed graph searches bit-identically.
     """
+    _nsw_nodes(
+        df, m=m, ef_construction=ef_construction, vec_col=vec_col,
+        id_col=id_col, part_offset=0,
+    ).write.mode("overwrite").partitionBy("part_id").parquet(path)
+
+
+def _nsw_nodes(
+    df: DataFrame,
+    *,
+    m: int,
+    ef_construction: int,
+    vec_col: str,
+    id_col: str,
+    part_offset: int,
+) -> DataFrame:
     tagged = df.select(id_col, vec_col).withColumn(
-        "part_id", F.spark_partition_id()
+        "part_id", F.spark_partition_id() + F.lit(int(part_offset))
     )
     out_schema = (
         f"part_id int, seq long, {id_col} long, "
@@ -368,8 +383,37 @@ def nsw_write(
             }
         )
 
-    nodes = tagged.mapInPandas(build, out_schema)
-    nodes.write.mode("overwrite").partitionBy("part_id").parquet(path)
+    return tagged.mapInPandas(build, out_schema)
+
+
+def nsw_append(
+    df: DataFrame,
+    path: str,
+    *,
+    m: int = 8,
+    ef_construction: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Add new vectors to a persisted NSW store WITHOUT rebuilding — the
+    ``add_items`` analog (the reference grows its hnswlib index
+    incrementally, /root/reference/acorn.py:35-40 add_items after
+    init_index). The distributed adaptation appends GRAPH SHARDS: the
+    new batch builds its own per-partition graphs under part_ids past
+    the stored maximum, and ``nsw_read_topk`` searches old + new
+    uniformly (one task per graph directory, same global rank), so
+    results at full beam remain exact over the UNION. Trade-off vs
+    hnswlib's in-place insert, stated: per-query work grows with shard
+    count (each shard answers k candidates) — many small appends should
+    be compacted by re-running ``nsw_write`` over the union, the same
+    build-amortization economics as the reference's one-off 51 s build.
+    """
+    spark = df.sparkSession
+    max_part = spark.read.parquet(path).agg(F.max("part_id")).head()[0]
+    _nsw_nodes(
+        df, m=m, ef_construction=ef_construction, vec_col=vec_col,
+        id_col=id_col, part_offset=int(max_part) + 1,
+    ).write.mode("append").partitionBy("part_id").parquet(path)
 
 
 def nsw_read_topk(

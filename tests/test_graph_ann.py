@@ -274,3 +274,66 @@ def test_acorn_loop_composes_over_nsw(spark, corpus, vectors):
     assert all(passes(v) for v in final)
     want = [v for v in _exact_topk(ids, x, q, 3 * K) if passes(v)][:K]
     assert final == want
+
+
+def test_nsw_append_preserves_shards_and_stays_exact(spark, tmp_path):
+    """r6 add_items analog: appending a new batch (a) leaves the
+    existing graph shards byte-untouched, (b) adds shards at fresh
+    part_ids, and (c) full-beam search over the grown store equals
+    brute force over the UNION — incremental growth loses nothing."""
+    import numpy as np
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_append,
+        nsw_read_topk,
+        nsw_write,
+    )
+    from acorn_hybrid_vector_search_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "graph")
+    nsw_write(emb.filter("vec_id % 3 != 0"), path)
+    before = {
+        r["part_id"]: (r["n"], r["ids"])
+        for r in spark.read.parquet(path)
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sort_array(F.collect_list("vec_id")).alias("ids"),
+        )
+        .collect()
+    }
+    nsw_append(emb.filter("vec_id % 3 = 0"), path)
+    after = {
+        r["part_id"]: (r["n"], r["ids"])
+        for r in spark.read.parquet(path)
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sort_array(F.collect_list("vec_id")).alias("ids"),
+        )
+        .collect()
+    }
+    for pid, rec in before.items():
+        assert after[pid] == rec  # old shards untouched
+    new_parts = set(after) - set(before)
+    assert new_parts and min(new_parts) > max(before)
+    appended_ids = {i for p in new_parts for i in after[p][1]}
+    assert appended_ids == {
+        r["vec_id"] for r in emb.filter("vec_id % 3 = 0").collect()
+    }
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = X[list(ids).index(5)]
+    d2 = ((X - q) ** 2).sum(1)
+    order = sorted(range(len(ids)), key=lambda i: (d2[i], ids[i]))[:10]
+    want = [(int(ids[i]), round(float(d2[i]), 9)) for i in order]
+    got = [
+        (r["vec_id"], round(r["dist"], 9))
+        for r in nsw_read_topk(spark, path, [(5, list(q))], k=10, ef=10**6)
+        .orderBy("dist", "vec_id")
+        .collect()
+    ]
+    assert got == want
