@@ -56,6 +56,18 @@ AUDIT: dict[str, list[str]] = {
     # broadcast scalar (BroadcastNestedLoopJoin), the k-probe screen is
     # a JVM Filter ahead of the exact verify join
     "decontaminate_docs_bloom": ["BroadcastNestedLoopJoin", "Filter", "HashAggregate"],
+    # round 6: incremental dedup ingestion — the new batch's band keys
+    # probe the PERSISTED store in a banded cross-relation equi-join
+    # (Σ|new-bucket|·|store-bucket|, never N²); the store side is a
+    # pushed-filter parquet scan of signatures, no text re-read; pair
+    # dedup across bands is the first-band-match predicate, no
+    # distinct aggregate needed
+    "minhash_incremental_pairs": ["Generate", "Join", "PushedFilters"],
+    # round 6: grown NSW store (base shards + appended shards) searched
+    # uniformly — per-shard python graph walk (applyInPandas grouped by
+    # part_id) topped by a partial+final WindowGroupLimit bounded top-k,
+    # same shape as nsw_persisted_topk
+    "nsw_incremental_topk": ["FlatMapGroupsInPandas", "WindowGroupLimit"],
 }
 
 
