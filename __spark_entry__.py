@@ -2941,7 +2941,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     nested_prefilter_weight_brand, nested_postfilter_color,
     knn_batch_topk, histogram_brand_nested, quantized_ann_topk (the
     verdict's own swap list; family coverage documented at the rotation
-    block below).  Displaced and new 51+ queries remain oracle-checked by
+    block below).  Round 6b applied the same policy to THIS round's own
+    flagships before the round closed: the two de-skewed r5-weak fixes
+    (dedup_survivors, domain_caps), bloom-screened decontamination,
+    JL random-projection ANN, persisted BPE training state, and the
+    incremental-index pair (minhash_incremental_pairs,
+    nsw_incremental_topk) moved in-window, displacing
+    nested_model_year_sparse, nsw_exact_topk, ngram_jaccard_near_dups,
+    cube_order_stats, hard_negatives_topk, zorder_curve_keys, and
+    upsert_orders (family retention documented at the rotation block
+    below).  Displaced and new 51+ queries remain oracle-checked by
     tools/selfcheck.py and pytest, and every round commits the
     full-battery artifact SELFCHECK.json so the 51+ surface has durable
     evidence.
@@ -2953,7 +2962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postfilter": _q_postfilter,
         "acorn_hybrid": _q_acorn_hybrid,
         # -- reference §2.3/§2.4 literal surface: nested ABO schema --
-        "nested_model_year_sparse": _q_nested_model_year_sparse,
+        # (round 6b displaced nested_model_year_sparse to 51+; the
+        # quirks variant is the strictest nested-predicate gate)
         "nested_predicate_quirks": _q_nested_predicate_quirks,
         # -- reference ETL chain (S1/S2/S3/J1/P1/E1) --
         "items_etl": _q_items_etl,
@@ -2961,10 +2971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- ANN family: exact-pruned IVF oracle + batch k-NN + routing --
         "ann_ivf_exact_topk": _q_ann_ivf_exact,
         "routed_hybrid": _q_routed_hybrid,
-        # X2 graph analog's only oracle-green evidence — must sit inside
-        # the driver window (round-3 verdict item #2); displaced
-        # prefilter_range (K2 retains prefilter_exact/selective + nested)
-        "nsw_exact_topk": _q_nsw_exact_topk,
         # multimodal audio: REAL WAV decode, fully oracle-replayed
         # (displaced histogram_event_type — A1 retains
         # histogram_brand_nested in-window, event_type moved to 51+)
@@ -2997,16 +3003,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "image_similarity": _q_image_similarity,
         "html_text_extraction": _q_html_text_extraction,
+        # ==== round-6b rotation (same policy as r4 ask #3 / r5 ask #3,
+        # applied to THIS round's flagships before the round closes): the
+        # round-6 surface gets driver-committed evidence — the two
+        # de-skewed r5-weak fixes (dedup_survivors: partial-agg min(id) +
+        # semi-join-back, no Window on the duplicate fingerprint;
+        # domain_caps: two-phase count-join + salted-bucket rank + Union
+        # bypass, no Window on the bare domain), bloom-screened
+        # decontamination, JL random-projection ANN, persisted BPE
+        # training state, and the incremental-index pair (minhash store
+        # probe, NSW shard append).  Displaced (each family keeps >=1
+        # window row): nested_model_year_sparse (F1 keeps
+        # nested_predicate_quirks — the strictest nested gate),
+        # nsw_exact_topk (X1/X2 keep nsw_persisted_topk +
+        # nsw_incremental_topk, the same full-beam bounded search over
+        # stored graphs), ngram_jaccard_near_dups (near-dup keeps
+        # embedding/minhash/simhash/components/routed), cube_order_stats
+        # (agg keeps agg_lineitem_pricing + incremental_rollup_events +
+        # approx_distinct_users), hard_negatives_topk (mining keeps
+        # mined_contrastive_pairs; retrieval keeps bm25 + rrf),
+        # zorder_curve_keys (pipeline hygiene keeps validate_events +
+        # quality_curriculum_bins), upsert_orders (merge keeps
+        # scd2_orders_history).  All displaced rows stay oracle-gated at
+        # 51+ via the committed SELFCHECK.json battery. ====
+        "dedup_survivors": _q_dedup_survivors,
+        "domain_caps": _q_domain_caps,
+        "decontaminate_docs_bloom": _q_decontaminate_docs_bloom,
+        "rp_ann_topk": _q_rp_ann_topk,
+        "bpe_state_persisted": _q_bpe_state_persisted,
+        "minhash_incremental_pairs": _q_minhash_incremental_pairs,
+        "nsw_incremental_topk": _q_nsw_incremental_topk,
         # -- relational core --
         "agg_lineitem_pricing": _q_agg_lineitem,
         "join_revenue_by_nation": _q_join_topk,
         "antijoin_customers": _q_antijoin_customers,
-        "cube_order_stats": _q_cube_order_stats,
         "incremental_rollup_events": _q_incremental_rollup,
         "approx_distinct_users": _q_approx_distinct_users,
         # -- dedup family --
         "dedup_exact_groups": _q_dedup_exact,
-        "ngram_jaccard_near_dups": _q_ngram_jaccard,
         "embedding_near_dups": _q_embedding_near_dups,
         "minhash_near_dups": _q_minhash_near_dups,
         "near_dup_components": _q_near_dup_components,
@@ -3023,20 +3057,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- retrieval / mining --
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_rrf_retrieval": _q_hybrid_rrf,
-        "hard_negatives_topk": _q_hard_negatives,
         "mined_contrastive_pairs": _q_mined_pairs,
         # -- streaming / temporal / layout --
         "stream_hourly_rollup": _q_stream_hourly_rollup,
         "sessionize": _q_sessionize,
         "asof_latest_order": _q_asof_latest_order,
-        "upsert_orders": _q_upsert_orders,
-        "zorder_curve_keys": _q_zorder_curve_keys,
         # -- pipeline ops --
         "chunk_documents_sliding": _q_chunk_documents,
         "validate_events": _q_validate_events,
         "quality_curriculum_bins": _q_quality_curriculum,
         # ==== position 51+: redundant variants of operators already gated
         # above; still oracle-verified by tools/selfcheck.py + pytest ====
+        "nested_model_year_sparse": _q_nested_model_year_sparse,
+        "nsw_exact_topk": _q_nsw_exact_topk,
+        "ngram_jaccard_near_dups": _q_ngram_jaccard,
+        "cube_order_stats": _q_cube_order_stats,
+        "hard_negatives_topk": _q_hard_negatives,
+        "zorder_curve_keys": _q_zorder_curve_keys,
+        "upsert_orders": _q_upsert_orders,
         "nested_prefilter_weight_brand": _q_nested_prefilter_weight_brand,
         "nested_postfilter_color": _q_nested_postfilter_color,
         "histogram_brand_nested": _q_histogram_brand_nested,
@@ -3053,7 +3091,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_images_decode": _q_stream_images_decode,
         "video_frame_similarity": _q_video_frame_similarity,
         "histogram_lang": _q_histogram_lang,
-        "dedup_survivors": _q_dedup_survivors,
         "repetition_signals": _q_repetition_signals,
         "hourly_rollup": _q_hourly_rollup,
         "top_orders_per_cust": _q_top_orders_per_cust,
@@ -3068,7 +3105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_quality": _q_unigram_lm_quality,
         "bigram_lm_quality": _q_bigram_lm_quality,
         "bpe_subword_vocab": _q_bpe_subword_vocab,
-        "bpe_state_persisted": _q_bpe_state_persisted,
         "orc_roundtrip_orders": _q_orc_roundtrip_orders,
         "hourly_rollup_gapfill": _q_hourly_rollup_gapfill,
         "order_rank_functions": _q_order_rank_functions,
@@ -3087,16 +3123,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_rollup_events": _q_sliding_rollup,
         "chunked_packing_docs": _q_chunked_packing,
         "stratified_sample_docs": _q_stratified_sample,
-        "domain_caps": _q_domain_caps,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "centroid_confusion": _q_centroid_confusion,
         "trailing_revenue_7d": _q_trailing_revenue,
         "sql_user_funnel_setops": _q_sql_user_funnel_setops,
-        "decontaminate_docs_bloom": _q_decontaminate_docs_bloom,
-        "rp_ann_topk": _q_rp_ann_topk,
         "minhash_store_persisted": _q_minhash_store_persisted,
-        "minhash_incremental_pairs": _q_minhash_incremental_pairs,
-        "nsw_incremental_topk": _q_nsw_incremental_topk,
     }
 
 
