@@ -356,7 +356,18 @@ def _regression_triage_section() -> None:
         "chain entirely when the persisted final-state covers the "
         "vocabulary (one tiny emptiness job), and bounds chain depth "
         "with lazy lineage breaks otherwise. Cold apply 16.6 s → "
-        "0.7 s; the battery's cold penalty dropped 25.1 s → 13.8 s.\n"
+        "0.7 s; the battery's cold penalty dropped 25.1 s → 13.8 s.\n\n"
+        "**Final-battery drift triage (the committed 110-query hot "
+        "BENCH.json):** the closing battery's two biggest movers vs the "
+        "prior r6 battery were re-measured isolated (fresh session, "
+        "warmed, median-of-5, sf0.1): dedup_survivors battery 0.69 s → "
+        "isolated **0.42 s** (runs 0.41-0.58 — consistent with the "
+        "earlier 0.31 s plus the host phase; the de-skew plan itself is "
+        "unchanged), histogram_lang battery 0.51 s → isolated "
+        "**0.12 s** (runs 0.12-0.13 — pure battery noise on a 0.1 s "
+        "query). Both are battery-context elevation, not plan "
+        "regressions; the cold battery measured the same queries at "
+        "0.39 s / 0.13 s in the same session.\n"
     )
     print("\n## Regression triage (round 5: r3→r4 drift confirmation)\n")
     print(
