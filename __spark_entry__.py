@@ -519,6 +519,47 @@ def _q_minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (functions/text.py
+    winnow_fingerprints — the SIGMOD'03 MOSS rolling-hash algorithm,
+    the charter's 'document fingerprinting' text-analysis item): word
+    4-gram md5-fold hashes reduced to per-4-window minima, one compact
+    sorted fingerprint set per document. Gate: per-doc fingerprint
+    COUNT + md5 digest of the sorted set — the DuckDB oracle re-derives
+    every fingerprint from raw text (gram build, hash fold, window
+    minima), so the digest pins every selected hash bit-exactly."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            T.winnow_fingerprints("text", k=4, window=4).alias("fps"),
+        )
+        .where(F.size("fps") > 0)
+        .select(
+            "doc_id",
+            F.size("fps").cast("long").alias("n_fps"),
+            F.md5(
+                F.concat_ws("|", F.transform("fps", lambda x: x.cast("string")))
+            ).alias("fp_digest"),
+        )
+    )
+
+
+def _q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-passage near-dup pairs by winnowing-fingerprint overlap
+    (operators/dedup.py winnow_near_dups): any common run of
+    window+k-1 = 7 tokens guarantees a shared fingerprint (the paper's
+    theorem), so this catches long copied PASSAGES that whole-document
+    MinHash Jaccard dilutes away — the copy-detection rung of the dedup
+    ladder. Oracle: DuckDB replays fingerprints, the fingerprint-bucket
+    self-join, and the containment-style overlap score."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import winnow_near_dups
+
+    return winnow_near_dups(
+        _t(spark, sf_dir, "documents"), k=4, window=4, min_shared=2
+    )
+
+
 def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER COLLAPSE: MinHash pair detection → connected
     components (min-label propagation) → (doc_id, component) for the
@@ -3128,6 +3169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_revenue_7d": _q_trailing_revenue,
         "sql_user_funnel_setops": _q_sql_user_funnel_setops,
         "minhash_store_persisted": _q_minhash_store_persisted,
+        "winnow_fingerprint_docs": _q_winnow_fingerprint_docs,
+        "winnow_near_dups": _q_winnow_near_dups,
     }
 
 
@@ -3307,6 +3350,60 @@ def _minhash_store_sql() -> str:
           array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), '|')
             AS sig_str
         FROM sigs
+    """
+
+
+def _winnow_fps_cte(k: int = 4, window: int = 4) -> str:
+    """The winnowing-fingerprint CTE shared by both winnow oracles:
+    positional word k-grams → portable md5-fold 60-bit hash → sliding
+    min over every `window` consecutive hashes → sorted distinct set —
+    the exact arithmetic of functions.text.winnow_fingerprints (DuckDB
+    range() is exclusive-end, so gram index i runs 1..len-k+1 via
+    range(1, len-k+2); list_slice is inclusive both ends)."""
+    gram = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(k))
+    h64 = _h64_sql("s")
+    return f"""f AS (
+          SELECT doc_id, list_sort(list_distinct(
+              list_transform(range(1, len(hs) - LEAST({window}, len(hs)) + 2),
+                j -> list_min(list_slice(hs, j, j + LEAST({window}, len(hs)) - 1))
+              ))) AS fps
+          FROM (
+            SELECT doc_id, list_transform(grams, s -> {h64}) AS hs
+            FROM (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= {k} THEN
+                  list_transform(range(1, len(toks) - {k - 2}), i -> {gram})
+                ELSE [] END AS grams
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            )
+          ) WHERE len(hs) > 0
+        )"""
+
+
+def _winnow_docs_sql() -> str:
+    """Oracle for winnow_fingerprint_docs: every fingerprint re-derived
+    from raw text; digest pins the full sorted set."""
+    return f"""
+        WITH {_winnow_fps_cte()}
+        SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+          md5(array_to_string(fps, '|')) AS fp_digest
+        FROM f
+    """
+
+
+def _winnow_pairs_sql(min_shared: int = 2) -> str:
+    """Oracle for winnow_near_dups: fingerprint-bucket self-join +
+    shared count + containment-style overlap."""
+    return f"""
+        WITH {_winnow_fps_cte()},
+        e AS (SELECT doc_id AS id, len(fps) AS n, unnest(fps) AS fp FROM f)
+        SELECT a.id AS id_a, b.id AS id_b,
+          COUNT(*) AS shared_fps,
+          ROUND(CAST(COUNT(*) AS DOUBLE)
+              / LEAST(ANY_VALUE(a.n), ANY_VALUE(b.n)), 6) AS overlap
+        FROM e a JOIN e b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING COUNT(*) >= {min_shared}
     """
 
 
@@ -4734,6 +4831,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_sql(),
         "minhash_store_persisted": _minhash_store_sql(),
         "minhash_incremental_pairs": _minhash_incremental_sql(),
+        "winnow_fingerprint_docs": _winnow_docs_sql(),
+        "winnow_near_dups": _winnow_pairs_sql(),
         "decontaminate_docs": _decontam_sql(),
         "decontaminate_docs_bloom": _decontam_sql(mod=89),
         "rp_ann_topk": _rp_sql(),

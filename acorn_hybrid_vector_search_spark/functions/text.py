@@ -371,6 +371,60 @@ def _hash64(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+def winnow_fingerprints(c: Column | str, k: int = 4, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): the POSITIONAL sequence of word
+    ``k``-gram rolling hashes, reduced to the distinct set of per-window
+    minima over every ``window`` consecutive hashes
+    (ARRAY<BIGINT>, sorted ascending).
+
+    Guarantee (the paper's Theorem): any shared run of at least
+    ``window + k - 1`` tokens between two documents selects at least one
+    common fingerprint — so fingerprint overlap detects long shared
+    passages with a bounded-size signature, the copy-detection /
+    substring-level near-dup primitive of a crawl pipeline.
+
+    Boundary: fewer than ``k`` tokens → empty (no grams); fewer than
+    ``window`` grams → one fingerprint, the min over all gram hashes
+    (a single truncated window — standard short-document handling).
+
+    Shape: a single Catalyst expression (tokenize → positional gram
+    build → md5-fold hash → sliding ``array_min`` over ``slice``), all
+    whole-stage codegen, one pass per row, no shuffle, no Python.
+    ``let`` bindings keep the token and hash arrays evaluated once
+    (Catalyst does not CSE inside HOF lambdas). The md5-based
+    ``_hash64`` keeps the fingerprints engine-portable — the DuckDB
+    oracle re-derives every fingerprint from raw text.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+
+    def build(toks: Column) -> Column:
+        gidx = F.when(
+            F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            gidx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        )
+
+        def windows(hs: Column) -> Column:
+            wlen = F.least(F.lit(window), F.size(hs))
+            widx = F.when(
+                F.size(hs) > 0, F.sequence(F.lit(1), F.size(hs) - wlen + 1)
+            ).otherwise(F.array().cast("array<int>"))
+            return F.array_sort(
+                F.array_distinct(
+                    F.transform(widx, lambda j: F.array_min(F.slice(hs, j, wlen)))
+                )
+            )
+
+        return let(F.transform(grams, lambda g: _hash64(g)), windows)
+
+    return let(tokens(c), build)
+
+
 def simhash64(c: Column | str, bits: int = 60) -> Column:
     """SimHash over whitespace tokens using the portable 60-bit hash
     (same value as ``_hash64``): per-bit majority vote of token hashes.

@@ -28,6 +28,7 @@ from acorn_hybrid_vector_search_spark.functions.text import (
     shingles,
     simhash64,
     tokens,
+    winnow_fingerprints,
 )
 
 
@@ -707,4 +708,67 @@ def embedding_near_dups(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
         sim.alias("cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing (rolling-hash document fingerprints — MOSS)
+
+
+def winnow_near_dups(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint overlap
+    (functions.text.winnow_fingerprints — Schleimer/Wilkerson/Aiken
+    SIGMOD 2003): documents sharing at least ``min_shared`` selected
+    rolling-hash minima. Detects long shared PASSAGES (any common run of
+    ``window + k - 1`` tokens guarantees a shared fingerprint), the
+    copy-detection complement to MinHash's whole-document Jaccard.
+
+    Returns (id_a < id_b, shared_fps, overlap) where ``overlap`` is
+    shared_fps / min(|fps_a|, |fps_b|) — the containment-style score, so
+    a short document wholly embedded in a long one still scores ~1.0.
+
+    Plan shape: one fingerprint projection per document (map-only,
+    all-JVM), materialized ONCE for both sides; explode to (fp, id)
+    rows; equi-self-join on the fingerprint (each fingerprint is a
+    bucket — cost Σ|bucket|², never N², and a fingerprint shared by a
+    boilerplate passage across many docs is an AQE-splittable join key,
+    not a window partition); partial-agg groupBy(pair) counts the
+    shared fingerprints (map-side combine).
+    """
+    fps = _materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            winnow_fingerprints(text_col, k=k, window=window).alias("fps"),
+        )
+        .withColumn("n_fp", F.size("fps"))
+        .where(F.col("n_fp") > 0)
+        .repartition(_probe_parallelism(df))
+    )
+    ex = fps.select("id", "n_fp", F.explode("fps").alias("fp"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_fps"),
+            F.first("a.n_fp").alias("_na"),
+            F.first("b.n_fp").alias("_nb"),
+        )
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "shared_fps",
+        F.round(
+            F.col("shared_fps").cast("double") / F.least("_na", "_nb"), 6
+        ).alias("overlap"),
     )
