@@ -68,6 +68,11 @@ AUDIT: dict[str, list[str]] = {
     # part_id) topped by a partial+final WindowGroupLimit bounded top-k,
     # same shape as nsw_persisted_topk
     "nsw_incremental_topk": ["FlatMapGroupsInPandas", "WindowGroupLimit"],
+    # round 6: winnowing fingerprint overlap — one codegen fingerprint
+    # projection, explode to (fp, id) buckets (Generate), equi-self-join
+    # on the fingerprint (AQE-splittable, Σ|bucket|² never N²),
+    # partial-agg pair count (HashAggregate) — no Window anywhere
+    "winnow_near_dups": ["Generate", "Join", "HashAggregate"],
 }
 
 
