@@ -131,6 +131,20 @@ def main() -> None:
             ).count(),
             n_ev,
         )
+        # round-6 family: winnowing fingerprint pairs — the codegen
+        # fingerprint projection is a narrow map (linear by construction);
+        # the pair join is Σ|bucket|², linear when dup volume is linear
+        # (the ladder's perturbation contract)
+        from acorn_hybrid_vector_search_spark.operators.dedup import (
+            winnow_near_dups,
+        )
+
+        run(
+            "winnow_pairs",
+            lambda: winnow_near_dups(docs).count(),
+            n_docs,
+        )
+
         # round-5 families
         from acorn_hybrid_vector_search_spark.operators.bpe import bpe_train
         from acorn_hybrid_vector_search_spark.operators.lm_quality import (
