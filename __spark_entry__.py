@@ -3255,20 +3255,11 @@ def _minhash_sql(bands: int = 8, verify: float = 0.5) -> str:
     as BIGINT, here a positional hex fold since DuckDB lacks base-16
     string→int) → 16 universal-hash mixes mod 2³¹−1 → min per hash →
     banded collision (2 rows/band × 8 bands) → exact shingle-Jaccard
-    verification. Same coefficients, same arithmetic field."""
-    p = (1 << 31) - 1
-    coeffs = [
-        ((2654435761 * (i + 1)) % p or 1, (40503 * (i + 7) + 12345) % p)
-        for i in range(16)
-    ]
-    h64 = (
-        "CAST(list_sum(list_transform(range(1, 16), i -> "
-        "CAST(strpos('0123456789abcdef', substring(md5(s), i, 1)) - 1 AS BIGINT)"
-        " * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT)"
-    )
-    sig = ", ".join(
-        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))" for a, b in coeffs
-    )
+    verification. Same coefficients, same arithmetic field. The
+    signature derivation is the SHARED _minhash_sigs_cte — one copy of
+    the hash arithmetic for every MinHash oracle (self-join, routed,
+    store, incremental), so a coefficient/shingle change cannot drift
+    between them."""
     jac = (
         "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
         " / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6)"
@@ -3279,20 +3270,7 @@ def _minhash_sql(bands: int = 8, verify: float = 0.5) -> str:
         for r in range(rows_per_band)
     )
     return f"""
-        WITH base AS (
-          SELECT id, sh, len(sh) AS n FROM (
-            SELECT doc_id AS id,
-              CASE WHEN len(toks) >= 3 THEN
-                list_distinct(list_transform(range(1, len(toks) - 1),
-                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-              ELSE [] END AS sh
-            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-          ) WHERE len(sh) > 0
-        ), sigs AS (
-          SELECT id, sh, n, [{sig}] AS sig
-          FROM (SELECT id, sh, n,
-                list_transform(sh, s -> ({h64}) % {p}) AS hs FROM base)
-        )
+        WITH {_minhash_sigs_cte()}
         SELECT a.id AS id_a, b.id AS id_b,
           ROUND(CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
               AS DOUBLE) / 16, 6) AS sig_agreement,

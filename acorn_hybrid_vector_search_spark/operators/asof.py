@@ -113,7 +113,12 @@ def asof_join(
         # subtract in their own type.
         from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
-        on_type = left.schema[left_on].dataType
+        # resolve the ordinal from the UNION-promoted type, not the left
+        # frame's declared type: a DATE left_on against a TIMESTAMP
+        # right_on promotes to timestamp in the merged frame, and a
+        # day-granular datediff ordinal would truncate the right side's
+        # time-of-day (nearest could then pick the farther candidate)
+        on_type = merged.schema[left_on].dataType
         if isinstance(on_type, (TimestampType, TimestampNTZType)):
             def _ord(c: Column) -> Column:
                 return F.unix_micros(c.cast("timestamp"))

@@ -80,6 +80,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     (fingerprint, id) = (fingerprint, keep_id), which
     OptimizeSkewedJoin can split. No Window anywhere in the plan
     (pinned by tests/test_plan_shapes.py).
+
+    Precondition: ``id_col`` is unique per row (it is the row
+    identity). If the same (text, id) row appears twice — a malformed
+    re-ingested batch — every copy of the surviving id passes the
+    semi-join; run exact row-level dedup (``df.dropDuplicates()``)
+    upstream first, the same contract as any keyed merge here
+    (scd2_apply, merge_upsert).
     """
     groups = exact_dedup_groups(df, text_col=text_col, id_col=id_col).select(
         "fingerprint", "keep_id"
@@ -743,14 +750,17 @@ def winnow_near_dups(
     not a window partition); partial-agg groupBy(pair) counts the
     shared fingerprints (map-side combine).
     """
+    # repartition BEFORE the fingerprint projection (same reason as
+    # minhash_signatures): a single-file input would otherwise compute
+    # every md5-fold fingerprint on one core
     fps = _materialize(
-        df.select(
-            F.col(id_col).alias("id"),
-            winnow_fingerprints(text_col, k=k, window=window).alias("fps"),
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .repartition(_probe_parallelism(df))
+        .select(
+            "id", winnow_fingerprints("_txt", k=k, window=window).alias("fps")
         )
         .withColumn("n_fp", F.size("fps"))
         .where(F.col("n_fp") > 0)
-        .repartition(_probe_parallelism(df))
     )
     ex = fps.select("id", "n_fp", F.explode("fps").alias("fp"))
     a, b = ex.alias("a"), ex.alias("b")

@@ -106,6 +106,12 @@ def cap_per_group(
     The rank orders by (uniform-hash, key) so ties are impossible and the
     survivor set is a pure function of the data.
 
+    Precondition: ``key_col`` is unique per row (it is the row identity
+    the rank and the survivor semi-join key on). Duplicated keys — a
+    malformed batch — would let every copy of a surviving key through;
+    row-level dedup upstream first (same contract as exact_dedup,
+    scd2_apply, merge_upsert).
+
     Scale shape (VERDICT r5 'what's wrong' #2): domain frequency in a
     crawl is power-law — capping mega-domains IS this operator's job, so
     a ``Window.partitionBy(domain)`` row_number (one task per domain, no

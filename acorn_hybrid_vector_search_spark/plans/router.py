@@ -413,8 +413,9 @@ def route_dedup(
     if threshold >= high_threshold and avg_tokens >= long_doc_tokens:
         # hamming budget ≈ bits scaled by the dissimilarity tolerance:
         # at cosine-ish similarity s over random hyperplanes the expected
-        # differing-bit fraction is acos-linear; the standard operating
-        # points are 3/64 at 0.97 and 8/64 at 0.9.
+        # differing-bit fraction is acos-linear; this formula's operating
+        # points are 2/64 at 0.97 and 6/64 at 0.90 (pinned by
+        # test_route_dedup_matrix).
         max_hamming = max(1, round((1.0 - threshold) * 64))
         return DedupRoute(
             "simhash",
@@ -531,14 +532,38 @@ def route_decontam(
         )
     m_bits = int(n_bench_grams * math.log(1 / target_fp) / (math.log(2) ** 2))
     m_bits = max(1 << 16, 1 << (m_bits - 1).bit_length())  # pow2, floor 64Kb
-    # k from the TARGET fp (ln(1/fp)/ln2 ≈ 7 at 1%), not from the
-    # pow2-rounded m — rounding m up only lowers the real fp; a larger
-    # k would just add probe cost per gram
-    k = max(1, round(math.log(1 / target_fp) / math.log(2)))
+    # Ceiling: bloom_build assembles the dense word array in ONE
+    # aggregate row and ships it as a broadcast scalar, so the bitset is
+    # bounded by what a single row/broadcast can carry — 2^30 bits
+    # (128 MB, 2^24 longs) is the documented ceiling. Past it the
+    # screen's REAL fp degrades above target (disclosed below; results
+    # stay exact because false positives die in the verify join — the
+    # screen just filters less). The true 100 TB path beyond the
+    # ceiling is a prefix-SHARDED bitset (per-shard rows joined on a
+    # gram-hash prefix), which removes the single-row bound.
+    capped = m_bits > (1 << 30)
+    m_bits = min(m_bits, 1 << 30)
+    if capped:
+        # k from the EFFECTIVE bits/item optimum under the cap
+        k = max(1, round(m_bits / n_bench_grams * math.log(2)))
+    else:
+        # k from the TARGET fp (ln(1/fp)/ln2 ≈ 7 at 1%), not from the
+        # pow2-rounded m — rounding m up only lowers the real fp; a
+        # larger k would just add probe cost per gram
+        k = max(1, round(math.log(1 / target_fp) / math.log(2)))
+    real_fp = (1.0 - math.exp(-k * n_bench_grams / m_bits)) ** k
+    note = (
+        f" (CAPPED at the 2^30-bit single-row-assembly ceiling — effective "
+        f"fp~{real_fp:.0%}, screen selectivity degraded but output still "
+        f"exact; shard the bitset by gram-hash prefix to restore "
+        f"{target_fp:.0%})"
+        if capped
+        else f" (fp~{target_fp:.0%})"
+    )
     return DecontamRoute(
         "bloom",
         {"m_bits": m_bits, "k": k},
         f"exact set ~{exact_bytes / 1e9:.1f} GB exceeds the broadcast "
-        f"budget: {m_bits / 8 / 1e6:.0f} MB bitset (fp~{target_fp:.0%}) "
+        f"budget: {m_bits / 8 / 1e6:.0f} MB bitset{note} "
         "screens map-side; exact verify join keeps the output identical",
     )

@@ -263,3 +263,29 @@ def test_asof_nearest_microsecond_ties_modern_epoch(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_asof_nearest_mixed_date_left_timestamp_right(spark):
+    """A DATE left_on joined to a TIMESTAMP right_on: the union promotes
+    the time axis to timestamp, so the nearest-gap ordinal must be exact
+    micros over the PROMOTED type — a day-granular datediff ordinal
+    would truncate the right side's time-of-day and pick the farther
+    candidate."""
+    from datetime import date, datetime, timezone
+
+    left = spark.createDataFrame(
+        [(1, 1, date(2024, 1, 2))], "id long, k long, t date"
+    )
+    # backward candidate 1h before midnight (closer); forward 20h after
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 23, 0, tzinfo=timezone.utc), "b"),
+            (1, datetime(2024, 1, 2, 20, 0, tzinfo=timezone.utc), "f"),
+        ],
+        "rk long, rt timestamp, v string",
+    )
+    got = asof_join(
+        left, right, left_on="t", right_on="rt", left_by="k",
+        right_by="rk", direction="nearest",
+    ).collect()
+    assert len(got) == 1 and got[0]["v"] == "b"
