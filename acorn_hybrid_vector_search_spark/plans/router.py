@@ -389,8 +389,22 @@ def route_dedup(
             "substring granularity: only remove_duplicate_ngrams sees "
             "duplicated spans inside otherwise-distinct documents",
         )
+    if granularity == "passage":
+        # which DOCUMENTS share a long copied passage (provenance),
+        # vs substring's remove-the-span: winnowing fingerprints
+        # guarantee detection of any shared run >= window+k-1 tokens
+        # (SIGMOD'03 theorem) at a bounded per-doc signature
+        return DedupRoute(
+            "winnow",
+            {"k": 4, "window": 4, "min_shared": 2},
+            "passage granularity: winnowing fingerprint overlap detects "
+            "documents sharing long copied passages that whole-document "
+            "Jaccard dilutes; shared runs >= 7 tokens guaranteed",
+        )
     if granularity != "document":
-        raise ValueError(f"granularity must be document|substring, got {granularity!r}")
+        raise ValueError(
+            f"granularity must be document|substring|passage, got {granularity!r}"
+        )
     if threshold >= 1.0:
         return DedupRoute(
             "exact",
@@ -461,6 +475,10 @@ def dedup_search(
         )
     if route.strategy == "exact":
         return D.exact_dedup(df, text_col=text_col, id_col=id_col)
+    if route.strategy == "winnow":
+        return D.winnow_near_dups(
+            df, text_col=text_col, id_col=id_col, **route.params
+        )
     if route.strategy == "simhash":
         return D.simhash_near_dups(
             df, text_col=text_col, id_col=id_col, **route.params

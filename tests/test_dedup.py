@@ -249,6 +249,13 @@ def test_route_dedup_matrix():
     assert route_dedup(100, 5, threshold=1.0).strategy == "exact"
     # substring granularity wins over everything else
     assert route_dedup(10**9, 500, granularity="substring").strategy == "substring"
+    # passage granularity → winnowing fingerprint overlap (provenance
+    # of long copied passages, vs substring's remove-the-span)
+    passage = route_dedup(10**9, 500, granularity="passage")
+    assert passage.strategy == "winnow"
+    assert passage.params == {"k": 4, "window": 4, "min_shared": 2}
+    with pt.raises(ValueError, match="granularity"):
+        route_dedup(10**6, 50, granularity="sentence")
     # near-exact on long docs → simhash; short docs fall to minhash
     assert route_dedup(10**6, 300, threshold=0.95).strategy == "simhash"
     assert route_dedup(10**6, 30, threshold=0.95).strategy == "minhash"
@@ -290,6 +297,12 @@ def test_dedup_search_dispatch(spark):
 
     pairs = dedup_search(docs, route_dedup(3, 11, threshold=0.7)).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+    wpairs = dedup_search(
+        docs, route_dedup(3, 11, granularity="passage")
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in wpairs} == {(1, 2)}
+    assert wpairs[0]["overlap"] == 1.0
 
 
 def test_minhash_store_roundtrip_and_incremental_probe(spark, tmp_path):
