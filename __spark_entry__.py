@@ -845,6 +845,29 @@ def _q_decontaminate_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_stats_bloom(corpus, bench, n=3, min_overlap=1)
 
 
+def _q_decontaminate_docs_bloom_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-SHARDED bloom decontamination (operators/decontam.py
+    contamination_stats_bloom_sharded): the route past the 2^30-bit
+    single-row bitset bound — independent per-hash-shard filters in a
+    (shard, words) relation that broadcasts whole, probed via a
+    map-side broadcast hash join on the shard key; survivors pay the
+    exact verify join, so output is EXACT and the plain-set-semantics
+    oracle replays it (mod-97 split, distinct from bloom's mod-89).
+    Small per-shard m_bits here exercises a real multi-shard screen at
+    test scale; equality-with-exact and layout gates in
+    tests/test_decontam.py."""
+    from acorn_hybrid_vector_search_spark.operators.decontam import (
+        contamination_stats_bloom_sharded,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_stats_bloom_sharded(
+        corpus, bench, n=3, min_overlap=1, n_shards=8, m_bits=1 << 14, k=5
+    )
+
+
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-distance near-dups (chunk-banded self-join)."""
     d = _t(spark, sf_dir, "documents")
@@ -3171,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_store_persisted": _q_minhash_store_persisted,
         "winnow_fingerprint_docs": _q_winnow_fingerprint_docs,
         "winnow_near_dups": _q_winnow_near_dups,
+        "decontaminate_docs_bloom_sharded": _q_decontaminate_docs_bloom_sharded,
     }
 
 
@@ -4813,6 +4837,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dups": _winnow_pairs_sql(),
         "decontaminate_docs": _decontam_sql(),
         "decontaminate_docs_bloom": _decontam_sql(mod=89),
+        "decontaminate_docs_bloom_sharded": _decontam_sql(mod=97),
         "rp_ann_topk": _rp_sql(),
         "bm25_topk_docs": _bm25_rank_sql(20),
         "hybrid_rrf_retrieval": _hybrid_rrf_sql(),

@@ -36,9 +36,12 @@ from acorn_hybrid_vector_search_spark.functions.text import shingles
 __all__ = [
     "benchmark_ngrams",
     "bloom_build",
+    "bloom_build_sharded",
+    "bloom_shard",
     "bloom_might_contain",
     "contamination_stats",
     "contamination_stats_bloom",
+    "contamination_stats_bloom_sharded",
     "contaminated_ids",
     "decontaminate",
 ]
@@ -282,3 +285,118 @@ def decontaminate(
         broadcast_bench=broadcast_bench,
     )
     return docs.join(flagged, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Prefix-sharded Bloom: past the single-row assembly/broadcast bound.
+#
+# bloom_build assembles its dense word array in ONE aggregate row, so
+# the bitset is bounded by what a single Spark row (and a single
+# broadcast scalar) can carry — ~2^30 bits in practice. Sharding the
+# bitset by a gram-hash prefix removes that bound: each shard is an
+# INDEPENDENT Bloom filter over its hash-partitioned subset (rows of a
+# small (shard, words) relation, each row bounded by m_bits/8 bytes),
+# and the whole relation still broadcasts (Spark's broadcast limit is
+# 8 GB vs 2 GB per row), so the probe stays a MAP-SIDE broadcast hash
+# join on the shard key — no shuffle of corpus grams. Capacity scales
+# n_shards×: 64 shards × 2^30 bits holds ~7B grams at 1% fp.
+
+
+def bloom_shard(value: Column, n_shards: int) -> Column:
+    """The shard of a value: an xxhash64 prefix, independent of the k
+    probe hashes (distinct salt). Build and probe MUST agree."""
+    return F.pmod(
+        F.xxhash64(F.concat(F.lit("bloomshard:"), value)), F.lit(n_shards)
+    ).cast("int")
+
+
+def bloom_build_sharded(
+    items: DataFrame, col: str, *, n_shards: int = 16, m_bits: int = 1 << 18, k: int = 5
+) -> DataFrame:
+    """(shard, words array<bigint>) — one independent ``m_bits``-bit
+    Bloom filter per hash shard (``m_bits`` is PER SHARD). Every shard
+    row is emitted even if empty, so the probe join never silently
+    drops a shard. Assembly is a per-shard bounded collect_list
+    (m_bits/64 longs per row, never one giant row)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    m_words = m_bits // 64
+    probes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.concat(F.lit(f"bloom{i}:"), F.col(col))), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    pos = items.select(
+        bloom_shard(F.col(col), n_shards).alias("shard"), F.explode(probes).alias("p")
+    )
+    words = (
+        pos.select(
+            "shard",
+            F.floor(F.col("p") / 64).alias("w"),
+            F.get(_bit_masks(), F.pmod("p", F.lit(64)).cast("int")).alias("bit"),
+        )
+        .groupBy("shard", "w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    spark = items.sparkSession
+    dense = (
+        spark.range(n_shards)
+        .select(F.col("id").cast("int").alias("shard"))
+        .crossJoin(spark.range(m_words).select(F.col("id").alias("w")))
+        .join(words, ["shard", "w"], "left")
+        .select("shard", "w", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
+    )
+    return dense.groupBy("shard").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "word"))), lambda s: s["word"]
+        ).alias("words")
+    )
+
+
+def contamination_stats_bloom_sharded(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 3,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n_shards: int = 16,
+    m_bits: int = 1 << 18,
+    k: int = 5,
+) -> DataFrame:
+    """``contamination_stats`` semantics (identical output, same oracle)
+    through the SHARDED screen: each corpus gram computes its shard,
+    broadcast-hash-joins its shard's bitset row (map-side — the
+    (shard, words) relation broadcasts whole), probes the per-shard
+    filter, and only survivors pay the exact verify join. False
+    positives die in the verify, so output is EXACT at any fp."""
+    bg = benchmark_ngrams(benchmark, n=n, text_col=bench_text_col or text_col)
+    blooms = bloom_build_sharded(bg, "gram", n_shards=n_shards, m_bits=m_bits, k=k)
+    grams = docs.select(
+        id_col,
+        F.explode(shingles(text_col, n)).alias("gram"),
+    ).withColumn("shard", bloom_shard(F.col("gram"), n_shards))
+    screened = (
+        grams.join(F.broadcast(blooms), "shard")
+        .where(bloom_might_contain(F.col("words"), F.col("gram"), m_bits=m_bits, k=k))
+        .drop("words", "shard")
+    )
+    hits = (
+        screened.join(bg, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = docs.select(id_col, F.size(shingles(text_col, n)).alias("n_grams"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits >= min_overlap).alias("contaminated"),
+        F.round(n_hits / F.greatest(F.col("n_grams"), F.lit(1)), 6).alias(
+            "overlap_frac"
+        ),
+    )

@@ -526,10 +526,14 @@ def route_decontam(
       ~9.6 bits/item (m = n·ln(1/fp)/ln2², k = m/n·ln2 ≈ 7 at 1%)
       screens the corpus stream map-side, and only screened survivors
       shuffle into the exact verify join
-      (contamination_stats_bloom). A 1-billion-gram blocklist —
-      ~24 GB exact, unbroadcastable — becomes a ~1.2 GB bitset; still
-      big, but a bitset ships once per executor, not per task, and the
-      verify join's probe side shrinks by ~(1 − sel − fp).
+      (contamination_stats_bloom), bounded by the single-row assembly
+      at ~2^30 bits.
+    - Bigger still → ``bloom_sharded``: the bitset splits into
+      independent per-hash-shard filters, rows of a (shard, words)
+      relation that broadcasts whole — a 1-billion-gram blocklist
+      (~24 GB exact, unbroadcastable) becomes 16 × 128 MB shard rows
+      probed via a map-side broadcast hash join on the shard key, fp
+      back at target (contamination_stats_bloom_sharded).
 
     The OUTPUT of both routes is identical (bloom false positives die
     in the verify join), so routing never changes results — the same
@@ -550,38 +554,54 @@ def route_decontam(
         )
     m_bits = int(n_bench_grams * math.log(1 / target_fp) / (math.log(2) ** 2))
     m_bits = max(1 << 16, 1 << (m_bits - 1).bit_length())  # pow2, floor 64Kb
-    # Ceiling: bloom_build assembles the dense word array in ONE
-    # aggregate row and ships it as a broadcast scalar, so the bitset is
-    # bounded by what a single row/broadcast can carry — 2^30 bits
-    # (128 MB, 2^24 longs) is the documented ceiling. Past it the
-    # screen's REAL fp degrades above target (disclosed below; results
-    # stay exact because false positives die in the verify join — the
-    # screen just filters less). The true 100 TB path beyond the
-    # ceiling is a prefix-SHARDED bitset (per-shard rows joined on a
-    # gram-hash prefix), which removes the single-row bound.
-    capped = m_bits > (1 << 30)
-    m_bits = min(m_bits, 1 << 30)
+    # k from the TARGET fp (ln(1/fp)/ln2 ≈ 7 at 1%), not from the
+    # pow2-rounded m — rounding m up only lowers the real fp; a larger
+    # k would just add probe cost per gram
+    k = max(1, round(math.log(1 / target_fp) / math.log(2)))
+    # Single-row ceiling: bloom_build assembles its dense word array in
+    # ONE aggregate row / one broadcast scalar — ~2^30 bits (128 MB,
+    # 2^24 longs) is the bound. Inside it → the 1-row bitset.
+    row_ceiling = 1 << 30
+    if m_bits <= row_ceiling:
+        return DecontamRoute(
+            "bloom",
+            {"m_bits": m_bits, "k": k},
+            f"exact set ~{exact_bytes / 1e9:.1f} GB exceeds the broadcast "
+            f"budget: {m_bits / 8 / 1e6:.0f} MB bitset (fp~{target_fp:.0%}) "
+            "screens map-side; exact verify join keeps the output identical",
+        )
+    # Past the single-row bound → prefix-SHARDED bitset
+    # (contamination_stats_bloom_sharded): each shard is an independent
+    # 2^30-bit filter in its own row of a (shard, words) relation that
+    # still broadcasts whole (Spark's broadcast limit is 8 GB vs 2 GB
+    # per row), so the screen stays a map-side broadcast hash join on
+    # the shard key and the TARGET fp is restored. 64 shards (8 GB
+    # total) is the broadcast-limit ceiling ≈ 7B grams at 1%; past even
+    # that, k re-optimizes for the effective bits/item and the degraded
+    # fp is disclosed — output stays exact either way (false positives
+    # die in the verify join; the screen just filters less).
+    n_shards = -(-m_bits // row_ceiling)  # ceil
+    n_shards = 1 << (n_shards - 1).bit_length()  # pow2
+    capped = n_shards > 64
+    n_shards = min(n_shards, 64)
     if capped:
-        # k from the EFFECTIVE bits/item optimum under the cap
-        k = max(1, round(m_bits / n_bench_grams * math.log(2)))
-    else:
-        # k from the TARGET fp (ln(1/fp)/ln2 ≈ 7 at 1%), not from the
-        # pow2-rounded m — rounding m up only lowers the real fp; a
-        # larger k would just add probe cost per gram
-        k = max(1, round(math.log(1 / target_fp) / math.log(2)))
-    real_fp = (1.0 - math.exp(-k * n_bench_grams / m_bits)) ** k
+        k = max(
+            1, round(n_shards * row_ceiling / n_bench_grams * math.log(2))
+        )
+    real_fp = (1.0 - math.exp(-k * n_bench_grams / (n_shards * row_ceiling))) ** k
     note = (
-        f" (CAPPED at the 2^30-bit single-row-assembly ceiling — effective "
+        f" (CAPPED at the 64-shard / 8 GB broadcast ceiling — effective "
         f"fp~{real_fp:.0%}, screen selectivity degraded but output still "
-        f"exact; shard the bitset by gram-hash prefix to restore "
-        f"{target_fp:.0%})"
+        f"exact)"
         if capped
-        else f" (fp~{target_fp:.0%})"
+        else f" (fp~{target_fp:.0%} restored)"
     )
     return DecontamRoute(
-        "bloom",
-        {"m_bits": m_bits, "k": k},
+        "bloom_sharded",
+        {"n_shards": n_shards, "m_bits": row_ceiling, "k": k},
         f"exact set ~{exact_bytes / 1e9:.1f} GB exceeds the broadcast "
-        f"budget: {m_bits / 8 / 1e6:.0f} MB bitset{note} "
-        "screens map-side; exact verify join keeps the output identical",
+        f"budget AND the bitset exceeds the 2^30-bit single-row bound: "
+        f"{n_shards} × 128 MB prefix-sharded bitsets{note} screen via a "
+        "broadcast hash join on the shard key; exact verify join keeps "
+        "the output identical",
     )

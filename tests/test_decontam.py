@@ -199,15 +199,93 @@ def test_route_decontam_matrix():
     assert mid.params["m_bits"] >= 9 * 10_000_000
     assert mid.params["m_bits"] & (mid.params["m_bits"] - 1) == 0
     assert 4 <= mid.params["k"] <= 10
-    # a billion-gram blocklist hits the single-row bitset assembly
-    # ceiling (bloom_build collects the dense word array into ONE
-    # aggregate row): m_bits is CAPPED at 2^30 (128 MB), k re-optimized
-    # for the effective bits/item, and the degraded fp disclosed —
-    # output stays exact, the screen just filters less
+    # a billion-gram blocklist exceeds the single-row bitset assembly
+    # bound (bloom_build collects the dense word array into ONE
+    # aggregate row, ~2^30 bits): route to the prefix-SHARDED bitset —
+    # independent per-shard filters whose (shard, words) relation still
+    # broadcasts whole, restoring the target fp
     big = route_decontam(1_000_000_000)
-    assert big.strategy == "bloom"
-    assert big.params["m_bits"] == 1 << 30
-    assert big.params["k"] >= 1
-    assert "CAPPED" in big.rationale
+    assert big.strategy == "bloom_sharded"
+    assert big.params == {"n_shards": 16, "m_bits": 1 << 30, "k": 7}
+    assert "restored" in big.rationale
+    # past even the 64-shard / 8 GB broadcast ceiling: k re-optimized
+    # for the effective bits/item, degraded fp disclosed — output stays
+    # exact either way (false positives die in the verify join)
+    ultra = route_decontam(100_000_000_000)
+    assert ultra.strategy == "bloom_sharded"
+    assert ultra.params["n_shards"] == 64
+    assert "CAPPED" in ultra.rationale
     with pytest.raises(ValueError):
         route_decontam(-1)
+
+
+def test_sharded_bloom_stats_equal_exact_stats(spark, frames):
+    """contamination_stats_bloom_sharded must return the IDENTICAL
+    relation as the broadcast-exact path — same two-phase contract as
+    the 1-row bitset, past the single-row assembly bound."""
+    from acorn_hybrid_vector_search_spark.operators.decontam import (
+        contamination_stats_bloom_sharded,
+    )
+
+    docs, bench = frames
+    key = lambda r: (r["doc_id"], r["n_grams"], r["n_hits"],
+                     r["contaminated"], r["overlap_frac"])
+    exact = sorted(map(key, contamination_stats(docs, bench, n=3).collect()))
+    for n_shards in (1, 4):  # degenerate single shard and a real split
+        sharded = sorted(
+            map(
+                key,
+                contamination_stats_bloom_sharded(
+                    docs, bench, n=3, n_shards=n_shards, m_bits=1 << 12
+                ).collect(),
+            )
+        )
+        assert sharded == exact, n_shards
+
+
+def test_sharded_bloom_layout_and_no_false_negatives(spark):
+    """Every shard row exists (even empty ones — the probe join must
+    never drop a shard), each row carries exactly m_bits/64 words, and
+    every inserted member passes its own shard's filter."""
+    from acorn_hybrid_vector_search_spark.operators.decontam import (
+        bloom_build_sharded,
+        bloom_might_contain,
+        bloom_shard,
+    )
+
+    m_bits, k, n_shards = 1 << 12, 5, 8
+    members = spark.range(300).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("v")
+    )
+    blooms = bloom_build_sharded(members, "v", n_shards=n_shards, m_bits=m_bits, k=k)
+    rows = blooms.collect()
+    assert sorted(r["shard"] for r in rows) == list(range(n_shards))
+    assert all(len(r["words"]) == m_bits // 64 for r in rows)
+    passed = (
+        members.withColumn("shard", bloom_shard(F.col("v"), n_shards))
+        .join(F.broadcast(blooms), "shard")
+        .where(bloom_might_contain(F.col("words"), F.col("v"), m_bits=m_bits, k=k))
+        .count()
+    )
+    assert passed == 300  # zero false negatives
+
+    with pytest.raises(ValueError):
+        bloom_build_sharded(members, "v", n_shards=0)
+
+
+def test_sharded_bloom_screen_is_map_side(spark, frames):
+    """Plan shape: the (shard, words) relation rides a BroadcastExchange
+    (broadcast hash join on the shard key — map-side screen), the probe
+    is pure JVM expression, and no corpus shuffle precedes the screen."""
+    from acorn_hybrid_vector_search_spark.operators.decontam import (
+        contamination_stats_bloom_sharded,
+    )
+
+    docs, bench = frames
+    plan = (
+        contamination_stats_bloom_sharded(docs, bench, n=3, n_shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in plan
+    assert "xxhash64" in plan
+    assert "pythonUDF" not in plan.lower()

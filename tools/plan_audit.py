@@ -73,6 +73,14 @@ AUDIT: dict[str, list[str]] = {
     # on the fingerprint (AQE-splittable, Σ|bucket|² never N²),
     # partial-agg pair count (HashAggregate) — no Window anywhere
     "winnow_near_dups": ["Generate", "Join", "HashAggregate"],
+    # round 6: sharded bloom — the (shard, words) relation broadcasts
+    # (BroadcastExchange) into a map-side hash join on the shard key;
+    # the k-probe screen is a JVM Filter ahead of the exact verify join
+    "decontaminate_docs_bloom_sharded": [
+        "BroadcastExchange",
+        "Filter",
+        "HashAggregate",
+    ],
 }
 
 
