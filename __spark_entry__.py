@@ -874,6 +874,36 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(d, max_hamming=3)
 
 
+def _q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketches.py cms_build /
+    cms_estimate — Cormode & Muthukrishnan 2005): the token stream
+    collapses to a depth×width counter relation in one partial-agg
+    pass, and the top-20 tokens by CMS estimate come back with their
+    exact counts alongside (estimate ≥ exact always — the overcount
+    guarantee is visible in the result). Unlike the HLL/GK rows-only
+    sketches, every counter is exact integer arithmetic over the
+    portable md5 hash, so the DuckDB oracle replays the ENTIRE sketch —
+    buckets, counters, min-over-depth — bit-for-bit."""
+    from acorn_hybrid_vector_search_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens("text")).alias("token")).where(
+        F.length("token") > 0
+    )
+    sketch = cms_build(toks, "token", depth=4, width=2048)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(sketch, exact.select("token"), "token", depth=4, width=2048)
+    return (
+        est.join(exact, "token")
+        .orderBy(F.col("cms_count").desc(), F.col("token").asc())
+        .limit(20)
+        .select("token", "cms_count", "exact_count")
+    )
+
+
 def _q_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic over documents, histogrammed."""
     d = _t(spark, sf_dir, "documents")
@@ -3195,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint_docs": _q_winnow_fingerprint_docs,
         "winnow_near_dups": _q_winnow_near_dups,
         "decontaminate_docs_bloom_sharded": _q_decontaminate_docs_bloom_sharded,
+        "cms_heavy_tokens": _q_cms_heavy_tokens,
     }
 
 
@@ -3406,6 +3437,39 @@ def _winnow_pairs_sql(min_shared: int = 2) -> str:
         FROM e a JOIN e b ON a.fp = b.fp AND a.id < b.id
         GROUP BY a.id, b.id
         HAVING COUNT(*) >= {min_shared}
+    """
+
+
+def _cms_sql(depth: int = 4, width: int = 2048) -> str:
+    """Oracle for cms_heavy_tokens: the ENTIRE count-min sketch replayed
+    — per-depth md5-fold buckets, counter aggregation, min-over-depth
+    estimates — plus the exact counts, top-20 by (estimate desc, token).
+    DuckDB range() is exclusive-end: range(0, depth) = 0..depth-1."""
+    h_build = _h64_sql("'cms' || CAST(d AS VARCHAR) || ':' || token")
+    h_probe = _h64_sql("'cms' || CAST(ds.d AS VARCHAR) || ':' || c.token")
+    return f"""
+        WITH toks AS (
+          SELECT t AS token FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+          WHERE length(t) > 0
+        ),
+        counters AS (
+          SELECT d, bucket, COUNT(*) AS cnt FROM (
+            SELECT token, d, ({h_build}) % {width} AS bucket
+            FROM toks CROSS JOIN (SELECT unnest(range(0, {depth})) AS d)
+          ) GROUP BY d, bucket
+        ),
+        cand AS (SELECT token, COUNT(*) AS exact_count FROM toks GROUP BY token),
+        est AS (
+          SELECT c.token, ANY_VALUE(c.exact_count) AS exact_count,
+                 MIN(COALESCE(ct.cnt, CAST(0 AS BIGINT))) AS cms_count
+          FROM cand c
+          CROSS JOIN (SELECT unnest(range(0, {depth})) AS d) ds
+          LEFT JOIN counters ct
+            ON ct.d = ds.d AND ct.bucket = ({h_probe}) % {width}
+          GROUP BY c.token
+        )
+        SELECT token, cms_count, exact_count FROM est
+        ORDER BY cms_count DESC, token ASC LIMIT 20
     """
 
 
@@ -4835,6 +4899,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_incremental_pairs": _minhash_incremental_sql(),
         "winnow_fingerprint_docs": _winnow_docs_sql(),
         "winnow_near_dups": _winnow_pairs_sql(),
+        "cms_heavy_tokens": _cms_sql(),
         "decontaminate_docs": _decontam_sql(),
         "decontaminate_docs_bloom": _decontam_sql(mod=89),
         "decontaminate_docs_bloom_sharded": _decontam_sql(mod=97),

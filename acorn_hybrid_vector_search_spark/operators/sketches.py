@@ -29,6 +29,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cms_build",
+    "cms_estimate",
+    "cms_merge",
     "distinct_sketches",
     "merge_distinct_sketches",
     "estimate_distinct",
@@ -88,3 +91,99 @@ def approx_quantiles(
     for i, p in enumerate(probabilities):
         out = out.withColumn(f"q_{int(p * 100)}", F.col("_q").getItem(i))
     return out.drop("_q")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable heavy-hitter counting.
+
+
+def cms_build(
+    df: DataFrame, col: str, *, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over ``df[col]``:
+    a (d, bucket, cnt) counter relation of at most depth×width rows —
+    the constant-memory frequency summary for heavy-hitter questions
+    whose exact form needs a corpus-sized shuffle of distinct values.
+
+    Guarantees: estimates NEVER undercount; overcount ≤ e/width · N
+    with probability 1 − e^(−depth) (pairwise-independent rows stand in
+    via distinct hash salts). Counters ADD, so sketches merge exactly:
+    ``cms_merge([cms(A), cms(B)]) == cms_build(A ∪ B)`` counter-for-
+    counter (the incremental-maintenance identity, same contract as the
+    HLL register merge above).
+
+    Unlike the HLL/GK sketches (engine-specific binaries, rows-only at
+    the driver gate), every counter here is exact integer arithmetic
+    over the portable md5 hash — the DuckDB oracle replays the full
+    sketch bit-for-bit.
+
+    Plan shape: one narrow projection explodes each value to ``depth``
+    (d, bucket) rows, then ONE partial-agg groupBy — map-side combine
+    collapses to ≤ depth×width rows per task regardless of input size.
+    """
+    from acorn_hybrid_vector_search_spark.functions.text import _hash64
+
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    _hash64(F.concat(F.lit(f"cms{d}:"), F.col(col))), F.lit(width)
+                ).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("r"))
+        .groupBy(F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(partials: Sequence[DataFrame]) -> DataFrame:
+    """Sum-merge partial sketches — exact: counters add."""
+    if not partials:
+        raise ValueError("partials must be non-empty")
+    u = partials[0]
+    for p in partials[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-query the sketch for every ``items[col]`` row: the CMS
+    estimate is the MIN over the depth counters the value hashes to
+    (a missing counter row means 0). Must use the build's (depth,
+    width). The sketch is ≤ depth×width rows, so the probe join
+    broadcasts — a map-side lookup per item."""
+    from acorn_hybrid_vector_search_spark.functions.text import _hash64
+
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    _hash64(F.concat(F.lit(f"cms{d}:"), F.col(col))), F.lit(width)
+                ).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    it = items.select(F.col(col), F.explode(probes).alias("r")).select(
+        col, F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket")
+    )
+    return (
+        it.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0).cast("long"))).alias("cms_count"))
+    )

@@ -76,3 +76,75 @@ def test_approx_quantiles_rank_error(spark, facts):
         for approx, ex, p in ((r["q_50"], exact[r["g"]][0], 0.5), (r["q_90"], exact[r["g"]][1], 0.9)):
             # values are 0..4999 uniform: rank slack of n/1000 = 20 rows ≈ 5 units
             assert abs(approx - ex) <= 25, (r["g"], p, approx, ex)
+
+
+@pytest.fixture(scope="module")
+def token_df(spark):
+    # skewed frequencies: token-i appears i+1 times
+    rows = [(f"tok{i}",) for i in range(40) for _ in range(i + 1)]
+    return spark.createDataFrame(rows, ["token"]).cache()
+
+
+def test_cms_never_undercounts(spark, token_df):
+    """The CMS guarantee: estimate >= exact for EVERY value, at a width
+    small enough to force real collisions."""
+    from acorn_hybrid_vector_search_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    sketch = cms_build(token_df, "token", depth=3, width=16)
+    exact = token_df.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(sketch, exact.select("token"), "token", depth=3, width=16)
+    joined = est.join(exact, "token").collect()
+    assert len(joined) == 40
+    assert all(r["cms_count"] >= r["n"] for r in joined)
+
+
+def test_cms_exact_at_large_width(spark, token_df):
+    """With width >> distinct values, collisions vanish and every
+    estimate equals the exact count."""
+    from acorn_hybrid_vector_search_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    sketch = cms_build(token_df, "token", depth=4, width=1 << 14)
+    exact = token_df.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(sketch, exact.select("token"), "token", depth=4, width=1 << 14)
+    joined = est.join(exact, "token").collect()
+    assert all(r["cms_count"] == r["n"] for r in joined)
+
+
+def test_cms_merge_identity_is_exact(spark, token_df):
+    """Counters add: the sum-merge of per-split sketches equals the
+    whole-input sketch counter-for-counter (the incremental-maintenance
+    identity, same contract as the HLL register merge)."""
+    from acorn_hybrid_vector_search_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    a = token_df.where(F.length("token") <= 4)  # tok0-tok9
+    b = token_df.where(F.length("token") > 4)
+    merged = cms_merge(
+        [cms_build(a, "token", depth=3, width=64),
+         cms_build(b, "token", depth=3, width=64)]
+    )
+    whole = cms_build(token_df, "token", depth=3, width=64)
+    key = lambda r: (r["d"], r["bucket"], r["cnt"])
+    assert sorted(map(key, merged.collect())) == sorted(map(key, whole.collect()))
+
+
+def test_cms_rejects_bad_params(spark, token_df):
+    from acorn_hybrid_vector_search_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    with pytest.raises(ValueError):
+        cms_build(token_df, "token", depth=0)
+    with pytest.raises(ValueError):
+        cms_build(token_df, "token", width=0)
+    with pytest.raises(ValueError):
+        cms_merge([])
