@@ -340,10 +340,15 @@ def bloom_build_sharded(
         .agg(F.bit_or("bit").alias("word"))
     )
     spark = items.sparkSession
+    # dense (shard, w) grid from ONE range — div/mod instead of a
+    # range×range cross join (the plan guard bans nested-loop joins and
+    # a single Range is cheaper anyway)
     dense = (
-        spark.range(n_shards)
-        .select(F.col("id").cast("int").alias("shard"))
-        .crossJoin(spark.range(m_words).select(F.col("id").alias("w")))
+        spark.range(n_shards * m_words)
+        .select(
+            F.expr(f"CAST(id DIV {m_words} AS INT)").alias("shard"),
+            F.expr(f"id % {m_words}").alias("w"),
+        )
         .join(words, ["shard", "w"], "left")
         .select("shard", "w", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
     )

@@ -81,6 +81,15 @@ AUDIT: dict[str, list[str]] = {
         "Filter",
         "HashAggregate",
     ],
+    # round 6: count-min sketch — token stream collapses via partial-agg
+    # (HashAggregate map-side combine bounds task state to the sketch
+    # size); the ≤ depth×width counter relation broadcasts for the
+    # point-query join; bounded top-20 = TakeOrderedAndProject
+    "cms_heavy_tokens": [
+        "HashAggregate",
+        "BroadcastExchange",
+        "TakeOrderedAndProject",
+    ],
 }
 
 
