@@ -3044,7 +3044,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     nested_model_year_sparse, nsw_exact_topk, ngram_jaccard_near_dups,
     cube_order_stats, hard_negatives_topk, zorder_curve_keys, and
     upsert_orders (family retention documented at the rotation block
-    below).  Displaced and new 51+ queries remain oracle-checked by
+    below).  Round 6c micro-rotated the late-round flagships in via
+    three SAME-FAMILY swaps (sharded bloom for 1-row bloom, winnowing
+    for simhash, CMS for HLL — see the 6c block).  Displaced and new
+    51+ queries remain oracle-checked by
     tools/selfcheck.py and pytest, and every round commits the
     full-battery artifact SELFCHECK.json so the 51+ surface has durable
     evidence.
@@ -3122,23 +3125,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 51+ via the committed SELFCHECK.json battery. ====
         "dedup_survivors": _q_dedup_survivors,
         "domain_caps": _q_domain_caps,
-        "decontaminate_docs_bloom": _q_decontaminate_docs_bloom,
         "rp_ann_topk": _q_rp_ann_topk,
         "bpe_state_persisted": _q_bpe_state_persisted,
         "minhash_incremental_pairs": _q_minhash_incremental_pairs,
         "nsw_incremental_topk": _q_nsw_incremental_topk,
+        # ==== round-6c micro-rotation: the late-round flagships — all
+        # SAME-FAMILY swaps, so every family keeps its window row:
+        # decontaminate_docs_bloom → decontaminate_docs_bloom_sharded
+        # (the sharded screen exercises the full bloom machinery plus
+        # the past-single-row-bound path; 1-row bloom stays oracle-gated
+        # at 51+), simhash_near_dups → winnow_near_dups (dedup keeps
+        # minhash/embedding/components/routed/incremental/survivors/
+        # exact-groups; simhash to 51+), approx_distinct_users →
+        # cms_heavy_tokens (sketches keeps a window row — and the CMS
+        # one is the FULLY-replayed sketch; HLL/GK stay at 51+). ====
+        "decontaminate_docs_bloom_sharded": _q_decontaminate_docs_bloom_sharded,
+        "winnow_near_dups": _q_winnow_near_dups,
+        "cms_heavy_tokens": _q_cms_heavy_tokens,
         # -- relational core --
         "agg_lineitem_pricing": _q_agg_lineitem,
         "join_revenue_by_nation": _q_join_topk,
         "antijoin_customers": _q_antijoin_customers,
         "incremental_rollup_events": _q_incremental_rollup,
-        "approx_distinct_users": _q_approx_distinct_users,
         # -- dedup family --
         "dedup_exact_groups": _q_dedup_exact,
         "embedding_near_dups": _q_embedding_near_dups,
         "minhash_near_dups": _q_minhash_near_dups,
         "near_dup_components": _q_near_dup_components,
-        "simhash_near_dups": _q_simhash_near_dups,
         "decontaminate_docs": _q_decontaminate_docs,
         # -- text analysis --
         "token_counts": _q_token_counts,
@@ -3162,6 +3175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_curriculum_bins": _q_quality_curriculum,
         # ==== position 51+: redundant variants of operators already gated
         # above; still oracle-verified by tools/selfcheck.py + pytest ====
+        "decontaminate_docs_bloom": _q_decontaminate_docs_bloom,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "approx_distinct_users": _q_approx_distinct_users,
         "nested_model_year_sparse": _q_nested_model_year_sparse,
         "nsw_exact_topk": _q_nsw_exact_topk,
         "ngram_jaccard_near_dups": _q_ngram_jaccard,
@@ -3223,9 +3239,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_user_funnel_setops": _q_sql_user_funnel_setops,
         "minhash_store_persisted": _q_minhash_store_persisted,
         "winnow_fingerprint_docs": _q_winnow_fingerprint_docs,
-        "winnow_near_dups": _q_winnow_near_dups,
-        "decontaminate_docs_bloom_sharded": _q_decontaminate_docs_bloom_sharded,
-        "cms_heavy_tokens": _q_cms_heavy_tokens,
     }
 
 
