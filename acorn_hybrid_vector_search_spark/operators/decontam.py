@@ -85,6 +85,37 @@ def _bit_masks() -> Column:
     )
 
 
+def _check_m_bits(m_bits: int) -> None:
+    """m_bits MUST be a positive multiple of 64: the dense word grid has
+    m_bits//64 entries, so a probe bit past 64*(m_bits//64) would land
+    outside the array — F.get returns NULL, the screen drops the gram,
+    and a genuinely contaminated doc reports clean (a silent FALSE
+    NEGATIVE, violating the bloom contract). Reject instead."""
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+
+
+def _stats_tail(
+    docs: DataFrame, hits: DataFrame, *, n: int, min_overlap: int,
+    id_col: str, text_col: str,
+) -> DataFrame:
+    """The shared output projection of every contamination_stats variant
+    — ONE copy so all three paths stay bit-identical to the shared
+    DuckDB oracle (_decontam_sql): (id, n_grams, n_hits, contaminated,
+    overlap_frac)."""
+    base = docs.select(id_col, F.size(shingles(text_col, n)).alias("n_grams"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits >= min_overlap).alias("contaminated"),
+        F.round(n_hits / F.greatest(F.col("n_grams"), F.lit(1)), 6).alias(
+            "overlap_frac"
+        ),
+    )
+
+
 def bloom_build(
     items: DataFrame, col: str, *, m_bits: int = 1 << 18, k: int = 5
 ) -> DataFrame:
@@ -95,6 +126,7 @@ def bloom_build(
     a build-time CONSTANT, e.g. 4096 longs = 32 KB) is assembled with a
     bounded collect_list and travels to probes as a broadcast scalar.
     """
+    _check_m_bits(m_bits)
     m_words = m_bits // 64
     probes = F.array(
         *[
@@ -171,16 +203,8 @@ def contamination_stats_bloom(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    base = docs.select(id_col, F.size(shingles(text_col, n)).alias("n_grams"))
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
-    return base.join(hits, id_col, "left").select(
-        id_col,
-        "n_grams",
-        n_hits.cast("long").alias("n_hits"),
-        (n_hits >= min_overlap).alias("contaminated"),
-        F.round(n_hits / F.greatest(F.col("n_grams"), F.lit(1)), 6).alias(
-            "overlap_frac"
-        ),
+    return _stats_tail(
+        docs, hits, n=n, min_overlap=min_overlap, id_col=id_col, text_col=text_col
     )
 
 
@@ -225,19 +249,8 @@ def contamination_stats(
     hits = _hit_counts(
         docs, bg, n=n, id_col=id_col, text_col=text_col, broadcast_bench=broadcast_bench
     )
-    base = docs.select(id_col, F.size(shingles(text_col, n)).alias("n_grams"))
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
-    return (
-        base.join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            n_hits.cast("long").alias("n_hits"),
-            (n_hits >= min_overlap).alias("contaminated"),
-            F.round(n_hits / F.greatest(F.col("n_grams"), F.lit(1)), 6).alias(
-                "overlap_frac"
-            ),
-        )
+    return _stats_tail(
+        docs, hits, n=n, min_overlap=min_overlap, id_col=id_col, text_col=text_col
     )
 
 
@@ -320,6 +333,7 @@ def bloom_build_sharded(
     (m_bits/64 longs per row, never one giant row)."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    _check_m_bits(m_bits)
     m_words = m_bits // 64
     probes = F.array(
         *[
@@ -394,14 +408,6 @@ def contamination_stats_bloom_sharded(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    base = docs.select(id_col, F.size(shingles(text_col, n)).alias("n_grams"))
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
-    return base.join(hits, id_col, "left").select(
-        id_col,
-        "n_grams",
-        n_hits.cast("long").alias("n_hits"),
-        (n_hits >= min_overlap).alias("contaminated"),
-        F.round(n_hits / F.greatest(F.col("n_grams"), F.lit(1)), 6).alias(
-            "overlap_frac"
-        ),
+    return _stats_tail(
+        docs, hits, n=n, min_overlap=min_overlap, id_col=id_col, text_col=text_col
     )

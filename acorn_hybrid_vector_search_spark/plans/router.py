@@ -306,7 +306,7 @@ class StrategyRouter:
 
 @dataclass
 class DedupRoute:
-    strategy: str  # "exact" | "substring" | "simhash" | "minhash" | "embedding"
+    strategy: str  # "exact" | "substring" | "winnow" | "simhash" | "minhash" | "embedding"
     params: dict[str, Any]
     rationale: str
 
@@ -358,6 +358,9 @@ def route_dedup(
     1. ``granularity='substring'`` → remove_duplicate_ngrams: the only
        substring-granular operator (boilerplate spans inside otherwise
        distinct docs — document-level strategies can't see them).
+       ``granularity='passage'`` → winnow_near_dups: provenance of long
+       copied passages (shared runs ≥ window+k−1 tokens guaranteed
+       detected) rather than span removal.
     2. ``threshold >= 1`` → exact: byte-identical dedup needs no
        sketch; the md5 groupBy is the cheapest possible plan and has
        no false positives/negatives.
@@ -503,7 +506,7 @@ def dedup_search(
 
 @dataclass(frozen=True)
 class DecontamRoute:
-    strategy: str  # "broadcast" | "bloom"
+    strategy: str  # "broadcast" | "bloom" | "bloom_sharded"
     params: dict[str, Any]
     rationale: str
 

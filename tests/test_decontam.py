@@ -289,3 +289,21 @@ def test_sharded_bloom_screen_is_map_side(spark, frames):
     assert "BroadcastExchange" in plan
     assert "xxhash64" in plan
     assert "pythonUDF" not in plan.lower()
+
+
+def test_bloom_rejects_non_word_aligned_m_bits(spark):
+    """m_bits that is not a positive multiple of 64 would silently drop
+    probe bits past the last full word (F.get returns NULL past the
+    array end -> the screen filters out genuinely contaminated grams —
+    a FALSE NEGATIVE). Both builders must reject it."""
+    from acorn_hybrid_vector_search_spark.operators.decontam import (
+        bloom_build,
+        bloom_build_sharded,
+    )
+
+    members = spark.range(10).select(F.concat(F.lit("m-"), F.col("id")).alias("v"))
+    for bad in (100, 63, 0, -64):
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bloom_build(members, "v", m_bits=bad)
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bloom_build_sharded(members, "v", m_bits=bad)

@@ -55,7 +55,7 @@ AUDIT: dict[str, list[str]] = {
     # round 6: bloom-screened decontamination — the bitset is a 1-row
     # broadcast scalar (BroadcastNestedLoopJoin), the k-probe screen is
     # a JVM Filter ahead of the exact verify join
-    "decontaminate_docs_bloom": ["BroadcastNestedLoopJoin", "Filter", "HashAggregate"],
+    "decontaminate_docs_bloom": ["BroadcastNestedLoopJoin", "xxhash64", "HashAggregate"],
     # round 6: incremental dedup ingestion — the new batch's band keys
     # probe the PERSISTED store in a banded cross-relation equi-join
     # (Σ|new-bucket|·|store-bucket|, never N²); the store side is a
@@ -76,9 +76,11 @@ AUDIT: dict[str, list[str]] = {
     # round 6: sharded bloom — the (shard, words) relation broadcasts
     # (BroadcastExchange) into a map-side hash join on the shard key;
     # the k-probe screen is a JVM Filter ahead of the exact verify join
+    # ("Filter" as a token is vacuous — any scan prints "PushedFilters";
+    # the xxhash64 probe expression pins the actual JVM bloom screen)
     "decontaminate_docs_bloom_sharded": [
         "BroadcastExchange",
-        "Filter",
+        "xxhash64",
         "HashAggregate",
     ],
     # round 6: count-min sketch — token stream collapses via partial-agg
