@@ -119,9 +119,29 @@ def asof_join(
         # day-granular datediff ordinal would truncate the right side's
         # time-of-day (nearest could then pick the farther candidate)
         on_type = merged.schema[left_on].dataType
-        if isinstance(on_type, (TimestampType, TimestampNTZType)):
+        if isinstance(on_type, TimestampNTZType):
+            # NTZ ordinal WITHOUT a session-timezone cast (ADVICE r6):
+            # cast(ntz as timestamp) maps wall-clock→instant through the
+            # session zone, which in a DST zone is non-injective
+            # (fall-back) and gapped (spring-forward) — nearest/tie
+            # resolution could be off by an hour near transitions.
+            # Derive epoch micros from the NTZ fields directly: NTZ is a
+            # zoneless linear wall clock, so days*86400e6 + time-of-day
+            # micros IS its exact ordinal (date_part SECOND is
+            # DECIMAL(8,6) — microsecond-exact after *1e6).
             def _ord(c: Column) -> Column:
-                return F.unix_micros(c.cast("timestamp"))
+                days = F.datediff(
+                    F.to_date(c), F.to_date(F.lit("1970-01-01"))
+                ).cast("long")
+                micros = (
+                    F.hour(c).cast("long") * F.lit(3600000000).cast("long")
+                    + F.minute(c).cast("long") * F.lit(60000000).cast("long")
+                    + (F.date_part(F.lit("SECOND"), c) * 1000000).cast("long")
+                )
+                return days * F.lit(86400000000).cast("long") + micros
+        elif isinstance(on_type, TimestampType):
+            def _ord(c: Column) -> Column:
+                return F.unix_micros(c)
         elif isinstance(on_type, DateType):
             def _ord(c: Column) -> Column:
                 return F.datediff(c, F.to_date(F.lit("1970-01-01")))

@@ -161,7 +161,13 @@ def bloom_might_contain(
 ) -> Column:
     """True iff every one of the k probe bits is set — possibly-member
     (false positives at the designed rate, false negatives never).
-    Must use the same (m_bits, k) as ``bloom_build``."""
+    Must use the same (m_bits, k) as ``bloom_build``.
+
+    Validates ``m_bits`` the same way the builders do (ADVICE r6): a
+    caller probing with a non-multiple-of-64 m_bits would F.get past the
+    last word → NULL → silent false negative, the exact contract
+    violation _check_m_bits exists to reject."""
+    _check_m_bits(m_bits)
     cond = F.lit(True)
     for i in range(k):
         p = F.pmod(F.xxhash64(F.concat(F.lit(f"bloom{i}:"), value)), F.lit(m_bits))

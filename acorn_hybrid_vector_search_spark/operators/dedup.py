@@ -91,12 +91,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     groups = exact_dedup_groups(df, text_col=text_col, id_col=id_col).select(
         "fingerprint", "keep_id"
     )
+    # eqNullSafe on the fingerprint (ADVICE r6): fingerprint_md5(NULL
+    # text) is NULL, and a plain == semi-join would drop EVERY null-text
+    # row — the window plan this replaced kept the min-id survivor of
+    # the null-fingerprint partition. <=> preserves that: all null-text
+    # rows form one group whose min-id row survives. Still an equi-join
+    # key (hash-joinable, AQE-splittable).
     return (
         df.withColumn("_fp", fingerprint_md5(text_col))
         .join(
             groups,
             on=[
-                F.col("_fp") == groups["fingerprint"],
+                F.col("_fp").eqNullSafe(groups["fingerprint"]),
                 F.col(id_col) == groups["keep_id"],
             ],
             how="left_semi",

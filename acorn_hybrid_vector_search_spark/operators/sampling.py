@@ -139,8 +139,16 @@ def cap_per_group(
 
     n_buckets = 32
     cols = list(df.columns)
+    # NULL group keys are a real group (groupBy keeps them as one) and
+    # must survive capped like any other (ADVICE r6: a plain equi-join
+    # on the group key silently DROPPED null-group rows, where the old
+    # window plan kept them as their own partition). eqNullSafe (<=>)
+    # is still an equi-join key — hash-joinable, AQE-splittable.
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
-    joined = df.join(counts, group_col)
+    joined = df.join(
+        counts.withColumnRenamed(group_col, "_cnt_g"),
+        F.col(group_col).eqNullSafe(F.col("_cnt_g")),
+    ).drop("_cnt_g")
     under = joined.where(F.col("_gn") <= cap).select(*cols)
 
     over = (
@@ -182,7 +190,7 @@ def cap_per_group(
     survivors = local.join(
         keep,
         on=[
-            F.col(group_col) == keep["_keep_g"],
+            F.col(group_col).eqNullSafe(keep["_keep_g"]),
             F.col(key_col) == keep["_keep_k"],
         ],
         how="left_semi",

@@ -289,3 +289,46 @@ def test_asof_nearest_mixed_date_left_timestamp_right(spark):
         right_by="rk", direction="nearest",
     ).collect()
     assert len(got) == 1 and got[0]["v"] == "b"
+
+
+def test_asof_nearest_ntz_dst_independent(spark):
+    """TIMESTAMP_NTZ nearest-gap ordinal must NOT route through the
+    session timezone (ADVICE r6): under a DST-observing zone the
+    wall-clock->instant cast is non-injective at fall-back and gapped at
+    spring-forward, skewing nearest/tie resolution by up to an hour.
+    Pin: identical results under UTC and America/Los_Angeles across the
+    2024-11-03 fall-back and 2024-03-10 spring-forward walls."""
+    from datetime import datetime
+
+    left = spark.createDataFrame(
+        [
+            (1, 1, datetime(2024, 11, 3, 1, 30)),   # inside the repeated hour
+            (2, 1, datetime(2024, 3, 10, 2, 30)),   # inside the skipped hour
+        ],
+        "id long, k long, t timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 11, 3, 1, 0), "b1"),
+            (1, datetime(2024, 11, 3, 2, 15), "f1"),   # 45m after -> farther than 30m before
+            (1, datetime(2024, 3, 10, 2, 0), "b2"),
+            (1, datetime(2024, 3, 10, 3, 15), "f2"),   # 45m after -> farther than 30m before
+        ],
+        "rk long, rt timestamp_ntz, v string",
+    )
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        results = {}
+        for tz in ("UTC", "America/Los_Angeles"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            results[tz] = {
+                r["id"]: r["v"]
+                for r in asof_join(
+                    left, right, left_on="t", right_on="rt", left_by="k",
+                    right_by="rk", direction="nearest",
+                ).collect()
+            }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert results["UTC"] == {1: "b1", 2: "b2"}
+    assert results["America/Los_Angeles"] == results["UTC"]

@@ -307,3 +307,13 @@ def test_bloom_rejects_non_word_aligned_m_bits(spark):
             bloom_build(members, "v", m_bits=bad)
         with pytest.raises(ValueError, match="multiple of 64"):
             bloom_build_sharded(members, "v", m_bits=bad)
+
+
+def test_bloom_might_contain_rejects_bad_m_bits(spark):
+    """bloom_might_contain validates m_bits like the builders (ADVICE
+    r6): a non-multiple-of-64 would probe past the last word -> NULL ->
+    silent false negative."""
+    from acorn_hybrid_vector_search_spark.operators.decontam import bloom_might_contain
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_might_contain(F.col("w"), F.col("v"), m_bits=100, k=3)

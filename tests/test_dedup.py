@@ -351,3 +351,15 @@ def test_minhash_store_roundtrip_and_incremental_probe(spark, tmp_path):
         if (r["id_a"] % 3 == 0) != (r["id_b"] % 3 == 0)  # cross-side only
     }
     assert got == want
+
+
+def test_exact_dedup_null_text_survivor(spark):
+    """NULL-text rows (fingerprint_md5 -> NULL) are ONE dup group whose
+    min-id row survives (ADVICE r6: a plain == semi-join dropped every
+    null-text row; eqNullSafe restores the window plan's semantics)."""
+    rows = [(1, None, "s"), (2, None, "s"), (3, "real text here", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    groups = {r["keep_id"]: r["dup_count"] for r in exact_dedup_groups(df).collect()}
+    assert groups == {1: 2, 3: 1}
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [1, 3]

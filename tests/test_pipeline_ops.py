@@ -361,3 +361,24 @@ def test_sliding_rollup_stream_equals_batch(spark, events, tmp_path):
     batch = sliding_rollup(events)
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0
+
+
+def test_cap_per_group_null_group_kept(spark):
+    """Rows whose group key is NULL form a real group and survive capped
+    (ADVICE r6: the de-skew rewrite's equi-join on the group key silently
+    dropped them; eqNullSafe keeps the old window plan's semantics)."""
+    from acorn_hybrid_vector_search_spark.operators.sampling import cap_per_group
+
+    rows = [(i, None if i < 10 else "d") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = cap_per_group(df, 3, group_col="domain", key_col="doc_id").collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r["domain"], []).append(r["doc_id"])
+    assert len(by_g.get(None, [])) == 3      # over cap -> capped, not dropped
+    assert len(by_g.get("d", [])) == 2       # under cap -> whole group
+    # deterministic across partitionings
+    again = cap_per_group(
+        df.repartition(7), 3, group_col="domain", key_col="doc_id"
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
