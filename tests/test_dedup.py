@@ -363,3 +363,99 @@ def test_exact_dedup_null_text_survivor(spark):
     assert groups == {1: 2, 3: 1}
     kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
     assert kept == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# LSH band-bucket emission cap (VERDICT r6 ask #1)
+
+
+@pytest.fixture(scope="module")
+def template_docs(spark):
+    """A planted boilerplate TEMPLATE cluster: 30 near-identical-but-not-
+    exact docs (each ends in a unique token, so fingerprints differ and
+    the exact rung cannot collapse them) + 10 unrelated docs. Uncapped,
+    the template bucket emits C(30,2)=435 pairs — quadratic by
+    construction; the cap must bound it."""
+    tpl = " ".join(
+        f"tpl{i} word{i} common shared template boiler plate text body"
+        for i in range(5)
+    )
+    rows = [(i, f"{tpl} unique{i}", "s") for i in range(30)]
+    rows += [
+        (100 + i,
+         f"totally different document number {i} with its own words {i*7} {i*13}",
+         "s")
+        for i in range(10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string").cache()
+
+
+def test_minhash_bucket_cap_bounds_template_emission(template_docs):
+    un = minhash_near_dups(
+        template_docs, num_hashes=16, bands=8, verify_threshold=0.5
+    ).count()
+    assert un == 435  # C(30,2): the quadratic blowup is real
+    capped = minhash_near_dups(
+        template_docs, num_hashes=16, bands=8, verify_threshold=0.5, bucket_cap=8
+    ).count()
+    assert capped == 28  # C(8,2): bounded regardless of bucket size
+    # non-binding cap == uncapped, pair-for-pair
+    big = minhash_near_dups(
+        template_docs, num_hashes=16, bands=8, verify_threshold=0.5, bucket_cap=1000
+    )
+    unc = minhash_near_dups(template_docs, num_hashes=16, bands=8, verify_threshold=0.5)
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, unc.collect()))
+
+
+def test_bucket_cap_deterministic_across_partitioning(template_docs):
+    a = sorted(
+        map(tuple, minhash_near_dups(
+            template_docs, num_hashes=16, bands=8, verify_threshold=0.5, bucket_cap=8
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, minhash_near_dups(
+            template_docs.repartition(7), num_hashes=16, bands=8,
+            verify_threshold=0.5, bucket_cap=8,
+        ).collect())
+    )
+    assert a == b and len(a) == 28
+
+
+def test_winnow_and_simhash_bucket_caps(template_docs):
+    from acorn_hybrid_vector_search_spark.operators.dedup import winnow_near_dups
+
+    w_un = winnow_near_dups(template_docs).count()
+    w_cap = winnow_near_dups(template_docs, bucket_cap=8).count()
+    assert w_un == 435 and 28 <= w_cap < 120  # bounded: sum over fp buckets
+    s_un = simhash_near_dups(template_docs, max_hamming=3).count()
+    s_cap = simhash_near_dups(template_docs, max_hamming=3, bucket_cap=8).count()
+    assert s_cap < s_un and s_cap <= 5 * 28  # ≤ C(8,2) per chunk band
+    # capped winnow scores never inflate: overlap denominator is pre-cap
+    for r in winnow_near_dups(template_docs, bucket_cap=8).collect():
+        assert r["overlap"] <= 1.0
+
+
+def test_bucket_cap_stats_disclosure(template_docs):
+    st = {
+        r["bucket"]: r
+        for r in minhash_near_dups(
+            template_docs, num_hashes=16, bands=8, verify_threshold=0.5,
+            bucket_cap=8, cap_stats=True,
+        ).collect()
+    }
+    assert st, "the planted template must surface in the stats"
+    for r in st.values():
+        assert r["bucket_n"] > 8
+        assert r["kept_n"] == 8 and r["dropped_n"] == r["bucket_n"] - 8
+        assert r["pairs_uncapped"] == r["bucket_n"] * (r["bucket_n"] - 1) // 2
+        assert r["pairs_capped"] == 28
+    # the 30-doc template bucket is disclosed with its would-be emission
+    assert any(r["bucket_n"] == 30 and r["pairs_uncapped"] == 435 for r in st.values())
+
+
+def test_bucket_cap_validation(template_docs):
+    with pytest.raises(ValueError, match="bucket_cap must be >= 2"):
+        minhash_near_dups(template_docs, bucket_cap=1).count()
+    with pytest.raises(ValueError, match="cap_stats=True requires bucket_cap"):
+        minhash_near_dups(template_docs, cap_stats=True)

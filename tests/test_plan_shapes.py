@@ -293,3 +293,33 @@ def test_prepared_cache_evicts_dead_sessions(spark):
     m._PREPARED[("app-dead-123", SF, "_q_pure_topk")] = None
     m._q_pure_topk(spark, SF)
     assert all(k[0] != "app-dead-123" for k in m._PREPARED)
+
+
+def test_lsh_bucket_cap_no_window_on_bare_bucket_key(queries):
+    """The LSH emission cap (VERDICT r6 ask #1) must never rank a whole
+    band bucket in one window partition — the over-cap bucket IS the hot
+    key the cap exists to bound, and Spark skew-splits joins, never
+    window partitions. Same two-phase contract as domain_caps: every
+    Window's partition spec must include the salt sub-bucket (_sb);
+    under-cap buckets bypass ranking via the count join-back (Union)."""
+    import re
+
+    for name in ("minhash_capped_pairs", "winnow_capped_pairs",
+                 "simhash_capped_pairs"):
+        p = _plan(queries[name])
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+        assert specs, f"{name}: expected the per-salt-bucket local top-cap window"
+        for spec in specs:
+            part = spec.split("ASC")[0]
+            assert "_sb" in part, (
+                f"{name}: Window partitioned on bare bucket key:\n" + spec
+            )
+        assert "Union" in p, f"{name}: missing the under-cap bypass branch"
+
+
+def test_simhash_cap_stats_partial_agg_only(queries):
+    """The no-silent-caps stats row set is a pure partial aggregate —
+    no Window, no join, never row-scaled state."""
+    p = _plan(queries["simhash_cap_stats"])
+    assert "Window" not in p
+    assert "HashAggregate" in p or "ObjectHashAggregate" in p or "SortAggregate" in p
