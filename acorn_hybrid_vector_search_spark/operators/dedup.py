@@ -71,7 +71,12 @@ def _cap_draw(bucket_cols: list[str], id_col: str) -> Column:
 
 
 def _cap_bucket_members(
-    banded: DataFrame, bucket_cols: list[str], cap: int, *, id_col: str = "id"
+    banded: DataFrame,
+    bucket_cols: list[str],
+    cap: int,
+    *,
+    id_col: str = "id",
+    flag_col: str | None = None,
 ) -> DataFrame:
     """Bound pair EMISSION from a banded LSH self-join: keep at most
     ``cap`` members per band bucket, chosen by the deterministic md5
@@ -102,6 +107,13 @@ def _cap_bucket_members(
     fingerprints) are non-null by construction, so plain equi-joins are
     safe here (cf. the eqNullSafe fix in cap_per_group, whose group
     keys are user data).
+
+    ``flag_col``: when set, the output carries a boolean column marking
+    rows whose bucket WAS over cap — the caller routes those buckets'
+    pair generation through the g×g grid join (``_grid_side``), because
+    even the capped C(cap,2) pairs of one bucket are one join key = one
+    task otherwise (measured: 17.8 s max task at cap=1132 on the
+    x16tmpl ladder before the grid landed).
     """
     if cap < 2:
         raise ValueError(f"bucket_cap must be >= 2 (pairs need 2 members), got {cap}")
@@ -153,7 +165,74 @@ def _cap_bucket_members(
         + [F.col(id_col) == F.col("_kk")],
         how="left_semi",
     ).select(*cols)
-    return under.unionByName(survivors)
+    if flag_col is None:
+        return under.unionByName(survivors)
+    return under.withColumn(flag_col, F.lit(False)).unionByName(
+        survivors.withColumn(flag_col, F.lit(True))
+    )
+
+
+_GRID_G = 8
+
+
+def _grid_side(
+    df: DataFrame,
+    side: str,
+    bucket_cols: list[str],
+    *,
+    id_col: str = "id",
+    g: int = _GRID_G,
+) -> DataFrame:
+    """One side of the g×g pair-generation grid for OVER-cap buckets.
+
+    Even after the member cap, one bucket's C(cap,2) pairs share ONE
+    join key — one task, no AQE escape (OptimizeSkewedJoin splits by
+    INPUT partition size; a hot bucket's input is only ``cap`` rows but
+    its join OUTPUT is quadratic). The grid decomposes that work: each
+    member gets a deterministic cell coordinate p = h(id) mod g; the
+    LEFT side replicates to cells (p, 0..g−1), the RIGHT to cells
+    (0..g−1, p), and the join key gains (_ca, _cb) — so the pair (a, b)
+    matches in EXACTLY one cell (p_a, p_b), the hot bucket fans out
+    over g² join keys, and per-task pair work drops to ~(cap/g)².
+    Replication cost is g× the (already ≤ cap-bounded) hot-bucket rows
+    — bounded, never corpus-scaled. Output pair set is IDENTICAL to
+    the plain join (cell uniqueness), so oracles are unaffected.
+
+    The LEFT side is pinned into an EXPLICIT-numPartitions repartition
+    on the full (bucket, cell) join key. Without it the grid silently
+    re-serializes: the hot side is only ~cap·g·n_hot rows (tens of MB),
+    so AQE coalesces its shuffle to ONE partition and broadcast-joins
+    it — partition sizing sees join INPUT bytes, not the quadratic join
+    OUTPUT — and every cell's pairs run in one task again (measured:
+    max/p50 95 on x16tmpl before this pin). Explicit numPartitions
+    disables AQE coalescing, so the g²·n_hot cells stay spread.
+    """
+    p = F.pmod(
+        _hash64(F.concat_ws(":", F.lit("lshgrid"), F.col(id_col).cast("string"))),
+        F.lit(g),
+    ).cast("int")
+    if side == "a":
+        cells = F.array(
+            *[F.struct(p.alias("ca"), F.lit(j).cast("int").alias("cb")) for j in range(g)]
+        )
+    else:
+        cells = F.array(
+            *[F.struct(F.lit(i).cast("int").alias("ca"), p.alias("cb")) for i in range(g)]
+        )
+    out = (
+        df.withColumn("_cell", F.explode(cells))
+        .withColumn("_ca", F.col("_cell.ca"))
+        .withColumn("_cb", F.col("_cell.cb"))
+        .drop("_cell")
+    )
+    if side == "a":
+        out = out.repartition(
+            _probe_parallelism(df),
+            *[F.col(c) for c in bucket_cols],
+            F.col("_ca"),
+            F.col("_cb"),
+        )
+    return out
 
 
 def _bucket_cap_stats(
@@ -703,8 +782,13 @@ def minhash_near_dups(
         if bucket_cap is None:
             raise ValueError("cap_stats=True requires bucket_cap")
         return _bucket_cap_stats(banded, ["bi", "band_key"], bucket_cap)
+    hot = None
     if bucket_cap is not None:
-        banded = _cap_bucket_members(banded, ["bi", "band_key"], bucket_cap)
+        flagged = _cap_bucket_members(
+            banded, ["bi", "band_key"], bucket_cap, flag_col="_hot"
+        )
+        banded = flagged.where(~F.col("_hot")).drop("_hot")
+        hot = flagged.where(F.col("_hot")).drop("_hot")
 
     a, b = banded.alias("a"), banded.alias("b")
 
@@ -754,12 +838,25 @@ def minhash_near_dups(
             lambda v: v == 1,
         )
     )
-    return a.join(b, cond).select(
+    out = [
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
         F.round(agree.cast("double") / num_hashes, 6).alias("sig_agreement"),
         *verify_cols,
-    )
+    ]
+    pairs = a.join(b, cond).select(*out)
+    if hot is not None:
+        # over-cap buckets pair-generate on the g×g cell grid: same
+        # pair set (cell uniqueness), per-task work (cap/g)² not cap²
+        ha = _grid_side(hot, "a", ["bi", "band_key"]).alias("a")
+        hb = _grid_side(hot, "b", ["bi", "band_key"]).alias("b")
+        grid_cond = (
+            cond
+            & (F.col("a._ca") == F.col("b._ca"))
+            & (F.col("a._cb") == F.col("b._cb"))
+        )
+        pairs = pairs.unionByName(ha.join(hb, grid_cond).select(*out))
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -809,8 +906,11 @@ def simhash_near_dups(
         if bucket_cap is None:
             raise ValueError("cap_stats=True requires bucket_cap")
         return _bucket_cap_stats(banded, ["ci", "ck"], bucket_cap)
+    hot = None
     if bucket_cap is not None:
-        banded = _cap_bucket_members(banded, ["ci", "ck"], bucket_cap)
+        flagged = _cap_bucket_members(banded, ["ci", "ck"], bucket_cap, flag_col="_hot")
+        banded = flagged.where(~F.col("_hot")).drop("_hot")
+        hot = flagged.where(F.col("_hot")).drop("_hot")
     a, b = banded.alias("a"), banded.alias("b")
     # hamming verify goes INTO the join condition (cheap: one xor+popcount
     # on two longs) so only true pairs survive the join.
@@ -831,18 +931,29 @@ def simhash_near_dups(
     for j in range(chunks - 1):
         earlier_agrees = earlier_agrees | ((F.col("a.ci") > j) & chunk_eq(j))
 
-    return a.join(
-        b,
+    cond = (
         (F.col("a.ci") == F.col("b.ci"))
         & (F.col("a.ck") == F.col("b.ck"))
         & (F.col("a.id") < F.col("b.id"))
         & (hamming <= max_hamming)
-        & ~earlier_agrees,
-    ).select(
+        & ~earlier_agrees
+    )
+    out = [
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
         hamming.alias("hamming"),
-    )
+    ]
+    pairs = a.join(b, cond).select(*out)
+    if hot is not None:
+        ha = _grid_side(hot, "a", ["ci", "ck"]).alias("a")
+        hb = _grid_side(hot, "b", ["ci", "ck"]).alias("b")
+        grid_cond = (
+            cond
+            & (F.col("a._ca") == F.col("b._ca"))
+            & (F.col("a._cb") == F.col("b._cb"))
+        )
+        pairs = pairs.unionByName(ha.join(hb, grid_cond).select(*out))
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -950,16 +1061,35 @@ def winnow_near_dups(
         if bucket_cap is None:
             raise ValueError("cap_stats=True requires bucket_cap")
         return _bucket_cap_stats(ex, ["fp"], bucket_cap)
+    hot = None
     if bucket_cap is not None:
-        ex = _cap_bucket_members(ex, ["fp"], bucket_cap)
+        flagged = _cap_bucket_members(ex, ["fp"], bucket_cap, flag_col="_hot")
+        ex = flagged.where(~F.col("_hot")).drop("_hot")
+        hot = flagged.where(F.col("_hot")).drop("_hot")
     a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id"))
+    out = [
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.n_fp").alias("_na"),
+        F.col("b.n_fp").alias("_nb"),
+    ]
+    matched = a.join(b, cond).select(*out)
+    if hot is not None:
+        ha = _grid_side(hot, "a", ["fp"]).alias("a")
+        hb = _grid_side(hot, "b", ["fp"]).alias("b")
+        grid_cond = (
+            cond
+            & (F.col("a._ca") == F.col("b._ca"))
+            & (F.col("a._cb") == F.col("b._cb"))
+        )
+        matched = matched.unionByName(ha.join(hb, grid_cond).select(*out))
     pairs = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        matched.groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("shared_fps"),
-            F.first("a.n_fp").alias("_na"),
-            F.first("b.n_fp").alias("_nb"),
+            F.first("_na").alias("_na"),
+            F.first("_nb").alias("_nb"),
         )
         .where(F.col("shared_fps") >= min_shared)
     )

@@ -384,6 +384,19 @@ def route_dedup(
     (never all-pairs) plan, so corpus size does not change the WINNING
     strategy, only whether verification should be kept (it should; it
     is per-candidate-pair, not per-pair-of-docs).
+
+    6. Every pair-emitting rung (minhash/simhash/winnow) carries a
+       ``bucket_cap`` = max(64, ⌈4·√n_docs⌉) (VERDICT r6 ask #1): a
+       band bucket under uniform hashing holds O(n/num_buckets) ≈
+       constant members, so a bucket at 4·√n is already pathological —
+       a boilerplate template that survived the exact rung — and its
+       UNCAPPED pair output alone is quadratic by construction on any
+       engine. The cap bounds per-bucket emission to cap·(cap−1)/2
+       (total emission ≤ ~8·n·bands pairs at the cap) with a
+       deterministic, engine-portable member sample; what was capped
+       is surfaced by the operators' ``cap_stats`` disclosure (the
+       no-silent-caps rule). At 10⁶ docs the cap is 4000: one 20%%
+       cluster's emission drops 2·10¹⁰ → 8·10⁶ pairs.
     """
     if granularity == "substring":
         return DedupRoute(
@@ -392,6 +405,10 @@ def route_dedup(
             "substring granularity: only remove_duplicate_ngrams sees "
             "duplicated spans inside otherwise-distinct documents",
         )
+    import math
+
+    # rule 6: every pair-emitting rung bounds per-bucket emission
+    bucket_cap = max(64, math.ceil(4 * math.sqrt(max(n_docs, 1))))
     if granularity == "passage":
         # which DOCUMENTS share a long copied passage (provenance),
         # vs substring's remove-the-span: winnowing fingerprints
@@ -399,7 +416,7 @@ def route_dedup(
         # (SIGMOD'03 theorem) at a bounded per-doc signature
         return DedupRoute(
             "winnow",
-            {"k": 4, "window": 4, "min_shared": 2},
+            {"k": 4, "window": 4, "min_shared": 2, "bucket_cap": bucket_cap},
             "passage granularity: winnowing fingerprint overlap detects "
             "documents sharing long copied passages that whole-document "
             "Jaccard dilutes; shared runs >= 7 tokens guaranteed",
@@ -436,7 +453,7 @@ def route_dedup(
         max_hamming = max(1, round((1.0 - threshold) * 64))
         return DedupRoute(
             "simhash",
-            {"max_hamming": max_hamming},
+            {"max_hamming": max_hamming, "bucket_cap": bucket_cap},
             "near-exact threshold on long docs: one 64-bit fingerprint/doc "
             "(8x cheaper than a minhash signature), noise-safe because long "
             "docs have many weighted features",
@@ -448,6 +465,7 @@ def route_dedup(
             "num_hashes": num_hashes,
             "bands": bands,
             "verify_threshold": threshold,
+            "bucket_cap": bucket_cap,
         },
         f"general near-dup rung: LSH banding {bands}x{rows_per_band} puts "
         f"the S-curve midpoint at {(1.0 / bands) ** (1.0 / rows_per_band):.2f} "

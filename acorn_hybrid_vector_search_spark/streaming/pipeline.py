@@ -386,3 +386,98 @@ def scd2_stream_apply(
         .start()
     )
     return q, lambda: state["hist"]
+
+
+def stream_decontaminate(
+    doc_stream: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 3,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 18,
+    k: int = 5,
+):
+    """Ingestion-time decontamination gate (VERDICT r6 ask #4): screen
+    each arriving micro-batch of documents against a STATIC benchmark's
+    n-gram set — the place decontamination actually runs in a
+    training-data pipeline (documents are checked on arrival, not in a
+    later full-corpus sweep).
+
+    Build-once/probe-many: the benchmark gram set and its Bloom bitset
+    (operators/decontam.py bloom_build — k probes into a broadcast
+    array<bigint>, map-side, whole-stage codegen) are derived ONCE and
+    pinned via eager localCheckpoint; each micro-batch then pays only
+    its own gram explode + bitset screen + exact verify join of the
+    screened survivors (false positives die in the verify join, so
+    per-batch output is EXACT at any fp rate — the same two-phase
+    contract as the batch operator). Per-doc stats rows accumulate
+    through the scd2_stream_apply state pattern (eager localCheckpoint
+    per batch keeps lineage O(1) over an unbounded stream).
+
+    Returns ``(query, current)``: await the query, then ``current()``
+    is the accumulated (id, n_grams, n_hits, contaminated,
+    overlap_frac) relation — identical semantics to
+    ``contamination_stats`` over the union of all batches, which is the
+    stream==batch oracle parity the registry query answers.
+    """
+    from acorn_hybrid_vector_search_spark.functions.text import shingles
+    from acorn_hybrid_vector_search_spark.operators.decontam import (
+        _stats_tail,
+        benchmark_ngrams,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    spark = doc_stream.sparkSession
+    bg = benchmark_ngrams(benchmark, n=n, text_col=text_col).localCheckpoint(
+        eager=True
+    )
+    bloom = bloom_build(bg, "gram", m_bits=m_bits, k=k).localCheckpoint(eager=True)
+    state: dict = {"stats": None}
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        grams = batch_df.select(
+            id_col, F.explode(shingles(text_col, n)).alias("gram")
+        )
+        screened = (
+            grams.crossJoin(F.broadcast(bloom))
+            .where(
+                bloom_might_contain(
+                    F.col("words"), F.col("gram"), m_bits=m_bits, k=k
+                )
+            )
+            .drop("words")
+        )
+        hits = (
+            screened.join(bg, "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        stats = _stats_tail(
+            batch_df, hits, n=n, min_overlap=min_overlap,
+            id_col=id_col, text_col=text_col,
+        )
+        prev = state["stats"]
+        merged = stats if prev is None else prev.unionByName(stats)
+        state["stats"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    def current() -> DataFrame:
+        got = state["stats"]
+        if got is None:
+            return spark.createDataFrame(
+                [], f"{id_col} long, n_grams int, n_hits long, "
+                "contaminated boolean, overlap_frac double",
+            )
+        return got
+
+    return q, current

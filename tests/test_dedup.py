@@ -253,7 +253,16 @@ def test_route_dedup_matrix():
     # of long copied passages, vs substring's remove-the-span)
     passage = route_dedup(10**9, 500, granularity="passage")
     assert passage.strategy == "winnow"
-    assert passage.params == {"k": 4, "window": 4, "min_shared": 2}
+    assert passage.params == {
+        "k": 4, "window": 4, "min_shared": 2, "bucket_cap": 126492,
+    }
+    # rule 6: every pair-emitting rung carries the emission cap
+    # bucket_cap = max(64, ceil(4*sqrt(n))) (VERDICT r6 ask #1)
+    assert route_dedup(10**6, 300, threshold=0.7).params["bucket_cap"] == 4000
+    assert route_dedup(10**6, 300, threshold=0.95).params["bucket_cap"] == 4000
+    assert route_dedup(100, 300, threshold=0.7).params["bucket_cap"] == 64  # floor
+    # the exact rung emits no pairs -> no cap in its params
+    assert "bucket_cap" not in route_dedup(10**6, 300, threshold=1.0).params
     with pt.raises(ValueError, match="granularity"):
         route_dedup(10**6, 50, granularity="sentence")
     # near-exact on long docs → simhash; short docs fall to minhash

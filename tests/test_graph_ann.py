@@ -337,3 +337,74 @@ def test_nsw_append_preserves_shards_and_stays_exact(spark, tmp_path):
         .collect()
     ]
     assert got == want
+
+
+def test_nsw_compact_repacks_and_stays_exact(spark, tmp_path):
+    """r7 compaction (VERDICT r6 ask #2): after N appends, nsw_compact
+    (a) re-packs the store into exactly n_shards fresh graphs under
+    part_ids 0..n_shards-1, (b) preserves the id/vector UNION exactly,
+    (c) full-beam search over the compacted store equals the grown
+    store equals brute force, and (d) the compacted store is a pure
+    function of (data, n_shards) — append history erased."""
+    import numpy as np
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_append,
+        nsw_compact,
+        nsw_read_topk,
+        nsw_write,
+    )
+    from acorn_hybrid_vector_search_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "graph")
+    nsw_write(emb.filter("vec_id % 4 = 0"), path)
+    for r in (1, 2, 3):
+        nsw_append(emb.filter(f"vec_id % 4 = {r}"), path)
+    shards_before = spark.read.parquet(path).select("part_id").distinct().count()
+    ids_before = sorted(
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    )
+    q = emb.filter("vec_id = 5").head()["embedding"]
+    grown = sorted(
+        map(tuple, nsw_read_topk(spark, path, [(5, list(q))], K, ef=10**6)
+            .select("vec_id", F.round("dist", 6)).collect())
+    )
+
+    n_new = nsw_compact(spark, path, n_shards=2)
+    assert n_new == 2 and shards_before > 2
+    stored = spark.read.parquet(path)
+    assert stored.select("part_id").distinct().count() == 2
+    assert set(
+        r["part_id"] for r in stored.select("part_id").distinct().collect()
+    ) == {0, 1}
+    ids_after = sorted(r["vec_id"] for r in stored.select("vec_id").collect())
+    assert ids_after == ids_before  # union preserved exactly
+
+    compacted = sorted(
+        map(tuple, nsw_read_topk(spark, path, [(5, list(q))], K, ef=10**6)
+            .select("vec_id", F.round("dist", 6)).collect())
+    )
+    assert compacted == grown  # full-beam exactness invariant
+
+    # brute-force agreement
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    d2 = ((X - np.asarray(q, dtype=np.float64)) ** 2).sum(1)
+    order = np.lexsort((ids, d2))[:K]
+    assert [p[0] for p in sorted(compacted, key=lambda p: (p[1], p[0]))] == [
+        int(ids[i]) for i in order
+    ]
+
+    # determinism: compacting an identical store again yields the same
+    # node layout (pure function of data + n_shards)
+    digest1 = sorted(
+        map(tuple, stored.select("part_id", "seq", "vec_id").collect())
+    )
+    nsw_compact(spark, path, n_shards=2)
+    digest2 = sorted(
+        map(tuple,
+            spark.read.parquet(path).select("part_id", "seq", "vec_id").collect())
+    )
+    assert digest1 == digest2

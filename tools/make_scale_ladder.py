@@ -175,16 +175,56 @@ def scale_documents_skew(df: DataFrame, reps: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Planted-template variant (r6 verdict ask #1): ``--template`` writes
+# x{R}tmpl/documents where 20% of docs (doc_id % 5 == 2) are
+# NEAR-identical-but-not-exact copies of one boilerplate template —
+# each ends in a doc-unique token, so fingerprints all DIFFER and the
+# exact rung cannot collapse the cluster. Every template doc lands in
+# the same LSH band buckets / winnow fingerprint buckets, so uncapped
+# pair emission from the cluster is C(0.2·n, 2) — quadratic by
+# construction. This is the regime the bucket_cap exists to bound.
+
+TEMPLATE_PAGE = " ".join(
+    f"plate{w} form{w} widget{w}" for w in
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar".split()
+)
+
+
+def scale_documents_template(df: DataFrame, reps: DataFrame) -> DataFrame:
+    base = scale_documents(df, reps)
+    is_tpl = F.col("doc_id") % 5 == 2
+    text = F.when(
+        is_tpl,
+        F.concat(F.lit(TEMPLATE_PAGE), F.lit(" variant"), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("text"))
+    return base.select(
+        "doc_id",
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length(text).alias("n_chars"),
+    )
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--skew"]
+    args = [a for a in sys.argv[1:] if a not in ("--skew", "--template")]
     skew = "--skew" in sys.argv[1:]
+    template = "--template" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    factors = [int(a) for a in args[1:]] or ([16] if skew else [4, 16, 48])
+    factors = [int(a) for a in args[1:]] or ([16] if (skew or template) else [4, 16, 48])
     spark = get_spark("make-scale-ladder")
     for factor in factors:
-        out_dir = os.path.join(LADDER, f"x{factor}{'skew' if skew else ''}")
+        suffix = "skew" if skew else ("tmpl" if template else "")
+        out_dir = os.path.join(LADDER, f"x{factor}{suffix}")
         reps = _replicas(spark, factor)
-        scalers = {"documents": scale_documents_skew} if skew else SCALERS
+        if skew:
+            scalers = {"documents": scale_documents_skew}
+        elif template:
+            scalers = {"documents": scale_documents_template}
+        else:
+            scalers = SCALERS
         for table, scaler in scalers.items():
             dest = os.path.join(out_dir, f"{table}.parquet")
             if os.path.exists(dest):
