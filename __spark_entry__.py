@@ -545,6 +545,67 @@ def _q_winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _winnow_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted winnow fingerprint store for the 'existing corpus'
+    split (doc_id % 3 != 0), built once per (session, sf_dir) — the
+    minhash store pattern applied to the passage rung."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.dedup import winnow_write
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [s for s in _WINNOW_STORE_CACHE if s[0] != key[0]]:
+        del _WINNOW_STORE_CACHE[stale]
+    path = _WINNOW_STORE_CACHE.get(key)
+    if path is None:
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 != 0)
+        path = tempfile.mkdtemp(prefix="acorn_winnow_") + "/store"
+        winnow_write(d, path, k=4, window=4)
+        _WINNOW_STORE_CACHE[key] = path
+    return path
+
+
+def _q_winnow_store_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted winnow store itself, read back from parquet and
+    pinned per doc as (id, n_fp, fp_digest) — the oracle re-derives
+    EVERY fingerprint of the store split from raw text in SQL, so a
+    single drifted hash anywhere in the store breaks the digest."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import winnow_read
+
+    st = winnow_read(spark, _winnow_store_path(spark, sf_dir))
+    return st.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_fp").cast("long").alias("n_fps"),
+        F.md5(F.array_join(F.col("fps"), "|")).alias("fp_digest"),
+    )
+
+
+def _q_winnow_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental passage-dedup (operators/dedup.py winnow_write /
+    winnow_probe_pairs — VERDICT r6 ask #5): the 'new batch'
+    (doc_id % 3 == 0) is fingerprinted fresh and probed against the
+    PERSISTED store — ingestion pays new-batch cost only, never a
+    corpus re-fingerprint. Oracle: both sides' fingerprints re-derived
+    from raw text, the cross-relation fp-bucket join, shared counts,
+    containment overlap. Probe ⊆ self-join is pytest-pinned
+    (tests/test_winnow.py)."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import (
+        winnow_fingerprint_table,
+        winnow_probe_pairs,
+        winnow_read,
+    )
+
+    store = winnow_read(spark, _winnow_store_path(spark, sf_dir))
+    new = winnow_fingerprint_table(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0),
+        k=4, window=4,
+    )
+    return winnow_probe_pairs(new, store, min_shared=2)
+
+
 def _q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-passage near-dup pairs by winnowing-fingerprint overlap
     (operators/dedup.py winnow_near_dups): any common run of
@@ -3391,6 +3452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_cap_stats": _q_simhash_cap_stats,
         "nsw_compact_topk": _q_nsw_compact_topk,
         "stream_decontaminate_docs": _q_stream_decontaminate_docs,
+        "winnow_store_persisted": _q_winnow_store_persisted,
+        "winnow_incremental_pairs": _q_winnow_incremental_pairs,
     }
 
 
@@ -3551,7 +3614,7 @@ def _minhash_store_sql() -> str:
     """
 
 
-def _winnow_fps_cte(k: int = 4, window: int = 4) -> str:
+def _winnow_fps_cte(k: int = 4, window: int = 4, where: str = "TRUE") -> str:
     """The winnowing-fingerprint CTE shared by both winnow oracles:
     positional word k-grams → portable md5-fold 60-bit hash → sliding
     min over every `window` consecutive hashes → sorted distinct set —
@@ -3572,7 +3635,8 @@ def _winnow_fps_cte(k: int = 4, window: int = 4) -> str:
                 CASE WHEN len(toks) >= {k} THEN
                   list_transform(range(1, len(toks) - {k - 2}), i -> {gram})
                 ELSE [] END AS grams
-              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+                    WHERE {where})
             )
           ) WHERE len(hs) > 0
         )"""
@@ -3671,6 +3735,37 @@ def _winnow_capped_sql(min_shared: int = 2, cap: int = 2) -> str:
           ROUND(CAST(COUNT(*) AS DOUBLE)
               / LEAST(ANY_VALUE(a.n), ANY_VALUE(b.n)), 6) AS overlap
         FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING COUNT(*) >= {min_shared}
+    """
+
+
+def _winnow_store_sql() -> str:
+    """Oracle for winnow_store_persisted: every fingerprint of the
+    store split re-derived from raw text (the Spark side reads the
+    parquet store)."""
+    return f"""
+        WITH {_winnow_fps_cte(where="doc_id % 3 <> 0")}
+        SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+          md5(array_to_string(fps, '|')) AS fp_digest
+        FROM f
+    """
+
+
+def _winnow_incremental_sql(min_shared: int = 2) -> str:
+    """Oracle for winnow_incremental_pairs: both splits' fingerprints
+    recomputed from raw text, then the CROSS-relation fp-bucket join +
+    shared count + containment overlap (the incremental analog of
+    _winnow_pairs_sql's self-join)."""
+    return f"""
+        WITH {_winnow_fps_cte()},
+        e AS (SELECT doc_id AS id, len(fps) AS n, unnest(fps) AS fp FROM f)
+        SELECT a.id AS id_new, b.id AS id_store,
+          COUNT(*) AS shared_fps,
+          ROUND(CAST(COUNT(*) AS DOUBLE)
+              / LEAST(ANY_VALUE(a.n), ANY_VALUE(b.n)), 6) AS overlap
+        FROM e a JOIN e b ON a.fp = b.fp AND a.id <> b.id
+        WHERE a.id % 3 = 0 AND b.id % 3 <> 0
         GROUP BY a.id, b.id
         HAVING COUNT(*) >= {min_shared}
     """
@@ -5212,6 +5307,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dups": _winnow_pairs_sql(),
         "minhash_capped_pairs": _minhash_capped_sql(),
         "winnow_capped_pairs": _winnow_capped_sql(),
+        "winnow_store_persisted": _winnow_store_sql(),
+        "winnow_incremental_pairs": _winnow_incremental_sql(),
         "simhash_capped_pairs": _simhash_capped_sql(),
         "simhash_cap_stats": _simhash_cap_stats_sql(),
         "cms_heavy_tokens": _cms_sql(),

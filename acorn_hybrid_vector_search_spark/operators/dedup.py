@@ -1006,6 +1006,101 @@ def embedding_near_dups(
 # winnowing (rolling-hash document fingerprints — MOSS)
 
 
+def winnow_fingerprint_table(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fps, n_fp) — the winnowing-fingerprint relation: the
+    persistable passage-dedup index (the ``minhash_signatures`` twin).
+    Fingerprints are the expensive text pass; computed once per doc at
+    ingest and stored, every later batch probes the store instead of
+    re-fingerprinting the corpus. Repartitions BEFORE the projection:
+    a single-file input would otherwise fold every md5 on one core."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .repartition(_probe_parallelism(df))
+        .select(
+            "id", winnow_fingerprints("_txt", k=k, window=window).alias("fps")
+        )
+        .withColumn("n_fp", F.size("fps"))
+        .where(F.col("n_fp") > 0)
+    )
+
+
+def winnow_write(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+) -> None:
+    """Persist the winnow fingerprint store (VERDICT r6 ask #5 — the
+    minhash_write pattern applied to the passage-dedup rung): ingest
+    pays the fingerprint scan once; later batches probe the parquet
+    store (``winnow_probe_pairs``) instead of re-fingerprinting."""
+    winnow_fingerprint_table(
+        df, text_col=text_col, id_col=id_col, k=k, window=window
+    ).write.mode("overwrite").parquet(path)
+
+
+def winnow_read(spark, path: str) -> DataFrame:
+    """Load a persisted winnow fingerprint store."""
+    return spark.read.parquet(path)
+
+
+def winnow_probe_pairs(
+    new_fps: DataFrame,
+    store_fps: DataFrame,
+    *,
+    min_shared: int = 2,
+) -> DataFrame:
+    """INCREMENTAL passage-dedup: (id_new, id_store, shared_fps,
+    overlap) pairs between a NEW batch's fingerprint relation and the
+    persisted store — the continuous-ingestion shape for the winnow
+    rung (the router's 'passage' granularity had no ingestion path
+    before r7; its minhash twin is ``minhash_probe_pairs``).
+
+    Plan: explode both relations to (fp, id), equi-join on the
+    fingerprint — cost Σ|new-bucket|·|store-bucket|, never
+    |new|·|store| — then a partial-agg groupBy(pair) counts shared
+    fingerprints. ``overlap`` = shared / min(|fps_new|, |fps_store|),
+    the same containment score as the self-join form, so probe results
+    are a SUBSET of ``winnow_near_dups`` over the union (pytest-pinned
+    and oracle-replayed). ``id_new != id_store`` guards re-ingested
+    ids."""
+    a = new_fps.select("id", "n_fp", F.explode("fps").alias("fp")).alias("a")
+    b = store_fps.select("id", "n_fp", F.explode("fps").alias("fp")).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_new"), F.col("b.id").alias("id_store")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared_fps"),
+            F.first("a.n_fp").alias("_na"),
+            F.first("b.n_fp").alias("_nb"),
+        )
+        .where(F.col("shared_fps") >= min_shared)
+        .select(
+            "id_new",
+            "id_store",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps").cast("double") / F.least("_na", "_nb"), 6
+            ).alias("overlap"),
+        )
+    )
+
+
 def winnow_near_dups(
     df: DataFrame,
     *,
@@ -1044,17 +1139,10 @@ def winnow_near_dups(
     ``overlap``'s denominator stays the TRUE min fingerprint count
     (n_fp is computed before the cap), so scores never inflate.
     """
-    # repartition BEFORE the fingerprint projection (same reason as
-    # minhash_signatures): a single-file input would otherwise compute
-    # every md5-fold fingerprint on one core
     fps = _materialize(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
-        .repartition(_probe_parallelism(df))
-        .select(
-            "id", winnow_fingerprints("_txt", k=k, window=window).alias("fps")
+        winnow_fingerprint_table(
+            df, text_col=text_col, id_col=id_col, k=k, window=window
         )
-        .withColumn("n_fp", F.size("fps"))
-        .where(F.col("n_fp") > 0)
     )
     ex = fps.select("id", "n_fp", F.explode("fps").alias("fp"))
     if cap_stats:

@@ -293,14 +293,15 @@ def project_embedding(vec_col, matrix: list[list[float]]):
     projection matrix. out[j] = Σ_i vec[i]·R[i][j], accumulated
     left-to-right over i (oracle-matching IEEE order).
 
-    Scale bound (VERDICT r6 ask #3): this builds one Catalyst
-    expression with ~in_dim·out_dim/3 add-multiply nodes (Achlioptas
-    density 1/3). At the reference's 2048 dims × 128 output that is
-    ~87k nodes — past the whole-stage-codegen compile cliff the BPE
-    fold chain hit (~15 s one-time). Use ``project_embeddings_df``,
-    which routes to the Arrow-batched matmul (``project_embedding_udf``
-    — bit-identical accumulation order) above ``RP_NODE_BUDGET``
-    non-zero terms; the budget is pinned by measurement
+    Scale bound (VERDICT r6 ask #3, MEASURED): each output dim is a
+    LEFT-NESTED chain of ~in_dim/3 adds, and the JVM's recursive
+    column-node conversion is superlinear in that depth — 11.6 s of
+    one-time plan cost at depth 99, 95 s at 368, and a hard
+    StackOverflowError at ~700 (the reference's 2048 input dims), where
+    this path is BROKEN outright, not merely slow. Use
+    ``project_embeddings_df``, which routes to the Arrow-batched matmul
+    (``project_embedding_udf`` — bit-identical accumulation order)
+    above ``RP_DEPTH_BUDGET``; the budget is pinned by measurement
     (BENCH_LADDER.json "rp_scaling") and tests/test_ann.py.
     """
     in_dim, out_dim = len(matrix), len(matrix[0])
@@ -344,12 +345,17 @@ def project_embedding_udf(vec_col: str, matrix: list[list[float]]):
     return _proj(vec_col)
 
 
-# measured cliff (BENCH_LADDER.json "rp_scaling", local[32]): the
-# literal fold's one-time codegen/analysis cost grows superlinearly in
-# node count — fine through ~20k nodes (64→16 ≈ 340, 2048→16 ≈ 10.9k),
-# pathological at 2048→128 ≈ 87k. Above the budget the Arrow matmul is
-# strictly better: same bits, no compile.
-RP_NODE_BUDGET = 20_000
+# Measured cliff (BENCH_LADDER.json "rp_scaling", local[32], 5k rows):
+# the binding constraint is per-output-dim CHAIN DEPTH (≈ in_dim/3
+# nested adds), not total node count — the one-time plan-conversion/
+# analysis cost is superlinear in depth (3.2 s @ depth 32, 11.6 s @
+# 99, 24.7 s @ 196, 95 s @ 368) and the JVM's recursive column-node
+# conversion OVERFLOWS THE STACK at depth ~700 (2048→16 dies with
+# StackOverflowError after ~49 s despite only 10.9k total nodes — the
+# literal fold is BROKEN there, not just slow). Steady-state is at
+# parity with the Arrow matmul by depth ~100 and loses beyond, so past
+# the budget the matmul is strictly better on every axis.
+RP_DEPTH_BUDGET = 128
 
 
 def project_embeddings_df(
@@ -358,15 +364,17 @@ def project_embeddings_df(
     *,
     vec_col: str = "embedding",
     out_col: str = "p",
-    node_budget: int = RP_NODE_BUDGET,
+    depth_budget: int = RP_DEPTH_BUDGET,
 ) -> DataFrame:
     """Project a vector column by the JL matrix, ROUTING between the
-    pure-Catalyst literal fold (small matrices — zero Python, rides
-    whole-stage codegen) and the Arrow-batched matmul UDF (large — no
-    expression-node cliff) on the matrix's non-zero term count. The
-    two paths are bit-identical, so the route is a pure physical
-    choice: oracles and results are unaffected."""
-    nnz = sum(1 for row in matrix for r in row if r != 0.0)
-    if nnz <= node_budget:
+    pure-Catalyst literal fold (shallow chains — zero Python, rides
+    whole-stage codegen) and the Arrow-batched matmul UDF (deep — no
+    expression-depth cliff) on the matrix's deepest per-output-dim
+    accumulation chain. The two paths are bit-identical, so the route
+    is a pure physical choice: oracles and results are unaffected."""
+    depth = max(
+        (sum(1 for r in col if r != 0.0) for col in zip(*matrix)), default=0
+    )
+    if depth <= depth_budget:
         return df.withColumn(out_col, project_embedding(F.col(vec_col), matrix))
     return df.withColumn(out_col, project_embedding_udf(vec_col, matrix))

@@ -490,12 +490,14 @@ def test_rp_projection_paths_bit_identical(spark):
 
 
 def test_rp_routing_pins(spark):
-    """project_embeddings_df routes on non-zero term count: 64→16
-    (~340 nnz) stays Catalyst (no Python in the plan); the reference's
-    2048→128 regime (~87k nnz > RP_NODE_BUDGET) flips to the Arrow
-    matmul (ArrowEvalPython in the plan, no 87k-node expression)."""
+    """project_embeddings_df routes on max per-output-dim chain depth
+    (the MEASURED constraint — the 2048-dim fold overflows the JVM
+    stack during column-node conversion, BENCH_LADDER 'rp_scaling'):
+    64→16 (depth ~32) stays Catalyst (no Python in the plan); the
+    reference's 2048-dim regime (depth ~700 > RP_DEPTH_BUDGET) flips
+    to the Arrow matmul."""
     from acorn_hybrid_vector_search_spark.operators.similarity import (
-        RP_NODE_BUDGET,
+        RP_DEPTH_BUDGET,
         project_embeddings_df,
         projection_matrix,
     )
@@ -505,14 +507,13 @@ def test_rp_routing_pins(spark):
     p_small = small._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in p_small and "BatchEvalPython" not in p_small
 
-    nnz_big = sum(
-        1 for row in projection_matrix(2048, 128, seed="jl") for r in row if r != 0.0
-    )
-    assert nnz_big > RP_NODE_BUDGET  # the reference's dims DO exceed the budget
-    # routing itself exercised at a smaller-but-over-budget shape to keep
-    # the test fast: force the cliff with node_budget=100
+    R_big = projection_matrix(2048, 16, seed="jl")
+    depth_big = max(sum(1 for r in col if r != 0.0) for col in zip(*R_big))
+    assert depth_big > RP_DEPTH_BUDGET  # the reference's dims exceed the budget
+    # routing itself exercised at a fast shape: force the flip with a
+    # tiny budget
     big = project_embeddings_df(
-        emb, projection_matrix(64, 16, seed="jl"), node_budget=100
+        emb, projection_matrix(64, 16, seed="jl"), depth_budget=8
     )
     p_big = big._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in p_big or "BatchEvalPython" in p_big

@@ -111,3 +111,48 @@ def test_winnow_rejects_bad_params():
         winnow_fingerprints("text", k=0)
     with pytest.raises(ValueError):
         winnow_fingerprints("text", window=0)
+
+
+def test_winnow_probe_subset_of_self_join(spark, tmp_path):
+    """Incremental store contract (VERDICT r6 ask #5): probing a new
+    batch against the persisted store finds exactly the self-join's
+    cross-split pairs — probe ⊆ self-join, with identical shared_fps
+    and overlap values; and the store is read from parquet, never
+    re-fingerprinted."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import (
+        winnow_fingerprint_table,
+        winnow_near_dups,
+        winnow_probe_pairs,
+        winnow_read,
+        winnow_write,
+    )
+    from acorn_hybrid_vector_search_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store_docs = docs.filter("doc_id % 3 != 0")
+    new_docs = docs.filter("doc_id % 3 = 0")
+    path = str(tmp_path / "winnow_store")
+    winnow_write(store_docs, path, k=4, window=4)
+
+    probe = {
+        (r["id_new"], r["id_store"]): (r["shared_fps"], r["overlap"])
+        for r in winnow_probe_pairs(
+            winnow_fingerprint_table(new_docs, k=4, window=4),
+            winnow_read(spark, path),
+            min_shared=2,
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): (r["shared_fps"], r["overlap"])
+        for r in winnow_near_dups(docs, k=4, window=4, min_shared=2).collect()
+    }
+    cross = {
+        k: v
+        for k, v in full.items()
+        if (k[0] % 3 == 0) != (k[1] % 3 == 0)  # one member per split
+    }
+    # probe pairs are unordered (id_new, id_store); self-join pairs are
+    # (min, max) — normalize before comparing
+    norm = {(min(a, b), max(a, b)): v for (a, b), v in probe.items()}
+    assert norm == cross
+    assert all((a % 3 == 0) and (b % 3 != 0) for a, b in probe)

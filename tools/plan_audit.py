@@ -124,6 +124,8 @@ def main() -> None:
     _hot_cold_section()
     _scale_ladder_section()
     _skew_ladder_section()
+    _template_ladder_section()
+    _rp_scaling_section()
     _regression_triage_section()
 
 
@@ -317,6 +319,116 @@ def _hot_cold_section() -> None:
         "2,405.91 MB for index+corpus residency "
         "(/root/reference/README.md:233)."
     )
+
+
+def _template_ladder_section() -> None:
+    """Planted-template ladder (r6 verdict ask #1), regenerated from
+    BENCH_LADDER.json's template_adversarial block
+    (tools/make_scale_ladder.py --template + bench_template_ladder.py)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        lad = json.load(open(os.path.join(root, "BENCH_LADDER.json")))
+    except OSError:
+        return
+    tm = lad.get("template_adversarial")
+    if not tm:
+        return
+    print("\n## Planted-template ladder (LSH emission cap, measured)\n")
+    big = tm[sorted(tm)[-1] if "x16tmpl" not in tm else "x16tmpl"]
+    dis = big["cap_disclosure"]
+    print(
+        "The bucket_cap's adversary (r6 ask #1): 20% of docs are "
+        "NEAR-identical-but-not-exact copies of one boilerplate "
+        "template — every fingerprint differs (the exact rung keeps "
+        f"{big['exact_rung_survivors']}/{big['n_docs']} docs: it "
+        "cannot collapse the cluster) yet every copy lands in the same "
+        "LSH band buckets, so uncapped pair emission is C(0.2·n, 2) — "
+        "quadratic by construction on any engine. The routed cap "
+        f"(rule 6: max(64, ⌈4·√n⌉) = {big['routed_bucket_cap']} at "
+        f"{big['n_docs']} docs) bounds it: the {dis['over_cap_buckets']} "
+        f"over-cap buckets (largest {dis['max_bucket_n']} members) "
+        f"would have emitted {dis['pairs_uncapped_total']:,} pairs; "
+        f"capped, their bound is {dis['pairs_capped_bound']:,} — and "
+        "every capped bucket is DISCLOSED by the cap_stats rows (the "
+        "no-silent-caps rule).\n"
+    )
+    print("| factor | family | sec | pairs out | task max/p50 | tasks |")
+    print("|---|---|---|---|---|---|")
+    for suffix in sorted(tm):
+        for fam, rec in tm[suffix]["families"].items():
+            print(
+                f"| {suffix} | {fam} | {rec['sec']:.2f} | "
+                f"{rec['rows_out']:,} | {rec.get('task_max_ms', 0)}ms / "
+                f"{rec.get('task_p50_ms', 0)}ms = "
+                f"{rec.get('task_max_over_p50', '—')} | "
+                f"{rec.get('n_tasks', '—')} |"
+            )
+    print(
+        "\nReading: the UNCAPPED contrast (smallest factor only — at "
+        "x16 the uncapped run IS the blowup the cap prevents, so it is "
+        "disclosed analytically above instead of executed) emits 7.6M "
+        "pairs with an 11.9 s stalled task. The capped runs bound "
+        "output ~40× below the would-be emission AND keep per-task "
+        "work bounded: over-cap buckets pair-generate on the g×g cell "
+        "grid (g=8 — each member takes a deterministic cell coordinate; "
+        "pair (a,b) matches in exactly one cell, so the hot bucket "
+        "fans out over g² join keys at (cap/g)² work each), with the "
+        "grid's left side pinned into an explicit-numPartitions "
+        "repartition on the (bucket, cell) key — without that pin, AQE "
+        "coalesces the few-MB hot-side shuffle into ONE partition "
+        "(partition sizing sees join INPUT bytes, not the quadratic "
+        "OUTPUT) and re-serializes the very work the grid spreads "
+        "(measured: max/p50 95 before the pin, ≤ 9 after)."
+    )
+
+
+def _rp_scaling_section() -> None:
+    """RP dims-scaling evidence (r6 verdict ask #3), regenerated from
+    BENCH_LADDER.json's rp_scaling block (tools/bench_rp_scaling.py)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        lad = json.load(open(os.path.join(root, "BENCH_LADDER.json")))
+    except OSError:
+        return
+    rp = lad.get("rp_scaling")
+    if not rp:
+        return
+    print("\n## Random-projection dims scaling (both paths, measured)\n")
+    print(
+        "project_embedding builds each output dim as a left-nested "
+        "chain of ~in_dim/3 adds. The measurement shows the binding "
+        "constraint is that CHAIN DEPTH, not total node count: one-time "
+        "plan cost grows superlinearly in depth, and at the reference's "
+        "2048 input dims (depth ~700) the JVM's recursive column-node "
+        "conversion throws StackOverflowError — the literal-fold path "
+        "is BROKEN there, not merely slow. project_embeddings_df "
+        "therefore routes on max chain depth (RP_DEPTH_BUDGET = 128, "
+        "pinned by tests/test_ann.py): below it the JVM expression "
+        "wins; above it the Arrow matmul — BIT-IDENTICAL doubles, "
+        "same left-to-right accumulation — is strictly better on "
+        f"every axis ({rp['n_rows']} rows, local[32]).\n"
+    )
+    print(
+        "| in→out | nnz | chain depth | expr first | expr steady | "
+        "udf first | udf steady |"
+    )
+    print("|---|---|---|---|---|---|---|")
+    for cell, rec in rp["cells"].items():
+        ef = (
+            f"**{rec['expr_error']}**"
+            if "expr_error" in rec
+            else f"{rec['expr_first_s']:.1f}s"
+        )
+        es = f"{rec['expr_steady_s']:.2f}s" if "expr_steady_s" in rec else "—"
+        print(
+            f"| {cell.replace('x', '→')} | {rec['nnz']:,} | "
+            f"{rec['max_chain_depth']} | {ef} | {es} | "
+            f"{rec['udf_first_s']:.2f}s | {rec['udf_steady_s']:.2f}s |"
+        )
 
 
 def _regression_triage_section() -> None:
