@@ -606,6 +606,49 @@ def _q_winnow_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_probe_pairs(new, store, min_shared=2)
 
 
+def _q_winnow_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped incremental probe (r7): winnow_probe_pairs with
+    bucket_cap=2 — per-SIDE per-fingerprint membership capped with the
+    same portable draw as the self-join form, buckets hot on either
+    side routed through the grid. The oracle replays both sides' caps
+    (rank partitioned by (fp, split)) and the cross join — proving the
+    LAST emission surface in the dedup stack (the incremental probe)
+    carries the same bound as the self-joins."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import (
+        winnow_fingerprint_table,
+        winnow_probe_pairs,
+        winnow_read,
+    )
+
+    store = winnow_read(spark, _winnow_store_path(spark, sf_dir))
+    new = winnow_fingerprint_table(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0),
+        k=4, window=4,
+    )
+    return winnow_probe_pairs(new, store, min_shared=2, bucket_cap=2)
+
+
+def _q_minhash_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_probe_pairs with bucket_cap=2: the banded cross-relation
+    probe under the per-side emission cap (oracle replays per-side
+    kept-membership and first-agreeing-band emission among kept
+    members)."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import (
+        minhash_probe_pairs,
+        minhash_read,
+        minhash_signatures,
+    )
+
+    store = minhash_read(spark, _minhash_store_path(spark, sf_dir))
+    new = minhash_signatures(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0),
+        num_hashes=16,
+    )
+    return minhash_probe_pairs(
+        new, store, bands=8, verify_threshold=0.5, bucket_cap=2
+    )
+
+
 def _q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-passage near-dup pairs by winnowing-fingerprint overlap
     (operators/dedup.py winnow_near_dups): any common run of
@@ -3332,8 +3375,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": _q_domain_caps,
         "rp_ann_topk": _q_rp_ann_topk,
         "bpe_state_persisted": _q_bpe_state_persisted,
-        "minhash_incremental_pairs": _q_minhash_incremental_pairs,
-        "nsw_incremental_topk": _q_nsw_incremental_topk,
+        # ==== round-7 rotation (the established policy: the CURRENT
+        # round's flagships earn driver-committed evidence before the
+        # round closes; every swap is same-family so each family keeps
+        # >=1 window row; displaced rows stay oracle-gated at 51+ via
+        # selfcheck).  Swaps:
+        # minhash_incremental_pairs -> winnow_incremental_pairs (the
+        #   incremental-store family keeps a window row — the winnow
+        #   twin is this round's new ingestion path; minhash probe to
+        #   51+ with its store row);
+        # nsw_incremental_topk -> nsw_compact_topk (the compact query
+        #   BUILDS the store through write + 3 appends before
+        #   compacting, so append machinery still executes in-window;
+        #   X1/X2 keep nsw_persisted_topk);
+        # winnow_near_dups -> winnow_capped_pairs and
+        # minhash_near_dups -> minhash_capped_pairs (the capped
+        #   variants run the full signature/fingerprint + banding
+        #   machinery PLUS the r7 emission cap, binding at sf0.01 —
+        #   strictly more plan surface; uncapped forms to 51+);
+        # embedding_near_dups -> simhash_capped_pairs and
+        # dedup_exact_groups -> simhash_cap_stats (near-dup keeps
+        #   minhash/winnow/simhash/components/routed rows and the
+        #   exact rung keeps dedup_survivors, whose plan contains the
+        #   exact_dedup_groups aggregate; the stats row is the r7
+        #   no-silent-caps disclosure surface);
+        # decontaminate_docs -> stream_decontaminate_docs (decontam
+        #   keeps the sharded-bloom row + gains the ingestion-gate
+        #   stream row; the broadcast-exact rung to 51+). ====
+        "winnow_incremental_pairs": _q_winnow_incremental_pairs,
+        "nsw_compact_topk": _q_nsw_compact_topk,
         # ==== round-6c micro-rotation: the late-round flagships — all
         # SAME-FAMILY swaps, so every family keeps its window row:
         # decontaminate_docs_bloom → decontaminate_docs_bloom_sharded
@@ -3345,19 +3415,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cms_heavy_tokens (sketches keeps a window row — and the CMS
         # one is the FULLY-replayed sketch; HLL/GK stay at 51+). ====
         "decontaminate_docs_bloom_sharded": _q_decontaminate_docs_bloom_sharded,
-        "winnow_near_dups": _q_winnow_near_dups,
+        "winnow_capped_pairs": _q_winnow_capped_pairs,
         "cms_heavy_tokens": _q_cms_heavy_tokens,
         # -- relational core --
         "agg_lineitem_pricing": _q_agg_lineitem,
         "join_revenue_by_nation": _q_join_topk,
         "antijoin_customers": _q_antijoin_customers,
         "incremental_rollup_events": _q_incremental_rollup,
-        # -- dedup family --
-        "dedup_exact_groups": _q_dedup_exact,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "minhash_near_dups": _q_minhash_near_dups,
+        # -- dedup family (r7: capped/stream variants in-window) --
+        "simhash_cap_stats": _q_simhash_cap_stats,
+        "simhash_capped_pairs": _q_simhash_capped_pairs,
+        "minhash_capped_pairs": _q_minhash_capped_pairs,
         "near_dup_components": _q_near_dup_components,
-        "decontaminate_docs": _q_decontaminate_docs,
+        "stream_decontaminate_docs": _q_stream_decontaminate_docs,
         # -- text analysis --
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
@@ -3444,16 +3514,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_user_funnel_setops": _q_sql_user_funnel_setops,
         "minhash_store_persisted": _q_minhash_store_persisted,
         "winnow_fingerprint_docs": _q_winnow_fingerprint_docs,
-        # ==== round-7 surface (VERDICT r6 asks; appended past the window,
-        # promoted by the r7 rotation below once driver-green) ====
-        "minhash_capped_pairs": _q_minhash_capped_pairs,
-        "winnow_capped_pairs": _q_winnow_capped_pairs,
-        "simhash_capped_pairs": _q_simhash_capped_pairs,
-        "simhash_cap_stats": _q_simhash_cap_stats,
-        "nsw_compact_topk": _q_nsw_compact_topk,
-        "stream_decontaminate_docs": _q_stream_decontaminate_docs,
+        # ==== round-7 support rows + rows displaced by the r7 rotation
+        # (all oracle-gated here via selfcheck) ====
         "winnow_store_persisted": _q_winnow_store_persisted,
-        "winnow_incremental_pairs": _q_winnow_incremental_pairs,
+        "minhash_incremental_pairs": _q_minhash_incremental_pairs,
+        "nsw_incremental_topk": _q_nsw_incremental_topk,
+        "winnow_near_dups": _q_winnow_near_dups,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "dedup_exact_groups": _q_dedup_exact,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "decontaminate_docs": _q_decontaminate_docs,
+        "winnow_incremental_capped": _q_winnow_incremental_capped,
+        "minhash_incremental_capped": _q_minhash_incremental_capped,
     }
 
 
@@ -3768,6 +3840,79 @@ def _winnow_incremental_sql(min_shared: int = 2) -> str:
         WHERE a.id % 3 = 0 AND b.id % 3 <> 0
         GROUP BY a.id, b.id
         HAVING COUNT(*) >= {min_shared}
+    """
+
+
+def _winnow_incremental_capped_sql(min_shared: int = 2, cap: int = 2) -> str:
+    """Oracle for winnow_incremental_capped: both splits' fingerprints
+    recomputed, each SIDE's per-fingerprint membership capped
+    independently (rank partitioned by (fp, split) over the same
+    'lshcap' draw), then the capped cross join."""
+    draw = _h64_sql("'lshcap:' || CAST(fp AS VARCHAR) || ':' || CAST(id AS VARCHAR)")
+    return f"""
+        WITH {_winnow_fps_cte()},
+        e AS (SELECT doc_id AS id, len(fps) AS n, unnest(fps) AS fp,
+                     doc_id % 3 = 0 AS is_new FROM f),
+        ranked AS (
+          SELECT *, COUNT(*) OVER (PARTITION BY fp, is_new) AS bn,
+            ROW_NUMBER() OVER (PARTITION BY fp, is_new ORDER BY {draw}, id) AS rk
+          FROM e
+        ),
+        kept AS (SELECT id, n, fp, is_new FROM ranked
+                 WHERE bn <= {cap} OR rk <= {cap})
+        SELECT a.id AS id_new, b.id AS id_store,
+          COUNT(*) AS shared_fps,
+          ROUND(CAST(COUNT(*) AS DOUBLE)
+              / LEAST(ANY_VALUE(a.n), ANY_VALUE(b.n)), 6) AS overlap
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.id <> b.id
+        WHERE a.is_new AND NOT b.is_new
+        GROUP BY a.id, b.id
+        HAVING COUNT(*) >= {min_shared}
+    """
+
+
+def _minhash_incremental_capped_sql(
+    bands: int = 8, verify: float = 0.5, cap: int = 2
+) -> str:
+    """Oracle for minhash_incremental_capped: per-side capped banded
+    membership (rank partitioned by (band, key, split)) + the cross
+    probe with first-agreeing-band emission among KEPT members +
+    Jaccard verification."""
+    rpb = 16 // bands
+    jac = (
+        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6)"
+    )
+    draw = _h64_sql(
+        "'lshcap:' || CAST(bi AS VARCHAR) || ':' || bk || ':' || CAST(id AS VARCHAR)"
+    )
+    return f"""
+        WITH {_minhash_sigs_cte()},
+        banded AS (
+          SELECT id, sh, n, sig, id % 3 = 0 AS is_new, bi,
+            array_to_string(list_transform(
+              list_slice(sig, {rpb}*bi+1, {rpb}*bi+{rpb}),
+              x -> CAST(x AS VARCHAR)), '|') AS bk
+          FROM sigs CROSS JOIN (SELECT unnest(range(0, {bands})) AS bi)
+        ),
+        ranked AS (
+          SELECT *, COUNT(*) OVER (PARTITION BY bi, bk, is_new) AS bn,
+            ROW_NUMBER() OVER (PARTITION BY bi, bk, is_new
+                               ORDER BY {draw}, id) AS rk
+          FROM banded
+        ),
+        kept AS (SELECT * FROM ranked WHERE bn <= {cap} OR rk <= {cap})
+        SELECT a.id AS id_new, b.id AS id_store,
+          ROUND(CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
+              AS DOUBLE) / 16, 6) AS sig_agreement,
+          {jac} AS jaccard
+        FROM kept a JOIN kept b
+          ON a.bi = b.bi AND a.bk = b.bk AND a.id <> b.id
+        WHERE a.is_new AND NOT b.is_new
+          AND len(list_filter(range(0, a.bi), j ->
+              list_slice(a.sig, {rpb}*j+1, {rpb}*j+{rpb})
+                = list_slice(b.sig, {rpb}*j+1, {rpb}*j+{rpb}))) = 0
+          AND {jac} >= {verify}
     """
 
 
@@ -5309,6 +5454,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_capped_pairs": _winnow_capped_sql(),
         "winnow_store_persisted": _winnow_store_sql(),
         "winnow_incremental_pairs": _winnow_incremental_sql(),
+        "winnow_incremental_capped": _winnow_incremental_capped_sql(),
+        "minhash_incremental_capped": _minhash_incremental_capped_sql(),
         "simhash_capped_pairs": _simhash_capped_sql(),
         "simhash_cap_stats": _simhash_cap_stats_sql(),
         "cms_heavy_tokens": _cms_sql(),

@@ -235,6 +235,35 @@ def _grid_side(
     return out
 
 
+def _joint_hot_split(
+    flagged_a: DataFrame, flagged_b: DataFrame, bucket_cols: list[str]
+):
+    """Split BOTH sides of a capped cross-relation join by JOINT bucket
+    hotness: a bucket is hot iff it was over cap on EITHER side (per-
+    side flags alone would route a cold-new × hot-store bucket into
+    neither the plain nor the grid join and silently drop its pairs).
+    The hot-key set is one row per over-cap bucket — bounded by
+    construction, broadcast into map-side semi/anti joins. Returns
+    (a_cold, a_hot, b_cold, b_hot); plain-join the colds, grid-join the
+    hots — disjoint and complete."""
+    hot_keys = (
+        flagged_a.where(F.col("_hot"))
+        .select(*bucket_cols)
+        .unionByName(flagged_b.where(F.col("_hot")).select(*bucket_cols))
+        .distinct()
+    )
+
+    def split(flagged: DataFrame):
+        kept = flagged.drop("_hot")
+        cold = kept.join(F.broadcast(hot_keys), bucket_cols, "left_anti")
+        hot = kept.join(F.broadcast(hot_keys), bucket_cols, "left_semi")
+        return cold, hot
+
+    a_cold, a_hot = split(flagged_a)
+    b_cold, b_hot = split(flagged_b)
+    return a_cold, a_hot, b_cold, b_hot
+
+
 def _bucket_cap_stats(
     banded: DataFrame, bucket_cols: list[str], cap: int
 ) -> DataFrame:
@@ -630,6 +659,7 @@ def minhash_probe_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     verify_threshold: float | None = 0.7,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection: pairs between a NEW batch's
     signatures and the persisted store — the continuous-ingestion shape
@@ -642,7 +672,16 @@ def minhash_probe_pairs(
     first-agreeing-band emission (no dropDuplicates shuffle) and the
     same size-band prune + exact shingle-Jaccard verification as the
     self-join form. The store side never re-derives anything from text.
-    Returns (id_new, id_store, sig_agreement[, jaccard])."""
+    Returns (id_new, id_store, sig_agreement[, jaccard]).
+
+    ``bucket_cap`` (r7): the probe has the same Σ|bucket|² emission
+    shape as the self-join — a boilerplate template present in BOTH the
+    store and every new crawl makes one bucket's cross-product
+    quadratic per snapshot — so each SIDE's bucket membership is capped
+    independently with the same deterministic draw as
+    ``minhash_near_dups`` (per-pair output ≤ cap², hot buckets on the
+    g×g grid, same recall trade, same no-silent-caps stats available
+    via the self-join's ``cap_stats``)."""
     rows_per_band = num_hashes // bands
 
     def banded(rel: DataFrame) -> DataFrame:
@@ -662,8 +701,20 @@ def minhash_probe_pairs(
             "id", "sh", "n", "sig", F.posexplode(band_keys).alias("bi", "band_key")
         )
 
-    a = banded(new_sigs).alias("a")
-    b = banded(store_sigs).alias("b")
+    ban_new, ban_store = banded(new_sigs), banded(store_sigs)
+    hot_new = hot_store = None
+    if bucket_cap is not None:
+        fn = _cap_bucket_members(
+            ban_new, ["bi", "band_key"], bucket_cap, flag_col="_hot"
+        )
+        fs = _cap_bucket_members(
+            ban_store, ["bi", "band_key"], bucket_cap, flag_col="_hot"
+        )
+        ban_new, hot_new, ban_store, hot_store = _joint_hot_split(
+            fn, fs, ["bi", "band_key"]
+        )
+    a = ban_new.alias("a")
+    b = ban_store.alias("b")
 
     def band_eq(j: int) -> Column:
         eq = F.lit(True)
@@ -708,12 +759,23 @@ def minhash_probe_pairs(
             lambda v: v == 1,
         )
     )
-    return a.join(b, cond).select(
+    out = [
         F.col("a.id").alias("id_new"),
         F.col("b.id").alias("id_store"),
         F.round(agree.cast("double") / num_hashes, 6).alias("sig_agreement"),
         *verify_cols,
-    )
+    ]
+    pairs = a.join(b, cond).select(*out)
+    if hot_new is not None:
+        ha = _grid_side(hot_new, "a", ["bi", "band_key"]).alias("a")
+        hb = _grid_side(hot_store, "b", ["bi", "band_key"]).alias("b")
+        grid_cond = (
+            cond
+            & (F.col("a._ca") == F.col("b._ca"))
+            & (F.col("a._cb") == F.col("b._cb"))
+        )
+        pairs = pairs.unionByName(ha.join(hb, grid_cond).select(*out))
+    return pairs
 
 
 def minhash_near_dups(
@@ -1059,6 +1121,7 @@ def winnow_probe_pairs(
     store_fps: DataFrame,
     *,
     min_shared: int = 2,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL passage-dedup: (id_new, id_store, shared_fps,
     overlap) pairs between a NEW batch's fingerprint relation and the
@@ -1073,21 +1136,45 @@ def winnow_probe_pairs(
     the same containment score as the self-join form, so probe results
     are a SUBSET of ``winnow_near_dups`` over the union (pytest-pinned
     and oracle-replayed). ``id_new != id_store`` guards re-ingested
-    ids."""
-    a = new_fps.select("id", "n_fp", F.explode("fps").alias("fp")).alias("a")
-    b = store_fps.select("id", "n_fp", F.explode("fps").alias("fp")).alias("b")
+    ids.
+
+    ``bucket_cap`` (r7): same cross-relation emission bound as
+    ``minhash_probe_pairs`` — each side's per-fingerprint membership is
+    capped independently (same draw as the self-join), buckets hot on
+    EITHER side route through the g×g grid; ``shared_fps`` counts only
+    fingerprints where both members were kept (disclosed undercount
+    near the cap), the overlap denominator stays pre-cap."""
+    ex_new = new_fps.select("id", "n_fp", F.explode("fps").alias("fp"))
+    ex_store = store_fps.select("id", "n_fp", F.explode("fps").alias("fp"))
+    hot_new = hot_store = None
+    if bucket_cap is not None:
+        fn = _cap_bucket_members(ex_new, ["fp"], bucket_cap, flag_col="_hot")
+        fs = _cap_bucket_members(ex_store, ["fp"], bucket_cap, flag_col="_hot")
+        ex_new, hot_new, ex_store, hot_store = _joint_hot_split(fn, fs, ["fp"])
+    a, b = ex_new.alias("a"), ex_store.alias("b")
+    cond = (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") != F.col("b.id"))
+    out = [
+        F.col("a.id").alias("id_new"),
+        F.col("b.id").alias("id_store"),
+        F.col("a.n_fp").alias("_na"),
+        F.col("b.n_fp").alias("_nb"),
+    ]
+    matched = a.join(b, cond).select(*out)
+    if hot_new is not None:
+        ha = _grid_side(hot_new, "a", ["fp"]).alias("a")
+        hb = _grid_side(hot_store, "b", ["fp"]).alias("b")
+        grid_cond = (
+            cond
+            & (F.col("a._ca") == F.col("b._ca"))
+            & (F.col("a._cb") == F.col("b._cb"))
+        )
+        matched = matched.unionByName(ha.join(hb, grid_cond).select(*out))
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") != F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_new"), F.col("b.id").alias("id_store")
-        )
+        matched.groupBy("id_new", "id_store")
         .agg(
             F.count(F.lit(1)).alias("shared_fps"),
-            F.first("a.n_fp").alias("_na"),
-            F.first("b.n_fp").alias("_nb"),
+            F.first("_na").alias("_na"),
+            F.first("_nb").alias("_nb"),
         )
         .where(F.col("shared_fps") >= min_shared)
         .select(

@@ -468,3 +468,39 @@ def test_bucket_cap_validation(template_docs):
         minhash_near_dups(template_docs, bucket_cap=1).count()
     with pytest.raises(ValueError, match="cap_stats=True requires bucket_cap"):
         minhash_near_dups(template_docs, cap_stats=True)
+
+
+def test_probe_caps_and_joint_hotness(spark, template_docs):
+    """The incremental probes carry the same emission cap as the
+    self-joins (r7): capped < uncapped, non-binding ≡ uncapped — and
+    the JOINT hotness routing is complete: a bucket over cap on the
+    STORE side only (new batch small) still emits its cross pairs (a
+    per-side-only split would silently drop them into neither join)."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import (
+        minhash_probe_pairs,
+        minhash_signatures,
+        winnow_fingerprint_table,
+        winnow_probe_pairs,
+    )
+
+    # new batch: only 4 template docs (every bucket under cap on the
+    # new side); store: 26 template docs (over cap at 8)
+    new = template_docs.filter("doc_id < 4")
+    store = template_docs.filter("doc_id >= 4")
+    ns, ss = minhash_signatures(new), minhash_signatures(store)
+    un = minhash_probe_pairs(ns, ss, bands=8, verify_threshold=0.5).count()
+    capped = minhash_probe_pairs(
+        ns, ss, bands=8, verify_threshold=0.5, bucket_cap=8
+    ).count()
+    assert un == 4 * 26  # every new template doc pairs with every stored one
+    assert 0 < capped < un  # store-side-hot buckets still emit (joint routing)
+    big = minhash_probe_pairs(ns, ss, bands=8, verify_threshold=0.5, bucket_cap=10**6)
+    unc = minhash_probe_pairs(ns, ss, bands=8, verify_threshold=0.5)
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, unc.collect()))
+
+    nf, sf2 = winnow_fingerprint_table(new), winnow_fingerprint_table(store)
+    w_un = winnow_probe_pairs(nf, sf2).count()
+    w_cap = winnow_probe_pairs(nf, sf2, bucket_cap=8).count()
+    assert w_un == 4 * 26 and 0 < w_cap < w_un
+    for r in winnow_probe_pairs(nf, sf2, bucket_cap=8).collect():
+        assert r["overlap"] <= 1.0  # pre-cap denominator never inflates
