@@ -14,6 +14,15 @@ A small LRU bounds the pinned set: repeated operator calls (bench loops,
 notebooks) would otherwise accumulate cache entries without limit and
 degrade the whole session. Evicting an entry a caller still holds only
 costs recompute on next use — never correctness.
+
+Entries are DEDUPED BY PLAN SEMANTICS (r7): a repeated operator call
+builds a fresh DataFrame with an identical logical plan, and the old
+behavior appended the twin and then LRU-evicted (unpersisted) the
+original — self-eviction that turned every repeat call into a full
+recompute + re-pin (the documented bench churn). ``semanticHash`` +
+``sameSemantics`` lookup returns the already-pinned frame instead,
+which is the materialize-once contract a real pipeline has: the
+intermediate table is written once, not once per downstream query.
 """
 
 from __future__ import annotations
@@ -23,17 +32,29 @@ from pyspark.sql import DataFrame
 
 __all__ = ["materialize"]
 
-_PINNED: list[DataFrame] = []
-_PINNED_MAX = 4
+# insertion-ordered: index 0 is the LRU victim
+_PINNED: list[tuple[int, DataFrame]] = []
+_PINNED_MAX = 8
 
 
 def materialize(df: DataFrame) -> DataFrame:
     """Persist + eagerly compute ``df`` (the eager count matters: lazy
     persistence lets consumer stages race and each compute the subtree
-    anyway). Returns the persisted frame."""
+    anyway). Returns the persisted frame — the ALREADY-PINNED one when
+    a semantically identical plan is pinned (LRU-refreshed, no
+    recompute)."""
+    try:
+        h = df.semanticHash()
+    except Exception:  # plan not hashable (e.g. unresolved) — pin fresh
+        h = None
+    if h is not None:
+        for i, (ph, pdf) in enumerate(_PINNED):
+            if ph == h and df.sameSemantics(pdf):
+                _PINNED.append(_PINNED.pop(i))  # LRU refresh
+                return pdf
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
-    _PINNED.append(df)
+    _PINNED.append((h, df))
     while len(_PINNED) > _PINNED_MAX:
-        _PINNED.pop(0).unpersist()
+        _PINNED.pop(0)[1].unpersist()
     return df

@@ -704,11 +704,11 @@ def minhash_probe_pairs(
     ban_new, ban_store = banded(new_sigs), banded(store_sigs)
     hot_new = hot_store = None
     if bucket_cap is not None:
-        fn = _cap_bucket_members(
-            ban_new, ["bi", "band_key"], bucket_cap, flag_col="_hot"
+        fn = _materialize(
+            _cap_bucket_members(ban_new, ["bi", "band_key"], bucket_cap, flag_col="_hot")
         )
-        fs = _cap_bucket_members(
-            ban_store, ["bi", "band_key"], bucket_cap, flag_col="_hot"
+        fs = _materialize(
+            _cap_bucket_members(ban_store, ["bi", "band_key"], bucket_cap, flag_col="_hot")
         )
         ban_new, hot_new, ban_store, hot_store = _joint_hot_split(
             fn, fs, ["bi", "band_key"]
@@ -846,8 +846,12 @@ def minhash_near_dups(
         return _bucket_cap_stats(banded, ["bi", "band_key"], bucket_cap)
     hot = None
     if bucket_cap is not None:
-        flagged = _cap_bucket_members(
-            banded, ["bi", "band_key"], bucket_cap, flag_col="_hot"
+        # materialized: the flagged relation feeds BOTH the cold and hot
+        # branches — without pinning, the whole cap pipeline (count
+        # join-back + salted window + bounded sort-agg + semi-join)
+        # recomputes per consumer (measured 2-4x the query cost)
+        flagged = _materialize(
+            _cap_bucket_members(banded, ["bi", "band_key"], bucket_cap, flag_col="_hot")
         )
         banded = flagged.where(~F.col("_hot")).drop("_hot")
         hot = flagged.where(F.col("_hot")).drop("_hot")
@@ -970,7 +974,9 @@ def simhash_near_dups(
         return _bucket_cap_stats(banded, ["ci", "ck"], bucket_cap)
     hot = None
     if bucket_cap is not None:
-        flagged = _cap_bucket_members(banded, ["ci", "ck"], bucket_cap, flag_col="_hot")
+        flagged = _materialize(
+            _cap_bucket_members(banded, ["ci", "ck"], bucket_cap, flag_col="_hot")
+        )
         banded = flagged.where(~F.col("_hot")).drop("_hot")
         hot = flagged.where(F.col("_hot")).drop("_hot")
     a, b = banded.alias("a"), banded.alias("b")
@@ -1148,8 +1154,12 @@ def winnow_probe_pairs(
     ex_store = store_fps.select("id", "n_fp", F.explode("fps").alias("fp"))
     hot_new = hot_store = None
     if bucket_cap is not None:
-        fn = _cap_bucket_members(ex_new, ["fp"], bucket_cap, flag_col="_hot")
-        fs = _cap_bucket_members(ex_store, ["fp"], bucket_cap, flag_col="_hot")
+        fn = _materialize(
+            _cap_bucket_members(ex_new, ["fp"], bucket_cap, flag_col="_hot")
+        )
+        fs = _materialize(
+            _cap_bucket_members(ex_store, ["fp"], bucket_cap, flag_col="_hot")
+        )
         ex_new, hot_new, ex_store, hot_store = _joint_hot_split(fn, fs, ["fp"])
     a, b = ex_new.alias("a"), ex_store.alias("b")
     cond = (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") != F.col("b.id"))
@@ -1238,7 +1248,9 @@ def winnow_near_dups(
         return _bucket_cap_stats(ex, ["fp"], bucket_cap)
     hot = None
     if bucket_cap is not None:
-        flagged = _cap_bucket_members(ex, ["fp"], bucket_cap, flag_col="_hot")
+        flagged = _materialize(
+            _cap_bucket_members(ex, ["fp"], bucket_cap, flag_col="_hot")
+        )
         ex = flagged.where(~F.col("_hot")).drop("_hot")
         hot = flagged.where(F.col("_hot")).drop("_hot")
     a, b = ex.alias("a"), ex.alias("b")

@@ -7,7 +7,8 @@ hash. Usage::
 
     python tools/selfcheck.py [sf_dir] [query_name ...]
 
-A full-battery run (no query_name filter) also writes ``SELFCHECK.json``
+A full-battery run (no query_name filter) at sf0.01 — the driver's sf —
+also writes ``SELFCHECK.json``
 to the repo root — per-query {rows_match, schema_match, hash_match,
 spark_rows, oracle_rows, err} in driver CORRECTNESS format — so the
 queries past the driver's 50-entry window have durable committed
@@ -141,7 +142,10 @@ def main() -> int:
                     print(f"     spark: {a}\n     duck : {b}")
                     break
 
-    if not only:
+    if not only and sf_dir.rstrip("/").endswith("sf0.01"):
+        # only the driver's sf writes the committed artifact — a full
+        # run at another scale (the cross-scale probe) must not
+        # overwrite the sf0.01 battery record
         out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "SELFCHECK.json")
         with open(out, "w") as f:
