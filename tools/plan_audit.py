@@ -92,6 +92,22 @@ AUDIT: dict[str, list[str]] = {
         "BroadcastExchange",
         "TakeOrderedAndProject",
     ],
+    # round 7: capped LSH emission — the cap pipeline is partial-agg
+    # bucket counts + Union of the under-cap bypass with the capped
+    # survivors (Window only on the composite salt key, pinned in
+    # tests/test_plan_shapes.py); the banded pair join stays an
+    # equi-Join
+    "minhash_capped_pairs": ["HashAggregate", "Union", "Join"],
+    "winnow_capped_pairs": ["HashAggregate", "Union", "Join"],
+    # round 7: the no-silent-caps disclosure is a pure partial aggregate
+    "simhash_cap_stats": ["HashAggregate"],
+    # round 7: compacted NSW store — same per-shard applyInPandas walk +
+    # bounded top-k as the other persisted-graph searches
+    "nsw_compact_topk": ["FlatMapGroupsInPandas", "WindowGroupLimit"],
+    # round 7: capped incremental winnow probe — fingerprint explode
+    # (Generate), per-side cap (Union bypass), cross-relation equi-join,
+    # partial-agg pair count
+    "winnow_incremental_pairs": ["Generate", "Join", "HashAggregate"],
 }
 
 
@@ -493,7 +509,19 @@ def _regression_triage_section() -> None:
         "documented on queries with unchanged plans, and the isolated "
         "median is committed each round precisely so the judge grades "
         "the honest number, not a battery artifact. Gate headroom at "
-        "the isolated number: 2× = 72.8 ms, margin ~15%.\n"
+        "the isolated number: 2× = 72.8 ms, margin ~15%.\n\n"
+        "Related r7 fix: the repeat-call materialize-LRU churn the "
+        "r5/r6 triages kept attributing tails to (each operator call "
+        "built a fresh DataFrame whose pin EVICTED its semantically "
+        "identical twin — every repeat was a full recompute + re-pin) "
+        "is closed at the cause: operators/_cache.py dedupes pinned "
+        "entries by semanticHash + sameSemantics, so a repeated call "
+        "returns the already-pinned relation — the materialize-once "
+        "contract a real pipeline has. Measured on the heaviest capped "
+        "queries: winnow_incremental_capped repeat-median 14.4 → 2.4 s, "
+        "minhash_incremental_capped 11.1 → 2.8 s, near_dup_components "
+        "repeat 2.5 → 1.2 s; hot battery total 108 → 70.6 s over the "
+        "identical 124-query set.\n"
     )
     print("\n## Regression triage (round 6: HEAD isolated medians for the two reworked dedup queries)\n")
     print(
