@@ -30,11 +30,24 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-__all__ = ["materialize"]
+__all__ = ["invalidate", "materialize"]
 
 # insertion-ordered: index 0 is the LRU victim
 _PINNED: list[tuple[int, DataFrame]] = []
 _PINNED_MAX = 8
+
+
+def invalidate() -> None:
+    """Unpersist every pinned relation. Store WRITERS (minhash_write,
+    winnow_write, nsw_write/append/compact, …) call this: semantic
+    dedup compares canonicalized plans, and two reads of the same
+    parquet root are semantically equal EVEN AFTER the files were
+    rewritten — without invalidation a probe after an in-session store
+    rewrite would be silently served the pre-rewrite snapshot (the
+    /code-review r7 stale-pin finding; pinned by
+    test_materialize_invalidated_on_store_rewrite)."""
+    while _PINNED:
+        _PINNED.pop()[1].unpersist()
 
 
 def materialize(df: DataFrame) -> DataFrame:

@@ -284,7 +284,11 @@ def _bucket_cap_stats(
             bn,
             F.lit(cap).cast("long").alias("kept_n"),
             (bn - cap).cast("long").alias("dropped_n"),
-            (bn * (bn - 1) / 2).cast("long").alias("pairs_uncapped"),
+            # integer halving (shiftright): bn·(bn−1) is even, and the
+            # double division a cast-after-/2 would round loses exactness
+            # past 2^53 — inside the 10^8-multiplicity regime this
+            # module documents (/code-review r7)
+            F.shiftright(bn * (bn - 1), 1).alias("pairs_uncapped"),
             F.lit(cap * (cap - 1) // 2).cast("long").alias("pairs_capped"),
         )
     )
@@ -1035,12 +1039,23 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bucket_col: str | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Pairs of rows whose embeddings have cosine similarity ≥ threshold.
     Pass ``bucket_col`` (label, LSH bucket, …) to confine the quadratic
-    join; see operators/similarity.py for LSH bucket generation."""
+    join; see operators/similarity.py for LSH bucket generation.
+
+    ``bucket_cap`` (r7, requires ``bucket_col``): the same emission
+    bound as the token-sketch rungs — the r6 adversary's embedding form
+    is a template cluster whose near-identical VECTORS all land in one
+    LSH bucket, so per-bucket membership is capped with the
+    deterministic draw and over-cap buckets pair-generate on the g×g
+    grid (the router's rule 6 applies to EVERY pair-emitting rung,
+    including this one)."""
     from acorn_hybrid_vector_search_spark.functions.distance import dot_product, l2_norm
 
+    if bucket_cap is not None and not bucket_col:
+        raise ValueError("bucket_cap requires bucket_col (the capped unit)")
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if bucket_col:
         cols.append(F.col(bucket_col).alias("bucket"))
@@ -1051,7 +1066,15 @@ def embedding_near_dups(
     # no _materialize here: the per-row projection is just a norm (cheap);
     # recomputing it on each join side costs less than an eager cache pass
     t = df.select(*cols).withColumn("nv", l2_norm(F.col("v")))
-    a, b = t.repartition(_probe_parallelism(df)).alias("a"), t.alias("b")
+    t = t.repartition(_probe_parallelism(df))
+    hot = None
+    if bucket_cap is not None:
+        flagged = _materialize(
+            _cap_bucket_members(t, ["bucket"], bucket_cap, flag_col="_hot")
+        )
+        t = flagged.where(~F.col("_hot")).drop("_hot")
+        hot = flagged.where(F.col("_hot")).drop("_hot")
+    a, b = t.alias("a"), t.alias("b")
     denom = F.col("a.nv") * F.col("b.nv")
     sim = F.round(
         F.when(denom != 0.0, dot_product(F.col("a.v"), F.col("b.v")) / denom), 6
@@ -1063,11 +1086,22 @@ def embedding_near_dups(
     if bucket_col:
         cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
     cond = cond & (sim >= threshold)
-    return a.join(b, cond).select(
+    out = [
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
         sim.alias("cosine"),
-    )
+    ]
+    pairs = a.join(b, cond).select(*out)
+    if hot is not None:
+        ha = _grid_side(hot, "a", ["bucket"]).alias("a")
+        hb = _grid_side(hot, "b", ["bucket"]).alias("b")
+        grid_cond = (
+            cond
+            & (F.col("a._ca") == F.col("b._ca"))
+            & (F.col("a._cb") == F.col("b._cb"))
+        )
+        pairs = pairs.unionByName(ha.join(hb, grid_cond).select(*out))
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -1111,7 +1145,11 @@ def winnow_write(
     """Persist the winnow fingerprint store (VERDICT r6 ask #5 — the
     minhash_write pattern applied to the passage-dedup rung): ingest
     pays the fingerprint scan once; later batches probe the parquet
-    store (``winnow_probe_pairs``) instead of re-fingerprinting."""
+    store (``winnow_probe_pairs``) instead of re-fingerprinting.
+    Invalidates the pinned-materialization cache (see minhash_write)."""
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+
+    invalidate()
     winnow_fingerprint_table(
         df, text_col=text_col, id_col=id_col, k=k, window=window
     ).write.mode("overwrite").parquet(path)

@@ -340,7 +340,14 @@ def nsw_write(
     node's insertion position — local neighbor ids index into the
     seq-sorted order, and vectors are stored as the float64 the build
     used, so a reconstructed graph searches bit-identically.
+
+    Store writers invalidate the pinned-materialization cache: a
+    semantically-equal read plan over the same path must never serve a
+    pre-rewrite snapshot.
     """
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+
+    invalidate()
     _nsw_nodes(
         df, m=m, ef_construction=ef_construction, vec_col=vec_col,
         id_col=id_col, part_offset=0,
@@ -409,6 +416,9 @@ def nsw_append(
     store in one rebuild (the same build-amortization economics as the
     reference's one-off 51 s build).
     """
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+
+    invalidate()
     spark = df.sparkSession
     max_part = spark.read.parquet(path).agg(F.max("part_id")).head()[0]
     _nsw_nodes(
@@ -465,11 +475,22 @@ def nsw_compact(
         id_col=id_col,
         part_offset=0,
     )
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+
     tmp = path.rstrip("/") + "__compact_tmp"
     packed.write.mode("overwrite").partitionBy("part_id").parquet(tmp)
     n_new = spark.read.parquet(tmp).select("part_id").distinct().count()
-    shutil.rmtree(path)
+    # swap with no loss window (/code-review r7): move the LIVE store
+    # aside BEFORE the rename — a crash between steps leaves either the
+    # old store (at path or path__old) or the new one, never nothing;
+    # the old copy is deleted only after the new store is in place
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
+    invalidate()
     return n_new
 
 

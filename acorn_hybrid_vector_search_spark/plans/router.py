@@ -395,7 +395,7 @@ def route_dedup(
        (total emission ≤ ~8·n·bands pairs at the cap) with a
        deterministic, engine-portable member sample; what was capped
        is surfaced by the operators' ``cap_stats`` disclosure (the
-       no-silent-caps rule). At 10⁶ docs the cap is 4000: one 20%%
+       no-silent-caps rule). At 10⁶ docs the cap is 4000: one 20-percent
        cluster's emission drops 2·10¹⁰ → 8·10⁶ pairs.
     """
     if granularity == "substring":
@@ -440,9 +440,11 @@ def route_dedup(
             )
         return DedupRoute(
             "embedding",
-            {"threshold": threshold},
+            {"threshold": threshold, "n_planes": 8, "bucket_cap": bucket_cap},
             "semantic tolerance: paraphrases share no shingles — cosine LSH "
-            "over embeddings is the only rung with semantic recall",
+            "over embeddings is the only rung with semantic recall; rule 6 "
+            "caps the LSH bucket (a template cluster's near-identical "
+            "vectors all land in one bucket)",
         )
     if threshold >= high_threshold and avg_tokens >= long_doc_tokens:
         # hamming budget ≈ bits scaled by the dissimilarity tolerance:
@@ -509,11 +511,25 @@ def dedup_search(
             df, text_col=text_col, id_col=id_col, **route.params
         )
     if route.strategy == "embedding":
+        # rule 6 end-to-end: generate the LSH buckets the cap applies
+        # to (an UNbucketed cosine self-join is the quadratic plan the
+        # router exists to never build), then cap per bucket
+        from acorn_hybrid_vector_search_spark.operators.similarity import (
+            with_lsh_bucket,
+        )
+
+        dim = int(df.select(F.size(embedding_col)).head()[0])
+        bucketed = with_lsh_bucket(
+            df, dim, n_planes=route.params.get("n_planes", 8),
+            vec_col=embedding_col,
+        )
         return D.embedding_near_dups(
-            df,
+            bucketed,
             route.params["threshold"],
             id_col=id_col,
             vec_col=embedding_col,
+            bucket_col="lsh_bucket",
+            bucket_cap=route.params.get("bucket_cap"),
         )
     raise ValueError(f"unknown dedup strategy {route.strategy!r}")
 

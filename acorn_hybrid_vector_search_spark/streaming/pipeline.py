@@ -474,9 +474,16 @@ def stream_decontaminate(
     def current() -> DataFrame:
         got = state["stats"]
         if got is None:
-            return spark.createDataFrame(
-                [], f"{id_col} long, n_grams int, n_hits long, "
-                "contaminated boolean, overlap_frac double",
+            # zero-batch case: derive the schema by running the SAME
+            # stats projection over an empty batch — never a hardcoded
+            # DDL string, which would pin id_col to LONG and diverge
+            # from non-long id schemas (/code-review r7)
+            empty = spark.createDataFrame([], doc_stream.schema)
+            return _stats_tail(
+                empty,
+                empty.select(id_col, F.lit(0).alias("n_hits")),
+                n=n, min_overlap=min_overlap, id_col=id_col,
+                text_col=text_col,
             )
         return got
 

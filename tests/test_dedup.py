@@ -261,6 +261,10 @@ def test_route_dedup_matrix():
     assert route_dedup(10**6, 300, threshold=0.7).params["bucket_cap"] == 4000
     assert route_dedup(10**6, 300, threshold=0.95).params["bucket_cap"] == 4000
     assert route_dedup(100, 300, threshold=0.7).params["bucket_cap"] == 64  # floor
+    # the semantic rung is pair-emitting too (r7 /code-review finding):
+    # its LSH bucket carries the same cap
+    emb = route_dedup(10**6, 50, threshold=0.8, semantic=True, has_embeddings=True)
+    assert emb.params["bucket_cap"] == 4000 and emb.params["n_planes"] == 8
     # the exact rung emits no pairs -> no cap in its params
     assert "bucket_cap" not in route_dedup(10**6, 300, threshold=1.0).params
     with pt.raises(ValueError, match="granularity"):
@@ -312,6 +316,22 @@ def test_dedup_search_dispatch(spark):
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in wpairs} == {(1, 2)}
     assert wpairs[0]["overlap"] == 1.0
+
+    # r7: the semantic rung dispatches END-TO-END with rule 6 — LSH
+    # buckets generated, bucket_cap applied (a template cluster's
+    # near-identical vectors all land in one bucket)
+    vecs = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0, 0.1, 0.0]),
+            (2, "b", [0.999, 0.01, 0.1, 0.0]),
+            (3, "c", [0.0, 1.0, 0.0, 0.2]),
+        ],
+        "doc_id long, text string, embedding array<float>",
+    )
+    epairs = dedup_search(
+        vecs, route_dedup(3, 1, threshold=0.95, semantic=True, has_embeddings=True)
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in epairs} == {(1, 2)}
 
 
 def test_minhash_store_roundtrip_and_incremental_probe(spark, tmp_path):
@@ -504,3 +524,41 @@ def test_probe_caps_and_joint_hotness(spark, template_docs):
     assert w_un == 4 * 26 and 0 < w_cap < w_un
     for r in winnow_probe_pairs(nf, sf2, bucket_cap=8).collect():
         assert r["overlap"] <= 1.0  # pre-cap denominator never inflates
+
+
+def test_materialize_invalidated_on_store_rewrite(spark, tmp_path):
+    """Stale-pin guard (r7 /code-review): semantic dedup in the
+    materialize cache compares canonicalized plans, and two reads of
+    the same parquet root are equal EVEN AFTER a rewrite — store
+    writers must invalidate, so a probe after an in-session rewrite
+    sees the NEW store, never the pinned pre-rewrite snapshot."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import (
+        winnow_fingerprint_table,
+        winnow_probe_pairs,
+        winnow_read,
+        winnow_write,
+    )
+
+    tpl = "the shared template passage repeated across documents verbatim body"
+    path = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(10, tpl + " ten"), (11, "completely unrelated words here indeed")],
+        "doc_id long, text string",
+    )
+    winnow_write(v1, path)
+    new = winnow_fingerprint_table(
+        spark.createDataFrame([(1, tpl + " one")], "doc_id long, text string")
+    )
+    # capped probe: pins the capped store relation
+    first = winnow_probe_pairs(new, winnow_read(spark, path), bucket_cap=8).collect()
+    assert {r["id_store"] for r in first} == {10}
+    # REWRITE the store in-session: doc 10 replaced by doc 20
+    v2 = spark.createDataFrame(
+        [(20, tpl + " twenty"), (21, "different filler text entirely here")],
+        "doc_id long, text string",
+    )
+    winnow_write(v2, path)
+    second = winnow_probe_pairs(new, winnow_read(spark, path), bucket_cap=8).collect()
+    assert {r["id_store"] for r in second} == {20}, (
+        "stale pinned store served after rewrite"
+    )

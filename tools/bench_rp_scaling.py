@@ -16,7 +16,7 @@ reference's 2048 dims (acorn.py:275). This tool measures BOTH paths at
 - ``udf_first_s`` / ``udf_steady_s``: the Arrow matmul path
   (bit-identical doubles, no expression nodes, no stack depth).
 
-The measured cliff pins RP_NODE_BUDGET (operators/similarity.py):
+The measured cliff pins RP_DEPTH_BUDGET (operators/similarity.py):
 below it the JVM expression wins (no Python), above it the matmul is
 the only working plan. Writes the ``rp_scaling`` section of
 BENCH_LADDER.json. Run: python tools/bench_rp_scaling.py [n_rows]
