@@ -3100,7 +3100,10 @@ def _q_nsw_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 2), at sf0.01 each generation spans many input partitions
         target = max(1, min(8, (before + 1) // 2))
         after = nsw_compact(spark, path, n_shards=target)
-        assert after == target and after < before, (before, target, after)
+        # after may fall short of target when hash-partitioning leaves an
+        # empty partition (_nsw_nodes drops empties) — tolerate that and
+        # assert only that compaction actually reduced the shard count
+        assert after <= target and after < before, (before, target, after)
         _NSW_COMPACT_CACHE[key] = path
     q = _query_vec(spark, sf_dir, vec_id=9)
     res = nsw_read_topk(spark, path, [(9, list(q))], k=10, ef=1_000_000)

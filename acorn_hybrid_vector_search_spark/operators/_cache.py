@@ -32,9 +32,19 @@ from pyspark.sql import DataFrame
 
 __all__ = ["invalidate", "materialize"]
 
-# insertion-ordered: index 0 is the LRU victim
-_PINNED: list[tuple[int, DataFrame]] = []
+# insertion-ordered: index 0 is the LRU victim; entries carry the owning
+# SparkContext's applicationId so a session restart can't serve a frame
+# bound to the dead session (r8 ADVICE: the prepared-query cache got this
+# hardening in r7; the materialize LRU matched the bug class but not the fix)
+_PINNED: list[tuple[str | None, int, DataFrame]] = []
 _PINNED_MAX = 8
+
+
+def _app_id(df: DataFrame) -> str | None:
+    try:
+        return df.sparkSession.sparkContext.applicationId
+    except Exception:
+        return None
 
 
 def invalidate() -> None:
@@ -47,7 +57,10 @@ def invalidate() -> None:
     /code-review r7 stale-pin finding; pinned by
     test_materialize_invalidated_on_store_rewrite)."""
     while _PINNED:
-        _PINNED.pop()[1].unpersist()
+        try:
+            _PINNED.pop()[2].unpersist()
+        except Exception:  # owning session already stopped — nothing to free
+            pass
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -56,18 +69,27 @@ def materialize(df: DataFrame) -> DataFrame:
     anyway). Returns the persisted frame — the ALREADY-PINNED one when
     a semantically identical plan is pinned (LRU-refreshed, no
     recompute)."""
+    app = _app_id(df)
+    # evict pins owned by a different (stopped or sibling-context) session:
+    # serving them would fail at action time, and holding them pins memory
+    # the dead session can never release (test_materialize_evicts_dead_sessions)
+    for i in [i for i, (pa, _, _) in enumerate(_PINNED) if pa != app][::-1]:
+        try:
+            _PINNED.pop(i)[2].unpersist()
+        except Exception:
+            pass
     try:
         h = df.semanticHash()
     except Exception:  # plan not hashable (e.g. unresolved) — pin fresh
         h = None
     if h is not None:
-        for i, (ph, pdf) in enumerate(_PINNED):
+        for i, (pa, ph, pdf) in enumerate(_PINNED):
             if ph == h and df.sameSemantics(pdf):
                 _PINNED.append(_PINNED.pop(i))  # LRU refresh
                 return pdf
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
-    _PINNED.append((h, df))
+    _PINNED.append((app, h, df))
     while len(_PINNED) > _PINNED_MAX:
-        _PINNED.pop(0)[1].unpersist()
+        _PINNED.pop(0)[2].unpersist()
     return df

@@ -464,6 +464,17 @@ def nsw_compact(
     import os
     import shutil
 
+    # The swap below is os.rename-based and therefore LOCAL-ONLY; other
+    # readers accept s3a:/hdfs: URIs, so fail fast BEFORE the tmp write
+    # rather than stranding a *__compact_tmp directory after it (r8
+    # ADVICE). On an object store, write a versioned prefix and flip a
+    # manifest pointer instead — the parquet layout is identical.
+    if "://" in path:
+        raise ValueError(
+            f"nsw_compact swaps via os.rename and only supports local "
+            f"paths; got {path!r} — compact to a new prefix and flip a "
+            f"manifest pointer on remote stores"
+        )
     stored = spark.read.parquet(path).select(id_col, "vector")
     if n_shards is None:
         n_shards = max(1, spark.sparkContext.defaultParallelism)
@@ -478,17 +489,26 @@ def nsw_compact(
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
 
     tmp = path.rstrip("/") + "__compact_tmp"
-    packed.write.mode("overwrite").partitionBy("part_id").parquet(tmp)
-    n_new = spark.read.parquet(tmp).select("part_id").distinct().count()
-    # swap with no loss window (/code-review r7): move the LIVE store
-    # aside BEFORE the rename — a crash between steps leaves either the
-    # old store (at path or path__old) or the new one, never nothing;
-    # the old copy is deleted only after the new store is in place
     old = path.rstrip("/") + "__old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        packed.write.mode("overwrite").partitionBy("part_id").parquet(tmp)
+        n_new = spark.read.parquet(tmp).select("part_id").distinct().count()
+        # swap with no loss window (/code-review r7): move the LIVE store
+        # aside BEFORE the rename — a crash between steps leaves either the
+        # old store (at path or path__old) or the new one, never nothing;
+        # the old copy is deleted only after the new store is in place
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(tmp, path)
+    except BaseException:
+        # never strand a half-written tmp store next to the live one —
+        # but if the live store was already moved aside (failure between
+        # the two renames), restore it FIRST so a store exists at `path`
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(old)
     invalidate()
     return n_new

@@ -518,7 +518,12 @@ def dedup_search(
             with_lsh_bucket,
         )
 
-        dim = int(df.select(F.size(embedding_col)).head()[0])
+        head = df.select(F.size(embedding_col)).head()
+        if head is None:  # empty corpus — no pairs, and no dim to bucket by
+            return df.sparkSession.createDataFrame(
+                [], schema="id_a long, id_b long, cosine double"
+            )
+        dim = int(head[0])
         bucketed = with_lsh_bucket(
             df, dim, n_planes=route.params.get("n_planes", 8),
             vec_col=embedding_col,

@@ -562,3 +562,45 @@ def test_materialize_invalidated_on_store_rewrite(spark, tmp_path):
     assert {r["id_store"] for r in second} == {20}, (
         "stale pinned store served after rewrite"
     )
+
+
+def test_materialize_evicts_dead_sessions(spark):
+    """The materialize LRU must not retain (or serve) frames pinned under
+    a different/stopped SparkSession (r8 ADVICE: _PINNED was process-global
+    with no session key — the same bug class the prepared-query cache
+    fixed in r7, test_prepared_cache_evicts_dead_sessions)."""
+    from acorn_hybrid_vector_search_spark.operators import _cache
+
+    class _DeadFrame:
+        unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    dead = _DeadFrame()
+    _cache._PINNED.insert(0, ("app-dead-999", 0, dead))
+    out = _cache.materialize(spark.range(3))
+    assert out.count() == 3
+    assert all(pa != "app-dead-999" for pa, _, _ in _cache._PINNED)
+    assert dead.unpersisted
+
+
+def test_dedup_search_embedding_empty_corpus(spark):
+    """dedup_search's embedding rung derives the LSH dim from a head()
+    scan; on an EMPTY corpus head() returns None (r8 ADVICE defect) —
+    the route must answer with an empty pairs frame, not a TypeError."""
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        dedup_search,
+        route_dedup,
+    )
+
+    route = route_dedup(
+        0, 50.0, threshold=0.9, semantic=True, has_embeddings=True
+    )
+    assert route.strategy == "embedding"
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, embedding array<double>"
+    )
+    pairs = dedup_search(empty, route)
+    assert pairs.count() == 0
+    assert set(pairs.columns) == {"id_a", "id_b", "cosine"}

@@ -408,3 +408,15 @@ def test_nsw_compact_repacks_and_stays_exact(spark, tmp_path):
             spark.read.parquet(path).select("part_id", "seq", "vec_id").collect())
     )
     assert digest1 == digest2
+
+
+def test_nsw_compact_rejects_remote_paths(spark):
+    """nsw_compact swaps via os.rename (local-only); a remote URI must
+    fail fast BEFORE the tmp write rather than strand a *__compact_tmp
+    directory after it (r8 ADVICE)."""
+    import pytest
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import nsw_compact
+
+    with pytest.raises(ValueError, match="local"):
+        nsw_compact(spark, "s3a://bucket/graph")
