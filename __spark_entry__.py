@@ -1302,6 +1302,62 @@ def _q_acorn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", "label", F.round("dist", _R).alias("dist"))
 
 
+@_prepared
+def _q_hybrid_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid search (VERDICT r7 ask #1,
+    hybrid.py::prefilter_search_batch): ONE corpus scan answers FOUR
+    hybrid queries spanning distinct §2.3/§2.4 predicate classes —
+    class-1 pure top-k (empty predicate), flat numeric exact
+    (label = 3), the reference's nested class-2-2 conjunction verbatim
+    (item_weight < 2 normalized pounds AND brand substring 'Amazon',
+    first-element array-of-struct access), and bare-scalar string exact
+    (country = 'IN'). The reference's serving surface IS a query batch
+    (hnswlib/python_bindings/bindings.cpp:627-646 ParallelFor over
+    knn_query rows); the per-query form pays plan + scan per query.
+
+    Plan contract (plans/plan_audit contract `hybrid_batch_topk`): one
+    scan of the joined corpus, BroadcastNestedLoopJoin against the
+    4-row query-parameter table, per-(row, query) predicate pruning
+    BEFORE the distance projection, then the two-phase salted
+    per-query top-k (no per-query hot window partition). pytest pins
+    batch ≡ per-query prefilter_search (tests/test_hybrid.py)."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        AttributeAccessor,
+        abo_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        prefilter_search_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    batch = [
+        (0, vecs[0], None),
+        (1, vecs[1], {"label": ["exact", 3]}),
+        (2, vecs[2], {"item_weight": ["<", 2], "brand": ["substring", "Amazon"]}),
+        (3, vecs[3], {"country": ["exact", "IN"]}),
+    ]
+    acc = {
+        **abo_accessors(),
+        "label": AttributeAccessor(
+            F.col("label"), F.col("label").isNotNull(), "numeric"
+        ),
+    }
+    res = prefilter_search_batch(
+        _abo_joined(spark, sf_dir),
+        batch,
+        k=5,
+        accessors=acc,
+        payload_cols=["label", "brand", "item_weight", "country"],
+    )
+    return res.select("query_id", "vec_id", F.round("dist", _R).alias("dist"))
+
+
 def _q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the customer's latest order at or
     before the event time (oracle: DuckDB native ASOF JOIN). Right side
@@ -3475,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_topk": _q_hard_negatives,
         "zorder_curve_keys": _q_zorder_curve_keys,
         "upsert_orders": _q_upsert_orders,
+        "hybrid_batch_topk": _q_hybrid_batch_topk,
         "nested_prefilter_weight_brand": _q_nested_prefilter_weight_brand,
         "nested_postfilter_color": _q_nested_postfilter_color,
         "histogram_brand_nested": _q_histogram_brand_nested,
@@ -5348,6 +5405,42 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             QUALIFY row_number() OVER (PARTITION BY query_id
                 ORDER BY d2, vec_id) <= 5
+        """,
+        # batched hybrid search (r8): four per-query blocks — each block
+        # IS the corresponding single-query §2.3 oracle (pure top-k,
+        # flat numeric exact, nested class-2-2 conjunction, bare-scalar
+        # string exact) tagged with its query_id; the Spark side answers
+        # all four from ONE scan and the union replays it exactly
+        "hybrid_batch_topk": f"""
+            WITH it AS (SELECT * FROM {_ABO_ITEMS}),
+            e AS (SELECT em.vec_id, em.embedding, em.label, it.brand,
+                         it.item_weight, it.country
+                  FROM embeddings em JOIN it ON em.vec_id = it.item_id)
+            (SELECT CAST(0 AS BIGINT) AS query_id, e.vec_id,
+                    ROUND({d2}, {_R}) AS dist
+             FROM e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             ORDER BY {d2}, e.vec_id LIMIT 5)
+            UNION ALL
+            (SELECT CAST(1 AS BIGINT) AS query_id, e.vec_id,
+                    ROUND({d2}, {_R}) AS dist
+             FROM e, (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+             WHERE e.label IS NOT NULL AND e.label = 3
+             ORDER BY {d2}, e.vec_id LIMIT 5)
+            UNION ALL
+            (SELECT CAST(2 AS BIGINT) AS query_id, e.vec_id,
+                    ROUND({d2}, {_R}) AS dist
+             FROM e, (SELECT embedding FROM embeddings WHERE vec_id = 2) q
+             WHERE e.item_weight IS NOT NULL AND len(e.item_weight) > 0
+               AND e.item_weight[1].normalized_value.value < 2
+               AND e.brand IS NOT NULL AND len(e.brand) > 0
+               AND contains(e.brand[1].value, 'Amazon')
+             ORDER BY {d2}, e.vec_id LIMIT 5)
+            UNION ALL
+            (SELECT CAST(3 AS BIGINT) AS query_id, e.vec_id,
+                    ROUND({d2}, {_R}) AS dist
+             FROM e, (SELECT embedding FROM embeddings WHERE vec_id = 3) q
+             WHERE e.country IS NOT NULL AND e.country = 'IN'
+             ORDER BY {d2}, e.vec_id LIMIT 5)
         """,
         # nested ABO battery — same fixture parquet, 1-indexed array access
         "nested_prefilter_weight_brand": f"""

@@ -42,6 +42,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from acorn_hybrid_vector_search_spark.functions.predicates import (
+    _NUMERIC_OPS,
+    _STRING_OPS,
     AttributeAccessor,
     build_predicate,
 )
@@ -355,6 +357,290 @@ def acorn_prepare(
         cand, fallback, k=k, initial_oversample=initial_oversample,
         max_rounds=max_rounds, dist_col=dist_col, id_col=id_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# batched hybrid search (VERDICT r7 ask #1): one corpus scan answers a
+# whole batch of hybrid queries, each with its OWN §2.3 predicate.
+
+# op → column-name token (ops like '<' aren't valid identifier chars)
+_OP_TOKEN = {
+    "exact": "exact", "leq": "leq", "geq": "geq",
+    "<": "lt", ">": "gt", "substring": "substring",
+}
+
+
+def _batch_query_table(
+    spark,
+    queries: Sequence[tuple[Any, Sequence[float], Predicates | None]],
+    accessors: Mapping[str, AttributeAccessor],
+    *,
+    query_id_col: str,
+    query_vec_col: str,
+):
+    """The broadcast side of a hybrid batch: one row per query carrying
+    (id, vector) plus the batch's predicate PARAMETERS as columns —
+    ``_c_<attr>`` (did this query constrain the attribute at all: the
+    strict missing-attribute-rejection trigger) and ``_p_<attr>_<op>``
+    (the comparison value; NULL = this query doesn't use that (attr, op),
+    so its conjunct is vacuous). Returns (query_table, attr→ops map)."""
+    used: dict[str, list[str]] = {}
+    for _, _, preds in queries:
+        for attr, (op, _v) in (preds or {}).items():
+            if attr not in accessors:
+                raise ValueError(f"unknown attribute: {attr!r}")
+            supported = (
+                _NUMERIC_OPS if accessors[attr].kind == "numeric" else _STRING_OPS
+            )
+            ops = used.setdefault(attr, [])
+            # unsupported (attr, op) → presence-only, same as build_predicate
+            if op in supported and op not in ops:
+                ops.append(op)
+
+    fields = [f"{query_id_col} long", f"{query_vec_col} array<double>"]
+    for attr, ops in used.items():
+        fields.append(f"_c_{attr} boolean")
+        for op in ops:
+            t = "double" if accessors[attr].kind == "numeric" else "string"
+            fields.append(f"_p_{attr}_{_OP_TOKEN[op]} {t}")
+    rows = []
+    for qid, vec, preds in queries:
+        preds = preds or {}
+        row: list[Any] = [int(qid), [float(x) for x in vec]]
+        for attr, ops in used.items():
+            constraint = preds.get(attr)
+            row.append(constraint is not None)
+            for op in ops:
+                if constraint is not None and constraint[0] == op:
+                    v = constraint[1]
+                    row.append(
+                        float(v) if accessors[attr].kind == "numeric" else str(v)
+                    )
+                else:
+                    row.append(None)
+        rows.append(tuple(row))
+    return spark.createDataFrame(rows, ", ".join(fields)), used
+
+
+def _batch_predicate(
+    used: Mapping[str, Sequence[str]],
+    accessors: Mapping[str, AttributeAccessor],
+) -> Column:
+    """The §2.3 conjunction evaluated PER (row, query) pair against the
+    parameter columns of ``_batch_query_table``. Exactly
+    ``build_predicate``'s semantics for every query at once:
+
+    - unconstrained attr for this query (``_c`` false) → vacuous;
+    - constrained → strict presence rejection, plus each (attr, op) the
+      batch uses: NULL parameter → vacuous, else the comparison. A NULL
+      attribute VALUE under a non-null parameter yields SQL NULL and the
+      row is filtered — identical to the single-query path."""
+    cond = F.lit(True)
+    for attr, ops in used.items():
+        acc = accessors[attr]
+        attr_ok = acc.present
+        for op in ops:
+            p = F.col(f"_p_{attr}_{_OP_TOKEN[op]}")
+            v = acc.value
+            if op == "exact":
+                c = v == p
+            elif op == "leq":
+                c = v <= p
+            elif op == "geq":
+                c = v >= p
+            elif op == "<":
+                c = v < p
+            elif op == ">":
+                c = v > p
+            else:  # substring
+                c = v.contains(p)
+            attr_ok = attr_ok & (p.isNull() | c)
+        cond = cond & (~F.col(f"_c_{attr}") | attr_ok)
+    return cond
+
+
+def prefilter_search_batch(
+    df: DataFrame,
+    queries: Sequence[tuple[Any, Sequence[float], Predicates | None]],
+    k: int,
+    *,
+    accessors: Mapping[str, AttributeAccessor] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+    query_id_col: str = "query_id",
+    payload_cols: Sequence[str] | None = None,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """K2 for a QUERY BATCH: one corpus scan answers every (vector,
+    predicate, k) query — the reference's real serving surface is a batch
+    (hnswlib/python_bindings/bindings.cpp:627-646 runs knn_query over a
+    ParallelFor of queries; the §2.4 battery is a batch of hybrid
+    queries). Per-query driver-planned jobs pay plan + scan × |Q|; this
+    pays them once.
+
+    ``queries``: bounded driver-side [(query_id, vector, predicates), …]
+    where ``predicates`` is the §2.3 grammar ``{attr: [op, value]}`` (or
+    None/{} for a pure top-k query — the class-1 shape). Per-query
+    results are IDENTICAL to ``prefilter_search`` called per query
+    (pytest-pinned): the query table carries each query's predicate
+    parameters, the joined condition replays build_predicate's semantics
+    (strict missing-attribute rejection, unsupported-op fallthrough,
+    first-element nested access via the same accessors) per (row, query).
+
+    Plan: ONE scan of ``df`` → BroadcastNestedLoopJoin against the
+    bounded query table (the big side never shuffles for the join; the
+    predicate prunes pairs map-side, BEFORE the distance projection) →
+    two-phase per-query top-k: row_number inside (query, salt-bucket)
+    sub-partitions first (no per-query hot window partition — the
+    de-skew contract every capped operator in this repo follows), then
+    the global per-query rank over the ≤ |Q|·salt_buckets·k survivors.
+    Shuffle volume is the PASSING pairs only, spread over salt buckets.
+
+    ``payload_cols``: projection pushed below the join (must include
+    every column the batch's predicates read); default all of ``df``'s
+    columns — pass the projection at scale so pair rows don't carry
+    unused width through the shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    if accessors is None:
+        from acorn_hybrid_vector_search_spark.functions.predicates import (
+            flat_accessors,
+        )
+
+        accessors = flat_accessors(df)
+    bad = {query_id_col, "_sb", "_rn"} & set(df.columns)
+    if bad:
+        raise ValueError(f"df columns collide with batch internals: {bad}")
+    qt, used = _batch_query_table(
+        df.sparkSession, queries, accessors,
+        query_id_col=query_id_col, query_vec_col="_qv",
+    )
+    if payload_cols is not None:
+        df = df.select(*dict.fromkeys([id_col, *payload_cols, vec_col]))
+    from acorn_hybrid_vector_search_spark.functions.distance import l2_sq_distance
+
+    pairs = df.crossJoin(F.broadcast(qt)).where(_batch_predicate(used, accessors))
+    param_cols = [c for c in qt.columns if c.startswith(("_c_", "_p_")) or c == "_qv"]
+    scored = (
+        pairs.withColumn(dist_col, l2_sq_distance(F.col(vec_col), F.col("_qv")))
+        .drop(*param_cols)
+        .withColumn("_sb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
+    )
+    order = [F.col(dist_col).asc(), F.col(id_col).asc()]
+    w_local = Window.partitionBy(query_id_col, "_sb").orderBy(*order)
+    w_global = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .withColumn("_rn", F.row_number().over(w_global))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_sb")
+    )
+
+
+def postfilter_search_batch(
+    df: DataFrame,
+    queries: Sequence[tuple[Any, Sequence[float], Predicates | None]],
+    k: int,
+    *,
+    large_k: int = 50,
+    accessors: Mapping[str, AttributeAccessor] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+    query_id_col: str = "query_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """K3 for a query batch: per-query top-``large_k`` candidates FIRST
+    (no predicate — every (row, query) pair is ranked), then each query's
+    predicate over its own candidate list, truncated to k. Same
+    semantics as ``postfilter_search`` per query, including the
+    under-fill failure mode (pytest-pinned). The candidate stage ranks
+    all N·|Q| pairs through the same two-phase salted window as
+    ``prefilter_search_batch`` — the predicate can't prune pairs here
+    because post-filter semantics REQUIRE rank-then-filter."""
+    from pyspark.sql.window import Window
+
+    if accessors is None:
+        from acorn_hybrid_vector_search_spark.functions.predicates import (
+            flat_accessors,
+        )
+
+        accessors = flat_accessors(df)
+    qt, used = _batch_query_table(
+        df.sparkSession, queries, accessors,
+        query_id_col=query_id_col, query_vec_col="_qv",
+    )
+    from acorn_hybrid_vector_search_spark.functions.distance import l2_sq_distance
+
+    pairs = df.crossJoin(F.broadcast(qt))
+    scored = (
+        pairs.withColumn(dist_col, l2_sq_distance(F.col(vec_col), F.col("_qv")))
+        .withColumn("_sb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
+    )
+    order = [F.col(dist_col).asc(), F.col(id_col).asc()]
+    w_local = Window.partitionBy(query_id_col, "_sb").orderBy(*order)
+    w_global = Window.partitionBy(query_id_col).orderBy(*order)
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= large_k)
+        .drop("_rn")
+        .withColumn("_rn", F.row_number().over(w_global))
+        .filter(F.col("_rn") <= large_k)
+        .drop("_rn", "_sb")
+    )
+    param_cols = [c for c in qt.columns if c.startswith(("_c_", "_p_")) or c == "_qv"]
+    return (
+        cand.where(_batch_predicate(used, accessors))
+        .drop(*param_cols)
+        .withColumn("_rn", F.row_number().over(w_global))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def routed_search_batch(
+    df: DataFrame,
+    subset_df: DataFrame,
+    subset_attrs: frozenset[str] | set[str],
+    queries: Sequence[tuple[Any, Sequence[float], Predicates | None]],
+    k: int,
+    *,
+    accessors: Mapping[str, AttributeAccessor] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+    query_id_col: str = "query_id",
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """K5 for a query batch: queries constraining a materialized sparse
+    attribute run against the subset, the rest against the full table —
+    ONE batch job per distinct target (at most two scans for the whole
+    batch, not one per query). Soundness is
+    ``attribute_partitioned_search``'s contract per query: the subset
+    holds every attribute-present row, and the strict
+    missing-attribute-rejection conjunct discards subset-external rows."""
+    routed = [q for q in queries if set(q[2] or ()) & set(subset_attrs)]
+    direct = [q for q in queries if not (set(q[2] or ()) & set(subset_attrs))]
+    parts = []
+    for target, batch in ((subset_df, routed), (df, direct)):
+        if batch:
+            parts.append(
+                prefilter_search_batch(
+                    target, batch, k, accessors=accessors, vec_col=vec_col,
+                    id_col=id_col, dist_col=dist_col,
+                    query_id_col=query_id_col, payload_cols=payload_cols,
+                )
+            )
+    if not parts:
+        raise ValueError("empty query batch")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def attribute_presence_cond(

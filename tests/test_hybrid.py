@@ -222,3 +222,125 @@ def test_acorn_plan_is_distributed_and_bounded(spark, embeddings_df):
     p = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in p
     assert "TakeOrderedAndProject" in p
+
+
+# ---------------------------------------------------------------------------
+# batched hybrid search (VERDICT r7 ask #1)
+
+
+def _batch_queries(embeddings_df):
+    rows = (
+        embeddings_df.filter("vec_id IN (3, 17, 42, 99)")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+    return [
+        (3, vecs[3], None),                              # class-1: pure top-k
+        (17, vecs[17], {"label": ["exact", 2]}),         # exact
+        (42, vecs[42], {"label": ["geq", 3]}),           # numeric range
+        (99, vecs[99], {"label": ["<", 2]}),             # strict less-than
+    ]
+
+
+def test_prefilter_batch_matches_per_query_loop(embeddings_df):
+    """The r8 contract: prefilter_search_batch over a batch with DISTINCT
+    predicate classes returns, per query, exactly prefilter_search's
+    answer (same rows, same order-by-(dist,id) semantics)."""
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        prefilter_search_batch,
+    )
+
+    qs = _batch_queries(embeddings_df)
+    got = prefilter_search_batch(embeddings_df, qs, k=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {3, 17, 42, 99}
+    for qid, vec, preds in qs:
+        want = prefilter_search(embeddings_df, vec, preds, k=5).collect()
+        have = sorted(by_q[qid], key=lambda r: (r["dist"], r["vec_id"]))
+        assert [(r["vec_id"], r["label"]) for r in have] == [
+            (r["vec_id"], r["label"]) for r in want
+        ], qid
+        for h, w in zip(have, want):
+            assert h["dist"] == pytest.approx(w["dist"], rel=1e-12)
+
+
+def test_prefilter_batch_missing_attr_and_unsupported_op(spark):
+    """build_predicate parity in the batch path: strict missing-attribute
+    rejection + unsupported (attr, op) falls through to presence-only."""
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        prefilter_search_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0], "a"), (1, [1.0, 0.0], None), (2, [2.0, 0.0], "b")],
+        "vec_id long, embedding array<double>, tag string",
+    )
+    out = prefilter_search_batch(
+        df,
+        [
+            (100, [0.0, 0.0], {"tag": ["exact", "a"]}),
+            # 'leq' is not a string op → presence-only: row 1 (NULL tag) out
+            (200, [0.0, 0.0], {"tag": ["leq", "zzz"]}),
+        ],
+        k=10,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert by_q[100] == {0}
+    assert by_q[200] == {0, 2}
+
+
+def test_postfilter_batch_matches_per_query_loop(embeddings_df):
+    """K3 batch parity, including the under-fill failure mode (small
+    large_k + selective predicate can return < k rows — same per query)."""
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        postfilter_search_batch,
+    )
+
+    qs = _batch_queries(embeddings_df)
+    got = postfilter_search_batch(embeddings_df, qs, k=5, large_k=12)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, vec, preds in qs:
+        want = postfilter_search(embeddings_df, vec, preds, k=5, large_k=12).collect()
+        have = sorted(
+            by_q.get(qid, []), key=lambda r: (r["dist"], r["vec_id"])
+        )
+        assert [r["vec_id"] for r in have] == [r["vec_id"] for r in want], qid
+
+
+def test_routed_batch_splits_targets(embeddings_df, tmp_path, spark):
+    """K5 batch: label-constrained queries answer from the subset table,
+    unconstrained ones from the full table — per-query parity with
+    attribute_partitioned_search throughout."""
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        attribute_presence_cond,
+        materialize_attribute_subset,
+        routed_search_batch,
+    )
+    from acorn_hybrid_vector_search_spark.functions.predicates import flat_accessors
+
+    acc = flat_accessors(embeddings_df)
+    path = str(tmp_path / "subset")
+    materialize_attribute_subset(
+        embeddings_df, attribute_presence_cond(["label"], acc), path
+    )
+    subset = spark.read.parquet(path)
+    qs = _batch_queries(embeddings_df)
+    got = routed_search_batch(
+        embeddings_df, subset, {"label"}, qs, k=5, accessors=acc
+    )
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, vec, preds in qs:
+        want = attribute_partitioned_search(
+            embeddings_df, subset, {"label"}, vec, preds, k=5, accessors=acc
+        ).collect()
+        have = sorted(by_q[qid], key=lambda r: (r["dist"], r["vec_id"]))
+        assert [r["vec_id"] for r in have] == [r["vec_id"] for r in want], qid

@@ -31,6 +31,9 @@ def test_topk_queries_use_take_ordered(queries):
 # equi-key by construction). Everything else must stay equi-join.
 _BNLJ_BY_DESIGN = {
     "knn_batch_topk",
+    # bounded broadcast query-PARAMETER table (4 rows: vectors +
+    # per-query predicate params); predicate prunes pairs map-side
+    "hybrid_batch_topk",
     # BM25's / the LM scorers' corpus-stats table is a broadcast 1-row
     # cross join
     "bm25_topk_docs",
@@ -323,3 +326,20 @@ def test_simhash_cap_stats_partial_agg_only(queries):
     p = _plan(queries["simhash_cap_stats"])
     assert "Window" not in p
     assert "HashAggregate" in p or "ObjectHashAggregate" in p or "SortAggregate" in p
+
+
+def test_hybrid_batch_one_scan_and_salted_windows(queries):
+    """hybrid_batch_topk (r8): one corpus scan answers the whole batch —
+    the embeddings table must appear EXACTLY once in the executed plan —
+    and the per-query top-k must be the two-phase salted shape: a Window
+    partitioned on (query_id, _sb) bounds every task before the global
+    per-query rank (no per-query hot window partition over the corpus)."""
+    import re
+
+    p = _plan(queries["hybrid_batch_topk"])
+    assert p.count("embeddings.parquet") == 1, "corpus scanned more than once"
+    assert "BroadcastNestedLoopJoin" in p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert any("_sb" in s.split("ASC")[0] for s in specs), (
+        "missing the salted local top-k window"
+    )

@@ -108,6 +108,13 @@ AUDIT: dict[str, list[str]] = {
     # (Generate), per-side cap (Union bypass), cross-relation equi-join,
     # partial-agg pair count
     "winnow_incremental_pairs": ["Generate", "Join", "HashAggregate"],
+    # round 8: batched hybrid search — ONE corpus scan joined to the
+    # bounded broadcast query-parameter table (BroadcastNestedLoopJoin,
+    # big side never shuffles for the join), per-(row, query) predicate
+    # pruning before the distance projection, two-phase salted per-query
+    # top-k (Window on (query_id, _sb) then the tiny global rank — never
+    # one hot per-query window partition over the corpus)
+    "hybrid_batch_topk": ["BroadcastNestedLoopJoin", "Window", "Exchange"],
 }
 
 
