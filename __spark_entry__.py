@@ -3198,6 +3198,55 @@ def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("pq_dist", _R).alias("pq_dist"))
 
 
+_PQ_STATE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q_pq_state_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook persistence (VERDICT r7 ask #4, operators/pq.py
+    pq_write/pq_read — the ivf_write/ivf_read pattern applied to the PQ
+    family): train, WRITE the codebook to parquet, READ it back, and
+    encode the whole embeddings table under BOTH codebooks. Doubles
+    round-trip parquet exactly, so the re-encode must be bit-identical
+    — the output row is (n_rows, n_mismatch) and the DuckDB oracle pins
+    n_mismatch = 0 over the same row count (the digest-compare shape of
+    bpe_state_persisted; the trained centroids themselves are
+    legitimately non-portable, the INVARIANT is portable). A lost
+    codebook would orphan every stored code of a 100 TB encode — this
+    gate is what makes the 32× table durable."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.pq import (
+        pq_encode,
+        pq_read,
+        pq_train,
+        pq_write,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    cached = _PQ_CACHE.get(key)
+    if cached is None:
+        cb = pq_train(emb, m=8, k=32)
+        enc = pq_encode(emb, cb).select("vec_id", "pq_code").cache()
+        enc.count()
+        _PQ_CACHE[key] = cached = (cb, enc)
+    cb, enc = cached
+    path = _PQ_STATE_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="acorn_pq_cb_") + "/codebook"
+        pq_write(cb, spark, path)
+        _PQ_STATE_CACHE[key] = path
+    reread = pq_encode(emb, pq_read(spark, path)).select(
+        "vec_id", F.col("pq_code").alias("pq_code_r")
+    )
+    return enc.join(reread, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("pq_code") != F.col("pq_code_r"), 1).otherwise(0)
+        ).alias("n_mismatch"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-2 extensions: temporal range join, sliding windows, LLM-pipeline
 # packing/sampling/tf-idf, vector centroids, set operations.
@@ -3574,6 +3623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_next_order": _q_asof_next_order,
         "ann_ivf_topk": _q_ann_ivf,
         "pq_ann_topk": _q_pq_ann_topk,
+        "pq_state_persisted": _q_pq_state_persisted,
         "compacted_rollup_events": _q_compacted_rollup_events,
         "range_join_error_windows": _q_range_join_error_windows,
         "stream_attribution_join": _q_stream_attribution_join,
@@ -5441,6 +5491,15 @@ def oracle_sql() -> dict[str, str]:
              FROM e, (SELECT embedding FROM embeddings WHERE vec_id = 3) q
              WHERE e.country IS NOT NULL AND e.country = 'IN'
              ORDER BY {d2}, e.vec_id LIMIT 5)
+        """,
+        # PQ codebook persistence (r8): the trained centroids are
+        # non-portable, but the ROUNDTRIP INVARIANT is — encode under
+        # the re-read codebook must equal encode under the trained one
+        # for every row, so the oracle pins (row count, zero mismatches)
+        "pq_state_persisted": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_mismatch
+            FROM embeddings
         """,
         # nested ABO battery — same fixture parquet, 1-indexed array access
         "nested_prefilter_weight_brand": f"""

@@ -123,3 +123,45 @@ def test_ivfpq_composition(spark, blobs):
     pruned = [r["vec_id"] for r in ivfpq_topk(idx, cb, q, 10, nprobe=1).collect()]
     assert len(pruned) == 10
     assert all(v % 5 == 3 for v in pruned), pruned
+
+
+def test_pq_write_read_roundtrip_bit_identical(spark, blobs, tmp_path):
+    """r8 (VERDICT r7 ask #4): a codebook written + read back must be
+    byte-equal to the trained one (doubles round-trip parquet exactly),
+    so encode and ADC search under the READ codebook are bit-identical
+    to the trained path — the persisted-index contract the stored codes
+    depend on."""
+    import numpy as np
+
+    from acorn_hybrid_vector_search_spark.operators.pq import pq_read, pq_write
+
+    cb = pq_train(blobs, m=4, k=8)
+    path = str(tmp_path / "pq_codebook")
+    pq_write(cb, spark, path)
+    cb2 = pq_read(spark, path)
+    assert cb2.centroids.shape == cb.centroids.shape
+    assert np.array_equal(cb2.centroids, cb.centroids)
+    enc1 = pq_encode(blobs, cb).select("vec_id", "pq_code").collect()
+    enc2 = pq_encode(blobs, cb2).select("vec_id", "pq_code").collect()
+    assert sorted(map(tuple, ((r[0], tuple(r[1])) for r in enc1))) == sorted(
+        map(tuple, ((r[0], tuple(r[1])) for r in enc2))
+    )
+    q = blobs.filter("vec_id = 7").head()["embedding"]
+    t1 = pq_topk(pq_encode(blobs, cb), cb, q, 5).collect()
+    t2 = pq_topk(pq_encode(blobs, cb2), cb2, q, 5).collect()
+    assert [(r["vec_id"], r["pq_dist"]) for r in t1] == [
+        (r["vec_id"], r["pq_dist"]) for r in t2
+    ]
+
+
+def test_pq_read_rejects_sparse_grid(spark, blobs, tmp_path):
+    from acorn_hybrid_vector_search_spark.operators.pq import pq_read, pq_write
+
+    cb = pq_train(blobs, m=4, k=8)
+    path = str(tmp_path / "pq_codebook")
+    pq_write(cb, spark, path)
+    pruned = spark.read.parquet(path).filter("NOT (subspace = 2 AND code = 5)")
+    path2 = str(tmp_path / "pq_sparse")
+    pruned.write.parquet(path2)
+    with pytest.raises(ValueError, match="dense"):
+        pq_read(spark, path2)
