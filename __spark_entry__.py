@@ -3198,6 +3198,77 @@ def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("pq_dist", _R).alias("pq_dist"))
 
 
+_NSW_STREAM_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q_stream_nsw_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NSW ingestion (streaming/indexing.py stream_nsw_append
+    — VERDICT r7 ask #5, the foreachBatch twin of nsw_append): the store
+    is SEEDED by a batch nsw_write over vec_id % 3 == 0, then the
+    remaining embeddings arrive as a TWO-file parquet stream
+    (maxFilesPerTrigger=1 → two real micro-batches), each landing as
+    batch-keyed graph shards; target_shards=4 with compact_factor=2
+    makes the shard-count compaction policy FIRE during the second
+    batch (the seeded store + batch-0 shards exceed 8), so the
+    committed shards re-pack through nsw_compact mid-stream. The final
+    store is searched at FULL beam, so the DuckDB brute-force oracle
+    over ALL embeddings gates it exactly — stream-grown ≡ batch, the
+    nsw_compact_topk contract extended to streaming ingest."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write,
+    )
+    from acorn_hybrid_vector_search_spark.streaming.indexing import (
+        stream_nsw_append,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _NSW_STREAM_CACHE if k[0] != key[0]]:
+        del _NSW_STREAM_CACHE[stale]
+    path = _NSW_STREAM_CACHE.get(key)
+    if path is None:
+        root = tempfile.mkdtemp(prefix="acorn_nsw_stream_")
+        path = root + "/graph"
+        emb = _t(spark, sf_dir, "embeddings")
+        # 8-shard seed + 12-file micro-batches: batch 1 opens at 8+12=20
+        # shards > compact_factor×target (8) — the policy must fire
+        nsw_write(emb.filter(F.col("vec_id") % 3 == 0).repartition(8), path)
+        rest = emb.filter(F.col("vec_id") % 3 != 0)
+        src = root + "/src"
+        rest.filter(F.col("vec_id") % 2 == 0).repartition(12).write.mode(
+            "overwrite"
+        ).parquet(src)
+        rest.filter(F.col("vec_id") % 2 == 1).repartition(12).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(rest.schema)
+            .option("maxFilesPerTrigger", 12)
+            .parquet(src)
+        )
+        q = stream_nsw_append(
+            stream, path, root + "/ckpt", target_shards=4, compact_factor=2.0
+        )
+        q.processAllAvailable()
+        q.stop()
+        # the policy must actually have fired: every pre-batch-1 shard
+        # re-packed into ≤4 ids below the batch key space, batch 1's own
+        # shards in its keyed range
+        parts = {
+            r["part_id"]
+            for r in spark.read.parquet(path).select("part_id").distinct().collect()
+        }
+        low = [p for p in parts if p < 4096]
+        assert low and len(low) <= 4, sorted(parts)
+        assert any(p >= 2 * 4096 for p in parts), sorted(parts)
+        _NSW_STREAM_CACHE[key] = path
+    q2 = _query_vec(spark, sf_dir, vec_id=9)
+    res = nsw_read_topk(spark, path, [(9, list(q2))], k=10, ef=1_000_000)
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
 _PQ_STATE_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -3624,6 +3695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "pq_ann_topk": _q_pq_ann_topk,
         "pq_state_persisted": _q_pq_state_persisted,
+        "stream_nsw_append": _q_stream_nsw_append,
         "compacted_rollup_events": _q_compacted_rollup_events,
         "range_join_error_windows": _q_range_join_error_windows,
         "stream_attribution_join": _q_stream_attribution_join,
@@ -5417,6 +5489,15 @@ def oracle_sql() -> dict[str, str]:
         # brute-force oracle (query vec 9); shard-count assertion lives
         # in the query fn (compaction really re-packed the store)
         "nsw_compact_topk": f"""
+            WITH {_QV.format(vid=9)}
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM embeddings e, q
+            ORDER BY {_D2}, e.vec_id LIMIT 10
+        """,
+        # stream-grown NSW store (r8): full-beam search over the union of
+        # seed + streamed + mid-stream-compacted shards is exact, so the
+        # same brute-force oracle gates it
+        "stream_nsw_append": f"""
             WITH {_QV.format(vid=9)}
             SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
             FROM embeddings e, q

@@ -289,3 +289,126 @@ def test_interval_join_batch_plan_no_cartesian(spark, events):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# streaming NSW ingestion (VERDICT r7 ask #5)
+
+
+def _mk_vec_rows(spark, lo, hi, dim=8, seed=3):
+    """Vectors are a pure function of (seed, id) so batch-wise and
+    all-at-once generation agree row-for-row."""
+    import random
+
+    rows = [
+        (
+            i,
+            [
+                round(random.Random(f"{seed}:{i}:{d}").uniform(-1, 1), 4)
+                for d in range(dim)
+            ],
+        )
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_stream_nsw_append_grows_store_and_compacts(spark, tmp_path):
+    """Micro-batches land as batch-keyed shards; the compaction policy
+    fires once shard count exceeds compact_factor×target and re-packs
+    committed shards to ids < parts_cap; full-beam search over the
+    grown store stays exact vs brute force throughout."""
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import nsw_read_topk
+    from acorn_hybrid_vector_search_spark.streaming.indexing import (
+        nsw_stream_batch_writer,
+    )
+
+    path = str(tmp_path / "graph")
+    write_batch = nsw_stream_batch_writer(
+        path, target_shards=2, compact_factor=2.0, parts_cap=64
+    )
+    # three batches of 8 shards each (repartition forces shard count)
+    for bid in range(3):
+        write_batch(
+            _mk_vec_rows(spark, bid * 40, (bid + 1) * 40).repartition(8), bid
+        )
+    store = spark.read.parquet(path)
+    parts = sorted(
+        r["part_id"] for r in store.select("part_id").distinct().collect()
+    )
+    # batch 2 started with 16 shards > 2×2 → compacted to ≤2 low ids,
+    # then wrote its own 8 shards in the batch-2 range [192, 256)
+    low = [p for p in parts if p < 64]
+    assert low and len(low) <= 2, parts
+    assert all(192 <= p < 256 for p in parts if p >= 64), parts
+    # ids present exactly once each
+    ids = [r["vec_id"] for r in store.select("vec_id").collect()]
+    assert sorted(ids) == list(range(120))
+    # full-beam exactness over the union
+    all_rows = _mk_vec_rows(spark, 0, 120)
+    q = all_rows.filter("vec_id = 77").head()["embedding"]
+    got = nsw_read_topk(spark, path, [(0, list(q))], k=5, ef=1_000_000)
+    want = knn_exact(all_rows, q, 5).select("vec_id").collect()
+    assert [r["vec_id"] for r in got.select("vec_id").collect()] == [
+        r["vec_id"] for r in want
+    ]
+
+
+def test_stream_nsw_append_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: redelivering a batch id must leave
+    the store byte-identical (batch-keyed part_id range + dynamic
+    overwrite + range pre-clean), even when the replay partitions the
+    batch differently."""
+    from acorn_hybrid_vector_search_spark.streaming.indexing import (
+        nsw_stream_batch_writer,
+    )
+
+    path = str(tmp_path / "graph")
+    write_batch = nsw_stream_batch_writer(
+        path, target_shards=2, compact_factor=100.0, parts_cap=64
+    )
+    batch = _mk_vec_rows(spark, 0, 30)
+    write_batch(batch.repartition(6), 0)
+    n1 = spark.read.parquet(path).count()
+    shards1 = spark.read.parquet(path).select("part_id").distinct().count()
+    # replay with a DIFFERENT partitioning (fewer shards)
+    write_batch(batch.repartition(2), 0)
+    store = spark.read.parquet(path)
+    assert store.count() == n1 == 30
+    assert store.select("part_id").distinct().count() == 2 < shards1
+    ids = sorted(r["vec_id"] for r in store.select("vec_id").collect())
+    assert ids == list(range(30))
+
+
+def test_stream_nsw_append_end_to_end_streaming_query(spark, tmp_path):
+    """The actual writeStream path: a 2-file parquet stream drains via
+    stream_nsw_append (maxFilesPerTrigger=1 → two real micro-batches)
+    and the store answers exactly like a batch-built one."""
+    from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import nsw_read_topk
+    from acorn_hybrid_vector_search_spark.streaming.indexing import stream_nsw_append
+
+    src = str(tmp_path / "src")
+    rows = _mk_vec_rows(spark, 0, 60)
+    rows.filter("vec_id < 30").coalesce(1).write.mode("overwrite").parquet(src)
+    rows.filter("vec_id >= 30").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    path = str(tmp_path / "graph")
+    q = stream_nsw_append(
+        stream, path, str(tmp_path / "ckpt"), target_shards=4
+    )
+    q.processAllAvailable()
+    q.stop()
+    qv = rows.filter("vec_id = 11").head()["embedding"]
+    got = nsw_read_topk(spark, path, [(0, list(qv))], k=5, ef=1_000_000)
+    want = knn_exact(rows, qv, 5).select("vec_id").collect()
+    assert [r["vec_id"] for r in got.select("vec_id").collect()] == [
+        r["vec_id"] for r in want
+    ]
