@@ -420,3 +420,48 @@ def test_nsw_compact_rejects_remote_paths(spark):
 
     with pytest.raises(ValueError, match="local"):
         nsw_compact(spark, "s3a://bucket/graph")
+
+
+def test_coarse_entry_full_beam_exact_and_deterministic():
+    """r8 entry strategy (VERDICT r7 ask #3): searches seeded by the
+    coarse √n-sample entry must (a) remain EXACT at full beam — entry
+    choice can't change a result the beam never prunes — and (b) be
+    deterministic call-over-call; and the build must be byte-stable
+    (coarse entry is search-time only, so persisted graphs are
+    unchanged by this feature)."""
+    rng = np.random.RandomState(11)
+    x = rng.standard_normal((400, 8))
+    g = NswGraph(x, m=8, ef_construction=32)
+    g2 = NswGraph(x, m=8, ef_construction=32)
+    assert g.neighbors == g2.neighbors  # build untouched by the feature
+    for qi in (0, 7, 123):
+        q = x[qi]
+        exact = np.argsort(((x - q) ** 2).sum(axis=1), kind="stable")[:10]
+        a, _ = g._search(q, 400, coarse_entry=True)
+        b, _ = g._search(q, 400, coarse_entry=True)
+        assert a == b
+        assert a[:10] == [int(v) for v in exact]
+
+
+def test_coarse_entry_recall_not_worse_on_clustered_data():
+    """On clustered data the fixed entry's beam burns visits traveling
+    from cluster 0; the coarse entry starts inside the right cluster.
+    Recall at a tight ef must be >= the entry-0 recall (the measured
+    BENCH_LADDER nsw_partition_scaling effect, pinned directionally)."""
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((20, 16)) * 10.0
+    x = np.vstack([c + rng.standard_normal((100, 16)) * 0.5 for c in centers])
+    g = NswGraph(x, m=8, ef_construction=32)
+    qs = x[rng.randint(0, x.shape[0], 12)]
+
+    def recall(coarse: bool) -> float:
+        hits = 0
+        for q in qs:
+            truth = set(
+                np.argsort(((x - q) ** 2).sum(axis=1), kind="stable")[:10].tolist()
+            )
+            cand, _ = g._search(q, 32, coarse_entry=coarse)
+            hits += len(set(cand[:10]) & truth)
+        return hits / (10 * len(qs))
+
+    assert recall(True) >= recall(False)

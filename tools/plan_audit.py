@@ -150,6 +150,7 @@ def main() -> None:
     _template_ladder_section()
     _rp_scaling_section()
     _nsw_compact_section()
+    _nsw_partition_section()
     _regression_triage_section()
 
 
@@ -491,6 +492,61 @@ def _nsw_compact_section() -> None:
         f"fan-out shrinks linearly in shard count, which at cluster "
         f"scale is the difference between a query touching 8 graph "
         f"directories and touching every append ever made."
+    )
+
+
+def _nsw_partition_section() -> None:
+    """NSW partition-size ladder (r7 verdict ask #3), regenerated from
+    BENCH_LADDER.json's nsw_partition_scaling block
+    (tools/bench_nsw_partition_scaling.py)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        lad = json.load(open(os.path.join(root, "BENCH_LADDER.json")))
+    except OSError:
+        return
+    sec = lad.get("nsw_partition_scaling")
+    if not sec:
+        return
+    print("\n## NSW partition-size ladder (entry strategy, measured)\n")
+    print(
+        f"Single-shard graphs over .ladder/x48 embeddings at ef={sec['ef']}, "
+        f"{sec['n_queries']} queries, k={sec['k']} "
+        "(tools/bench_nsw_partition_scaling.py):\n"
+    )
+    print(
+        "| n | build s | entry0 visits (max) | entry0 recall@10 | "
+        "coarse visits (max) | coarse recall@10 | e2e 8-query s |"
+    )
+    print("|---|---|---|---|---|---|---|")
+    for r in sec["sizes"]:
+        e0, co = r["entry0"], r["coarse"]
+        print(
+            f"| {r['n']:,} | {r['build_s']} | {e0['visits_mean']} "
+            f"({e0['visits_max']}) | {e0['recall_at_10']} | "
+            f"{co['visits_mean']} ({co['visits_max']}) | "
+            f"{co['recall_at_10']} | {r['e2e_query8_s']} |"
+        )
+    print(
+        "\nThe r7 question was whether hops from the fixed entry node 0 "
+        "grow super-log with partition size. Measured answer: NO — the "
+        "ef-bounded beam termination caps expansion (67 → 92 mean "
+        "visits over a 32× size range, and flat 16-query search ms). "
+        "What DOES degrade is recall at fixed ef (0.88 → 0.60 for "
+        "entry0), because a fixed entry spends beam budget traveling "
+        "across the space. The r8 coarse entry — nearest of a "
+        "deterministic √n stride sample, the flat analog of hnswlib's "
+        "upper-layer descent (hnswalg.h searchKnn) — is now the "
+        "search-time default (graph_ann._local_topk_frame): fewer "
+        "visits at 32k (96.8 → 83.2) and equal-or-better recall at the "
+        "large sizes (+2.5 points at 64k), with builds and persisted "
+        "stores byte-UNCHANGED (entry selection is search-time only; "
+        "exactness at full beam and determinism pytest-pinned). The "
+        "recall lever at big partitions remains ef — and the "
+        "DISTRIBUTED design keeps partitions bounded by construction "
+        "(shard size is a build knob, not a data property), which is "
+        "why the e2e column stays flat while n grows 32×.\n"
     )
 
 
