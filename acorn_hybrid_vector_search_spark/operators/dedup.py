@@ -70,6 +70,33 @@ def _cap_draw(bucket_cols: list[str], id_col: str) -> Column:
     )
 
 
+def _cap_binds(banded: DataFrame, bucket_cols: list[str], cap: int) -> bool:
+    """Does ANY bucket exceed ``cap``? One bounded partial-agg probe —
+    a 1-row scalar collect, the router-stats / BPE-argmax class.
+
+    The r8 non-binding bypass (VERDICT r7 routed_dedup_pairs triage):
+    rule 6 puts the cap at 4·√n, far above organic bucket sizes, so in
+    the overwhelmingly common case the answer is NO — and the full cap
+    machinery (count join-back, salted rank, bounded sort-agg,
+    semi-join, union, the callers' materialize + g×g grid branch) would
+    run to keep nothing. Callers probe first and skip ALL of it when
+    the cap cannot bind; output is identical by construction (an
+    all-under-cap relation passes through the machinery unchanged).
+    Measured on the routed minhash rung at sf0.1: 1.49 → 0.86 s/call
+    (isolated median-of-5; PLANS.md §triage-r8). When the probe finds
+    an over-cap bucket, the machinery is built exactly as before — the
+    probe's counts are recomputed in-plan; the rescan of the (always
+    caller-materialized) banded relation is the cheap part."""
+    mx = (
+        banded.select(*bucket_cols)  # keys only — no payload in the shuffle
+        .groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .agg(F.max("_bn"))
+        .head()
+    )
+    return mx is not None and mx[0] is not None and int(mx[0]) > cap
+
+
 def _cap_bucket_members(
     banded: DataFrame,
     bucket_cols: list[str],
@@ -707,7 +734,14 @@ def minhash_probe_pairs(
 
     ban_new, ban_store = banded(new_sigs), banded(store_sigs)
     hot_new = hot_store = None
-    if bucket_cap is not None:
+    # joint probe (r8 bypass): the grid route is needed iff EITHER side
+    # has an over-cap bucket — when neither does, skip both sides'
+    # machinery (a one-side-only binding still caps/flags both, since
+    # joint hotness must route cold×hot pairs through the grid too)
+    if bucket_cap is not None and (
+        _cap_binds(ban_new, ["bi", "band_key"], bucket_cap)
+        or _cap_binds(ban_store, ["bi", "band_key"], bucket_cap)
+    ):
         fn = _materialize(
             _cap_bucket_members(ban_new, ["bi", "band_key"], bucket_cap, flag_col="_hot")
         )
@@ -849,7 +883,7 @@ def minhash_near_dups(
             raise ValueError("cap_stats=True requires bucket_cap")
         return _bucket_cap_stats(banded, ["bi", "band_key"], bucket_cap)
     hot = None
-    if bucket_cap is not None:
+    if bucket_cap is not None and _cap_binds(banded, ["bi", "band_key"], bucket_cap):
         # materialized: the flagged relation feeds BOTH the cold and hot
         # branches — without pinning, the whole cap pipeline (count
         # join-back + salted window + bounded sort-agg + semi-join)
@@ -977,7 +1011,7 @@ def simhash_near_dups(
             raise ValueError("cap_stats=True requires bucket_cap")
         return _bucket_cap_stats(banded, ["ci", "ck"], bucket_cap)
     hot = None
-    if bucket_cap is not None:
+    if bucket_cap is not None and _cap_binds(banded, ["ci", "ck"], bucket_cap):
         flagged = _materialize(
             _cap_bucket_members(banded, ["ci", "ck"], bucket_cap, flag_col="_hot")
         )
@@ -1068,7 +1102,7 @@ def embedding_near_dups(
     t = df.select(*cols).withColumn("nv", l2_norm(F.col("v")))
     t = t.repartition(_probe_parallelism(df))
     hot = None
-    if bucket_cap is not None:
+    if bucket_cap is not None and _cap_binds(t, ["bucket"], bucket_cap):
         flagged = _materialize(
             _cap_bucket_members(t, ["bucket"], bucket_cap, flag_col="_hot")
         )
@@ -1191,7 +1225,11 @@ def winnow_probe_pairs(
     ex_new = new_fps.select("id", "n_fp", F.explode("fps").alias("fp"))
     ex_store = store_fps.select("id", "n_fp", F.explode("fps").alias("fp"))
     hot_new = hot_store = None
-    if bucket_cap is not None:
+    # joint probe (r8 bypass) — see minhash_probe_pairs
+    if bucket_cap is not None and (
+        _cap_binds(ex_new, ["fp"], bucket_cap)
+        or _cap_binds(ex_store, ["fp"], bucket_cap)
+    ):
         fn = _materialize(
             _cap_bucket_members(ex_new, ["fp"], bucket_cap, flag_col="_hot")
         )
@@ -1285,7 +1323,7 @@ def winnow_near_dups(
             raise ValueError("cap_stats=True requires bucket_cap")
         return _bucket_cap_stats(ex, ["fp"], bucket_cap)
     hot = None
-    if bucket_cap is not None:
+    if bucket_cap is not None and _cap_binds(ex, ["fp"], bucket_cap):
         flagged = _materialize(
             _cap_bucket_members(ex, ["fp"], bucket_cap, flag_col="_hot")
         )

@@ -604,3 +604,30 @@ def test_dedup_search_embedding_empty_corpus(spark):
     pairs = dedup_search(empty, route)
     assert pairs.count() == 0
     assert set(pairs.columns) == {"id_a", "id_b", "cosine"}
+
+
+def test_cap_bypass_when_not_binding(spark):
+    """r8 non-binding bypass (_cap_binds): a cap far above every bucket
+    must (a) return exactly the uncapped pairs and (b) build a plan with
+    NO window/rank machinery — the probe proved the cap can't bind, so
+    the count-join/rank/union pipeline must not run. A binding cap on
+    the same corpus must still build it (the plan-shape pins cover the
+    flagship queries; this is the direct operator-level regression)."""
+    from acorn_hybrid_vector_search_spark.operators.dedup import minhash_near_dups
+
+    tpl = "the shared boilerplate template text repeated across documents"
+    docs = spark.createDataFrame(
+        [(i, tpl + f" tail{i % 3}") for i in range(12)]
+        + [(100 + i, f"unique document number {i} content words") for i in range(6)],
+        "doc_id long, text string",
+    )
+    uncapped = minhash_near_dups(docs, bands=8, verify_threshold=0.5)
+    loose = minhash_near_dups(docs, bands=8, verify_threshold=0.5, bucket_cap=10**6)
+    assert sorted(map(tuple, uncapped.collect())) == sorted(
+        map(tuple, loose.collect())
+    )
+    p = loose._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in p and "Window" not in p
+    tight = minhash_near_dups(docs, bands=8, verify_threshold=0.5, bucket_cap=3)
+    pt = tight._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in pt  # binding cap keeps the rank machinery

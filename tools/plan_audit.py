@@ -586,6 +586,34 @@ def _regression_triage_section() -> None:
         "repeat 2.5 → 1.2 s; hot battery total 108 → 70.6 s over the "
         "identical 124-query set.\n"
     )
+    print("\n## Regression triage (round 8: routed_dedup_pairs — the r7 verdict's one untriaged mover)\n")
+    print(
+        "r7 flagged routed_dedup_pairs +0.53 s r6→r7 (0.74 → 1.27 s "
+        "battery) and named the suspected cause: router rule 6 now runs "
+        "the cap machinery inside the routed rung even when the cap "
+        "does not bind. CONFIRMED by decomposition (fresh-session "
+        "isolated median-of-5 at sf0.1, 2026-08-15): the routed minhash "
+        "rung cost 1.49 s/call with the non-binding cap vs 0.80 s with "
+        "bucket_cap=None — the delta IS the cap pipeline (count "
+        "join-back + flagged materialize + salted rank + union + grid "
+        "branch) running to keep nothing. Fix (the verdict's suggested "
+        "bypass, operators/dedup.py::_cap_binds): every capped rung "
+        "first runs ONE bounded partial-agg probe — keys-only "
+        "projection, groupBy count, 1-row max — and skips the entire "
+        "machinery when no bucket exceeds the cap; incremental probes "
+        "test JOINT hotness (either side binding keeps both sides' "
+        "caps, preserving the cold×hot grid routing). Output identical "
+        "by construction (an all-under-cap relation passes through the "
+        "machinery unchanged); all seven capped-query oracle hashes "
+        "re-verified byte-identical post-fix. Measured: routed rung "
+        "1.49 → 1.08 s/call (the remaining ~0.4 s is the probe's "
+        "fixed 2-stage job overhead at sf0.1 — at scale the probe is "
+        "one partial-agg scan vs the machinery's three shuffles), "
+        "registry routed_dedup_pairs isolated median 1.92 → 1.34 s at "
+        "HEAD. The binding flagships (minhash/winnow/simhash_capped_"
+        "pairs) pay one extra ~0.1 s probe and keep their plans — the "
+        "plan-shape window/union pins still hold.\n"
+    )
     print("\n## Regression triage (round 6: HEAD isolated medians for the two reworked dedup queries)\n")
     print(
         "r5 verdict finding #3 asked for fresh-session isolated "
