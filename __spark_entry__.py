@@ -1358,6 +1358,42 @@ def _q_hybrid_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "vec_id", F.round("dist", _R).alias("dist"))
 
 
+@_prepared
+def _q_acorn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched K4 (hybrid.py::acorn_search_batch — the escalation of
+    acorn_search_plan evaluated for a whole query batch from ONE
+    candidate scan): four queries spanning class-1 (no predicate),
+    moderate selectivity (label = 3), a sparse id-range predicate that
+    exercises escalation depth (vec_id < 25), and a numeric-leq class.
+    Round selection (40 → 160 → 640 for k=10) is a per-query |Q|-row
+    aggregate broadcast back; the exact-prefilter fallback rides the
+    plan filtered to chosen-IS-NULL queries. The oracle replays the
+    full per-query round arithmetic (the acorn_hybrid CASE oracle per
+    block). pytest pins batch ≡ per-query acorn_search incl. the
+    fallback branch (tests/test_hybrid.py)."""
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        acorn_search_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    batch = [
+        (0, vecs[0], None),
+        (1, vecs[1], {"label": ["exact", 3]}),
+        (2, vecs[2], {"vec_id": ["<", 25]}),
+        (3, vecs[3], {"label": ["leq", 1]}),
+    ]
+    res = acorn_search_batch(emb, batch, k=10)
+    return res.select(
+        "query_id", "vec_id", "label", F.round("dist", _R).alias("dist")
+    )
+
+
 def _q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the customer's latest order at or
     before the event time (oracle: DuckDB native ASOF JOIN). Right side
@@ -3652,6 +3688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_curve_keys": _q_zorder_curve_keys,
         "upsert_orders": _q_upsert_orders,
         "hybrid_batch_topk": _q_hybrid_batch_topk,
+        "acorn_batch_topk": _q_acorn_batch_topk,
         "nested_prefilter_weight_brand": _q_nested_prefilter_weight_brand,
         "nested_postfilter_color": _q_nested_postfilter_color,
         "histogram_brand_nested": _q_histogram_brand_nested,
@@ -5944,6 +5981,42 @@ def oracle_sql() -> dict[str, str]:
     }
     # K5 routing must be result-invariant: the routed query's oracle IS the
     # full-table pre-filter oracle, so any routing loss shows as a mismatch.
+    # batched K4 (r8): one block per query — each block IS the
+    # single-query acorn_hybrid oracle (ranked prefix, CASE round
+    # selection, NULL → unrestricted prefilter fallback) under that
+    # query's own predicate; MATERIALIZED ranked CTEs because each is
+    # referenced 4× (3 CASE probes + the final select)
+    _acorn_batch_preds = {
+        0: "TRUE",
+        1: "r.label IS NOT NULL AND r.label = 3",
+        2: "r.vec_id IS NOT NULL AND r.vec_id < 25",
+        3: "r.label IS NOT NULL AND r.label <= 1",
+    }
+    _ab_ctes = ",\n".join(
+        f"""ab{i} AS MATERIALIZED (
+            SELECT e.vec_id, e.label, {d2} AS d2,
+                row_number() OVER (ORDER BY {d2}, e.vec_id) AS pos
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = {i}) q
+        )"""
+        for i in _acorn_batch_preds
+    )
+    _ab_blocks = "\nUNION ALL\n".join(
+        f"""(SELECT CAST({i} AS BIGINT) AS query_id, r.vec_id, r.label,
+                ROUND(r.d2, {_R}) AS dist
+            FROM ab{i} r, (SELECT CASE
+                WHEN (SELECT COUNT(*) FROM ab{i} r
+                      WHERE r.pos <= 40 AND ({w})) >= 10 THEN 40
+                WHEN (SELECT COUNT(*) FROM ab{i} r
+                      WHERE r.pos <= 160 AND ({w})) >= 10 THEN 160
+                WHEN (SELECT COUNT(*) FROM ab{i} r
+                      WHERE r.pos <= 640 AND ({w})) >= 10 THEN 640
+                ELSE NULL END AS lk) c
+            WHERE ({w}) AND (c.lk IS NULL OR r.pos <= c.lk)
+            ORDER BY r.d2, r.vec_id LIMIT 10)"""
+        for i, w in _acorn_batch_preds.items()
+    )
+    out["acorn_batch_topk"] = f"WITH {_ab_ctes}\n{_ab_blocks}"
     out["nested_routed_model_year"] = out["nested_model_year_sparse"]
     # stream == batch on the gate itself: the streaming rollup answers to
     # the batch rollup oracle verbatim, and the streaming media ingest

@@ -602,6 +602,114 @@ def postfilter_search_batch(
     )
 
 
+def acorn_search_batch(
+    df: DataFrame,
+    queries: Sequence[tuple[Any, Sequence[float], Predicates | None]],
+    k: int,
+    *,
+    initial_oversample: int = 4,
+    max_rounds: int = 3,
+    accessors: Mapping[str, AttributeAccessor] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+    query_id_col: str = "query_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """K4 for a query batch: the ``acorn_search_plan`` escalation —
+    bounded candidate prefix, smallest-filling-round selection, exact
+    pre-filter fallback — evaluated for EVERY query of the batch from
+    ONE candidate scan. Per query the result is identical to
+    ``acorn_search`` (pytest-pinned), so a serving pipeline running the
+    reference's §2.4 battery pays one scan for the whole batch instead
+    of one driver-planned escalation per query.
+
+    Plan: one scan → broadcast query-parameter join → two-phase salted
+    per-query top-``max_large_k`` (the K4 candidate set is
+    DISTANCE-FIRST: the predicate rides along as the ``_passes``
+    verdict, it must not prune candidates) → per-query running
+    prefix-hit count and round selection as a |Q|-row aggregate
+    broadcast back → escalation rows where the chosen prefix fills;
+    the exact pre-filter fallback (``prefilter_search_batch`` — its own
+    scan, same as the single-query plan's fallback branch) rides in the
+    same plan filtered to chosen-IS-NULL queries. All windows after the
+    candidate stage partition over ≤ |Q|·max_large_k rows — a
+    query-size constant, not row-scaled."""
+    from pyspark.sql.window import Window
+
+    if accessors is None:
+        from acorn_hybrid_vector_search_spark.functions.predicates import (
+            flat_accessors,
+        )
+
+        accessors = flat_accessors(df)
+    qt, used = _batch_query_table(
+        df.sparkSession, queries, accessors,
+        query_id_col=query_id_col, query_vec_col="_qv",
+    )
+    from acorn_hybrid_vector_search_spark.functions.distance import l2_sq_distance
+
+    max_large_k = initial_oversample * (4 ** (max_rounds - 1)) * k
+    order = [F.col(dist_col).asc(), F.col(id_col).asc()]
+    scored = (
+        df.crossJoin(F.broadcast(qt))
+        .withColumn(dist_col, l2_sq_distance(F.col(vec_col), F.col("_qv")))
+        .withColumn("_sb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
+    )
+    w_local = Window.partitionBy(query_id_col, "_sb").orderBy(*order)
+    w_global = Window.partitionBy(query_id_col).orderBy(*order)
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= max_large_k)
+        .drop("_rn")
+        .withColumn("_rn", F.row_number().over(w_global))
+        .filter(F.col("_rn") <= max_large_k)
+        .drop("_sb")
+    )
+    param_cols = [c for c in qt.columns if c.startswith(("_c_", "_p_")) or c == "_qv"]
+    ranked = (
+        cand.withColumn("_passes", _batch_predicate(used, accessors))
+        .drop(*param_cols)
+        .withColumn(
+            "_prefix_hits",
+            F.sum(F.when(F.col("_passes"), 1).otherwise(0)).over(w_global),
+        )
+    )
+    rounds = [initial_oversample * (4**r) * k for r in range(max_rounds)]
+    per_round = [
+        F.min(
+            F.when((F.col("_rn") <= L) & (F.col("_prefix_hits") >= k), F.lit(L))
+        )
+        for L in rounds
+    ]
+    chosen = (
+        F.least(*per_round) if len(per_round) > 1 else per_round[0]
+    ).alias("_chosen")
+    sel = F.broadcast(ranked.groupBy(query_id_col).agg(chosen))
+
+    pass_rank = F.row_number().over(w_global)
+    escalation = (
+        ranked.filter(F.col("_passes"))
+        .withColumn("_pass_rank", pass_rank)
+        .join(sel, query_id_col)
+        .filter(F.col("_chosen").isNotNull() & (F.col("_pass_rank") <= k))
+        .drop("_passes", "_rn", "_prefix_hits", "_pass_rank", "_chosen")
+    )
+    out_cols = escalation.columns
+    fallback = (
+        prefilter_search_batch(
+            df, queries, k, accessors=accessors, vec_col=vec_col,
+            id_col=id_col, dist_col=dist_col, query_id_col=query_id_col,
+            salt_buckets=salt_buckets,
+        )
+        .select(*out_cols)
+        .join(sel, query_id_col)
+        .filter(F.col("_chosen").isNull())
+        .drop("_chosen")
+    )
+    return escalation.unionByName(fallback)
+
+
 def routed_search_batch(
     df: DataFrame,
     subset_df: DataFrame,

@@ -344,3 +344,35 @@ def test_routed_batch_splits_targets(embeddings_df, tmp_path, spark):
         ).collect()
         have = sorted(by_q[qid], key=lambda r: (r["dist"], r["vec_id"]))
         assert [r["vec_id"] for r in have] == [r["vec_id"] for r in want], qid
+
+
+def test_acorn_batch_matches_per_query_loop(embeddings_df):
+    """K4 batch ≡ per-query acorn_search across fill, selective and
+    empty-predicate queries — including a query that under-fills every
+    round and must take the exact-prefilter fallback branch."""
+    from acorn_hybrid_vector_search_spark.operators.hybrid import acorn_search_batch
+
+    rows = (
+        embeddings_df.filter("vec_id IN (3, 17, 42, 99)")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+    qs = [
+        (3, vecs[3], None),                          # class-1: fills round 1
+        (17, vecs[17], {"label": ["exact", 2]}),     # moderate selectivity
+        (42, vecs[42], {"vec_id": ["<", 7]}),        # 7 rows: escalates/falls back
+        (99, vecs[99], {"label": ["geq", 4]}),
+    ]
+    got = acorn_search_batch(embeddings_df, qs, k=5, initial_oversample=2, max_rounds=2)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, vec, preds in qs:
+        want = acorn_search(
+            embeddings_df, vec, preds, k=5, initial_oversample=2, max_rounds=2
+        ).collect()
+        have = sorted(by_q.get(qid, []), key=lambda r: (r["dist"], r["vec_id"]))
+        assert [r["vec_id"] for r in have] == [r["vec_id"] for r in want], qid
+        for h, w in zip(have, want):
+            assert h["dist"] == pytest.approx(w["dist"], rel=1e-12)

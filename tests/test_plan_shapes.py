@@ -34,6 +34,8 @@ _BNLJ_BY_DESIGN = {
     # bounded broadcast query-PARAMETER table (4 rows: vectors +
     # per-query predicate params); predicate prunes pairs map-side
     "hybrid_batch_topk",
+    # K4 batch: same broadcast query table, distance-first candidates
+    "acorn_batch_topk",
     # BM25's / the LM scorers' corpus-stats table is a broadcast 1-row
     # cross join
     "bm25_topk_docs",

@@ -115,6 +115,10 @@ AUDIT: dict[str, list[str]] = {
     # top-k (Window on (query_id, _sb) then the tiny global rank — never
     # one hot per-query window partition over the corpus)
     "hybrid_batch_topk": ["BroadcastNestedLoopJoin", "Window", "Exchange"],
+    # round 8: batched K4 escalation — candidate scan + broadcast
+    # per-query round selection (the |Q|-row agg joins back broadcast),
+    # fallback branch unioned in the same plan
+    "acorn_batch_topk": ["BroadcastNestedLoopJoin", "Window", "Union"],
 }
 
 
