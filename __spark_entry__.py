@@ -3521,8 +3521,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     upsert_orders (family retention documented at the rotation block
     below).  Round 6c micro-rotated the late-round flagships in via
     three SAME-FAMILY swaps (sharded bloom for 1-row bloom, winnowing
-    for simhash, CMS for HLL — see the 6c block).  Displaced and new
-    51+ queries remain oracle-checked by
+    for simhash, CMS for HLL — see the 6c block).  Round 7 rotated the
+    r7 cap/compact/stream flagships in (see the r7 block); round 8
+    rotated its four flagships in — the two BATCHED hybrid forms
+    (hybrid_batch_topk, acorn_batch_topk), streaming NSW ingestion with
+    mid-stream compaction (stream_nsw_append), and the PQ persistence
+    roundtrip gate (pq_state_persisted) — displacing
+    simhash_capped_pairs, hybrid_rrf_retrieval, nsw_compact_topk and
+    sessionize (family retention documented at the r8 rotation block).
+    Displaced and new 51+ queries remain oracle-checked by
     tools/selfcheck.py and pytest, and every round commits the
     full-battery artifact SELFCHECK.json so the 51+ surface has durable
     evidence.
@@ -3630,7 +3637,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   keeps the sharded-bloom row + gains the ingestion-gate
         #   stream row; the broadcast-exact rung to 51+). ====
         "winnow_incremental_pairs": _q_winnow_incremental_pairs,
-        "nsw_compact_topk": _q_nsw_compact_topk,
+        # ==== round-8 rotation (standing policy: the CURRENT round's
+        # flagships earn driver-committed evidence before the round
+        # closes; displaced rows stay oracle-gated at 51+ via the
+        # committed SELFCHECK.json battery; every family keeps >=1
+        # window row).  Swaps:
+        # simhash_capped_pairs -> hybrid_batch_topk (the r8 headline:
+        #   one-scan batched hybrid search over 4 distinct predicate
+        #   classes; the cap family keeps minhash_capped_pairs +
+        #   winnow_capped_pairs + simhash_cap_stats in-window, so
+        #   binding-cap arithmetic is still driver-gated twice and the
+        #   simhash disclosure row stays);
+        # hybrid_rrf_retrieval -> acorn_batch_topk (K4 escalation per
+        #   query from one candidate scan, full round-arithmetic
+        #   oracle; retrieval keeps bm25_topk_docs — RRF stays
+        #   selfcheck-gated at 51+);
+        # nsw_compact_topk -> stream_nsw_append (the stream query RUNS
+        #   nsw_compact mid-stream via the shard-count policy, so
+        #   compaction machinery still executes in-window — plus the
+        #   foreachBatch ingestion path; X1/X2 keep nsw_persisted_topk);
+        # sessionize -> pq_state_persisted (PQ gains its FIRST
+        #   hash-verified driver row — pq_ann_topk is rows-only by
+        #   design — via the portable roundtrip invariant; streaming
+        #   keeps stream_hourly_rollup / stream_decontaminate_docs /
+        #   stream_audio_decode / stream_nsw_append). ====
+        "hybrid_batch_topk": _q_hybrid_batch_topk,
+        "acorn_batch_topk": _q_acorn_batch_topk,
+        "stream_nsw_append": _q_stream_nsw_append,
+        "pq_state_persisted": _q_pq_state_persisted,
         # ==== round-6c micro-rotation: the late-round flagships — all
         # SAME-FAMILY swaps, so every family keeps its window row:
         # decontaminate_docs_bloom → decontaminate_docs_bloom_sharded
@@ -3649,9 +3683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": _q_join_topk,
         "antijoin_customers": _q_antijoin_customers,
         "incremental_rollup_events": _q_incremental_rollup,
-        # -- dedup family (r7: capped/stream variants in-window) --
+        # -- dedup family (r7: capped/stream variants in-window; r8
+        # rotation displaced simhash_capped_pairs to 51+) --
         "simhash_cap_stats": _q_simhash_cap_stats,
-        "simhash_capped_pairs": _q_simhash_capped_pairs,
         "minhash_capped_pairs": _q_minhash_capped_pairs,
         "near_dup_components": _q_near_dup_components,
         "stream_decontaminate_docs": _q_stream_decontaminate_docs,
@@ -3665,11 +3699,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_histogram": _q_lang_id_histogram,
         # -- retrieval / mining --
         "bm25_topk_docs": _q_bm25_topk,
-        "hybrid_rrf_retrieval": _q_hybrid_rrf,
         "mined_contrastive_pairs": _q_mined_pairs,
-        # -- streaming / temporal / layout --
+        # -- streaming / temporal / layout (r8 rotation displaced
+        # sessionize to 51+; hybrid_rrf_retrieval likewise) --
         "stream_hourly_rollup": _q_stream_hourly_rollup,
-        "sessionize": _q_sessionize,
         "asof_latest_order": _q_asof_latest_order,
         # -- pipeline ops --
         "chunk_documents_sliding": _q_chunk_documents,
@@ -3687,8 +3720,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_topk": _q_hard_negatives,
         "zorder_curve_keys": _q_zorder_curve_keys,
         "upsert_orders": _q_upsert_orders,
-        "hybrid_batch_topk": _q_hybrid_batch_topk,
-        "acorn_batch_topk": _q_acorn_batch_topk,
+        # r8-displaced (each family retains in-window evidence — see the
+        # round-8 rotation block)
+        "simhash_capped_pairs": _q_simhash_capped_pairs,
+        "hybrid_rrf_retrieval": _q_hybrid_rrf,
+        "nsw_compact_topk": _q_nsw_compact_topk,
+        "sessionize": _q_sessionize,
         "nested_prefilter_weight_brand": _q_nested_prefilter_weight_brand,
         "nested_postfilter_color": _q_nested_postfilter_color,
         "histogram_brand_nested": _q_histogram_brand_nested,
@@ -3731,8 +3768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_next_order": _q_asof_next_order,
         "ann_ivf_topk": _q_ann_ivf,
         "pq_ann_topk": _q_pq_ann_topk,
-        "pq_state_persisted": _q_pq_state_persisted,
-        "stream_nsw_append": _q_stream_nsw_append,
         "compacted_rollup_events": _q_compacted_rollup_events,
         "range_join_error_windows": _q_range_join_error_windows,
         "stream_attribution_join": _q_stream_attribution_join,
