@@ -384,11 +384,21 @@ def _batch_query_table(
     strict missing-attribute-rejection trigger) and ``_p_<attr>_<op>``
     (the comparison value; NULL = this query doesn't use that (attr, op),
     so its conjunct is vacuous). Returns (query_table, attr→ops map)."""
+    qids = [qid for qid, _, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError(f"duplicate query ids in batch: {qids}")
     used: dict[str, list[str]] = {}
     for _, _, preds in queries:
-        for attr, (op, _v) in (preds or {}).items():
+        for attr, (op, v) in (preds or {}).items():
             if attr not in accessors:
                 raise ValueError(f"unknown attribute: {attr!r}")
+            if v is None:
+                # NULL is the "constraint absent for this query" marker in
+                # the parameter columns — a literal None value would be
+                # silently mistaken for it (and str(None) would compare
+                # against the string 'None'); the single-query grammar
+                # rejects every row under a None comparison anyway
+                raise ValueError(f"predicate value for {attr!r} may not be None")
             supported = (
                 _NUMERIC_OPS if accessors[attr].kind == "numeric" else _STRING_OPS
             )
