@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-__all__ = ["invalidate", "materialize"]
+__all__ = ["invalidate", "materialize", "probe_memo"]
 
 # insertion-ordered: index 0 is the LRU victim; entries carry the owning
 # SparkContext's applicationId so a session restart can't serve a frame
@@ -47,6 +47,38 @@ def _app_id(df: DataFrame) -> str | None:
         return None
 
 
+# memoized bounded probe results (e.g. _cap_binds' 1-row max-bucket
+# scalar): repeated operator calls rebuild semantically identical plans,
+# and re-running the probe job per call would tax every binding capped
+# query with a fixed job overhead. Same staleness contract as _PINNED:
+# store writers invalidate(), dead-session entries are evicted on use.
+_PROBE: list[tuple[str | None, int, object, DataFrame, object]] = []
+_PROBE_MAX = 64
+
+
+def probe_memo(df: DataFrame, extra_key, compute):
+    """Return ``compute()`` memoized per (session, plan semantics,
+    extra_key). The value must be a pure function of the plan's data —
+    invalidate() (called by every store writer) clears the memo, so a
+    rewritten store re-probes."""
+    app = _app_id(df)
+    try:
+        h = df.semanticHash()
+    except Exception:
+        return compute()
+    for i in [i for i, e in enumerate(_PROBE) if e[0] != app][::-1]:
+        _PROBE.pop(i)
+    for i, (pa, ph, pk, pdf, val) in enumerate(_PROBE):
+        if ph == h and pk == extra_key and df.sameSemantics(pdf):
+            _PROBE.append(_PROBE.pop(i))  # LRU refresh
+            return val
+    val = compute()
+    _PROBE.append((app, h, extra_key, df, val))
+    while len(_PROBE) > _PROBE_MAX:
+        _PROBE.pop(0)
+    return val
+
+
 def invalidate() -> None:
     """Unpersist every pinned relation. Store WRITERS (minhash_write,
     winnow_write, nsw_write/append/compact, …) call this: semantic
@@ -56,6 +88,7 @@ def invalidate() -> None:
     rewrite would be silently served the pre-rewrite snapshot (the
     /code-review r7 stale-pin finding; pinned by
     test_materialize_invalidated_on_store_rewrite)."""
+    _PROBE.clear()
     while _PINNED:
         try:
             _PINNED.pop()[2].unpersist()

@@ -86,15 +86,26 @@ def _cap_binds(banded: DataFrame, bucket_cols: list[str], cap: int) -> bool:
     (isolated median-of-5; PLANS.md §triage-r8). When the probe finds
     an over-cap bucket, the machinery is built exactly as before — the
     probe's counts are recomputed in-plan; the rescan of the (always
-    caller-materialized) banded relation is the cheap part."""
-    mx = (
-        banded.select(*bucket_cols)  # keys only — no payload in the shuffle
-        .groupBy(*bucket_cols)
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .agg(F.max("_bn"))
-        .head()
-    )
-    return mx is not None and mx[0] is not None and int(mx[0]) > cap
+    caller-materialized) banded relation is the cheap part.
+
+    The verdict is MEMOIZED per (session, plan semantics, cap)
+    (_cache.probe_memo): repeat calls — bench loops, notebooks — would
+    otherwise pay the probe's fixed job overhead per call on every
+    BINDING capped query too. Store writers invalidate() the memo, so
+    an in-session store rewrite re-probes."""
+    from acorn_hybrid_vector_search_spark.operators._cache import probe_memo
+
+    def compute() -> bool:
+        mx = (
+            banded.select(*bucket_cols)  # keys only — no payload shuffled
+            .groupBy(*bucket_cols)
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .agg(F.max("_bn"))
+            .head()
+        )
+        return mx is not None and mx[0] is not None and int(mx[0]) > cap
+
+    return probe_memo(banded, ("cap_binds", cap), compute)
 
 
 def _cap_bucket_members(

@@ -631,3 +631,26 @@ def test_cap_bypass_when_not_binding(spark):
     tight = minhash_near_dups(docs, bands=8, verify_threshold=0.5, bucket_cap=3)
     pt = tight._jdf.queryExecution().executedPlan().toString()
     assert "Window" in pt  # binding cap keeps the rank machinery
+
+
+def test_cap_probe_memo_invalidated_on_store_rewrite(spark, tmp_path):
+    """_cap_binds' memoized verdict must be dropped by invalidate() (the
+    store-writer hook): after an in-session rewrite makes a bucket hot,
+    a semantically-equal probe plan must re-probe and see it bind."""
+    from acorn_hybrid_vector_search_spark.operators import _cache
+    from acorn_hybrid_vector_search_spark.operators.dedup import _cap_binds
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, i % 5) for i in range(10)], "id long, b long"
+    ).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    assert _cap_binds(df, ["b"], 3) is False
+    # memo hit: same verdict without recompute (presence in _PROBE)
+    assert any(e[2] == ("cap_binds", 3) for e in _cache._PROBE)
+    # rewrite: all rows in one bucket → binds; writers call invalidate()
+    spark.createDataFrame(
+        [(i, 0) for i in range(10)], "id long, b long"
+    ).write.mode("overwrite").parquet(path)
+    _cache.invalidate()
+    assert _cap_binds(spark.read.parquet(path), ["b"], 3) is True
