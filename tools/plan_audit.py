@@ -617,9 +617,16 @@ def _regression_triage_section() -> None:
         "fixed 2-stage job overhead at sf0.1 — at scale the probe is "
         "one partial-agg scan vs the machinery's three shuffles), "
         "registry routed_dedup_pairs isolated median 1.92 → 1.34 s at "
-        "HEAD. The binding flagships (minhash/winnow/simhash_capped_"
-        "pairs) pay one extra ~0.1 s probe and keep their plans — the "
-        "plan-shape window/union pins still hold.\n"
+        "HEAD (battery 1.27 → 0.90 under a host phase that elevated "
+        "untouched queries ~25-30%). The binding flagships "
+        "(minhash/winnow/simhash_capped_pairs) keep their plans — the "
+        "plan-shape window/union pins still hold — and the probe "
+        "VERDICT is memoized per (session, plan semantics, cap) "
+        "(_cache.probe_memo, cleared by the same store-writer "
+        "invalidate() the pinned relations use, pytest-pinned), so "
+        "repeat calls pay the probe job once per session, not per "
+        "call (measured: minhash_capped repeat calls 15.5 s cold-first "
+        "then 2.1-2.6 s steady with ONE probe entry).\n"
     )
     print("\n## Regression triage (round 6: HEAD isolated medians for the two reworked dedup queries)\n")
     print(
