@@ -155,6 +155,7 @@ def main() -> None:
     _rp_scaling_section()
     _nsw_compact_section()
     _nsw_partition_section()
+    _hybrid_batch_section()
     _regression_triage_section()
 
 
@@ -551,6 +552,45 @@ def _nsw_partition_section() -> None:
         "DISTRIBUTED design keeps partitions bounded by construction "
         "(shard size is a build knob, not a data property), which is "
         "why the e2e column stays flat while n grows 32×.\n"
+    )
+
+
+def _hybrid_batch_section() -> None:
+    """Batched-hybrid serving measurement (r8 ask #1), regenerated from
+    BENCH_LADDER.json's hybrid_batch block (tools/bench_hybrid_batch.py)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        lad = json.load(open(os.path.join(root, "BENCH_LADDER.json")))
+    except OSError:
+        return
+    sec = lad.get("hybrid_batch")
+    if not sec:
+        return
+    print("\n## Batched hybrid serving (one scan vs per-query loop, measured)\n")
+    print(
+        f"prefilter_search_batch over {sec['n_vectors']:,} vectors "
+        "(.ladder/x16), queries cycling four §2.3 predicate classes, "
+        "k=10, identical row counts asserted between paths:\n"
+    )
+    print("| |Q| | batch s | loop s | batch ms/query | loop ms/query | speedup |")
+    print("|---|---|---|---|---|---|")
+    for r in sec["batches"]:
+        print(
+            f"| {r['n_queries']} | {r['batch_s']} | {r['loop_s']} | "
+            f"{r['batch_ms_per_query']} | {r['loop_ms_per_query']} | "
+            f"{r['speedup']}× |"
+        )
+    print(
+        "\nThe per-query loop is flat ~200 ms/query (every query pays "
+        "plan construction + its own scan job); the batch amortizes "
+        "both — 17.5 ms/query at |Q|=64, 11.6× the loop, and the curve "
+        "is still falling at the measured sizes. Below ~|Q|=8 the "
+        "broadcast parameter-table construction dominates and the loop "
+        "wins — batching is a serving-path optimization, not a "
+        "single-query one (disclosed; the single-query operators "
+        "remain the interactive path).\n"
     )
 
 
