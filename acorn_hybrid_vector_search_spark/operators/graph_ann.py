@@ -256,10 +256,15 @@ def _local_topk_frame(
     blocked_set: frozenset[int],
     id_col: str,
     dist_col: str,
+    pass_mask: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One partition's local top-k for every query — shared by the
     build-and-search and the load-persisted paths so both emit
-    bit-identical candidates."""
+    bit-identical candidates. ``pass_mask`` (r8) generalizes the
+    blocked SET to a per-node PREDICATE verdict: failing nodes are
+    traversed but never returned — exactly the reference's
+    filter-functor semantics (hnswlib bindings.cpp:83-87), which is
+    what ACORN-style hybrid search over the graph store is."""
     rows_q, rows_i, rows_d = [], [], []
     for qi, qid in enumerate(qids):
         cand, _ = g._search(
@@ -269,6 +274,8 @@ def _local_topk_frame(
         for local in cand:
             gid = int(ids[local])
             if gid in blocked_set:
+                continue
+            if pass_mask is not None and not pass_mask[local]:
                 continue
             rows_q.append(qid)
             rows_i.append(gid)
@@ -355,6 +362,7 @@ def nsw_write(
     ef_construction: int = 32,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    payload_cols: Sequence[str] = (),
 ) -> None:
     """Build per-partition NSW graphs ONCE and persist them — the
     ``save_index`` analog (hnswlib bindings.cpp; the reference re-pays
@@ -362,7 +370,9 @@ def nsw_write(
     persistence").
 
     Layout: one parquet row per graph node —
-    ``(part_id, seq, <id_col>, vector double[], neighbors long[])`` —
+    ``(part_id, seq, <id_col>, vector double[], neighbors long[]
+    [, payload...])`` (``payload_cols`` stores node metadata for
+    predicate-filtered search, see ``nsw_read_topk(predicate=...)``) —
     written ``partitionBy(part_id)`` so each partition's graph is its
     own directory (the ``ivf_write`` pattern, ann.py:176): a search
     loads every graph in parallel, one task per directory, and a future
@@ -380,7 +390,7 @@ def nsw_write(
     invalidate()
     _nsw_nodes(
         df, m=m, ef_construction=ef_construction, vec_col=vec_col,
-        id_col=id_col, part_offset=0,
+        id_col=id_col, part_offset=0, payload_cols=payload_cols,
     ).write.mode("overwrite").partitionBy("part_id").parquet(path)
 
 
@@ -392,13 +402,21 @@ def _nsw_nodes(
     vec_col: str,
     id_col: str,
     part_offset: int,
+    payload_cols: Sequence[str] = (),
 ) -> DataFrame:
-    tagged = df.select(id_col, vec_col).withColumn(
+    """``payload_cols`` (r8): metadata columns stored alongside each
+    node — what makes PREDICATE-FILTERED search over the persisted
+    store possible (`nsw_read_topk(predicate=...)`), the ACORN shape
+    over the graph store. Stored in seq order like everything else."""
+    payload_cols = [c for c in payload_cols if c not in (id_col, vec_col)]
+    tagged = df.select(id_col, vec_col, *payload_cols).withColumn(
         "part_id", F.spark_partition_id() + F.lit(int(part_offset))
     )
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    extra_schema = "".join(f", {c} {types[c]}" for c in payload_cols)
     out_schema = (
         f"part_id int, seq long, {id_col} long, "
-        "vector array<double>, neighbors array<long>"
+        f"vector array<double>, neighbors array<long>{extra_schema}"
     )
 
     def build(batches):
@@ -410,15 +428,16 @@ def _nsw_nodes(
             return
         x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
         g = NswGraph(x, m=m, ef_construction=ef_construction)
-        yield pd.DataFrame(
-            {
-                "part_id": pdf["part_id"].astype("int32"),
-                "seq": np.arange(g.n, dtype=np.int64),
-                id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                "vector": [list(map(float, row)) for row in g.x],
-                "neighbors": [list(map(int, nb)) for nb in g.neighbors],
-            }
-        )
+        out = {
+            "part_id": pdf["part_id"].astype("int32"),
+            "seq": np.arange(g.n, dtype=np.int64),
+            id_col: pdf[id_col].to_numpy(dtype=np.int64),
+            "vector": [list(map(float, row)) for row in g.x],
+            "neighbors": [list(map(int, nb)) for nb in g.neighbors],
+        }
+        for c in payload_cols:
+            out[c] = pdf[c]
+        yield pd.DataFrame(out)
 
     return tagged.mapInPandas(build, out_schema)
 
@@ -431,6 +450,7 @@ def nsw_append(
     ef_construction: int = 32,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    payload_cols: Sequence[str] = (),
 ) -> None:
     """Add new vectors to a persisted NSW store WITHOUT rebuilding — the
     ``add_items`` analog (the reference grows its hnswlib index
@@ -450,10 +470,22 @@ def nsw_append(
 
     invalidate()
     spark = df.sparkSession
-    max_part = spark.read.parquet(path).agg(F.max("part_id")).head()[0]
+    stored = spark.read.parquet(path)
+    # the appended shards must carry the SAME node columns as the store:
+    # a payload mismatch would silently create a mixed-schema store whose
+    # predicate-filtered searches see NULLs on half the shards
+    want = {id_col, "vector", *payload_cols}
+    have = set(stored.columns) - {"part_id", "seq", "neighbors"}
+    if want != have:
+        raise ValueError(
+            f"payload mismatch vs store at {path}: store has "
+            f"{sorted(have)}, append would write {sorted(want)}"
+        )
+    max_part = stored.agg(F.max("part_id")).head()[0]
     _nsw_nodes(
         df, m=m, ef_construction=ef_construction, vec_col=vec_col,
         id_col=id_col, part_offset=int(max_part) + 1,
+        payload_cols=payload_cols,
     ).write.mode("append").partitionBy("part_id").parquet(path)
 
 
@@ -505,7 +537,14 @@ def nsw_compact(
             f"paths; got {path!r} — compact to a new prefix and flip a "
             f"manifest pointer on remote stores"
         )
-    stored = spark.read.parquet(path).select(id_col, "vector")
+    raw = spark.read.parquet(path)
+    # payload columns survive compaction: re-packing is a layout change,
+    # node metadata rides along (r8 predicate-filtered store search)
+    extras = [
+        c for c in raw.columns
+        if c not in {"part_id", "seq", "neighbors", id_col, "vector"}
+    ]
+    stored = raw.select(id_col, "vector", *extras)
     if n_shards is None:
         n_shards = max(1, spark.sparkContext.defaultParallelism)
     packed = _nsw_nodes(
@@ -515,6 +554,7 @@ def nsw_compact(
         vec_col="vector",
         id_col=id_col,
         part_offset=0,
+        payload_cols=extras,
     )
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
 
@@ -553,6 +593,7 @@ def nsw_read_topk(
     ef: int = 64,
     max_visits: int | None = None,
     blocked: frozenset[int] | set[int] | None = None,
+    predicate=None,
     id_col: str = "vec_id",
     dist_col: str = "dist",
 ) -> DataFrame:
@@ -562,22 +603,41 @@ def nsw_read_topk(
     group: reconstruct via ``NswGraph.from_adjacency``, run the same
     budgeted best-first search, merge with the same global rank — so
     persisted results are bit-for-bit the rebuilt results (pytest
-    pins this)."""
+    pins this).
+
+    ``predicate`` (r8): a Column over the store's payload columns
+    (``nsw_write(payload_cols=...)``) — HYBRID search over the
+    persisted graph, the reference's actual ACORN surface (its modified
+    hnswlib traverses every node but returns only filter-functor
+    passes, bindings.cpp:83-87 + hnswalg.h). The predicate is evaluated
+    by CATALYST on the stored node table (one boolean column riding
+    into each shard's walk — NULL fails, SQL filter semantics), so the
+    full §2.3 builder (functions/predicates.py) works unchanged, and
+    the walk applies the reference's traversed-but-never-returned rule
+    per node. At full beam this answers the exact pre-filter oracle
+    over the stored rows (pytest + the nsw_hybrid_topk registry gate);
+    budgeted, it is the anytime ACORN trade."""
     qids = [int(q) for q, _ in queries]
     qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
     blocked_set = frozenset(int(b) for b in (blocked or ()))
     out_schema = f"query_id long, {id_col} long, {dist_col} double"
+    has_pred = predicate is not None
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seq", ignore_index=True)
         x = np.asarray(list(pdf["vector"]), dtype=np.float64)
         g = NswGraph.from_adjacency(x, list(pdf["neighbors"]))
         ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mask = None
+        if has_pred:
+            mask = pdf["_pass"].fillna(False).to_numpy(dtype=bool)
         return _local_topk_frame(
             g, ids, qids, qmat, k, max(ef, k), max_visits, blocked_set,
-            id_col, dist_col,
+            id_col, dist_col, pass_mask=mask,
         )
 
     stored = spark.read.parquet(path)
+    if has_pred:
+        stored = stored.withColumn("_pass", predicate)
     cand = stored.groupBy("part_id").applyInPandas(run, out_schema)
     return _merge_topk(cand, k, id_col, dist_col)

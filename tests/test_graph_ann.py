@@ -465,3 +465,93 @@ def test_coarse_entry_recall_not_worse_on_clustered_data():
         return hits / (10 * len(qs))
 
     assert recall(True) >= recall(False)
+
+
+def test_nsw_payload_predicate_search_equals_prefilter(spark, tmp_path):
+    """r8 hybrid-over-store: nsw_write(payload_cols=['label']) +
+    nsw_read_topk(predicate=...) at full beam must answer exactly the
+    pre-filter oracle over the stored rows — the reference's
+    filter-functor semantics (traverse all, return passing) made exact
+    by the unbounded beam. NULL payload fails the predicate (SQL
+    filter semantics)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write,
+    )
+
+    rows = [
+        (
+            i,
+            [round(random.Random(f"p:{i}:{d}").uniform(-1, 1), 4) for d in range(8)],
+            None if i % 17 == 0 else i % 4,
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    path = str(tmp_path / "graph")
+    nsw_write(df.repartition(3), path, payload_cols=["label"])
+    q = rows[5][1]
+    got = nsw_read_topk(
+        spark, path, [(0, q)], k=7, ef=1_000_000, predicate=F.col("label") == 2
+    ).collect()
+    want = (
+        df.filter(F.col("label") == 2)
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(float(x)) for x in q]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(7)
+        .collect()
+    )
+    assert [r["vec_id"] for r in sorted(got, key=lambda r: (r["dist"], r["vec_id"]))] == [
+        r["vec_id"] for r in want
+    ]
+    # NULL-label rows (vec_id % 17 == 0) never surface
+    assert all(r["vec_id"] % 17 != 0 for r in got)
+
+
+def test_nsw_payload_survives_compact_and_append_validates(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_append,
+        nsw_compact,
+        nsw_read_topk,
+        nsw_write,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 9), float((i * 7) % 5)], i % 3) for i in range(60)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    path = str(tmp_path / "graph")
+    nsw_write(df.filter("vec_id < 40").repartition(4), path, payload_cols=["label"])
+    # append without the payload → loud schema error, no mixed store
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="payload"):
+        nsw_append(df.filter("vec_id >= 40"), path)
+    nsw_append(df.filter("vec_id >= 40"), path, payload_cols=["label"])
+    nsw_compact(spark, path, n_shards=2)
+    stored = spark.read.parquet(path)
+    assert "label" in stored.columns and stored.count() == 60
+    got = nsw_read_topk(
+        spark, path, [(0, [1.0, 2.0])], k=5, ef=1_000_000,
+        predicate=F.col("label") == 1,
+    ).collect()
+    assert got and all(r["vec_id"] % 3 == 1 for r in got)
