@@ -1394,6 +1394,93 @@ def _q_acorn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_prepared
+def _q_postfilter_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched K3 (hybrid.py::postfilter_search_batch): distance-first
+    per-query top-large_k candidates from ONE scan, then each query's
+    own predicate, truncated to k — the under-fill failure mode
+    preserved per query (a selective predicate may return < k rows,
+    the reference's accuracy-collapse case, now visible inside a
+    batch). Oracle: per-query candidate/filter/truncate blocks."""
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        postfilter_search_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    batch = [
+        (0, vecs[0], {"label": ["exact", 3]}),
+        (1, vecs[1], {"label": ["leq", 1]}),
+        (2, vecs[2], {"vec_id": ["<", 25]}),  # selective → under-fills
+    ]
+    res = postfilter_search_batch(emb, batch, k=5, large_k=50)
+    return res.select(
+        "query_id", "vec_id", "label", F.round("dist", _R).alias("dist")
+    )
+
+
+_ROUTED_BATCH_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q_routed_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched K5 (hybrid.py::routed_search_batch): queries constraining
+    the sparse nested model_year attribute answer from the MATERIALIZED
+    attribute subset, the rest from the full table — one batch job per
+    distinct target (two scans for the whole batch, never one per
+    query). Soundness is attribute_partitioned_search's contract per
+    query: the subset holds every attribute-present row and the strict
+    missing-attribute-rejection conjunct discards nothing that could
+    match — so the oracle runs every query against the FULL table and
+    equality proves routing is result-invariant (the
+    nested_routed_model_year argument, batched)."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        abo_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        attribute_presence_cond,
+        materialize_attribute_subset,
+        routed_search_batch,
+    )
+
+    acc = abo_accessors()
+    joined = _abo_joined(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _ROUTED_BATCH_CACHE if k[0] != key[0]]:
+        del _ROUTED_BATCH_CACHE[stale]
+    sub_path = _ROUTED_BATCH_CACHE.get(key)
+    if sub_path is None:
+        sub_path = tempfile.mkdtemp(prefix="acorn_rtb_") + "/subset"
+        materialize_attribute_subset(
+            joined, attribute_presence_cond(["model_year"], acc), sub_path
+        )
+        _ROUTED_BATCH_CACHE[key] = sub_path
+    subset = spark.read.parquet(sub_path)
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    batch = [
+        (0, vecs[0], None),                                   # full table
+        (1, vecs[1], {"model_year": ["geq", 2015]}),          # → subset
+        (2, vecs[2], {"brand": ["substring", "Amazon"]}),     # full table
+    ]
+    res = routed_search_batch(
+        joined, subset, {"model_year"}, batch, k=5, accessors=acc,
+        payload_cols=["model_year", "brand"],
+    )
+    return res.select("query_id", "vec_id", F.round("dist", _R).alias("dist"))
+
+
 def _q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the customer's latest order at or
     before the event time (oracle: DuckDB native ASOF JOIN). Right side
@@ -3762,6 +3849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_topk": _q_hard_negatives,
         "zorder_curve_keys": _q_zorder_curve_keys,
         "upsert_orders": _q_upsert_orders,
+        # r8 late additions (51+, selfcheck-gated): K3/K5 batch forms
+        "postfilter_batch_topk": _q_postfilter_batch_topk,
+        "routed_batch_topk": _q_routed_batch_topk,
         # r8-displaced (each family retains in-window evidence — see the
         # round-8 rotation block; nsw_persisted_topk displaced by the
         # strictly-wider nsw_hybrid_topk)
@@ -5609,6 +5699,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
             FROM embeddings e, q
             ORDER BY {_D2}, e.vec_id LIMIT 10
+        """,
+        # batched K3 (r8): per-query candidate/filter/truncate blocks —
+        # each block IS the single-query postfilter oracle
+        "postfilter_batch_topk": f"""
+            (SELECT CAST(0 AS BIGINT) AS query_id, c.vec_id, c.label,
+                    ROUND(c.d2, {_R}) AS dist
+             FROM (SELECT e.vec_id, e.label, {_D2} AS d2
+                   FROM embeddings e,
+                        (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                   ORDER BY d2, e.vec_id LIMIT 50) c
+             WHERE c.label IS NOT NULL AND c.label = 3
+             ORDER BY c.d2, c.vec_id LIMIT 5)
+            UNION ALL
+            (SELECT CAST(1 AS BIGINT) AS query_id, c.vec_id, c.label,
+                    ROUND(c.d2, {_R}) AS dist
+             FROM (SELECT e.vec_id, e.label, {_D2} AS d2
+                   FROM embeddings e,
+                        (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+                   ORDER BY d2, e.vec_id LIMIT 50) c
+             WHERE c.label IS NOT NULL AND c.label <= 1
+             ORDER BY c.d2, c.vec_id LIMIT 5)
+            UNION ALL
+            (SELECT CAST(2 AS BIGINT) AS query_id, c.vec_id, c.label,
+                    ROUND(c.d2, {_R}) AS dist
+             FROM (SELECT e.vec_id, e.label, {_D2} AS d2
+                   FROM embeddings e,
+                        (SELECT embedding FROM embeddings WHERE vec_id = 2) q
+                   ORDER BY d2, e.vec_id LIMIT 50) c
+             WHERE c.vec_id IS NOT NULL AND c.vec_id < 25
+             ORDER BY c.d2, c.vec_id LIMIT 5)
+        """,
+        # batched K5 (r8): the oracle answers every query from the FULL
+        # table — routing to the attribute subset is result-invariant
+        # by the materialization soundness contract, so equality proves
+        # the split-batch plan changes nothing
+        "routed_batch_topk": f"""
+            WITH it AS (SELECT * FROM {_ABO_ITEMS}),
+            e AS (SELECT em.vec_id, em.embedding, it.model_year, it.brand
+                  FROM embeddings em JOIN it ON em.vec_id = it.item_id)
+            (SELECT CAST(0 AS BIGINT) AS query_id, e.vec_id,
+                    ROUND({d2}, {_R}) AS dist
+             FROM e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             ORDER BY {d2}, e.vec_id LIMIT 5)
+            UNION ALL
+            (SELECT CAST(1 AS BIGINT) AS query_id, e.vec_id,
+                    ROUND({d2}, {_R}) AS dist
+             FROM e, (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+             WHERE e.model_year IS NOT NULL AND len(e.model_year) > 0
+               AND e.model_year[1].value >= 2015
+             ORDER BY {d2}, e.vec_id LIMIT 5)
+            UNION ALL
+            (SELECT CAST(2 AS BIGINT) AS query_id, e.vec_id,
+                    ROUND({d2}, {_R}) AS dist
+             FROM e, (SELECT embedding FROM embeddings WHERE vec_id = 2) q
+             WHERE e.brand IS NOT NULL AND len(e.brand) > 0
+               AND contains(e.brand[1].value, 'Amazon')
+             ORDER BY {d2}, e.vec_id LIMIT 5)
         """,
         # hybrid over the persisted graph store (r8): full-beam
         # predicate-filtered walk ≡ the exact pre-filter answer

@@ -36,6 +36,9 @@ _BNLJ_BY_DESIGN = {
     "hybrid_batch_topk",
     # K4 batch: same broadcast query table, distance-first candidates
     "acorn_batch_topk",
+    # K3/K5 batch: same bounded broadcast query-parameter shape
+    "postfilter_batch_topk",
+    "routed_batch_topk",
     # BM25's / the LM scorers' corpus-stats table is a broadcast 1-row
     # cross join
     "bm25_topk_docs",
