@@ -135,6 +135,21 @@ def bpe_train(
     Tie-break is total and deterministic: count desc, then (left,
     right) lexicographic asc — both engines and the pytest reference
     implement the identical order.
+
+    Round-count economics (disclosed): Sennrich merges are inherently
+    sequential — each round's pair counts depend on the previous
+    round's merge — so training is a driver-coordinated loop with ONE
+    1-row argmax collect per merge. The per-round job runs over the
+    word-STATE relation (|vocab| rows, not the corpus; the corpus is
+    scanned exactly once by ``bpe_word_state``), but a production
+    vocabulary (30-50k merges) is 30-50k small driver-planned jobs —
+    hours of scheduler overhead at ~0.1 s/round. At that scale train on
+    a bounded frequency-weighted word sample (the standard practice:
+    the argmax over a multi-billion-word corpus and over its top ~1M
+    distinct words agree for all but the tail merges) or batch with a
+    single-machine trainer on the aggregated (word, freq) relation this
+    module already persists (``bpe_state_write``) — the state table IS
+    the hand-off format.
     """
     if state is None:
         if docs is None:
