@@ -256,7 +256,7 @@ def _local_topk_frame(
     blocked_set: frozenset[int],
     id_col: str,
     dist_col: str,
-    pass_mask: np.ndarray | None = None,
+    pass_mask: "np.ndarray | dict[int, np.ndarray] | None" = None,
 ) -> pd.DataFrame:
     """One partition's local top-k for every query — shared by the
     build-and-search and the load-persisted paths so both emit
@@ -264,9 +264,14 @@ def _local_topk_frame(
     blocked SET to a per-node PREDICATE verdict: failing nodes are
     traversed but never returned — exactly the reference's
     filter-functor semantics (hnswlib bindings.cpp:83-87), which is
-    what ACORN-style hybrid search over the graph store is."""
+    what ACORN-style hybrid search over the graph store is. A dict
+    maps query_id → that query's own mask (the batched-serving form:
+    every query in the batch carries its own §2.3 predicate, like the
+    reference's per-row filter functor under knn_query's ParallelFor);
+    queries absent from the dict are unfiltered."""
     rows_q, rows_i, rows_d = [], [], []
     for qi, qid in enumerate(qids):
+        mask = pass_mask.get(qid) if isinstance(pass_mask, dict) else pass_mask
         cand, _ = g._search(
             qmat[qi], max(ef, k), max_visits=max_visits, coarse_entry=True
         )
@@ -275,7 +280,7 @@ def _local_topk_frame(
             gid = int(ids[local])
             if gid in blocked_set:
                 continue
-            if pass_mask is not None and not pass_mask[local]:
+            if mask is not None and not mask[local]:
                 continue
             rows_q.append(qid)
             rows_i.append(gid)
@@ -594,6 +599,7 @@ def nsw_read_topk(
     max_visits: int | None = None,
     blocked: frozenset[int] | set[int] | None = None,
     predicate=None,
+    predicates=None,
     id_col: str = "vec_id",
     dist_col: str = "dist",
 ) -> DataFrame:
@@ -616,21 +622,42 @@ def nsw_read_topk(
     the walk applies the reference's traversed-but-never-returned rule
     per node. At full beam this answers the exact pre-filter oracle
     over the stored rows (pytest + the nsw_hybrid_topk registry gate);
-    budgeted, it is the anytime ACORN trade."""
+    budgeted, it is the anytime ACORN trade.
+
+    ``predicates`` (r8): a mapping ``query_id → Column`` giving EVERY
+    query in the batch its OWN predicate — the reference's full
+    serving surface (knn_query's ParallelFor runs one filter functor
+    per query row, bindings.cpp:627-646). Each column becomes one
+    Catalyst-evaluated ``_pass_<qid>`` boolean on the stored node
+    table (|Q| cheap projections on ONE scan, never |Q| scans); the
+    per-shard walk reads the matching mask per query. Queries absent
+    from the mapping are unfiltered. Mutually exclusive with
+    ``predicate`` (which applies one shared filter to all queries)."""
     qids = [int(q) for q, _ in queries]
     qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
     blocked_set = frozenset(int(b) for b in (blocked or ()))
     out_schema = f"query_id long, {id_col} long, {dist_col} double"
     has_pred = predicate is not None
+    if has_pred and predicates:
+        raise ValueError("pass either predicate or predicates, not both")
+    preds = {int(q): c for q, c in (predicates or {}).items()}
+    pred_qids = sorted(preds)
+    if unknown := [q for q in pred_qids if q not in set(qids)]:
+        raise ValueError(f"predicates for ids not in the batch: {unknown}")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seq", ignore_index=True)
         x = np.asarray(list(pdf["vector"]), dtype=np.float64)
         g = NswGraph.from_adjacency(x, list(pdf["neighbors"]))
         ids = pdf[id_col].to_numpy(dtype=np.int64)
-        mask = None
+        mask: np.ndarray | dict[int, np.ndarray] | None = None
         if has_pred:
             mask = pdf["_pass"].fillna(False).to_numpy(dtype=bool)
+        elif pred_qids:
+            mask = {
+                q: pdf[f"_pass_{q}"].fillna(False).to_numpy(dtype=bool)
+                for q in pred_qids
+            }
         return _local_topk_frame(
             g, ids, qids, qmat, k, max(ef, k), max_visits, blocked_set,
             id_col, dist_col, pass_mask=mask,
@@ -639,5 +666,9 @@ def nsw_read_topk(
     stored = spark.read.parquet(path)
     if has_pred:
         stored = stored.withColumn("_pass", predicate)
+    elif pred_qids:
+        stored = stored.withColumns(
+            {f"_pass_{q}": preds[q] for q in pred_qids}
+        )
     cand = stored.groupBy("part_id").applyInPandas(run, out_schema)
     return _merge_topk(cand, k, id_col, dist_col)

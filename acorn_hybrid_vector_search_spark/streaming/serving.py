@@ -1,0 +1,136 @@
+"""Streaming hybrid-query serving — the foreachBatch twin of the r8
+batched-serving family (``operators/hybrid.py prefilter_search_batch``),
+completing the streaming symmetry every other operator family in this
+repo has (rollup, SCD-2, decontamination, media decode, NSW ingestion).
+
+The reference's execution surface is a BATCH of hybrid queries
+(hnswlib/python_bindings/bindings.cpp:627-646 — ``knn_query`` runs a
+ParallelFor over query rows, each carrying its own filter functor). In
+production that batch is not a static list: queries ARRIVE. This module
+is that arrival path — a Structured Streaming source of query rows
+(query_id, vector, §2.3 predicate spec) answered per micro-batch with
+ONE corpus scan via ``prefilter_search_batch``, results landed
+batch-keyed so at-least-once replays are idempotent.
+
+Scale shape: per-micro-batch cost is one corpus scan + the bounded
+broadcast query table — cost ∝ corpus per trigger, NOT ∝ queries (the
+per-query-loop alternative pays plan+scan × |Q| per trigger; the r8
+batched-serving ladder measured 11.6× at |Q|=64). The only driver-side
+materialization is the micro-batch's QUERY rows — a query-size constant
+by definition (the same bounded-collect contract as K4's candidate set,
+hybrid.py:202-214), never corpus-sized.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hybrid_serve_batch_writer", "stream_hybrid_serve"]
+
+
+def hybrid_serve_batch_writer(
+    corpus: DataFrame,
+    out_path: str,
+    k: int,
+    *,
+    accessors: Mapping | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    predicate_col: str = "predicate_json",
+    payload_cols: Sequence[str] | None = None,
+):
+    """The foreachBatch body of ``stream_hybrid_serve`` as a standalone
+    callable (exposed so tests can drive it with an explicit batch_id
+    and pin replay idempotency — the ``nsw_stream_batch_writer``
+    convention).
+
+    Each micro-batch row is one query: ``(query_id, <vec_col>,
+    predicate_json)`` where ``predicate_json`` is the §2.3 grammar
+    ``{"attr": ["op", value]}`` serialized as JSON (NULL/empty ⇒ pure
+    top-k, the class-1 shape). The batch's query rows are collected —
+    they ARE the queries, a query-size constant — and answered by ONE
+    ``prefilter_search_batch`` corpus scan; results write under
+    ``_batch_id=<id>`` with DYNAMIC partition overwrite, so an
+    at-least-once replay overwrites exactly its own results instead of
+    duplicating them."""
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        prefilter_search_batch,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            query_id_col, vec_col, predicate_col
+        ).collect()
+        if not rows:
+            return
+        batch = [
+            (
+                r[query_id_col],
+                list(r[vec_col]),
+                json.loads(r[predicate_col]) if r[predicate_col] else None,
+            )
+            for r in rows
+        ]
+        res = prefilter_search_batch(
+            corpus,
+            batch,
+            k,
+            accessors=accessors,
+            vec_col=vec_col,
+            id_col=id_col,
+            query_id_col=query_id_col,
+            payload_cols=payload_cols,
+        )
+        (
+            res.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    return write_batch
+
+
+def stream_hybrid_serve(
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    k: int,
+    *,
+    accessors: Mapping | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    predicate_col: str = "predicate_json",
+    payload_cols: Sequence[str] | None = None,
+):
+    """Serve a STREAM of hybrid queries against a static corpus: one
+    ``prefilter_search_batch`` corpus scan per micro-batch, batch-keyed
+    idempotent results (see ``hybrid_serve_batch_writer``). Returns the
+    StreamingQuery; results accumulate under ``out_path`` partitioned
+    by ``_batch_id``."""
+    return (
+        query_stream.writeStream.foreachBatch(
+            hybrid_serve_batch_writer(
+                corpus,
+                out_path,
+                k,
+                accessors=accessors,
+                vec_col=vec_col,
+                id_col=id_col,
+                query_id_col=query_id_col,
+                predicate_col=predicate_col,
+                payload_cols=payload_cols,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -555,3 +555,94 @@ def test_nsw_payload_survives_compact_and_append_validates(spark, tmp_path):
         predicate=F.col("label") == 1,
     ).collect()
     assert got and all(r["vec_id"] % 3 == 1 for r in got)
+
+
+def test_nsw_per_query_predicates_batch_equals_per_query(spark, tmp_path):
+    """r8 batched serving over the store: nsw_read_topk(predicates=
+    {qid: Column}) gives every query its OWN filter functor (the
+    reference's knn_query ParallelFor surface, bindings.cpp:627-646).
+    At full beam each query must answer (a) its exact pre-filter
+    oracle and (b) exactly what the single-predicate call returns —
+    batch ≡ per-query loop. Queries absent from the mapping are
+    unfiltered; predicate+predicates together, or a predicate for an
+    id not in the batch, raise."""
+    import random
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write,
+    )
+
+    rows = [
+        (
+            i,
+            [round(random.Random(f"b:{i}:{d}").uniform(-1, 1), 4) for d in range(8)],
+            None if i % 17 == 0 else i % 4,
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    path = str(tmp_path / "graph")
+    nsw_write(df.repartition(3), path, payload_cols=["label"])
+    batch = [(0, rows[5][1]), (1, rows[9][1]), (2, rows[14][1])]
+    preds = {1: F.col("label") == 2, 2: F.col("label") <= 1}
+    got = nsw_read_topk(
+        spark, path, batch, k=7, ef=1_000_000, predicates=preds
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+
+    def exact(q, pred):
+        base = df if pred is None else df.filter(pred)
+        return [
+            r["vec_id"]
+            for r in base.withColumn(
+                "dist",
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        F.array(*[F.lit(float(x)) for x in q]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            .orderBy("dist", "vec_id")
+            .limit(7)
+            .collect()
+        ]
+
+    for qid, (_, qv) in enumerate(batch):
+        mine = [
+            r["vec_id"]
+            for r in sorted(by_q[qid], key=lambda r: (r["dist"], r["vec_id"]))
+        ]
+        assert mine == exact(qv, preds.get(qid)), f"query {qid}"
+        # batch ≡ the single-query call with the same predicate
+        single = nsw_read_topk(
+            spark, path, [(qid, qv)], k=7, ef=1_000_000,
+            predicate=preds.get(qid),
+        ).collect()
+        assert mine == [
+            r["vec_id"]
+            for r in sorted(single, key=lambda r: (r["dist"], r["vec_id"]))
+        ], f"query {qid} vs single"
+    # NULL payload fails every per-query predicate
+    assert all(
+        r["vec_id"] % 17 != 0 for r in got if r["query_id"] in preds
+    )
+    with _pytest.raises(ValueError, match="not both"):
+        nsw_read_topk(
+            spark, path, batch, k=3, ef=64,
+            predicate=F.col("label") == 1, predicates=preds,
+        )
+    with _pytest.raises(ValueError, match="not in the batch"):
+        nsw_read_topk(spark, path, batch, k=3, ef=64,
+                      predicates={9: F.col("label") == 1})

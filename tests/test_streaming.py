@@ -412,3 +412,70 @@ def test_stream_nsw_append_end_to_end_streaming_query(spark, tmp_path):
     assert [r["vec_id"] for r in got.select("vec_id").collect()] == [
         r["vec_id"] for r in want
     ]
+
+
+def test_stream_hybrid_serve_replay_idempotent_and_batch_parity(spark, tmp_path):
+    """r8 serving twin (streaming/serving.py): (a) redelivering a batch
+    id overwrites exactly its own batch-keyed results — no duplicates
+    under at-least-once foreachBatch; (b) the per-micro-batch answers
+    are IDENTICAL to prefilter_search_batch over the same queries —
+    stream-served ≡ static batch."""
+    import json
+
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        prefilter_search_batch,
+    )
+    from acorn_hybrid_vector_search_spark.streaming.serving import (
+        hybrid_serve_batch_writer,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (i, [float(i % 7), float((i * 3) % 5)], i % 4, "IN" if i % 5 == 0 else "US")
+            for i in range(80)
+        ],
+        "vec_id long, embedding array<double>, label int, country string",
+    )
+    out = str(tmp_path / "results")
+    writer = hybrid_serve_batch_writer(corpus, out, k=5)
+    qdf = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0], None),
+            (1, [3.0, 1.0], json.dumps({"label": ["exact", 2]})),
+            (2, [0.5, 4.0], json.dumps({"country": ["exact", "IN"]})),
+        ],
+        "query_id long, embedding array<double>, predicate_json string",
+    )
+    writer(qdf.filter("query_id < 2"), 0)
+    writer(qdf.filter("query_id = 2"), 1)
+    first = sorted(
+        (r["query_id"], r["vec_id"], round(r["dist"], 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    # replay batch 0 with different partitioning → byte-same results
+    writer(qdf.filter("query_id < 2").repartition(3), 0)
+    again = sorted(
+        (r["query_id"], r["vec_id"], round(r["dist"], 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first == again
+    # stream-accumulated ≡ one static batch call over all three queries
+    want = sorted(
+        (r["query_id"], r["vec_id"], round(r["dist"], 9))
+        for r in prefilter_search_batch(
+            corpus,
+            [
+                (0, [1.0, 2.0], None),
+                (1, [3.0, 1.0], {"label": ["exact", 2]}),
+                (2, [0.5, 4.0], {"country": ["exact", "IN"]}),
+            ],
+            k=5,
+        ).collect()
+    )
+    assert first == want
+    # empty micro-batch is a no-op (no partition dir, no error)
+    writer(qdf.filter("query_id > 99"), 2)
+    assert sorted(
+        (r["query_id"], r["vec_id"], round(r["dist"], 9))
+        for r in spark.read.parquet(out).collect()
+    ) == first

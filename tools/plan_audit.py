@@ -119,6 +119,16 @@ AUDIT: dict[str, list[str]] = {
     # per-query round selection (the |Q|-row agg joins back broadcast),
     # fallback branch unioned in the same plan
     "acorn_batch_topk": ["BroadcastNestedLoopJoin", "Window", "Union"],
+    # round 8: hybrid over the persisted graph store — the predicate is
+    # a Catalyst projection on the stored node table feeding the
+    # per-shard walk; bounded top-k merge as in every NSW search
+    "nsw_hybrid_topk": ["FlatMapGroupsInPandas", "WindowGroupLimit"],
+    # round 8: batched hybrid over the store — |Q| Catalyst-projected
+    # _pass_<qid> booleans ride ONE stored-table scan into the walks
+    # (Project, never |Q| scans), same bounded top-k merge
+    "nsw_hybrid_batch_topk": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit", "Project",
+    ],
 }
 
 
