@@ -642,7 +642,8 @@ def nsw_read_topk(
         raise ValueError("pass either predicate or predicates, not both")
     preds = {int(q): c for q, c in (predicates or {}).items()}
     pred_qids = sorted(preds)
-    if unknown := [q for q in pred_qids if q not in set(qids)]:
+    qset = set(qids)
+    if unknown := [q for q in pred_qids if q not in qset]:
         raise ValueError(f"predicates for ids not in the batch: {unknown}")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -86,6 +86,10 @@ def hybrid_serve_batch_writer(
             query_id_col=query_id_col,
             payload_cols=payload_cols,
         )
+        # persist only the serving answer (query, id, dist) — the
+        # corpus row width (vectors, payloads) must not accumulate a
+        # redundant copy per served result under out_path
+        res = res.select(query_id_col, id_col, "dist")
         (
             res.withColumn("_batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")

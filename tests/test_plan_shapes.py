@@ -348,3 +348,15 @@ def test_hybrid_batch_one_scan_and_salted_windows(queries):
     assert any("_sb" in s.split("ASC")[0] for s in specs), (
         "missing the salted local top-k window"
     )
+
+
+def test_nsw_hybrid_batch_plan_single_scan(queries):
+    """nsw_hybrid_batch_topk (r8b): the stored node table is scanned
+    EXACTLY once for the whole batch — |Q| per-query predicates are
+    Catalyst projections (named _pass_<qid> columns) riding that one
+    scan into the per-shard walks, never |Q| scans or |Q| jobs."""
+    p = _plan(queries["nsw_hybrid_batch_topk"])
+    assert p.count("Scan parquet") == 1, "store scanned more than once"
+    for q in (1, 2, 3):
+        assert f"_pass_{q}" in p, f"missing per-query predicate _pass_{q}"
+    assert "FlatMapGroupsInPandas" in p
