@@ -3655,6 +3655,78 @@ def _q_pq_state_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_STATE_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _q_ivfpq_state_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ persistence COMPOSITION (r8b — closing the family symmetry:
+    the IVF half persists via ivf_write/ivf_read, the PQ half via
+    pq_write/pq_read; this gate proves the COMPOSED index resumes from
+    parquet alone): train once, persist BOTH states, read BOTH back,
+    and answer the same query via ivfpq_topk under the trained state
+    and under the read-back state. Every piece round-trips exactly
+    (float64 centroids through parquet; the codebook's dense-grid
+    validation), and the ADC arithmetic is identical under identical
+    state — so the two k-row answers must agree rank-for-rank,
+    bit-identically. Output (n_rows, n_mismatch); the oracle pins
+    (k, 0). Without this, a 100 TB IVFPQ deployment that loses its
+    driver would orphan both the stored codes AND the pruning lists —
+    the pq_state_persisted argument, composed."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_write,
+    )
+    from acorn_hybrid_vector_search_spark.operators.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_read,
+        pq_train,
+        pq_write,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _IVFPQ_STATE_CACHE if k[0] != key[0]]:
+        del _IVFPQ_STATE_CACHE[stale]
+    cached = _IVFPQ_STATE_CACHE.get(key)
+    if cached is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        cb = pq_train(emb, m=8, k=32)
+        idx = ivf_build(emb, n_clusters=16)
+        idx.df = pq_encode(idx.df, cb)
+        root = tempfile.mkdtemp(prefix="acorn_ivfpq_")
+        ivf_write(idx, root + "/ivf")
+        pq_write(cb, spark, root + "/codebook")
+        _IVFPQ_STATE_CACHE[key] = cached = (cb, idx, root)
+    cb, idx, root = cached
+    idx_r = ivf_read(spark, root + "/ivf")
+    cb_r = pq_read(spark, root + "/codebook")
+    q = _query_vec(spark, sf_dir, vec_id=5)
+    w = Window.orderBy(F.col("pq_dist").asc(), F.col("vec_id").asc())
+    a = ivfpq_topk(idx, cb, q, 10, nprobe=4).select(
+        F.row_number().over(w).alias("rank"), "vec_id", "pq_dist"
+    )
+    b = ivfpq_topk(idx_r, cb_r, q, 10, nprobe=4).select(
+        F.row_number().over(w).alias("rank"),
+        F.col("vec_id").alias("vec_id_r"),
+        F.col("pq_dist").alias("pq_dist_r"),
+    )
+    return a.join(b, "rank").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col("vec_id") != F.col("vec_id_r"))
+                | (F.col("pq_dist") != F.col("pq_dist_r")),
+                1,
+            ).otherwise(0)
+        ).alias("n_mismatch"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-2 extensions: temporal range join, sliding windows, LLM-pipeline
 # packing/sampling/tf-idf, vector centroids, set operations.
@@ -4045,6 +4117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch/serving forms subsume them; both stay selfcheck-gated)
         "nsw_hybrid_topk": _q_nsw_hybrid_topk,
         "stream_audio_decode": _q_stream_audio_decode,
+        # r8b: the IVFPQ persistence-composition gate
+        "ivfpq_state_persisted": _q_ivfpq_state_persisted,
         # r8-displaced (each family retains in-window evidence — see the
         # round-8 rotation block; nsw_persisted_topk displaced by the
         # strictly-wider nsw_hybrid_topk)
@@ -6081,6 +6155,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(0 AS BIGINT) AS n_mismatch
             FROM embeddings
+        """,
+        # IVFPQ composition roundtrip (r8b): the answer under the
+        # read-back (ivf_read + pq_read) state must be bit-identical,
+        # rank-for-rank, to the answer under the trained state — the
+        # oracle pins (k rows, zero mismatches)
+        "ivfpq_state_persisted": """
+            SELECT CAST(10 AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_mismatch
         """,
         # nested ABO battery — same fixture parquet, 1-indexed array access
         "nested_prefilter_weight_brand": f"""
