@@ -605,6 +605,35 @@ def _hybrid_batch_section() -> None:
         "single-query one (disclosed; the single-query operators "
         "remain the interactive path).\n"
     )
+    gsec = lad.get("nsw_hybrid_batch")
+    if not gsec:
+        return
+    print(
+        f"\nThe GRAPH-path twin (r8b, tools/bench_nsw_hybrid_batch.py): "
+        f"nsw_read_topk(predicates={{qid: Column}}) over the persisted "
+        f"store ({gsec['n_vectors']:,} vectors, {gsec['n_shards']} "
+        f"shards, label payload, ef={gsec['ef']}) vs the per-query "
+        "loop, same four predicate classes, identical row counts "
+        "asserted:\n"
+    )
+    print("| |Q| | batch s | loop s | batch ms/query | loop ms/query | speedup |")
+    print("|---|---|---|---|---|---|")
+    for r in gsec["batches"]:
+        print(
+            f"| {r['n_queries']} | {r['batch_s']} | {r['loop_s']} | "
+            f"{r['batch_ms_per_query']} | {r['loop_ms_per_query']} | "
+            f"{r['speedup']}× |"
+        )
+    print(
+        "\nThe loop is flat ~700-760 ms/query (each query pays a full "
+        "store read + per-shard walk job); the batch pays ONE store "
+        "scan carrying |Q| Catalyst predicate projections into one "
+        "walk invocation — 18.6 ms/query at |Q|=64, 38× the loop, and "
+        "the gap WIDENS with |Q| because the store read never repeats. "
+        "The graph path amortizes harder than the flat-scan path "
+        "(38× vs 11.6×) precisely because its fixed per-job cost — "
+        "reconstructing shard adjacency into the walk — is larger.\n"
+    )
 
 
 def _regression_triage_section() -> None:
