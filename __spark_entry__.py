@@ -3433,33 +3433,15 @@ def _q_nsw_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NSW_HYBRID_BATCH_CACHE: dict[tuple[str, str], str] = {}
 
 
-def _q_nsw_hybrid_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched hybrid search over the PERSISTED graph store — the r8
-    batched-serving family (hybrid_batch_topk) meeting the r8 graph
-    store (nsw_hybrid_topk): nsw_read_topk(predicates={qid: Column})
-    answers a query batch where EVERY query carries its OWN §2.3
-    predicate, exactly the reference's serving surface (knn_query's
-    ParallelFor runs one filter functor per query row,
-    hnswlib/python_bindings/bindings.cpp:627-646 + 83-87). Each
-    predicate is ONE Catalyst-projected boolean on the stored node
-    table (|Q| cheap projections on a single scan, never |Q| scans or
-    |Q| jobs); each shard's walk applies its query's
-    traversed-but-never-returned mask. The store materializes
-    FLAT-EXTRACTED attribute projections as payload columns (brand →
-    first-element value under the §2.3 missing/empty rejection rule) —
-    a covering index extracts at build time so the per-query filter is
-    a flat column test at serve time. Full beam ⇒ every query answers
-    its exact pre-filter oracle (four predicate classes: pure top-k,
-    flat numeric exact, nested-extracted substring, bare-scalar
-    exact)."""
+def _nsw_hybrid_batch_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session) the covering-index graph store the
+    batched/streamed hybrid serving queries share: flat-EXTRACTED
+    attribute projections (brand → first-element value under §2.3
+    missing/empty rejection) persisted as payload columns beside each
+    node's vector and adjacency."""
     import tempfile
 
-    from acorn_hybrid_vector_search_spark.functions.predicates import (
-        build_predicate,
-        flat_accessors,
-    )
     from acorn_hybrid_vector_search_spark.operators.graph_ann import (
-        nsw_read_topk,
         nsw_write,
     )
 
@@ -3483,6 +3465,37 @@ def _q_nsw_hybrid_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             nodes, path, payload_cols=["label", "country", "brand_val"]
         )
         _NSW_HYBRID_BATCH_CACHE[key] = path
+    return path
+
+
+def _q_nsw_hybrid_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid search over the PERSISTED graph store — the r8
+    batched-serving family (hybrid_batch_topk) meeting the r8 graph
+    store (nsw_hybrid_topk): nsw_read_topk(predicates={qid: Column})
+    answers a query batch where EVERY query carries its OWN §2.3
+    predicate, exactly the reference's serving surface (knn_query's
+    ParallelFor runs one filter functor per query row,
+    hnswlib/python_bindings/bindings.cpp:627-646 + 83-87). Each
+    predicate is ONE Catalyst-projected boolean on the stored node
+    table (|Q| cheap projections on a single scan, never |Q| scans or
+    |Q| jobs); each shard's walk applies its query's
+    traversed-but-never-returned mask. The store materializes
+    FLAT-EXTRACTED attribute projections as payload columns (brand →
+    first-element value under the §2.3 missing/empty rejection rule) —
+    a covering index extracts at build time so the per-query filter is
+    a flat column test at serve time. Full beam ⇒ every query answers
+    its exact pre-filter oracle (four predicate classes: pure top-k,
+    flat numeric exact, nested-extracted substring, bare-scalar
+    exact)."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        build_predicate,
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+    )
+
+    path = _nsw_hybrid_batch_store(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     vecs = {
         r["vec_id"]: r["embedding"]
@@ -3600,6 +3613,97 @@ def _q_stream_hybrid_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         assert len(parts) == 2, parts
         _STREAM_SERVE_CACHE[key] = out
+    res = spark.read.parquet(out)
+    return res.select(
+        "query_id", "vec_id", F.round("dist", _R).alias("dist")
+    )
+
+
+_STREAM_NSW_SERVE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q_stream_nsw_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hybrid serving from the PERSISTED GRAPH STORE
+    (streaming/serving.py::stream_nsw_serve) — the fourth cell of the
+    serving matrix {flat scan, graph store} × {static batch, stream}:
+    the same four predicate-class queries as nsw_hybrid_batch_topk
+    arrive as a two-file parquet stream; each micro-batch builds its
+    queries' §2.3 predicates from their JSON specs over the store's
+    covering-index payload columns and answers them with ONE
+    predicates-batched store scan, landing batch-keyed idempotent
+    results. Full beam ⇒ the accumulated results answer the IDENTICAL
+    oracle as the static graph batch: stream-served ≡ batch ≡ exact
+    pre-filter, hash-exact."""
+    import json as _json
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.streaming.serving import (
+        stream_nsw_serve,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _STREAM_NSW_SERVE_CACHE if k[0] != key[0]]:
+        del _STREAM_NSW_SERVE_CACHE[stale]
+    out = _STREAM_NSW_SERVE_CACHE.get(key)
+    if out is None:
+        store = _nsw_hybrid_batch_store(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="acorn_nsw_serve_")
+        out = root + "/results"
+        specs = {
+            1: {"label": ["exact", 3]},
+            2: {"brand_val": ["substring", "Amazon"]},
+            3: {"country": ["exact", "IN"]},
+        }  # query 0 carries no predicate — the class-1 pure top-k row
+        spec_col = F.lit(None).cast("string")
+        for i, s in specs.items():
+            spec_col = (
+                F.when(F.col("vec_id") == i, F.lit(_json.dumps(s)))
+                .otherwise(spec_col)
+            )
+        qrows = (
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 4)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                "embedding",
+                spec_col.alias("predicate_json"),
+            )
+        )
+        src = root + "/queries"
+        qrows.filter("query_id < 2").repartition(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        qrows.filter("query_id >= 2").repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(qrows.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_nsw_serve(
+            stream,
+            store,
+            out,
+            root + "/ckpt",
+            k=5,
+            accessors=flat_accessors(
+                {"label": "bigint", "country": "string",
+                 "brand_val": "string"}
+            ),
+            ef=1_000_000,
+        )
+        q.processAllAvailable()
+        q.stop()
+        parts = {
+            r["_batch_id"]
+            for r in spark.read.parquet(out).select("_batch_id").distinct().collect()
+        }
+        assert len(parts) == 2, parts
+        _STREAM_NSW_SERVE_CACHE[key] = out
     res = spark.read.parquet(out)
     return res.select(
         "query_id", "vec_id", F.round("dist", _R).alias("dist")
@@ -4117,8 +4221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch/serving forms subsume them; both stay selfcheck-gated)
         "nsw_hybrid_topk": _q_nsw_hybrid_topk,
         "stream_audio_decode": _q_stream_audio_decode,
-        # r8b: the IVFPQ persistence-composition gate
+        # r8b: the IVFPQ persistence-composition gate + the fourth
+        # serving-matrix cell (stream × graph store)
         "ivfpq_state_persisted": _q_ivfpq_state_persisted,
+        "stream_nsw_serve": _q_stream_nsw_serve,
         # r8-displaced (each family retains in-window evidence — see the
         # round-8 rotation block; nsw_persisted_topk displaced by the
         # strictly-wider nsw_hybrid_topk)
@@ -6571,4 +6677,7 @@ def oracle_sql() -> dict[str, str]:
     # stream-SERVED hybrid queries answer the identical per-query blocks
     # as the static batch: stream ≡ batch ≡ per-query (r8 serving twin)
     out["stream_hybrid_serve"] = out["hybrid_batch_topk"]
+    # the graph-store serving stream answers the identical blocks as the
+    # static graph batch (full-beam walks ≡ exact pre-filter per query)
+    out["stream_nsw_serve"] = out["nsw_hybrid_batch_topk"]
     return out

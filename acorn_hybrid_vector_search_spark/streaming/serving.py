@@ -29,7 +29,12 @@ from typing import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hybrid_serve_batch_writer", "stream_hybrid_serve"]
+__all__ = [
+    "hybrid_serve_batch_writer",
+    "stream_hybrid_serve",
+    "nsw_serve_batch_writer",
+    "stream_nsw_serve",
+]
 
 
 def hybrid_serve_batch_writer(
@@ -101,6 +106,70 @@ def hybrid_serve_batch_writer(
     return write_batch
 
 
+def nsw_serve_batch_writer(
+    store_path: str,
+    out_path: str,
+    k: int,
+    *,
+    accessors: Mapping,
+    ef: int = 64,
+    max_visits: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    predicate_col: str = "predicate_json",
+):
+    """The graph-store twin of ``hybrid_serve_batch_writer``: each
+    micro-batch of query rows is answered from the PERSISTED NSW store
+    via ``nsw_read_topk(predicates={qid: Column})`` — one store scan
+    carries every query's own §2.3 predicate (built from its JSON spec
+    with the same ``build_predicate`` grammar over the store's payload
+    columns) into the per-shard walks. Results land batch-keyed with
+    dynamic overwrite (replay-idempotent). ``accessors`` must cover
+    every attribute the arriving specs may constrain (the store's
+    payload columns)."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        build_predicate,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            query_id_col, vec_col, predicate_col
+        ).collect()
+        if not rows:
+            return
+        batch = [(r[query_id_col], list(r[vec_col])) for r in rows]
+        preds = {
+            r[query_id_col]: build_predicate(
+                json.loads(r[predicate_col]), accessors
+            )
+            for r in rows
+            if r[predicate_col]
+        }
+        res = nsw_read_topk(
+            batch_df.sparkSession,
+            store_path,
+            batch,
+            k,
+            ef=ef,
+            max_visits=max_visits,
+            predicates=preds,
+            id_col=id_col,
+        )
+        (
+            res.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    return write_batch
+
+
 def stream_hybrid_serve(
     query_stream: DataFrame,
     corpus: DataFrame,
@@ -132,6 +201,48 @@ def stream_hybrid_serve(
                 query_id_col=query_id_col,
                 predicate_col=predicate_col,
                 payload_cols=payload_cols,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_nsw_serve(
+    query_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int,
+    *,
+    accessors: Mapping,
+    ef: int = 64,
+    max_visits: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    predicate_col: str = "predicate_json",
+):
+    """Serve a STREAM of hybrid queries from the persisted NSW store:
+    one predicates-batched ``nsw_read_topk`` store scan per
+    micro-batch, batch-keyed idempotent results (see
+    ``nsw_serve_batch_writer``). With ``ef``/``max_visits`` bounded
+    this is the ANYTIME serving path; at full beam it answers each
+    query's exact pre-filter oracle. Returns the StreamingQuery."""
+    return (
+        query_stream.writeStream.foreachBatch(
+            nsw_serve_batch_writer(
+                store_path,
+                out_path,
+                k,
+                accessors=accessors,
+                ef=ef,
+                max_visits=max_visits,
+                id_col=id_col,
+                vec_col=vec_col,
+                query_id_col=query_id_col,
+                predicate_col=predicate_col,
             )
         )
         .option("checkpointLocation", checkpoint)

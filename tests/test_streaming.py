@@ -479,3 +479,71 @@ def test_stream_hybrid_serve_replay_idempotent_and_batch_parity(spark, tmp_path)
         (r["query_id"], r["vec_id"], round(r["dist"], 9))
         for r in spark.read.parquet(out).collect()
     ) == first
+
+
+def test_stream_nsw_serve_replay_idempotent_and_batch_parity(spark, tmp_path):
+    """r8b graph-store serving twin: redelivered batches overwrite their
+    own batch-keyed results, and the accumulated stream answers equal
+    ONE static predicates-batched nsw_read_topk over the same store at
+    the same beam — stream ≡ batch on the graph path too."""
+    import json
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write,
+    )
+    from acorn_hybrid_vector_search_spark.streaming.serving import (
+        nsw_serve_batch_writer,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)], i % 4) for i in range(80)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    store = str(tmp_path / "graph")
+    nsw_write(corpus.repartition(3), store, payload_cols=["label"])
+    out = str(tmp_path / "results")
+    acc = flat_accessors({"label": "int"})
+    writer = nsw_serve_batch_writer(
+        store, out, k=5, accessors=acc, ef=1_000_000
+    )
+    qdf = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0], None),
+            (1, [3.0, 1.0], json.dumps({"label": ["exact", 2]})),
+            (2, [0.5, 4.0], json.dumps({"label": ["leq", 1]})),
+        ],
+        "query_id long, embedding array<double>, predicate_json string",
+    )
+    writer(qdf.filter("query_id < 2"), 0)
+    writer(qdf.filter("query_id = 2"), 1)
+    first = sorted(
+        (r["query_id"], r["vec_id"], round(r["dist"], 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    writer(qdf.filter("query_id < 2").repartition(3), 0)  # replay
+    again = sorted(
+        (r["query_id"], r["vec_id"], round(r["dist"], 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first == again
+    from pyspark.sql import functions as F
+
+    want = sorted(
+        (r["query_id"], r["vec_id"], round(r["dist"], 9))
+        for r in nsw_read_topk(
+            spark,
+            store,
+            [(0, [1.0, 2.0]), (1, [3.0, 1.0]), (2, [0.5, 4.0])],
+            5,
+            ef=1_000_000,
+            predicates={
+                1: F.col("label").isNotNull() & (F.col("label") == 2),
+                2: F.col("label").isNotNull() & (F.col("label") <= 1),
+            },
+        ).collect()
+    )
+    assert first == want
