@@ -72,19 +72,34 @@ class NswGraph:
     Distances are squared L2 (space='l2', acorn.py:26).
     """
 
-    def __init__(self, vectors: np.ndarray, *, m: int = 8, ef_construction: int = 32):
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        *,
+        m: int = 8,
+        ef_construction: int = 32,
+        gamma: int = 1,
+    ):
         self.x = np.ascontiguousarray(vectors, dtype=np.float64)
         self.n = self.x.shape[0]
         self.m = m
+        # ACORN-γ densification (Patel et al., SIGMOD'24 — the paper the
+        # reference's ACORN-1 strategy approximates at γ=1): each node
+        # links to γ·m nearest at insert and retains up to 2·γ·m on
+        # prune, so the PREDICATE SUBGRAPH (neighbors surviving a
+        # selectivity-s filter, expected ≈ s·γ·m of them) stays
+        # navigable without traversing failing nodes. γ=1 is bit-for-bit
+        # the pre-γ build — persisted stores are unchanged.
+        self.gamma = gamma
         self.neighbors: list[list[int]] = [[] for _ in range(self.n)]
         self._sq = (self.x**2).sum(axis=1)
         for i in range(1, self.n):
             cand, _ = self._search(self.x[i], ef_construction, upto=i)
-            near = cand[: self.m]
+            near = cand[: self.m * self.gamma]
             for j in near:
                 self.neighbors[i].append(int(j))
                 self.neighbors[int(j)].append(i)
-                if len(self.neighbors[int(j)]) > 2 * self.m:
+                if len(self.neighbors[int(j)]) > 2 * self.m * self.gamma:
                     self._prune(int(j))
         # _prune keeps only a node's 2m closest neighbors and can drop
         # another node's LAST in-link, disconnecting it from entry 0 —
@@ -143,7 +158,8 @@ class NswGraph:
         g = cls.__new__(cls)
         g.x = np.ascontiguousarray(vectors, dtype=np.float64)
         g.n = g.x.shape[0]
-        g.m = 0  # build-time knob; unused after construction
+        g.m = 0  # build-time knobs; unused after construction
+        g.gamma = 1
         g.neighbors = [[int(v) for v in nb] for nb in neighbors]
         g._sq = (g.x**2).sum(axis=1)
         g.repair_edges = []
@@ -176,7 +192,7 @@ class NswGraph:
     def _prune(self, j: int) -> None:
         nb = np.asarray(self.neighbors[j], dtype=np.int64)
         d = self._dist(self.x[j], nb)
-        keep = nb[np.argsort(d, kind="stable")[: 2 * self.m]]
+        keep = nb[np.argsort(d, kind="stable")[: 2 * self.m * self.gamma]]
         self.neighbors[j] = [int(v) for v in keep]
 
     def _search(
@@ -244,6 +260,103 @@ class NswGraph:
         out = sorted((-nd, v) for nd, v in result)
         return [v for _, v in out], visits
 
+    def _search_subgraph(
+        self,
+        q: np.ndarray,
+        ef: int,
+        mask: np.ndarray,
+        *,
+        m_cap: int = 8,
+        max_visits: int | None = None,
+    ) -> tuple[list[int], int]:
+        """ACORN-γ traversal (Patel et al., SIGMOD'24 §4): best-first
+        search over the PREDICATE SUBGRAPH — only mask-passing nodes are
+        entered, scored, or returned. Neighbor selection per expansion:
+        the first ``2·m_cap`` passing neighbors of the node's (γ-dense)
+        list; when fewer than ``m_cap`` pass, the paper's TWO-HOP
+        compensation kicks in — failing neighbors contribute their own
+        passing neighbors (their lists provide connectivity without
+        being visited). Contrast with ``_search`` + result-mask (the
+        reference's ACORN-1 / filter-functor shape): that walk SPENDS
+        its ``ef``/``max_visits`` budget traversing failing nodes; this
+        one spends it only on nodes that can be returned, so
+        recall-per-visit under a selective predicate is higher
+        (measured: BENCH_LADDER ``acorn_gamma``).
+
+        Entry is predicate-aware: the nearest of a deterministic ⌈√p⌉
+        stride sample of the passing set (the `_coarse_entry` analog on
+        the subgraph — the subgraph has no canonical node 0). Exactness
+        contract: at full beam (``ef ≥ #passing``, no visit budget) any
+        never-scored passing node is scored directly, so the full-beam
+        answer equals the exact pre-filter answer regardless of
+        subgraph connectivity."""
+        import math
+
+        pass_idx = np.flatnonzero(mask)
+        p = int(pass_idx.size)
+        if p == 0:
+            return [], 0
+        stride = max(1, p // max(1, math.isqrt(p)))
+        sample = pass_idx[::stride]
+        sd = self._dist(q, sample)
+        entry = int(sample[int(np.argmin(sd))])
+        d0 = float(self._dist(q, np.asarray([entry]))[0])
+        visited = {entry}
+        frontier = [(d0, entry)]
+        result: list[tuple[float, int]] = [(-d0, entry)]
+        visits = 0
+        while frontier:
+            if max_visits is not None and visits >= max_visits:
+                break
+            d, node = heapq.heappop(frontier)
+            if result and d > -result[0][0] and len(result) >= ef:
+                break
+            visits += 1
+            nbrs: list[int] = []
+            scarce = 0
+            for v in self.neighbors[node]:
+                if mask[v]:
+                    scarce += 1
+                    if v not in visited:
+                        nbrs.append(v)
+                    if len(nbrs) >= 2 * m_cap:
+                        break
+            if scarce < m_cap:  # two-hop compensation through failing nodes
+                for v in self.neighbors[node]:
+                    if len(nbrs) >= 2 * m_cap:
+                        break
+                    if mask[v]:
+                        continue
+                    for w in self.neighbors[v]:
+                        if mask[w] and w not in visited and w != node:
+                            nbrs.append(w)
+                            if len(nbrs) >= 2 * m_cap:
+                                break
+            if not nbrs:
+                continue
+            # dedupe preserving order (two-hop can repeat a candidate)
+            nbrs = list(dict.fromkeys(nbrs))
+            visited.update(nbrs)
+            nd = self._dist(q, np.asarray(nbrs, dtype=np.int64))
+            for v, dv in zip(nbrs, nd):
+                dv = float(dv)
+                if len(result) < ef or dv < -result[0][0]:
+                    heapq.heappush(result, (-dv, v))
+                    if len(result) > ef:
+                        heapq.heappop(result)
+                    heapq.heappush(frontier, (dv, v))
+        if max_visits is None and ef >= p and len(visited) < p:
+            rest = np.setdiff1d(
+                pass_idx,
+                np.fromiter(visited, dtype=np.int64, count=len(visited)),
+            )
+            if rest.size:
+                rd = self._dist(q, rest)
+                for v, dv in zip(rest, rd):
+                    result.append((-float(dv), int(v)))
+        out = sorted((-nd, v) for nd, v in result)
+        return [v for _, v in out], visits
+
 
 def _local_topk_frame(
     g: NswGraph,
@@ -257,6 +370,8 @@ def _local_topk_frame(
     id_col: str,
     dist_col: str,
     pass_mask: "np.ndarray | dict[int, np.ndarray] | None" = None,
+    strategy: str = "traverse_all",
+    m_cap: int = 8,
 ) -> pd.DataFrame:
     """One partition's local top-k for every query — shared by the
     build-and-search and the load-persisted paths so both emit
@@ -272,9 +387,19 @@ def _local_topk_frame(
     rows_q, rows_i, rows_d = [], [], []
     for qi, qid in enumerate(qids):
         mask = pass_mask.get(qid) if isinstance(pass_mask, dict) else pass_mask
-        cand, _ = g._search(
-            qmat[qi], max(ef, k), max_visits=max_visits, coarse_entry=True
-        )
+        if strategy == "subgraph" and mask is not None:
+            # ACORN-γ: walk ONLY the predicate subgraph — the budget is
+            # spent on returnable nodes (vs traverse-all, which pays
+            # visits on failing nodes and filters at collection)
+            cand, _ = g._search_subgraph(
+                qmat[qi], max(ef, k), mask, m_cap=m_cap,
+                max_visits=max_visits,
+            )
+        else:
+            cand, _ = g._search(
+                qmat[qi], max(ef, k), max_visits=max_visits,
+                coarse_entry=True,
+            )
         kept = 0
         for local in cand:
             gid = int(ids[local])
@@ -312,6 +437,7 @@ def nsw_batch_topk(
     *,
     m: int = 8,
     ef_construction: int = 32,
+    gamma: int = 1,
     ef: int = 64,
     max_visits: int | None = None,
     blocked: frozenset[int] | set[int] | None = None,
@@ -349,7 +475,7 @@ def nsw_batch_topk(
             return
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-        g = NswGraph(x, m=m, ef_construction=ef_construction)
+        g = NswGraph(x, m=m, ef_construction=ef_construction, gamma=gamma)
         yield _local_topk_frame(
             g, ids, qids, qmat, k, max(ef, k), max_visits, blocked_set,
             id_col, dist_col,
@@ -365,6 +491,7 @@ def nsw_write(
     *,
     m: int = 8,
     ef_construction: int = 32,
+    gamma: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     payload_cols: Sequence[str] = (),
@@ -394,8 +521,9 @@ def nsw_write(
 
     invalidate()
     _nsw_nodes(
-        df, m=m, ef_construction=ef_construction, vec_col=vec_col,
-        id_col=id_col, part_offset=0, payload_cols=payload_cols,
+        df, m=m, ef_construction=ef_construction, gamma=gamma,
+        vec_col=vec_col, id_col=id_col, part_offset=0,
+        payload_cols=payload_cols,
     ).write.mode("overwrite").partitionBy("part_id").parquet(path)
 
 
@@ -404,6 +532,7 @@ def _nsw_nodes(
     *,
     m: int,
     ef_construction: int,
+    gamma: int = 1,
     vec_col: str,
     id_col: str,
     part_offset: int,
@@ -432,7 +561,7 @@ def _nsw_nodes(
         if not len(pdf):
             return
         x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-        g = NswGraph(x, m=m, ef_construction=ef_construction)
+        g = NswGraph(x, m=m, ef_construction=ef_construction, gamma=gamma)
         out = {
             "part_id": pdf["part_id"].astype("int32"),
             "seq": np.arange(g.n, dtype=np.int64),
@@ -453,6 +582,7 @@ def nsw_append(
     *,
     m: int = 8,
     ef_construction: int = 32,
+    gamma: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     payload_cols: Sequence[str] = (),
@@ -488,8 +618,8 @@ def nsw_append(
         )
     max_part = stored.agg(F.max("part_id")).head()[0]
     _nsw_nodes(
-        df, m=m, ef_construction=ef_construction, vec_col=vec_col,
-        id_col=id_col, part_offset=int(max_part) + 1,
+        df, m=m, ef_construction=ef_construction, gamma=gamma,
+        vec_col=vec_col, id_col=id_col, part_offset=int(max_part) + 1,
         payload_cols=payload_cols,
     ).write.mode("append").partitionBy("part_id").parquet(path)
 
@@ -501,6 +631,7 @@ def nsw_compact(
     n_shards: int | None = None,
     m: int = 8,
     ef_construction: int = 32,
+    gamma: int = 1,
     id_col: str = "vec_id",
 ) -> int:
     """Re-pack an append-grown NSW shard store into fresh graphs — the
@@ -556,6 +687,7 @@ def nsw_compact(
         stored.repartition(n_shards, F.col(id_col)).sortWithinPartitions(id_col),
         m=m,
         ef_construction=ef_construction,
+        gamma=gamma,
         vec_col="vector",
         id_col=id_col,
         part_offset=0,
@@ -600,6 +732,8 @@ def nsw_read_topk(
     blocked: frozenset[int] | set[int] | None = None,
     predicate=None,
     predicates=None,
+    strategy: str = "traverse_all",
+    subgraph_m: int = 8,
     id_col: str = "vec_id",
     dist_col: str = "dist",
 ) -> DataFrame:
@@ -632,7 +766,20 @@ def nsw_read_topk(
     table (|Q| cheap projections on ONE scan, never |Q| scans); the
     per-shard walk reads the matching mask per query. Queries absent
     from the mapping are unfiltered. Mutually exclusive with
-    ``predicate`` (which applies one shared filter to all queries)."""
+    ``predicate`` (which applies one shared filter to all queries).
+
+    ``strategy`` (r8b): ``'traverse_all'`` (default) is the
+    reference's ACORN-1 / filter-functor walk — failing nodes are
+    traversed (they spend budget) but never returned. ``'subgraph'``
+    is the ACORN-γ walk (Patel et al., SIGMOD'24; see
+    ``NswGraph._search_subgraph``): only predicate-passing nodes are
+    entered or scored, with two-hop compensation through failing
+    neighbors — pair it with a store built at ``nsw_write(gamma>1)``
+    so the passing sublists stay navigable (γ ≈ 1/selectivity is the
+    paper's sizing). ``subgraph_m`` is the per-expansion
+    passing-neighbor cap (the M of the γ·M list). Both strategies
+    answer the exact pre-filter oracle at full beam; under a budget,
+    subgraph spends every visit on a returnable node."""
     qids = [int(q) for q, _ in queries]
     qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
     blocked_set = frozenset(int(b) for b in (blocked or ()))
@@ -645,6 +792,13 @@ def nsw_read_topk(
     qset = set(qids)
     if unknown := [q for q in pred_qids if q not in qset]:
         raise ValueError(f"predicates for ids not in the batch: {unknown}")
+    if strategy not in ("traverse_all", "subgraph"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    if strategy == "subgraph" and not (has_pred or pred_qids):
+        raise ValueError(
+            "strategy='subgraph' is the ACORN-γ predicate-subgraph walk "
+            "— it requires predicate or predicates"
+        )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seq", ignore_index=True)
@@ -662,6 +816,7 @@ def nsw_read_topk(
         return _local_topk_frame(
             g, ids, qids, qmat, k, max(ef, k), max_visits, blocked_set,
             id_col, dist_col, pass_mask=mask,
+            strategy=strategy, m_cap=subgraph_m,
         )
 
     stored = spark.read.parquet(path)

@@ -646,3 +646,103 @@ def test_nsw_per_query_predicates_batch_equals_per_query(spark, tmp_path):
     with _pytest.raises(ValueError, match="not in the batch"):
         nsw_read_topk(spark, path, batch, k=3, ef=64,
                       predicates={9: F.col("label") == 1})
+
+
+def test_acorn_gamma_subgraph_search(spark, tmp_path):
+    """ACORN-γ (r8b): a γ-densified store searched with
+    strategy='subgraph' — only predicate-passing nodes are entered or
+    scored (two-hop compensation through failing neighbors). Gates:
+    (a) γ build densifies (mean stored degree grows with γ);
+    (b) full-beam subgraph search answers the exact pre-filter oracle;
+    (c) deterministic across runs; (d) under the SAME visit budget on a
+    selective predicate, subgraph recall ≥ traverse-all recall (the
+    budget is spent on returnable nodes only); (e) strategy validation
+    raises without a predicate and on unknown names."""
+    import random
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write,
+    )
+
+    rows = [
+        (
+            i,
+            [round(random.Random(f"g:{i}:{d}").uniform(-1, 1), 4) for d in range(8)],
+            i % 8,
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    p1 = str(tmp_path / "g1")
+    p4 = str(tmp_path / "g4")
+    nsw_write(df.repartition(2), p1, payload_cols=["label"])
+    nsw_write(df.repartition(2), p4, gamma=4, payload_cols=["label"])
+
+    def mean_degree(path):
+        agg = (
+            spark.read.parquet(path)
+            .select(F.size("neighbors").alias("d"))
+            .agg(F.avg("d"))
+            .head()[0]
+        )
+        return float(agg)
+
+    assert mean_degree(p4) > 1.5 * mean_degree(p1)  # (a) densified
+
+    pred = F.col("label") == 3
+    q = rows[10][1]
+    got = nsw_read_topk(
+        spark, p4, [(0, q)], k=10, ef=1_000_000,
+        predicate=pred, strategy="subgraph",
+    ).collect()
+    want = (
+        df.filter(pred)
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(float(x)) for x in q]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    key = lambda rs: [
+        r["vec_id"] for r in sorted(rs, key=lambda r: (r["dist"], r["vec_id"]))
+    ]
+    exact_ids = key(want)
+    assert key(got) == exact_ids  # (b) full-beam exact
+    again = nsw_read_topk(
+        spark, p4, [(0, q)], k=10, ef=1_000_000,
+        predicate=pred, strategy="subgraph",
+    ).collect()
+    assert key(again) == key(got)  # (c) deterministic
+
+    # (d) recall-per-visit: same tight budget, selective predicate
+    def recall(strategy, path):
+        res = nsw_read_topk(
+            spark, path, [(0, q)], k=10, ef=16, max_visits=12,
+            predicate=pred, strategy=strategy,
+        ).collect()
+        return len(set(r["vec_id"] for r in res) & set(exact_ids))
+
+    assert recall("subgraph", p4) >= recall("traverse_all", p4)
+
+    with _pytest.raises(ValueError, match="requires predicate"):
+        nsw_read_topk(spark, p4, [(0, q)], k=5, ef=16, strategy="subgraph")
+    with _pytest.raises(ValueError, match="unknown strategy"):
+        nsw_read_topk(
+            spark, p4, [(0, q)], k=5, ef=16, predicate=pred, strategy="acorn"
+        )

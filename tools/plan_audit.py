@@ -132,6 +132,12 @@ AUDIT: dict[str, list[str]] = {
         "FlatMapGroupsInPandas", "WindowGroupLimit",
         "_pass_1", "_pass_2", "_pass_3",
     ],
+    # round 8b: ACORN-γ — the predicate rides the scan as the same
+    # Catalyst _pass projection; the subgraph walk is inside the pandas
+    # group (plan shape identical to the filter-functor walk by design)
+    "acorn_gamma_topk": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit", "_pass",
+    ],
 }
 
 
@@ -169,6 +175,7 @@ def main() -> None:
     _nsw_compact_section()
     _nsw_partition_section()
     _hybrid_batch_section()
+    _acorn_gamma_section()
     _regression_triage_section()
 
 
@@ -633,6 +640,51 @@ def _hybrid_batch_section() -> None:
         "The graph path amortizes harder than the flat-scan path "
         "(38× vs 11.6×) precisely because its fixed per-job cost — "
         "reconstructing shard adjacency into the walk — is larger.\n"
+    )
+
+
+def _acorn_gamma_section() -> None:
+    """ACORN-γ recall-per-visit (r8b), regenerated from
+    BENCH_LADDER.json's acorn_gamma block (tools/bench_acorn_gamma.py)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        lad = json.load(open(os.path.join(root, "BENCH_LADDER.json")))
+    except OSError:
+        return
+    sec = lad.get("acorn_gamma")
+    if not sec:
+        return
+    print("\n## ACORN-γ: recall per visit budget (measured)\n")
+    print(
+        f"The namesake paper's main algorithm (Patel et al., SIGMOD'24) "
+        f"vs the reference's ACORN-1/filter-functor walk, over "
+        f"{sec['n_vectors']:,} vectors (.ladder/x16), "
+        f"{sec['n_queries']} queries, predicate selectivity "
+        f"{sec['selectivity']}, k={sec['k']}, ef={sec['ef']}. "
+        f"traverse-all runs the γ=1 store (mean degree "
+        f"{sec['mean_degree_g1']}); the subgraph walk runs the γ=4 "
+        f"store (mean degree {sec['mean_degree_g4']} — the disclosed "
+        f"storage price, ≈γ× adjacency):\n"
+    )
+    print("| max_visits | traverse-all recall@10 | ACORN-γ subgraph recall@10 |")
+    print("|---|---|---|")
+    for r in sec["budgets"]:
+        print(
+            f"| {r['max_visits']} | {r['traverse_all_g1']} | "
+            f"{r['subgraph_g4']} |"
+        )
+    print(
+        "\nAt selectivity s≈0.1 traverse-all burns ~1/s visits per "
+        "returnable node — it is still at 0.86 recall with a 128-visit "
+        "budget; the subgraph walk reaches 1.0 at 64 because every "
+        "visit lands on a passing node and the γ-dense lists keep the "
+        "passing sublists navigable (two-hop compensation through "
+        "failing neighbors covers the gaps). Exactness is not traded: "
+        "both strategies answer the exact pre-filter oracle at full "
+        "beam (acorn_gamma_topk, hash-verified; never-scored passing "
+        "nodes are scored directly at full beam).\n"
     )
 
 
