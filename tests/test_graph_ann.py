@@ -646,6 +646,17 @@ def test_nsw_per_query_predicates_batch_equals_per_query(spark, tmp_path):
     with _pytest.raises(ValueError, match="not in the batch"):
         nsw_read_topk(spark, path, batch, k=3, ef=64,
                       predicates={9: F.col("label") == 1})
+    # the ACORN-γ walk composes with per-query predicates: at full beam
+    # the batched subgraph answers equal the traverse-all answers
+    # (both are the exact pre-filter result; unfiltered queries fall
+    # back to the standard walk inside the same batch)
+    sub = nsw_read_topk(
+        spark, path, batch, k=7, ef=1_000_000, predicates=preds,
+        strategy="subgraph",
+    ).collect()
+    assert sorted(
+        (r["query_id"], r["vec_id"]) for r in sub
+    ) == sorted((r["query_id"], r["vec_id"]) for r in got)
 
 
 def test_acorn_gamma_subgraph_search(spark, tmp_path):
