@@ -600,6 +600,14 @@ def nsw_append(
     grown past the cluster's appetite, ``nsw_compact`` re-packs the
     store in one rebuild (the same build-amortization economics as the
     reference's one-off 51 s build).
+
+    ``gamma`` is a per-shard build knob with no stored metadata to
+    validate against (unlike payload columns, which ARE validated):
+    appending with a different γ than the store was built with is
+    legal — full-beam searches stay exact — but budgeted
+    ``strategy='subgraph'`` walks will be weaker on the sparser
+    shards; pass the store's γ here (and to ``nsw_compact``) to keep
+    densification uniform.
     """
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
 
