@@ -80,6 +80,13 @@ class NswGraph:
         ef_construction: int = 32,
         gamma: int = 1,
     ):
+        if gamma < 1:
+            raise ValueError(
+                f"gamma must be >= 1, got {gamma} — gamma=0 would build "
+                "an edgeless graph that connectivity repair rescues into "
+                "a chain: full-beam queries stay exact (masking it) while "
+                "budgeted recall collapses"
+            )
         self.x = np.ascontiguousarray(vectors, dtype=np.float64)
         self.n = self.x.shape[0]
         self.m = m
@@ -312,13 +319,20 @@ class NswGraph:
             if result and d > -result[0][0] and len(result) >= ef:
                 break
             visits += 1
+            # candidates are kept UNIQUE as they are collected so the
+            # 2·m_cap fan-out cap buys 2·m_cap distinct expansions — a
+            # hub appearing in many failing neighbors' lists must not
+            # eat the budget (adjacency lists can also repeat a node
+            # via repair edges)
             nbrs: list[int] = []
+            cand_seen: set[int] = set()
             scarce = 0
             for v in self.neighbors[node]:
                 if mask[v]:
                     scarce += 1
-                    if v not in visited:
+                    if v not in visited and v not in cand_seen:
                         nbrs.append(v)
+                        cand_seen.add(v)
                     if len(nbrs) >= 2 * m_cap:
                         break
             if scarce < m_cap:  # two-hop compensation through failing nodes
@@ -328,14 +342,18 @@ class NswGraph:
                     if mask[v]:
                         continue
                     for w in self.neighbors[v]:
-                        if mask[w] and w not in visited and w != node:
+                        if (
+                            mask[w]
+                            and w not in visited
+                            and w not in cand_seen
+                            and w != node
+                        ):
                             nbrs.append(w)
+                            cand_seen.add(w)
                             if len(nbrs) >= 2 * m_cap:
                                 break
             if not nbrs:
                 continue
-            # dedupe preserving order (two-hop can repeat a candidate)
-            nbrs = list(dict.fromkeys(nbrs))
             visited.update(nbrs)
             nd = self._dist(q, np.asarray(nbrs, dtype=np.int64))
             for v, dv in zip(nbrs, nd):
@@ -461,6 +479,11 @@ def nsw_batch_topk(
     graph walk identical, matching hnswlib's BaseFilterFunctor.
     """
     qids = [int(q) for q, _ in queries]
+    if len(qids) != len(set(qids)):
+        raise ValueError(
+            "duplicate query ids in batch — duplicated ids would double "
+            "their candidates and corrupt the merged per-query top-k"
+        )
     qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
     blocked_set = frozenset(int(b) for b in (blocked or ()))
 
@@ -541,7 +564,15 @@ def _nsw_nodes(
     """``payload_cols`` (r8): metadata columns stored alongside each
     node — what makes PREDICATE-FILTERED search over the persisted
     store possible (`nsw_read_topk(predicate=...)`), the ACORN shape
-    over the graph store. Stored in seq order like everything else."""
+    over the graph store. Stored in seq order like everything else.
+
+    The build's ``gamma`` is persisted as a (constant, RLE-compressed)
+    ``gamma`` column so maintenance ops can default to the store's own
+    densification — ``nsw_append(gamma=None)`` / ``nsw_compact(
+    gamma=None)`` read it back instead of silently rebuilding a γ=4
+    store at γ=1 (legacy stores without the column read as γ=1)."""
+    if gamma < 1:
+        raise ValueError(f"gamma must be >= 1, got {gamma}")
     payload_cols = [c for c in payload_cols if c not in (id_col, vec_col)]
     tagged = df.select(id_col, vec_col, *payload_cols).withColumn(
         "part_id", F.spark_partition_id() + F.lit(int(part_offset))
@@ -550,7 +581,8 @@ def _nsw_nodes(
     extra_schema = "".join(f", {c} {types[c]}" for c in payload_cols)
     out_schema = (
         f"part_id int, seq long, {id_col} long, "
-        f"vector array<double>, neighbors array<long>{extra_schema}"
+        f"vector array<double>, neighbors array<long>, "
+        f"gamma int{extra_schema}"
     )
 
     def build(batches):
@@ -568,6 +600,7 @@ def _nsw_nodes(
             id_col: pdf[id_col].to_numpy(dtype=np.int64),
             "vector": [list(map(float, row)) for row in g.x],
             "neighbors": [list(map(int, nb)) for nb in g.neighbors],
+            "gamma": np.full(g.n, gamma, dtype=np.int32),
         }
         for c in payload_cols:
             out[c] = pdf[c]
@@ -576,13 +609,24 @@ def _nsw_nodes(
     return tagged.mapInPandas(build, out_schema)
 
 
+
+def _store_gamma(stored: DataFrame) -> int:
+    """The densification a persisted store was built at — read back from
+    its constant ``gamma`` column; legacy stores (written before the
+    column existed) read as γ=1."""
+    if "gamma" not in stored.columns:
+        return 1
+    g = stored.agg(F.max("gamma")).head()[0]
+    return int(g) if g is not None else 1
+
+
 def nsw_append(
     df: DataFrame,
     path: str,
     *,
     m: int = 8,
     ef_construction: int = 32,
-    gamma: int = 1,
+    gamma: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     payload_cols: Sequence[str] = (),
@@ -618,12 +662,14 @@ def nsw_append(
     # a payload mismatch would silently create a mixed-schema store whose
     # predicate-filtered searches see NULLs on half the shards
     want = {id_col, "vector", *payload_cols}
-    have = set(stored.columns) - {"part_id", "seq", "neighbors"}
+    have = set(stored.columns) - {"part_id", "seq", "neighbors", "gamma"}
     if want != have:
         raise ValueError(
             f"payload mismatch vs store at {path}: store has "
             f"{sorted(have)}, append would write {sorted(want)}"
         )
+    if gamma is None:
+        gamma = _store_gamma(stored)
     max_part = stored.agg(F.max("part_id")).head()[0]
     _nsw_nodes(
         df, m=m, ef_construction=ef_construction, gamma=gamma,
@@ -639,7 +685,7 @@ def nsw_compact(
     n_shards: int | None = None,
     m: int = 8,
     ef_construction: int = 32,
-    gamma: int = 1,
+    gamma: int | None = None,
     id_col: str = "vec_id",
 ) -> int:
     """Re-pack an append-grown NSW shard store into fresh graphs — the
@@ -682,11 +728,15 @@ def nsw_compact(
             f"manifest pointer on remote stores"
         )
     raw = spark.read.parquet(path)
+    # default to the store's OWN densification: a maintenance compaction
+    # must not silently rebuild a γ=4 store at γ=1 (review r8b)
+    if gamma is None:
+        gamma = _store_gamma(raw)
     # payload columns survive compaction: re-packing is a layout change,
     # node metadata rides along (r8 predicate-filtered store search)
     extras = [
         c for c in raw.columns
-        if c not in {"part_id", "seq", "neighbors", id_col, "vector"}
+        if c not in {"part_id", "seq", "neighbors", "gamma", id_col, "vector"}
     ]
     stored = raw.select(id_col, "vector", *extras)
     if n_shards is None:
@@ -789,6 +839,11 @@ def nsw_read_topk(
     answer the exact pre-filter oracle at full beam; under a budget,
     subgraph spends every visit on a returnable node."""
     qids = [int(q) for q, _ in queries]
+    if len(qids) != len(set(qids)):
+        raise ValueError(
+            "duplicate query ids in batch — duplicated ids would double "
+            "their candidates and corrupt the merged per-query top-k"
+        )
     qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
     blocked_set = frozenset(int(b) for b in (blocked or ()))
     out_schema = f"query_id long, {id_col} long, {dist_col} double"

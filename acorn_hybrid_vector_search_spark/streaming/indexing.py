@@ -114,6 +114,7 @@ def nsw_stream_batch_writer(
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
     from acorn_hybrid_vector_search_spark.operators.graph_ann import (
         _nsw_nodes,
+        _store_gamma,
         nsw_compact,
     )
 
@@ -134,10 +135,13 @@ def nsw_stream_batch_writer(
                 f"batch_id {batch_id} overflows the int32 part_id range at "
                 f"parts_cap {parts_cap}; compact and restart the checkpoint"
             )
+        gamma = 1
         if os.path.exists(path):
-            n_shards = (
-                spark.read.parquet(path).select("part_id").distinct().count()
-            )
+            stored = spark.read.parquet(path)
+            # new shards keep the seed store's densification (γ rides
+            # the store as a constant column; review r8b)
+            gamma = _store_gamma(stored)
+            n_shards = stored.select("part_id").distinct().count()
             if n_shards > compact_factor * t:
                 nsw_compact(
                     spark, path, n_shards=t, m=m,
@@ -158,6 +162,7 @@ def nsw_stream_batch_writer(
             batch_df.coalesce(parts_cap),
             m=m,
             ef_construction=ef_construction,
+            gamma=gamma,
             vec_col=vec_col,
             id_col=id_col,
             part_offset=offset,

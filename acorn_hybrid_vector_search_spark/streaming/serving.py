@@ -37,6 +37,30 @@ __all__ = [
 ]
 
 
+def _dedupe_query_rows(rows, query_id_col, vec_col, predicate_col):
+    """At-least-once sources can redeliver a query INSIDE one
+    micro-batch. Identical redeliveries (same id, vector, predicate)
+    collapse to one — duplicated query ids would otherwise double every
+    candidate and silently halve the distinct top-k. CONFLICTING
+    duplicates (same id, different vector or predicate) are a client
+    bug and raise rather than letting a dict silently pick a winner."""
+    seen: dict = {}
+    out = []
+    for r in rows:
+        qid = r[query_id_col]
+        key = (list(r[vec_col]), r[predicate_col])
+        if qid in seen:
+            if seen[qid] != key:
+                raise ValueError(
+                    f"conflicting duplicate query_id {qid!r} in one "
+                    "micro-batch (different vector or predicate)"
+                )
+            continue
+        seen[qid] = key
+        out.append(r)
+    return out
+
+
 def hybrid_serve_batch_writer(
     corpus: DataFrame,
     out_path: str,
@@ -71,6 +95,7 @@ def hybrid_serve_batch_writer(
         rows = batch_df.select(
             query_id_col, vec_col, predicate_col
         ).collect()
+        rows = _dedupe_query_rows(rows, query_id_col, vec_col, predicate_col)
         if not rows:
             return
         batch = [
@@ -139,6 +164,7 @@ def nsw_serve_batch_writer(
         rows = batch_df.select(
             query_id_col, vec_col, predicate_col
         ).collect()
+        rows = _dedupe_query_rows(rows, query_id_col, vec_col, predicate_col)
         if not rows:
             return
         batch = [(r[query_id_col], list(r[vec_col])) for r in rows]

@@ -757,3 +757,58 @@ def test_acorn_gamma_subgraph_search(spark, tmp_path):
         nsw_read_topk(
             spark, p4, [(0, q)], k=5, ef=16, predicate=pred, strategy="acorn"
         )
+
+
+def test_gamma_persisted_and_maintenance_inherits(spark, tmp_path):
+    """Review r8b: γ rides the store as a constant column, so
+    maintenance defaults to the store's own densification —
+    nsw_compact/nsw_append without an explicit gamma must NOT silently
+    rebuild a γ=4 store at γ=1. Also: gamma < 1 raises at build, and
+    duplicate query ids in a batch raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_append,
+        nsw_compact,
+        nsw_read_topk,
+        nsw_write,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 9), float((i * 7) % 5)]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "g")
+    nsw_write(df.filter("vec_id < 80").repartition(2), path, gamma=4)
+
+    def degree_and_gamma(p):
+        row = (
+            spark.read.parquet(p)
+            .agg(F.avg(F.size("neighbors")), F.max("gamma"))
+            .head()
+        )
+        return float(row[0]), row[1]
+
+    d0, g0 = degree_and_gamma(path)
+    assert g0 == 4
+    # append WITHOUT gamma: new shards inherit the store's 4
+    nsw_append(df.filter("vec_id >= 80"), path)
+    assert spark.read.parquet(path).select("gamma").distinct().collect() == [
+        spark.read.parquet(path).select("gamma").distinct().head()
+    ]
+    # compact WITHOUT gamma: densification survives the rebuild
+    nsw_compact(spark, path, n_shards=2)
+    d1, g1 = degree_and_gamma(path)
+    assert g1 == 4
+    assert d1 > 0.6 * d0  # still dense, not de-densified to γ=1
+    # full-beam search still exact over the maintained store
+    got = nsw_read_topk(spark, path, [(0, [1.0, 2.0])], k=5, ef=1_000_000)
+    assert got.count() == 5
+
+    with _pytest.raises(ValueError, match="gamma must be >= 1"):
+        nsw_write(df, str(tmp_path / "bad"), gamma=0)
+    with _pytest.raises(ValueError, match="duplicate query ids"):
+        nsw_read_topk(
+            spark, path, [(0, [1.0, 2.0]), (0, [2.0, 1.0])], k=3, ef=16
+        )

@@ -547,3 +547,38 @@ def test_stream_nsw_serve_replay_idempotent_and_batch_parity(spark, tmp_path):
         ).collect()
     )
     assert first == want
+
+
+def test_stream_serve_duplicate_query_rows(spark, tmp_path):
+    """Review r8b: an at-least-once source redelivering a query INSIDE
+    one micro-batch must not corrupt the top-k — identical duplicates
+    collapse to one, conflicting duplicates raise."""
+    import json
+
+    import pytest as _pytest
+
+    from acorn_hybrid_vector_search_spark.streaming.serving import (
+        hybrid_serve_batch_writer,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)], i % 4) for i in range(40)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = str(tmp_path / "results")
+    writer = hybrid_serve_batch_writer(corpus, out, k=5)
+    spec = json.dumps({"label": ["exact", 2]})
+    dup = spark.createDataFrame(
+        [(1, [3.0, 1.0], spec), (1, [3.0, 1.0], spec)],
+        "query_id long, embedding array<double>, predicate_json string",
+    )
+    writer(dup, 0)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 5  # k distinct answers, not k/2 doubled
+    assert len({r["vec_id"] for r in rows}) == 5
+    conflict = spark.createDataFrame(
+        [(2, [3.0, 1.0], spec), (2, [3.0, 1.0], None)],
+        "query_id long, embedding array<double>, predicate_json string",
+    )
+    with _pytest.raises(ValueError, match="conflicting duplicate"):
+        writer(conflict, 1)

@@ -175,6 +175,7 @@ def main() -> None:
     _nsw_compact_section()
     _nsw_partition_section()
     _hybrid_batch_section()
+    _nsw_hybrid_batch_section()
     _acorn_gamma_section()
     _regression_triage_section()
 
@@ -612,11 +613,27 @@ def _hybrid_batch_section() -> None:
         "single-query one (disclosed; the single-query operators "
         "remain the interactive path).\n"
     )
+
+
+def _nsw_hybrid_batch_section() -> None:
+    """Graph-path batched serving (r8b), regenerated from
+    BENCH_LADDER.json's nsw_hybrid_batch block
+    (tools/bench_nsw_hybrid_batch.py) — its own guard, so a ladder file
+    holding only one of the two serving sections never silently drops
+    the other (review r8b)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        lad = json.load(open(os.path.join(root, "BENCH_LADDER.json")))
+    except OSError:
+        return
     gsec = lad.get("nsw_hybrid_batch")
     if not gsec:
         return
+    print("\n## Batched hybrid serving over the graph store (measured)\n")
     print(
-        f"\nThe GRAPH-path twin (r8b, tools/bench_nsw_hybrid_batch.py): "
+        f"The GRAPH-path twin (r8b, tools/bench_nsw_hybrid_batch.py): "
         f"nsw_read_topk(predicates={{qid: Column}}) over the persisted "
         f"store ({gsec['n_vectors']:,} vectors, {gsec['n_shards']} "
         f"shards, label payload, ef={gsec['ef']}) vs the per-query "
