@@ -96,6 +96,34 @@ def flat_accessors(df_or_schema: DataFrame | Mapping[str, str]) -> dict[str, Att
     return out
 
 
+def extract_attribute_payloads(
+    accessors: Mapping[str, AttributeAccessor], prefix: str = ""
+) -> tuple[dict[str, Column], dict[str, AttributeAccessor]]:
+    """Covering-index extraction (r8b): materialize each accessor's
+    §2.3 value-under-presence as ONE flat column — NULL exactly when
+    strict missing-attribute rejection would fail OR the present value
+    is itself NULL (both reject under SQL filter semantics, so a flat
+    predicate built from the RETURNED accessors is decision-equivalent
+    to the nested predicate built from ``accessors``; pinned in
+    tests/test_predicates). This is what an index build does with
+    nested metadata: extract once at write time so every serve-time
+    filter is a flat column test (`nsw_write(payload_cols=...)` stores
+    the result beside each node).
+
+    Returns ``(columns, flat_accessors)``: select
+    ``df.select(..., *(c.alias(n) for n, c in columns.items()))`` at
+    build, and hand ``flat_accessors`` to ``build_predicate`` at serve.
+    """
+    cols: dict[str, Column] = {}
+    flat: dict[str, AttributeAccessor] = {}
+    for name, acc in accessors.items():
+        out_name = f"{prefix}{name}"
+        cols[out_name] = F.when(acc.present, acc.value)
+        c = F.col(out_name)
+        flat[name] = AttributeAccessor(c, c.isNotNull(), acc.kind)
+    return cols, flat
+
+
 def build_predicate(
     query_metadata: Mapping[str, Sequence[Any]],
     accessors: Mapping[str, AttributeAccessor],

@@ -140,3 +140,33 @@ def test_flat_accessors_infer_types(embeddings_df):
     assert acc["label"].kind == "numeric"
     got = embeddings_df.filter(build_predicate({"label": ["exact", 3]}, acc)).count()
     assert got == embeddings_df.filter("label = 3").count() > 0
+
+
+@pytest.mark.parametrize("name,q", CASES, ids=[f"x_{c[0]}" for c in CASES])
+def test_extracted_payloads_decision_equivalent(items_df, name, q):
+    """r8b covering-index extraction: for every §2.3 case, filtering on
+    the FLAT extracted columns (extract_attribute_payloads) selects
+    exactly the rows the nested predicate selects — the contract that
+    lets an index store extracted payloads and serve nested semantics."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        extract_attribute_payloads,
+    )
+
+    acc = abo_accessors()
+    cols, flat = extract_attribute_payloads(acc, prefix="_v_")
+    flat_df = items_df.select(
+        "item_id", *(c.alias(n) for n, c in cols.items())
+    )
+    nested = {
+        r["item_id"]
+        for r in items_df.filter(build_predicate(q, acc))
+        .select("item_id")
+        .collect()
+    }
+    extracted = {
+        r["item_id"]
+        for r in flat_df.filter(build_predicate(q, flat))
+        .select("item_id")
+        .collect()
+    }
+    assert nested == extracted, name

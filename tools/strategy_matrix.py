@@ -24,7 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from acorn_hybrid_vector_search_spark.functions.predicates import abo_accessors  # noqa: E402
+from acorn_hybrid_vector_search_spark.functions.predicates import (  # noqa: E402
+    abo_accessors,
+    build_predicate,
+    extract_attribute_payloads,
+)
+from acorn_hybrid_vector_search_spark.operators.graph_ann import (  # noqa: E402
+    nsw_read_topk,
+    nsw_write,
+)
 from acorn_hybrid_vector_search_spark.operators.hybrid import (  # noqa: E402
     acorn_search_plan,
     postfilter_search,
@@ -61,6 +69,37 @@ def main() -> None:
     q = coll.where(F.col("item_id") == 1).select("embedding").head()[0]
     acc = abo_accessors()
 
+    # ACORN-γ (r8b): a γ=4 store over the SAME collection, nested
+    # attributes extracted to flat payload columns at build time
+    # (extract_attribute_payloads — decision-equivalent, pytest-pinned);
+    # searched on the predicate subgraph at a bounded beam, the paper's
+    # ANN operating point (vs acorn_search_plan's exact escalation)
+    import tempfile
+
+    cols, flat_acc = extract_attribute_payloads(acc, prefix="v_")
+    store = tempfile.mkdtemp(prefix="acorn_strategy_gamma_") + "/graph"
+    t0 = time.perf_counter()
+    nsw_write(
+        coll.select(
+            "item_id", "embedding", *(c.alias(nm) for nm, c in cols.items())
+        ),
+        store,
+        gamma=4,
+        id_col="item_id",
+        payload_cols=list(cols),
+    )
+    build_s = time.perf_counter() - t0
+    print(json.dumps({"acorn_gamma_store_build_s": round(build_s, 3),
+                      "gamma": 4, "note": "one-time, amortized"}))
+
+    def gamma_search(pred):
+        p = build_predicate(pred, flat_acc) if pred else None
+        return nsw_read_topk(
+            spark, store, [(0, list(q))], k, ef=4 * k,
+            predicate=p, strategy="subgraph" if p is not None else "traverse_all",
+            id_col="item_id",
+        )
+
     strategies = {
         "prefilter": lambda pred: prefilter_search(
             coll, q, pred, k, accessors=acc, id_col="item_id"
@@ -78,6 +117,7 @@ def main() -> None:
                 "item_id", "brand", "color", "item_weight", "model_year", "country",
             ],
         ),
+        "acorn_gamma": gamma_search,
     }
 
     for cls, pred in CLASSES.items():
