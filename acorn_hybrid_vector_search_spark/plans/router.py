@@ -169,14 +169,27 @@ NSW_RECALL: tuple[tuple[int, float], ...] = (
     (32, 0.920),
     (64, 0.945),
 )
+# ACORN-γ predicate-subgraph walk over a γ=4 store: recall@10 per
+# max_visits budget UNDER A PREDICATE (selectivity 0.1, ef=64, x16
+# ladder — BENCH_LADDER `acorn_gamma`). The plain-NSW curve above is
+# measured UNFILTERED; under a predicate the traverse-all walk burns
+# ~1/s of its budget per returnable node (0.86 recall at mv=128 on the
+# same data), so when a query carries predicates and a γ store exists,
+# these rungs dominate the NSW ones.
+NSW_GAMMA_RECALL: tuple[tuple[int, float], ...] = (
+    (16, 0.931),
+    (32, 0.994),
+    (64, 1.000),
+)
 
 
 @dataclass
 class AnnRoute:
-    strategy: str  # "prefilter" | "exact" | "ivf_exact" | "nsw" | "ivf"
+    strategy: str  # "prefilter" | "exact" | "ivf_exact" | "nsw" | "nsw_gamma" | "ivf"
     selectivity: float
     nprobe: int | None = None
     ef: int | None = None
+    max_visits: int | None = None
     expected_recall: float = 1.0
 
 
@@ -231,6 +244,7 @@ class StrategyRouter:
         min_recall: float = 1.0,
         has_ivf_index: bool = False,
         has_nsw_index: bool = False,
+        has_gamma_store: bool = False,
         small_corpus: int = 100_000,
         selective_cutoff: float = 0.05,
     ) -> AnnRoute:
@@ -257,6 +271,11 @@ class StrategyRouter:
            pruning can't), so NSW is tried first when its index
            exists; IVF rungs otherwise. The NSW curve tops out at
            0.945 (ef=64) — a stricter budget falls through to exact.
+           r8b: when the query carries predicates AND a γ-densified
+           store exists (``nsw_write(gamma>1)``), the ACORN-γ subgraph
+           rungs (max_visits 16/32/64 at the measured sel-0.1 curve,
+           topping out at 1.0) outrank plain NSW — the traverse-all
+           walk's unfiltered floors do not hold under a predicate.
         4. Exact demanded (or nothing meets the budget) → ``ivf_exact``
            (ball-bound pruned, provably exact, scans a data-adaptive
            fraction) when an IVF index exists, else brute force.
@@ -268,6 +287,18 @@ class StrategyRouter:
         if n <= small_corpus and not (has_ivf_index or has_nsw_index):
             return AnnRoute("exact", sel)
         if min_recall < 1.0:
+            # r8b: a query WITH predicates over a γ-densified store
+            # routes to the subgraph walk first — its budget is spent
+            # on returnable nodes only, and its measured filtered-recall
+            # curve dominates plain NSW's unfiltered one (which the
+            # filter-functor walk does not meet under a predicate)
+            if predicates and has_gamma_store:
+                for mv, r in NSW_GAMMA_RECALL:
+                    if r >= min_recall:
+                        return AnnRoute(
+                            "nsw_gamma", sel, ef=max(64, k),
+                            max_visits=mv, expected_recall=r,
+                        )
             if has_nsw_index:
                 for ef, r in NSW_RECALL:
                     if r >= min_recall:

@@ -256,6 +256,32 @@ def test_router_ann_decision_matrix():
     assert r.route_ann(10, has_ivf_index=True).strategy == "ivf_exact"
     assert r.route_ann(10).strategy == "exact"
 
+    # 7. r8b: predicates + γ store → the subgraph rungs outrank plain
+    #    NSW (the filtered-recall curve, BENCH_LADDER acorn_gamma);
+    #    without predicates the γ store is irrelevant and NSW wins;
+    #    γ even meets budgets plain NSW can't (0.99 → mv=32)
+    pred = {"label": ["exact", 3]}
+    a = r.route_ann(
+        10, predicates=pred, min_recall=0.9,
+        has_nsw_index=True, has_gamma_store=True,
+    )
+    assert (a.strategy, a.max_visits, a.expected_recall) == (
+        "nsw_gamma", 16, 0.931,
+    )
+    a = r.route_ann(
+        10, predicates=pred, min_recall=0.99,
+        has_nsw_index=True, has_gamma_store=True,
+    )
+    assert (a.strategy, a.max_visits) == ("nsw_gamma", 32)
+    a = r.route_ann(10, min_recall=0.9, has_nsw_index=True, has_gamma_store=True)
+    assert a.strategy == "nsw"  # no predicate → subgraph rung skipped
+    # selective-cutoff rule still wins over the γ rung
+    a = r.route_ann(
+        10, predicates=pred, min_recall=0.9, has_gamma_store=True,
+        selective_cutoff=0.15,
+    )
+    assert a.strategy == "prefilter"
+
 
 def test_router_prefers_registered_subset(stats, emb):
     r = StrategyRouter(stats, default_large_k=50)
