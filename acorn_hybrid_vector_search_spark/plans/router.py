@@ -34,6 +34,11 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from acorn_hybrid_vector_search_spark.functions.predicates import (
+    AttributeAccessor,
+    abo_accessors,
+    build_predicate,
+)
 from acorn_hybrid_vector_search_spark.operators.hybrid import (
     postfilter_search,
     prefilter_search,
@@ -284,7 +289,9 @@ class StrategyRouter:
         n = self.stats.n_rows
         if predicates and sel <= selective_cutoff:
             return AnnRoute("prefilter", sel)
-        if n <= small_corpus and not (has_ivf_index or has_nsw_index):
+        if n <= small_corpus and not (
+            has_ivf_index or has_nsw_index or has_gamma_store
+        ):
             return AnnRoute("exact", sel)
         if min_recall < 1.0:
             # r8b: a query WITH predicates over a γ-densified store
@@ -326,6 +333,97 @@ class StrategyRouter:
         if r.strategy == "postfilter":
             return postfilter_search(df, query_vec, predicates, k, large_k=r.large_k, **kw)
         return prefilter_search(df, query_vec, predicates, k, **kw)
+
+    def ann_search(
+        self,
+        df: DataFrame,
+        query_vec: Sequence[float],
+        predicates: Predicates | None,
+        k: int,
+        *,
+        min_recall: float = 1.0,
+        ivf_index: Any = None,
+        nsw_path: str | None = None,
+        gamma_path: str | None = None,
+        accessors: Mapping[str, AttributeAccessor] | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Execute the rung ``route_ann`` picks — the ``dedup_search``
+        symmetry for the ANN ladder (route → run, one call). Index
+        availability is what the caller passes: an ``IVFIndex`` (built
+        or ``ivf_read``), an ``nsw_write`` store path, a γ-densified
+        store path (``nsw_write(gamma>1)`` with payload columns covering
+        every attribute ``predicates`` may constrain — the caller's
+        covering-index contract, `extract_attribute_payloads`).
+
+        Predicate handling per rung: prefilter/exact run the §2.3
+        conjunction in the scan; nsw/nsw_gamma evaluate it in CATALYST
+        on the stored node table (filter-functor / subgraph walk);
+        ``ivf`` applies it after the nprobe pruning (``ivf_search``'s
+        predicate param). An EXACT-required query with predicates falls
+        back to the exact prefilter scan rather than ``ivf_search_exact``
+        (whose ball-bound executor is predicate-less) — exactness is
+        never traded for a prune."""
+        route = self.route_ann(
+            k,
+            predicates=predicates,
+            min_recall=min_recall,
+            has_ivf_index=ivf_index is not None,
+            has_nsw_index=nsw_path is not None,
+            has_gamma_store=gamma_path is not None,
+        )
+        acc = accessors or abo_accessors()
+        pred_col = (
+            build_predicate(predicates, acc) if predicates else None
+        )
+        if route.strategy in ("prefilter", "exact"):
+            return prefilter_search(
+                df, query_vec, predicates, k,
+                accessors=acc, id_col=id_col, vec_col=vec_col,
+            )
+        if route.strategy == "nsw_gamma":
+            from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+                nsw_read_topk,
+            )
+
+            return nsw_read_topk(
+                df.sparkSession, gamma_path, [(0, list(query_vec))], k,
+                ef=route.ef, max_visits=route.max_visits,
+                predicate=pred_col,
+                strategy="subgraph" if pred_col is not None else "traverse_all",
+                id_col=id_col,
+            ).drop("query_id")
+        if route.strategy == "nsw":
+            from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+                nsw_read_topk,
+            )
+
+            return nsw_read_topk(
+                df.sparkSession, nsw_path, [(0, list(query_vec))], k,
+                ef=route.ef, predicate=pred_col, id_col=id_col,
+            ).drop("query_id")
+        if route.strategy == "ivf":
+            from acorn_hybrid_vector_search_spark.operators.ann import (
+                ivf_search,
+            )
+
+            return ivf_search(
+                ivf_index, query_vec, k, nprobe=route.nprobe,
+                predicate=pred_col,
+            )
+        if route.strategy == "ivf_exact" and pred_col is None:
+            from acorn_hybrid_vector_search_spark.operators.ann import (
+                ivf_search_exact,
+            )
+
+            return ivf_search_exact(ivf_index, query_vec, k)
+        # exact demanded with predicates (or no usable index): the
+        # exact filtered scan is the only rung that keeps both promises
+        return prefilter_search(
+            df, query_vec, predicates or {}, k,
+            accessors=acc, id_col=id_col, vec_col=vec_col,
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -543,3 +543,113 @@ def test_rp_routing_pins(spark):
     )
     p_big = big._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in p_big or "BatchEvalPython" in p_big
+
+
+def test_ann_search_executes_routed_rung(spark, tmp_path):
+    """r8b: ann_search EXECUTES what route_ann decides — route → run in
+    one call (the dedup_search symmetry). Dispatch pins: γ store +
+    predicate + budget → the subgraph walk (answers ⊆ predicate,
+    matches the direct nsw_read_topk call); no index + exact → the
+    exact prefilter answer; IVF index + loose budget → the nprobe rung;
+    exact-with-predicates never runs the predicate-less ball-bound
+    executor (falls back to the exact filtered scan)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.ann import ivf_build
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write,
+    )
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        AttributeStats,
+        StrategyRouter,
+        TableStats,
+    )
+
+    rows = [
+        (
+            i,
+            [round(random.Random(f"r:{i}:{d}").uniform(-1, 1), 4) for d in range(6)],
+            i % 10,
+        )
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    stats = TableStats(
+        n_rows=10_000_000,
+        attrs={
+            "label": AttributeStats(
+                counts={i: 1_000_000 for i in range(10)},
+                n_rows=10_000_000,
+                n_null=0,
+            )
+        },
+    )
+    router = StrategyRouter(stats)
+    acc = flat_accessors({"label": "int", "vec_id": "bigint"})
+    store = str(tmp_path / "g4")
+    nsw_write(df.repartition(2), store, gamma=4, payload_cols=["label"])
+    q = rows[7][1]
+    pred = {"label": ["exact", 3]}
+
+    # γ rung: dispatched result ≡ the direct subgraph call at the
+    # routed (ef, max_visits); all answers satisfy the predicate
+    got = router.ann_search(
+        df, q, pred, 5, min_recall=0.9, gamma_path=store, accessors=acc
+    ).collect()
+    assert got and all(r["vec_id"] % 10 == 3 for r in got)
+    route = router.route_ann(
+        5, predicates=pred, min_recall=0.9, has_gamma_store=True
+    )
+    assert route.strategy == "nsw_gamma"
+    direct = nsw_read_topk(
+        spark, store, [(0, q)], 5, ef=route.ef, max_visits=route.max_visits,
+        predicate=F.col("label").isNotNull() & (F.col("label") == 3),
+        strategy="subgraph",
+    ).drop("query_id").collect()
+    key = lambda rs: sorted((r["vec_id"], round(r["dist"], 9)) for r in rs)
+    assert key(got) == key(direct)
+
+    # exact (no index): equals the exact filtered scan
+    exact = router.ann_search(df, q, pred, 5, accessors=acc).collect()
+    want = (
+        df.filter("label = 3")
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(float(x)) for x in q]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc_, v: acc_ + v,
+            ),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(5)
+        .collect()
+    )
+    assert sorted(r["vec_id"] for r in exact) == sorted(r["vec_id"] for r in want)
+
+    # IVF rung: loose budget + only an IVF index → nprobe dispatch
+    idx = ivf_build(df, n_clusters=5)
+    approx = router.ann_search(
+        df, q, None, 5, min_recall=0.4, ivf_index=idx, accessors=acc
+    )
+    assert approx.count() == 5
+    assert router.route_ann(5, min_recall=0.4, has_ivf_index=True).strategy == "ivf"
+
+    # exact demanded WITH predicates + IVF index: never the
+    # predicate-less ball-bound executor — the exact filtered scan
+    ex2 = router.ann_search(
+        df, q, pred, 5, ivf_index=idx, accessors=acc
+    ).collect()
+    assert sorted(r["vec_id"] for r in ex2) == sorted(r["vec_id"] for r in want)
