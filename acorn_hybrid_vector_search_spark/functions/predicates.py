@@ -100,15 +100,20 @@ def extract_attribute_payloads(
     accessors: Mapping[str, AttributeAccessor], prefix: str = ""
 ) -> tuple[dict[str, Column], dict[str, AttributeAccessor]]:
     """Covering-index extraction (r8b): materialize each accessor's
-    §2.3 value-under-presence as ONE flat column — NULL exactly when
-    strict missing-attribute rejection would fail OR the present value
-    is itself NULL (both reject under SQL filter semantics, so a flat
-    predicate built from the RETURNED accessors is decision-equivalent
-    to the nested predicate built from ``accessors``; pinned in
-    tests/test_predicates). This is what an index build does with
-    nested metadata: extract once at write time so every serve-time
-    filter is a flat column test (`nsw_write(payload_cols=...)` stores
-    the result beside each node).
+    §2.3 semantics as TWO flat columns — the value under presence
+    (NULL when strict missing-attribute rejection would fail or the
+    present value is itself NULL) plus a ``<name>__present`` boolean
+    carrying the accessor's OWN presence verdict. The boolean is what
+    makes the returned accessors decision-equivalent to the nested
+    ones for EVERY §2.3 case including presence-only constraints
+    (unsupported-op fallthrough): a row whose attribute is present but
+    whose value is NULL passes the nested ``acc.present`` conjunct,
+    and value-``isNotNull`` presence would wrongly reject it (r8
+    ADVICE); pinned in tests/test_predicates. This is what an index
+    build does with nested metadata: extract once at write time so
+    every serve-time filter is a flat column test
+    (`nsw_write(payload_cols=...)` stores the result beside each
+    node).
 
     Returns ``(columns, flat_accessors)``: select
     ``df.select(..., *(c.alias(n) for n, c in columns.items()))`` at
@@ -119,8 +124,12 @@ def extract_attribute_payloads(
     for name, acc in accessors.items():
         out_name = f"{prefix}{name}"
         cols[out_name] = F.when(acc.present, acc.value)
-        c = F.col(out_name)
-        flat[name] = AttributeAccessor(c, c.isNotNull(), acc.kind)
+        # eqNullSafe-style materialization: the stored boolean is never
+        # NULL, so the flat presence conjunct is exactly the nested one
+        cols[f"{out_name}__present"] = F.coalesce(acc.present, F.lit(False))
+        flat[name] = AttributeAccessor(
+            F.col(out_name), F.col(f"{out_name}__present"), acc.kind
+        )
     return cols, flat
 
 

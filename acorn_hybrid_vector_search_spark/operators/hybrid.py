@@ -432,6 +432,25 @@ def _batch_query_table(
     return spark.createDataFrame(rows, ", ".join(fields)), used
 
 
+def _check_batch_collisions(
+    df: DataFrame, qt: DataFrame, extra: Sequence[str] = ()
+) -> None:
+    """Reject corpus columns that collide with ANY batch-internal name:
+    the query table's columns (``query_id``, ``_qv``, every generated
+    ``_c_<attr>``/``_p_<attr>_<op>`` parameter) plus the rank/salt
+    scratch columns. A corpus column named ``_qv`` (or ``_c_brand``)
+    would otherwise silently corrupt the distance/predicate evaluation
+    inside the crossJoin — or fail later with an ambiguous-column
+    error (r8 ADVICE: the old guard covered only query_id/_sb/_rn and
+    only in the prefilter variant)."""
+    internal = set(qt.columns) | {"_sb", "_rn"} | set(extra)
+    bad = internal & set(df.columns)
+    if bad:
+        raise ValueError(
+            f"df columns collide with batch internals: {sorted(bad)}"
+        )
+
+
 def _batch_predicate(
     used: Mapping[str, Sequence[str]],
     accessors: Mapping[str, AttributeAccessor],
@@ -520,13 +539,11 @@ def prefilter_search_batch(
         )
 
         accessors = flat_accessors(df)
-    bad = {query_id_col, "_sb", "_rn"} & set(df.columns)
-    if bad:
-        raise ValueError(f"df columns collide with batch internals: {bad}")
     qt, used = _batch_query_table(
         df.sparkSession, queries, accessors,
         query_id_col=query_id_col, query_vec_col="_qv",
     )
+    _check_batch_collisions(df, qt)
     if payload_cols is not None:
         df = df.select(*dict.fromkeys([id_col, *payload_cols, vec_col]))
     from acorn_hybrid_vector_search_spark.functions.distance import l2_sq_distance
@@ -584,6 +601,7 @@ def postfilter_search_batch(
         df.sparkSession, queries, accessors,
         query_id_col=query_id_col, query_vec_col="_qv",
     )
+    _check_batch_collisions(df, qt)
     from acorn_hybrid_vector_search_spark.functions.distance import l2_sq_distance
 
     pairs = df.crossJoin(F.broadcast(qt))
@@ -656,6 +674,9 @@ def acorn_search_batch(
     qt, used = _batch_query_table(
         df.sparkSession, queries, accessors,
         query_id_col=query_id_col, query_vec_col="_qv",
+    )
+    _check_batch_collisions(
+        df, qt, extra=("_passes", "_prefix_hits", "_pass_rank", "_chosen")
     )
     from acorn_hybrid_vector_search_spark.functions.distance import l2_sq_distance
 

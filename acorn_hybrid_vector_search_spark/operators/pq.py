@@ -152,10 +152,23 @@ def pq_read(spark, path: str) -> PQCodebook:
         raise ValueError(f"empty PQ codebook at {path}")
     m = rows[-1]["subspace"] + 1
     k = rows[-1]["code"] + 1
-    if len(rows) != m * k:
+    # validate the DISTINCT key set equals the full m×k grid — a row
+    # COUNT check alone would accept a duplicated (subspace, code) row
+    # compensating a missing one, leaving that centroid as uninitialized
+    # np.empty garbage instead of the promised loud failure (r8 ADVICE)
+    keys = {(r["subspace"], r["code"]) for r in rows}
+    if len(keys) != len(rows):
+        raise ValueError(
+            f"PQ codebook at {path} has duplicate (subspace, code) rows "
+            f"({len(rows)} rows, {len(keys)} distinct keys)"
+        )
+    if keys != {(i, j) for i in range(m) for j in range(k)}:
+        missing = sorted(
+            {(i, j) for i in range(m) for j in range(k)} - keys
+        )[:5]
         raise ValueError(
             f"PQ codebook at {path} is not a dense {m}x{k} grid "
-            f"({len(rows)} rows)"
+            f"(missing keys, first few: {missing})"
         )
     dsub = len(rows[0]["centroid"])
     cent = np.empty((m, k, dsub), dtype=np.float64)

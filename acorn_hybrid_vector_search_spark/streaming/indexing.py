@@ -85,15 +85,22 @@ def nsw_stream_batch_writer(
 
     Per micro-batch, in order:
 
-    1. **Compaction policy** — if the store's shard count exceeds
+    1. **Batch-range pre-clean** — delete every part_id directory in
+       THIS batch's range ``[offset, offset+parts_cap)`` before
+       anything reads the store. foreachBatch is at-least-once: if
+       batch N's parquet write succeeded but the checkpoint commit did
+       not, the replay finds the first attempt's shards already in the
+       store — cleaning them FIRST keeps them out of the compaction
+       decision below (where ``nsw_compact`` would fold the
+       uncommitted vectors into the base shards, after which step 3
+       writes them AGAIN under the batch range — the r8 ADVICE
+       duplicate window) and out of any stale-partial state when the
+       replay splits into fewer partitions than the first attempt.
+    2. **Compaction policy** — if the store's shard count (now
+       guaranteed to contain only committed batches) exceeds
        ``compact_factor × target_shards``, re-pack via
-       ``operators.graph_ann.nsw_compact`` BEFORE writing this batch.
-       Compacting at batch START touches only shards from batches the
-       checkpoint already committed (batch N is delivered only after
-       N-1 committed), so a replay of THIS batch finds the compaction
-       already done and simply overwrites its own shards — no
-       replay/compact interleaving can duplicate a vector.
-    2. **Batch-keyed shard write** — the batch builds its own
+       ``operators.graph_ann.nsw_compact`` before writing this batch.
+    3. **Batch-keyed shard write** — the batch builds its own
        per-partition graphs under the deterministic part_id range
        ``[(batch_id+1)·parts_cap, (batch_id+1)·parts_cap + nparts)``
        (coalesced to ≤ parts_cap partitions) and writes them with
@@ -122,6 +129,16 @@ def nsw_stream_batch_writer(
         import os
         import shutil
 
+        # the pre-clean below (and nsw_compact's swap) are os-level and
+        # LOCAL-ONLY; silently skipping it on s3a:/hdfs: stores would
+        # re-open the stale-shard replay window, so fail fast exactly
+        # like nsw_compact does (r8 ADVICE) — on an object store, route
+        # batches through a versioned prefix + manifest pointer instead
+        if "://" in path:
+            raise ValueError(
+                f"nsw_stream_batch_writer's replay pre-clean is os-level "
+                f"and only supports local paths; got {path!r}"
+            )
         spark = batch_df.sparkSession
         t = target_shards or max(1, spark.sparkContext.defaultParallelism)
         if t >= parts_cap:
@@ -135,8 +152,26 @@ def nsw_stream_batch_writer(
                 f"batch_id {batch_id} overflows the int32 part_id range at "
                 f"parts_cap {parts_cap}; compact and restart the checkpoint"
             )
-        gamma = 1
+        # step 1: pre-clean this batch's OWN part_id range BEFORE any
+        # read of the store — a failed first attempt's shards must not
+        # be folded into the compacted base (duplicate window, r8
+        # ADVICE) and must not survive a replay that splits into fewer
+        # partitions (dynamic overwrite replaces only partitions
+        # present in the new data)
         if os.path.exists(path):
+            for d in os.listdir(path):
+                if d.startswith("part_id="):
+                    pid = int(d.split("=", 1)[1])
+                    if offset <= pid < offset + parts_cap:
+                        shutil.rmtree(os.path.join(path, d))
+        # the pre-clean mutated the store on disk: drop pinned
+        # materializations before the compaction-decision read
+        invalidate()
+        gamma = 1
+        has_shards = os.path.exists(path) and any(
+            d.startswith("part_id=") for d in os.listdir(path)
+        )
+        if has_shards:
             stored = spark.read.parquet(path)
             # new shards keep the seed store's densification (γ rides
             # the store as a constant column; review r8b)
@@ -147,17 +182,6 @@ def nsw_stream_batch_writer(
                     spark, path, n_shards=t, m=m,
                     ef_construction=ef_construction, id_col=id_col,
                 )
-        invalidate()
-        # pre-clean this batch's OWN part_id range: dynamic overwrite
-        # replaces only partitions present in the new data, so a replay
-        # that splits into FEWER partitions than the first attempt would
-        # otherwise leave a stale shard holding duplicate vectors
-        if os.path.exists(path) and "://" not in path:
-            for d in os.listdir(path):
-                if d.startswith("part_id="):
-                    pid = int(d.split("=", 1)[1])
-                    if offset <= pid < offset + parts_cap:
-                        shutil.rmtree(os.path.join(path, d))
         nodes = _nsw_nodes(
             batch_df.coalesce(parts_cap),
             m=m,
@@ -173,6 +197,9 @@ def nsw_stream_batch_writer(
             .partitionBy("part_id")
             .parquet(path)
         )
+        # the batch write mutated the store: a pinned pre-write snapshot
+        # must not be served to the next reader
+        invalidate()
 
     return write_batch
 

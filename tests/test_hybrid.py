@@ -376,3 +376,31 @@ def test_acorn_batch_matches_per_query_loop(embeddings_df):
         assert [r["vec_id"] for r in have] == [r["vec_id"] for r in want], qid
         for h, w in zip(have, want):
             assert h["dist"] == pytest.approx(w["dist"], rel=1e-12)
+
+
+def test_batch_collision_guard_covers_internals(embeddings_df, qvec):
+    """r8 ADVICE: the collision guard must reject corpus columns named
+    like ANY batch internal — the query-vector column, the generated
+    _c_/_p_ parameter columns, the salt/rank scratch — and must be
+    enforced in ALL THREE batch variants (postfilter/acorn had no
+    check at all)."""
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        acorn_search_batch,
+        postfilter_search_batch,
+        prefilter_search_batch,
+    )
+
+    queries = [(0, list(qvec), {"label": ["exact", 2]})]
+    for bad_col in ("_qv", "_c_label", "_p_label_exact", "_sb", "_rn"):
+        bad_df = embeddings_df.withColumn(bad_col, F.lit(1))
+        for fn in (
+            prefilter_search_batch,
+            postfilter_search_batch,
+            acorn_search_batch,
+        ):
+            with pytest.raises(ValueError, match="collide"):
+                fn(bad_df, queries, k=3)
+    # acorn additionally claims its escalation scratch names
+    bad_df = embeddings_df.withColumn("_prefix_hits", F.lit(1))
+    with pytest.raises(ValueError, match="collide"):
+        acorn_search_batch(bad_df, queries, k=3)

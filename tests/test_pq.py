@@ -165,3 +165,24 @@ def test_pq_read_rejects_sparse_grid(spark, blobs, tmp_path):
     pruned.write.parquet(path2)
     with pytest.raises(ValueError, match="dense"):
         pq_read(spark, path2)
+
+
+def test_pq_read_rejects_duplicate_compensating_row(spark, blobs, tmp_path):
+    """r8 ADVICE: a store where a duplicated (subspace, code) row
+    compensates a missing one has the right ROW COUNT but a hole in
+    the grid — pq_read must fail loudly, not decode that centroid from
+    uninitialized memory."""
+    from acorn_hybrid_vector_search_spark.operators.pq import pq_read, pq_write
+
+    cb = pq_train(blobs, m=4, k=8)
+    path = str(tmp_path / "pq_codebook")
+    pq_write(cb, spark, path)
+    raw = spark.read.parquet(path)
+    forged = raw.filter("NOT (subspace = 2 AND code = 5)").unionByName(
+        raw.filter("subspace = 1 AND code = 3")
+    )
+    assert forged.count() == raw.count()  # count check alone would pass
+    path2 = str(tmp_path / "pq_forged")
+    forged.write.parquet(path2)
+    with pytest.raises(ValueError, match="duplicate"):
+        pq_read(spark, path2)

@@ -170,3 +170,61 @@ def test_extracted_payloads_decision_equivalent(items_df, name, q):
         .collect()
     }
     assert nested == extracted, name
+
+
+def test_extracted_payloads_presence_only_with_null_value(spark):
+    """r8 ADVICE: a row whose attribute is PRESENT but whose value is
+    NULL passes the nested acc.present conjunct under a presence-only
+    constraint (unsupported-op fallthrough) — the flat extracted
+    accessors must agree, which requires the stored ``__present``
+    boolean (value-isNotNull presence would wrongly reject the row).
+    Also pins that a VALUE constraint still rejects it on both paths
+    (NULL value under a comparison is SQL-NULL → filtered)."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        extract_attribute_payloads,
+    )
+    from acorn_hybrid_vector_search_spark.schemas import ITEMS_SCHEMA
+
+    rows = [
+        {  # brand present, value NULL — the ADVICE row
+            "item_id": 1,
+            "filename": "a.jpg",
+            "brand": [{"language_tag": "en", "value": None}],
+            "color": None, "item_weight": None, "model_year": None,
+            "country": "US",
+        },
+        {  # brand present with a real value
+            "item_id": 2,
+            "filename": "b.jpg",
+            "brand": [{"language_tag": "en", "value": "AmazonBasics"}],
+            "color": None, "item_weight": None, "model_year": None,
+            "country": "US",
+        },
+        {  # brand absent
+            "item_id": 3,
+            "filename": "c.jpg",
+            "brand": None,
+            "color": None, "item_weight": None, "model_year": None,
+            "country": "US",
+        },
+    ]
+    df = spark.createDataFrame(rows, schema=ITEMS_SCHEMA)
+    acc = abo_accessors()
+    cols, flat = extract_attribute_payloads(acc, prefix="_v_")
+    flat_df = df.select("item_id", *(c.alias(n) for n, c in cols.items()))
+    for q, expect in [
+        ({"brand": ["frobnicate", 0]}, {1, 2}),  # presence-only keeps NULL-value row
+        ({"brand": ["substring", "Amazon"]}, {2}),  # value constraint rejects it
+    ]:
+        nested = {
+            r["item_id"]
+            for r in df.filter(build_predicate(q, acc)).select("item_id").collect()
+        }
+        extracted = {
+            r["item_id"]
+            for r in flat_df.filter(build_predicate(q, flat))
+            .select("item_id")
+            .collect()
+        }
+        assert nested == expect, q
+        assert extracted == expect, q

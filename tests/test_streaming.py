@@ -582,3 +582,53 @@ def test_stream_serve_duplicate_query_rows(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="conflicting duplicate"):
         writer(conflict, 1)
+
+
+def test_stream_nsw_append_replay_with_compaction_no_duplicates(spark, tmp_path):
+    """r8 ADVICE (medium): the crash window where batch N's parquet
+    write succeeded but the checkpoint commit did not — the replay must
+    NOT let the compaction policy fold the uncommitted first attempt's
+    vectors into the base shards before rewriting them (which would
+    duplicate every batch-N vector). The batch-range pre-clean now runs
+    BEFORE the store is read for the compaction decision."""
+    from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import nsw_read_topk
+    from acorn_hybrid_vector_search_spark.streaming.indexing import (
+        nsw_stream_batch_writer,
+    )
+
+    path = str(tmp_path / "graph")
+    write_batch = nsw_stream_batch_writer(
+        path, target_shards=2, compact_factor=3.0, parts_cap=64
+    )
+    write_batch(_mk_vec_rows(spark, 0, 40).repartition(4), 0)  # committed
+    b1 = _mk_vec_rows(spark, 40, 80)
+    write_batch(b1.repartition(8), 1)  # write succeeded, commit "lost"
+    # replay of batch 1: the store holds 4 + 8 = 12 shards > 3×2 — an
+    # unclean ordering would compact the first attempt's vectors into
+    # the base, then write them AGAIN under the batch-1 range
+    write_batch(b1.repartition(8), 1)
+    store = spark.read.parquet(path)
+    ids = sorted(r["vec_id"] for r in store.select("vec_id").collect())
+    assert ids == list(range(80)), "replay+compaction duplicated vectors"
+    # and the store still answers exactly at full beam
+    all_rows = _mk_vec_rows(spark, 0, 80)
+    q = all_rows.filter("vec_id = 55").head()["embedding"]
+    got = nsw_read_topk(spark, path, [(0, list(q))], k=5, ef=1_000_000)
+    want = knn_exact(all_rows, q, 5).select("vec_id").collect()
+    assert [r["vec_id"] for r in got.select("vec_id").collect()] == [
+        r["vec_id"] for r in want
+    ]
+
+
+def test_stream_nsw_append_rejects_remote_path(spark):
+    """r8 ADVICE: the replay pre-clean is os-level — silently skipping
+    it on object-store paths would re-open the stale-shard window, so
+    the writer fails fast like nsw_compact does."""
+    from acorn_hybrid_vector_search_spark.streaming.indexing import (
+        nsw_stream_batch_writer,
+    )
+
+    write_batch = nsw_stream_batch_writer("s3a://bucket/graph", target_shards=2)
+    with pytest.raises(ValueError, match="local"):
+        write_batch(_mk_vec_rows(spark, 0, 4), 0)
