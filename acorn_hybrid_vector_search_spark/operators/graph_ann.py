@@ -59,7 +59,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["NswGraph", "nsw_batch_topk", "nsw_write", "nsw_read_topk"]
+__all__ = [
+    "NswGraph",
+    "nsw_batch_topk",
+    "nsw_write",
+    "nsw_write_clustered",
+    "nsw_read_topk",
+    "nsw_delete",
+    "nsw_undelete",
+    "nsw_upsert",
+    "nsw_stats_write",
+]
 
 
 class NswGraph:
@@ -390,6 +400,7 @@ def _local_topk_frame(
     pass_mask: "np.ndarray | dict[int, np.ndarray] | None" = None,
     strategy: str = "traverse_all",
     m_cap: int = 8,
+    deleted_mask: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """One partition's local top-k for every query — shared by the
     build-and-search and the load-persisted paths so both emit
@@ -401,7 +412,13 @@ def _local_topk_frame(
     maps query_id → that query's own mask (the batched-serving form:
     every query in the batch carries its own §2.3 predicate, like the
     reference's per-row filter functor under knn_query's ParallelFor);
-    queries absent from the dict are unfiltered."""
+    queries absent from the dict are unfiltered. ``deleted_mask`` (r9)
+    is the tombstone verdict: deleted nodes are traversed — their
+    edges keep the small world navigable, exactly why hnswlib's
+    markDelete flags instead of unlinking (hnswalg.h) — but never
+    returned; under the subgraph strategy they fold into the walk
+    mask (not returnable ⇒ not worth a visit, like any other failing
+    node)."""
     rows_q, rows_i, rows_d = [], [], []
     for qi, qid in enumerate(qids):
         mask = pass_mask.get(qid) if isinstance(pass_mask, dict) else pass_mask
@@ -409,8 +426,11 @@ def _local_topk_frame(
             # ACORN-γ: walk ONLY the predicate subgraph — the budget is
             # spent on returnable nodes (vs traverse-all, which pays
             # visits on failing nodes and filters at collection)
+            walk_mask = (
+                mask & ~deleted_mask if deleted_mask is not None else mask
+            )
             cand, _ = g._search_subgraph(
-                qmat[qi], max(ef, k), mask, m_cap=m_cap,
+                qmat[qi], max(ef, k), walk_mask, m_cap=m_cap,
                 max_visits=max_visits,
             )
         else:
@@ -420,6 +440,8 @@ def _local_topk_frame(
             )
         kept = 0
         for local in cand:
+            if deleted_mask is not None and deleted_mask[local]:
+                continue
             gid = int(ids[local])
             if gid in blocked_set:
                 continue
@@ -610,6 +632,206 @@ def _nsw_nodes(
 
 
 
+# ---------------------------------------------------------------------------
+# deletion lifecycle (r9): the mark_deleted / unmark_deleted /
+# add_items(replace_deleted=True) surface of the reference's hnswlib
+# (hnswlib/python_bindings/bindings.cpp mark_deleted/unmark_deleted;
+# hnswalg.h markDelete — the node STAYS in the graph, is traversed, and
+# is filtered from results), adapted to the persisted shard store as a
+# TOMBSTONE SIDECAR: deleting k ids writes k sidecar rows — no store
+# rewrite, the O(1)-flag economics of hnswlib's markDelete at any store
+# size. Each tombstone records the store's max part_id at delete time
+# (``part_ceiling``): it kills copies of the id in shards written BEFORE
+# the delete, so a later nsw_append/nsw_upsert re-adding the id stays
+# live. Physical reclaim is nsw_compact's job (it drops tombstoned rows
+# and clears the sidecar — hnswlib itself never reclaims without
+# replace_deleted; FAISS remove_ids is the same rebuild-shaped cost).
+
+
+def _tombstones_path(path: str) -> str:
+    # "_"-prefixed so Hadoop's hidden-file filter keeps the sidecar out
+    # of every spark.read.parquet(path) over the store itself
+    return path.rstrip("/") + "/_tombstones"
+
+
+def _read_tombstones(spark, path: str, id_col: str) -> "DataFrame | None":
+    import os
+
+    tpath = _tombstones_path(path)
+    if "://" not in tpath and not os.path.exists(tpath):
+        return None
+    try:
+        return spark.read.parquet(tpath)
+    except Exception:
+        return None  # remote path with no sidecar yet
+
+
+def _ids_frame(spark, ids, id_col: str) -> DataFrame:
+    if isinstance(ids, DataFrame):
+        return ids.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+    return spark.createDataFrame(
+        [(int(i),) for i in ids], f"{id_col} long"
+    ).distinct()
+
+
+def _tombstone_ceiling(tomb: DataFrame, id_col: str) -> DataFrame:
+    """One row per deleted id with its highest ceiling: an id deleted,
+    re-added (higher part_id) and deleted again keeps the max ceiling,
+    which kills every copy that existed at the LAST delete."""
+    return tomb.groupBy(id_col).agg(
+        F.max("part_ceiling").alias("_tomb_ceiling")
+    )
+
+
+def _apply_tombstones(
+    stored: DataFrame, tomb: "DataFrame | None", id_col: str
+) -> DataFrame:
+    """Tag each stored node with ``_deleted`` (never NULL). Broadcast
+    hash join on the id — the sidecar is small by contract (compact
+    folds it away); the store side never shuffles."""
+    if tomb is None:
+        return stored.withColumn("_deleted", F.lit(False))
+    bad = {"_deleted", "_tomb_ceiling"} & set(stored.columns)
+    if bad:
+        raise ValueError(f"store payload columns collide with {sorted(bad)}")
+    ceil = _tombstone_ceiling(tomb, id_col)
+    return (
+        stored.join(F.broadcast(ceil), id_col, "left")
+        .withColumn(
+            "_deleted",
+            F.col("_tomb_ceiling").isNotNull()
+            & (F.col("part_id") <= F.col("_tomb_ceiling")),
+        )
+        .drop("_tomb_ceiling")
+    )
+
+
+def nsw_delete(
+    spark,
+    path: str,
+    ids,
+    *,
+    id_col: str = "vec_id",
+    strict: bool = True,
+) -> None:
+    """Mark ids deleted in a persisted NSW store — the ``mark_deleted``
+    analog (hnswlib bindings.cpp ``mark_deleted``; hnswalg.h
+    ``markDelete``): the nodes STAY in their graphs and are traversed
+    by every search (their edges keep the small world navigable —
+    exactly why hnswlib flags instead of unlinking), but are never
+    returned. Cost is O(|ids|) sidecar rows appended — no store
+    rewrite at any store size.
+
+    ``ids``: a sequence of ids or a DataFrame with ``id_col`` (the
+    distributed form — nothing is collected). ``strict=True`` raises
+    when any id is absent from the store (hnswlib's mark_deleted
+    throws for an unknown label) at the cost of one store scan; pass
+    ``strict=False`` on the hot ingest path to tombstone blindly.
+    Reclaim + permanence: ``nsw_compact`` drops tombstoned rows and
+    clears the sidecar (after which ``nsw_undelete`` can no longer
+    restore them)."""
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+
+    ids_df = _ids_frame(spark, ids, id_col)
+    stored = spark.read.parquet(path)
+    ceiling = stored.agg(F.max("part_id")).head()[0]
+    if strict:
+        miss = ids_df.join(stored.select(id_col), id_col, "left_anti")
+        n_miss = miss.count()
+        if n_miss:
+            sample = sorted(r[0] for r in miss.limit(5).collect())
+            raise ValueError(
+                f"nsw_delete: {n_miss} id(s) not present in the store at "
+                f"{path} (first few: {sample}) — hnswlib mark_deleted "
+                f"parity; pass strict=False to tombstone regardless"
+            )
+    (
+        ids_df.withColumn("part_ceiling", F.lit(int(ceiling)).cast("int"))
+        .write.mode("append")
+        .parquet(_tombstones_path(path))
+    )
+    invalidate()
+
+
+def nsw_undelete(spark, path: str, ids, *, id_col: str = "vec_id") -> int:
+    """Reverse ``nsw_delete`` — the ``unmark_deleted`` analog (hnswlib
+    bindings.cpp ``unmark_deleted``). Removes EVERY tombstone for the
+    given ids, restoring all stored copies they covered; returns the
+    number of distinct ids that had tombstones. Contract caveat,
+    stated: undeleting an id that was UPSERTED since its delete brings
+    the old copy back beside the new one (duplicate id in results) —
+    the same undefined territory as unmark after replace_deleted in
+    hnswlib; compact first if the history is unknown. Local paths only
+    (the sidecar rewrite swaps directories)."""
+    import os
+    import shutil
+
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+
+    if "://" in path:
+        raise ValueError(
+            f"nsw_undelete swaps the sidecar via os.rename and only "
+            f"supports local paths; got {path!r}"
+        )
+    tomb = _read_tombstones(spark, path, id_col)
+    if tomb is None:
+        return 0
+    ids_df = _ids_frame(spark, ids, id_col)
+    restored = (
+        tomb.join(ids_df, id_col, "left_semi").select(id_col).distinct().count()
+    )
+    if restored == 0:
+        return 0
+    keep = tomb.join(ids_df, id_col, "left_anti")
+    tpath = _tombstones_path(path)
+    tmp = tpath + "__tmp"
+    old = tpath + "__old"
+    try:
+        keep.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(tpath, old)
+        os.rename(tmp, tpath)
+    except BaseException:
+        if not os.path.exists(tpath) and os.path.exists(old):
+            os.rename(old, tpath)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(old)
+    invalidate()
+    return int(restored)
+
+
+def nsw_upsert(
+    df: DataFrame,
+    path: str,
+    *,
+    m: int = 8,
+    ef_construction: int = 32,
+    gamma: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols: Sequence[str] = (),
+) -> None:
+    """Replace-or-insert a batch of vectors in a persisted NSW store —
+    the ``add_items(replace_deleted=True)`` analog (hnswlib
+    bindings.cpp addItems with replace_deleted; the reference's
+    add_items path, /root/reference/acorn.py:35-40, overwrites an
+    existing label in place). Distributed adaptation: tombstone every
+    incoming id at the CURRENT ceiling (ids not yet stored are plain
+    inserts — the blind tombstone is harmless and skips the existence
+    scan), then append the batch as fresh shards past the ceiling, so
+    searches return the NEW vector for every updated id. O(batch)
+    cost, no store rewrite; ``nsw_compact`` later folds the
+    deleted-old-copy history away."""
+    spark = df.sparkSession
+    nsw_delete(spark, path, df.select(id_col), id_col=id_col, strict=False)
+    nsw_append(
+        df, path, m=m, ef_construction=ef_construction, gamma=gamma,
+        vec_col=vec_col, id_col=id_col, payload_cols=payload_cols,
+    )
+
+
 def _store_gamma(stored: DataFrame) -> int:
     """The densification a persisted store was built at — read back from
     its constant ``gamma`` column; legacy stores (written before the
@@ -732,6 +954,27 @@ def nsw_compact(
     # must not silently rebuild a γ=4 store at γ=1 (review r8b)
     if gamma is None:
         gamma = _store_gamma(raw)
+    # r9 reclaim: tombstoned rows are dropped HERE — compaction is the
+    # physical-delete step the mark_deleted sidecar defers to (hnswlib
+    # never reclaims marked nodes; FAISS remove_ids pays this same
+    # rebuild-shaped cost). The sidecar itself vanishes with the swap
+    # (it lives under `path`), which is REQUIRED for correctness, not
+    # just hygiene: compacted shards renumber to 0..n-1 below every old
+    # ceiling, so a surviving tombstone would kill live re-added copies.
+    # Corollary, documented: compaction makes deletions permanent —
+    # nsw_undelete can no longer restore them.
+    tomb = _read_tombstones(spark, path, id_col)
+    if tomb is not None:
+        raw = (
+            _apply_tombstones(raw, tomb, id_col)
+            .filter(~F.col("_deleted"))
+            .drop("_deleted")
+        )
+        if raw.limit(1).count() == 0:
+            raise ValueError(
+                f"nsw_compact would empty the store at {path}: every "
+                f"row is tombstoned — drop the store directory instead"
+            )
     # payload columns survive compaction: re-packing is a layout change,
     # node metadata rides along (r8 predicate-filtered store search)
     extras = [
@@ -779,6 +1022,139 @@ def nsw_compact(
     return n_new
 
 
+# ---------------------------------------------------------------------------
+# shard pruning (r9): the SPANN shape (Chen et al., NeurIPS'21 — coarse
+# cluster per shard, ball-bound shard selection, fine index inside) over
+# the NSW store. Today every stored graph answers every query; at 100 TB
+# a store has thousands of shards and per-query fan-out IS the query
+# cost. With per-shard ball stats (centroid, max-member radius — the
+# ivf_search_exact bound, ann.py:248) most shards are provably unable to
+# contain a top-k point and are skipped BEFORE their directory is read
+# (part_id is the partition column, so the kept-set filter is partition
+# pruning at the scan).
+
+
+def _stats_path(path: str) -> str:
+    return path.rstrip("/") + "/_shard_stats"
+
+
+def nsw_stats_write(spark, path: str) -> int:
+    """Compute and persist per-shard ball stats — ``(part_id, centroid,
+    radius, n)``, radius = max member L2 distance to the shard mean —
+    as a ``_shard_stats`` sidecar ("_"-hidden from store reads). One
+    map-side pass (applyInPandas per shard, S-row output). Call after
+    ``nsw_write``/``nsw_append``/``nsw_compact`` change the shard set
+    (``nsw_write_clustered`` does it for you); ``nsw_read_topk(
+    prune=True)`` refuses stale stats (shard-set mismatch) rather than
+    pruning unsoundly. Returns the number of shards covered."""
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+
+    stored = spark.read.parquet(path)
+    out_schema = "part_id int, centroid array<double>, radius double, n long"
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.asarray(list(pdf["vector"]), dtype=np.float64)
+        c = x.mean(axis=0)
+        d = np.sqrt(((x - c) ** 2).sum(axis=1))
+        return pd.DataFrame(
+            {
+                "part_id": [int(pdf["part_id"].iloc[0])],
+                "centroid": [[float(v) for v in c]],
+                "radius": [float(d.max())],
+                "n": [int(len(pdf))],
+            }
+        )
+
+    sdf = (
+        stored.select("part_id", "vector")
+        .groupBy("part_id")
+        .applyInPandas(stats, out_schema)
+    )
+    sdf.write.mode("overwrite").parquet(_stats_path(path))
+    invalidate()
+    return spark.read.parquet(_stats_path(path)).count()
+
+
+def _prune_plan(
+    parts: np.ndarray,
+    cents: np.ndarray,
+    radii: np.ndarray,
+    counts: np.ndarray,
+    qmat: np.ndarray,
+    k: int,
+) -> list[np.ndarray]:
+    """Per query: the sound kept-shard set. For shard s with centroid
+    c_s and radius r_s, every member's squared distance to q lies in
+    [max(0, ‖q−c_s‖−r_s)², (‖q−c_s‖+r_s)²]. Sort shards by upper
+    bound; τ = the upper bound of the first prefix holding ≥ k points
+    (so the exact kth-NN distance ≤ τ); shards whose LOWER bound
+    exceeds τ cannot contribute a top-k point and are dropped. Fewer
+    than k points in the whole store ⇒ keep everything."""
+    out = []
+    for qi in range(qmat.shape[0]):
+        d = np.sqrt(((cents - qmat[qi]) ** 2).sum(axis=1))
+        lb = np.maximum(0.0, d - radii) ** 2
+        ub = (d + radii) ** 2
+        order = np.argsort(ub, kind="stable")
+        cum = np.cumsum(counts[order])
+        if cum[-1] < k:
+            out.append(parts.copy())
+            continue
+        tau = float(ub[order[int(np.searchsorted(cum, k))]])
+        out.append(parts[lb <= tau])
+    return out
+
+
+def nsw_write_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    n_shards: int = 16,
+    m: int = 8,
+    ef_construction: int = 32,
+    gamma: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols: Sequence[str] = (),
+    sample_rows: int = 20_000,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> None:
+    """Build the store with CLUSTER-partitioned shards — the layout
+    that makes ball-bound pruning bite. ``nsw_write`` shards by
+    arrival order (hash-ish locality), so every shard's ball covers
+    most of the space and nothing prunes; here a bounded-sample
+    k-means (the ivf_build trainer, ann.py:55) assigns each vector to
+    its nearest of ``n_shards`` centroids and shards follow clusters,
+    so shard balls are tight and distant ones are provably skippable.
+    Writes the ``_shard_stats`` sidecar as the final step. Same store
+    layout as ``nsw_write`` otherwise — every reader/maintenance op
+    works unchanged."""
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        _kmeans,
+        assign_clusters,
+    )
+
+    n = df.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample_df = (
+        df.select(vec_col) if frac >= 1.0
+        else df.select(vec_col).sample(frac, seed=seed)
+    )
+    sample = np.asarray([r[0] for r in sample_df.collect()], dtype=np.float64)
+    centroids = _kmeans(sample, n_shards, n_iter, seed)
+    parted = (
+        assign_clusters(df, centroids, vec_col=vec_col)
+        .repartition(n_shards, F.col("cluster_id"))
+        .drop("cluster_id")
+    )
+    nsw_write(
+        parted, path, m=m, ef_construction=ef_construction, gamma=gamma,
+        vec_col=vec_col, id_col=id_col, payload_cols=payload_cols,
+    )
+    nsw_stats_write(df.sparkSession, path)
+
+
 def nsw_read_topk(
     spark,
     path: str,
@@ -792,6 +1168,7 @@ def nsw_read_topk(
     predicates=None,
     strategy: str = "traverse_all",
     subgraph_m: int = 8,
+    prune: bool = False,
     id_col: str = "vec_id",
     dist_col: str = "dist",
 ) -> DataFrame:
@@ -837,7 +1214,28 @@ def nsw_read_topk(
     paper's sizing). ``subgraph_m`` is the per-expansion
     passing-neighbor cap (the M of the γ·M list). Both strategies
     answer the exact pre-filter oracle at full beam; under a budget,
-    subgraph spends every visit on a returnable node."""
+    subgraph spends every visit on a returnable node.
+
+    Tombstones (r9): ids deleted via ``nsw_delete``/``nsw_upsert`` are
+    traversed but never returned — hnswlib's markDelete semantics read
+    straight off the sidecar (one broadcast join tagging each node
+    with ``_deleted``; version-aware: a copy appended AFTER the delete
+    has part_id above the tombstone's ceiling and stays live).
+
+    ``prune`` (r9): skip whole shards whose ball bound (``_shard_stats``
+    sidecar — write it via ``nsw_write_clustered`` or
+    ``nsw_stats_write``) proves they cannot hold a top-k point. The
+    kept-set filter is a partition filter on ``part_id``, so pruned
+    shard DIRECTORIES are never read; per kept shard, only the
+    queries that need it are walked. Sound for plain top-k only:
+    predicates/blocked sets raise (the τ bound covers the kth
+    UNFILTERED neighbor; the kth PASSING neighbor can be farther, so
+    a pruned shard could hide a passing point), as do tombstones
+    (stats still count dead members — compact first) and a stale
+    shard set. Full beam ⇒ pruned ≡ unpruned ≡ exact (the bound
+    argument in ``_prune_plan``); budgeted, kept-shard walks are
+    bit-identical but a pruned shard no longer contributes its
+    beyond-τ candidates."""
     qids = [int(q) for q, _ in queries]
     if len(qids) != len(set(qids)):
         raise ValueError(
@@ -863,6 +1261,59 @@ def nsw_read_topk(
             "— it requires predicate or predicates"
         )
 
+    stored = spark.read.parquet(path)
+    tomb = _read_tombstones(spark, path, id_col)
+    allowed: dict[int, np.ndarray] | None = None
+    if prune:
+        import os
+
+        if has_pred or pred_qids or blocked_set:
+            raise ValueError(
+                "prune=True is sound for plain top-k only — predicates "
+                "and blocked sets change which kth distance bounds the "
+                "search, so ball-bound shard pruning could drop a shard "
+                "holding a passing point"
+            )
+        if tomb is not None:
+            raise ValueError(
+                "prune=True with tombstones present: shard stats count "
+                "deleted members, so the τ bound can undercount live "
+                "candidates — run nsw_compact (which reclaims and clears "
+                "the sidecar), then nsw_stats_write"
+            )
+        spath = _stats_path(path)
+        if "://" not in spath and not os.path.exists(spath):
+            raise ValueError(
+                f"prune=True but no _shard_stats sidecar at {path} — "
+                f"build with nsw_write_clustered or run nsw_stats_write"
+            )
+        srows = spark.read.parquet(spath).collect()
+        stat_parts = np.asarray(
+            [int(r["part_id"]) for r in srows], dtype=np.int64
+        )
+        store_parts = {
+            int(r["part_id"])
+            for r in stored.select("part_id").distinct().collect()
+        }
+        if set(stat_parts.tolist()) != store_parts:
+            raise ValueError(
+                f"stale _shard_stats at {path}: stats cover "
+                f"{len(stat_parts)} shard(s), store has "
+                f"{len(store_parts)} — run nsw_stats_write after "
+                f"append/compact changed the shard set"
+            )
+        cents = np.asarray([list(r["centroid"]) for r in srows], np.float64)
+        radii = np.asarray([float(r["radius"]) for r in srows], np.float64)
+        counts = np.asarray([int(r["n"]) for r in srows], dtype=np.int64)
+        kept = _prune_plan(stat_parts, cents, radii, counts, qmat, k)
+        allowed = {}
+        for qi, parts in enumerate(kept):
+            for p in parts.tolist():
+                allowed.setdefault(int(p), []).append(qi)
+        allowed = {p: np.asarray(v, dtype=np.int64) for p, v in allowed.items()}
+        union = sorted(allowed)
+        stored = stored.where(F.col("part_id").isin(union))
+
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seq", ignore_index=True)
         x = np.asarray(list(pdf["vector"]), dtype=np.float64)
@@ -876,13 +1327,24 @@ def nsw_read_topk(
                 q: pdf[f"_pass_{q}"].fillna(False).to_numpy(dtype=bool)
                 for q in pred_qids
             }
+        deleted = (
+            pdf["_deleted"].to_numpy(dtype=bool)
+            if "_deleted" in pdf.columns
+            else None
+        )
+        my_qids, my_qmat = qids, qmat
+        if allowed is not None:
+            sel = allowed[int(pdf["part_id"].iloc[0])]
+            my_qids = [qids[i] for i in sel.tolist()]
+            my_qmat = qmat[sel]
         return _local_topk_frame(
-            g, ids, qids, qmat, k, max(ef, k), max_visits, blocked_set,
-            id_col, dist_col, pass_mask=mask,
-            strategy=strategy, m_cap=subgraph_m,
+            g, ids, my_qids, my_qmat, k, max(ef, k), max_visits,
+            blocked_set, id_col, dist_col, pass_mask=mask,
+            strategy=strategy, m_cap=subgraph_m, deleted_mask=deleted,
         )
 
-    stored = spark.read.parquet(path)
+    if tomb is not None:
+        stored = _apply_tombstones(stored, tomb, id_col)
     if has_pred:
         stored = stored.withColumn("_pass", predicate)
     elif pred_qids:
