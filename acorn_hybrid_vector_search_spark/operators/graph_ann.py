@@ -784,6 +784,12 @@ def nsw_undelete(spark, path: str, ids, *, id_col: str = "vec_id") -> int:
         return 0
     keep = tomb.join(ids_df, id_col, "left_anti")
     tpath = _tombstones_path(path)
+    if keep.limit(1).count() == 0:
+        # nothing left: drop the sidecar entirely so readers (and the
+        # prune tombstone guard) see a tombstone-free store
+        shutil.rmtree(tpath)
+        invalidate()
+        return int(restored)
     tmp = tpath + "__tmp"
     old = tpath + "__old"
     try:
@@ -1274,7 +1280,7 @@ def nsw_read_topk(
                 "search, so ball-bound shard pruning could drop a shard "
                 "holding a passing point"
             )
-        if tomb is not None:
+        if tomb is not None and tomb.limit(1).count() > 0:
             raise ValueError(
                 "prune=True with tombstones present: shard stats count "
                 "deleted members, so the τ bound can undercount live "

@@ -812,3 +812,292 @@ def test_gamma_persisted_and_maintenance_inherits(spark, tmp_path):
         nsw_read_topk(
             spark, path, [(0, [1.0, 2.0]), (0, [2.0, 1.0])], k=3, ef=16
         )
+
+
+# ---------------------------------------------------------------------------
+# r9: deletion lifecycle (mark_deleted / unmark_deleted / replace_deleted
+# analogs) + clustered-store ball-bound shard pruning
+
+
+def _store_from(corpus, tmp_path, name="g", **kw):
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import nsw_write
+
+    path = str(tmp_path / name)
+    nsw_write(corpus, path, **kw)
+    return path
+
+
+def test_nsw_delete_excluded_and_next_best_fills(spark, corpus, vectors, tmp_path):
+    """Deleted ids behave like hnswlib markDelete: never returned, the
+    next-best live row fills the kth slot, full beam stays exact over
+    the live subset."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import nsw_delete
+
+    ids, x = vectors
+    path = _store_from(corpus, tmp_path)
+    q = _queries(vectors)[0]
+    top = [
+        r["vec_id"]
+        for r in nsw_read_topk(spark, path, [q], K, ef=10**6).collect()
+    ]
+    dead = top[:2]  # delete the two nearest
+    nsw_delete(spark, path, dead)
+    got = [
+        r["vec_id"]
+        for r in nsw_read_topk(spark, path, [q], K, ef=10**6).collect()
+    ]
+    assert got == _exact_topk(ids, x, np.asarray(q[1]), K, exclude=set(dead))
+    assert not (set(dead) & set(got))
+
+
+def test_nsw_delete_strict_contract(spark, corpus, tmp_path):
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import nsw_delete
+
+    path = _store_from(corpus, tmp_path)
+    with pytest.raises(ValueError, match="not present"):
+        nsw_delete(spark, path, [10_000])
+    nsw_delete(spark, path, [10_000], strict=False)  # blind tombstone ok
+
+
+def test_nsw_undelete_restores_exactly(spark, corpus, vectors, tmp_path):
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_delete,
+        nsw_undelete,
+    )
+
+    ids, x = vectors
+    path = _store_from(corpus, tmp_path)
+    q = _queries(vectors)[0]
+    nsw_delete(spark, path, [q[0], 42])
+    assert nsw_undelete(spark, path, [q[0]]) == 1
+    got = [
+        r["vec_id"]
+        for r in nsw_read_topk(spark, path, [q], K, ef=10**6).collect()
+    ]
+    assert got == _exact_topk(ids, x, np.asarray(q[1]), K, exclude={42})
+    assert nsw_undelete(spark, path, [q[0]]) == 0  # nothing left to restore
+
+
+def test_nsw_upsert_replaces_and_inserts(spark, corpus, vectors, tmp_path):
+    """replace_deleted analog: an upserted id answers with its NEW
+    vector (old copy dead), a fresh id is a plain insert, and full
+    beam equals brute force over the updated corpus."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import nsw_upsert
+
+    ids, x = vectors
+    path = _store_from(corpus, tmp_path)
+    moved = [2.0] * DIM  # far outside the [-1,1] cube
+    up = spark.createDataFrame(
+        [(5, moved), (9_000, [1.9] * DIM)],
+        "vec_id long, embedding array<float>",
+    )
+    nsw_upsert(up, path)
+    got = nsw_read_topk(spark, path, [(0, [2.0] * DIM)], 3, ef=10**6).collect()
+    nearest_original = _exact_topk(
+        ids, x, np.asarray([2.0] * DIM), 1, exclude={5}
+    )[0]
+    assert [r["vec_id"] for r in got] == [5, 9_000, nearest_original]
+    # the OLD location of id 5 must be dead: querying at its old vector
+    # must NOT return id 5 at distance 0
+    pos = {int(v): i for i, v in enumerate(ids)}
+    old5 = list(x[pos[5]])
+    near_old = nsw_read_topk(spark, path, [(0, old5)], 1, ef=10**6).head()
+    assert not (near_old["vec_id"] == 5 and near_old["dist"] < 1e-9)
+
+
+def test_nsw_append_after_delete_revives_id(spark, corpus, vectors, tmp_path):
+    """Version-aware tombstones: a copy appended AFTER the delete sits
+    above the tombstone's part ceiling and is live, while the old copy
+    stays dead."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_append,
+        nsw_delete,
+    )
+
+    path = _store_from(corpus, tmp_path)
+    nsw_delete(spark, path, [5])
+    fresh = [1.5] * DIM
+    nsw_append(
+        spark.createDataFrame([(5, fresh)], "vec_id long, embedding array<float>"),
+        path,
+    )
+    got = nsw_read_topk(spark, path, [(0, fresh)], 1, ef=10**6).head()
+    assert got["vec_id"] == 5 and got["dist"] < 1e-9
+
+
+def test_nsw_compact_reclaims_tombstones(spark, corpus, vectors, tmp_path):
+    """Compaction is the physical delete: tombstoned rows leave the
+    store, the sidecar is cleared (undelete now a no-op), results are
+    unchanged."""
+    import os
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_compact,
+        nsw_delete,
+        nsw_undelete,
+    )
+
+    ids, x = vectors
+    path = _store_from(corpus, tmp_path)
+    nsw_delete(spark, path, [1, 2, 3])
+    q = _queries(vectors)[0]
+    before = [
+        r["vec_id"]
+        for r in nsw_read_topk(spark, path, [q], K, ef=10**6).collect()
+    ]
+    nsw_compact(spark, path, n_shards=2)
+    assert spark.read.parquet(path).count() == N - 3
+    assert not os.path.exists(path + "/_tombstones")
+    after = [
+        r["vec_id"]
+        for r in nsw_read_topk(spark, path, [q], K, ef=10**6).collect()
+    ]
+    assert after == before == _exact_topk(
+        ids, x, np.asarray(q[1]), K, exclude={1, 2, 3}
+    )
+    assert nsw_undelete(spark, path, [1]) == 0  # permanence, documented
+
+
+def test_deleted_excluded_under_predicate_both_strategies(spark, tmp_path):
+    """Tombstones compose with hybrid search: full-beam filtered
+    results equal the exact pre-filter oracle minus deleted ids, for
+    the traverse-all AND the ACORN-γ subgraph walks."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_delete,
+        nsw_write,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(DIM)], i % 3)
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    path = str(tmp_path / "gh")
+    nsw_write(df.repartition(3), path, gamma=2, payload_cols=["label"])
+    nsw_delete(spark, path, [r[0] for r in rows if r[2] == 0][:4])
+    dead = set([r[0] for r in rows if r[2] == 0][:4])
+    q = rows[7][1]
+    exact = sorted(
+        ((sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+         for r in rows if r[2] == 0 and r[0] not in dead),
+    )[:5]
+    want = [i for _, i in exact]
+    for strat in ("traverse_all", "subgraph"):
+        got = nsw_read_topk(
+            spark, path, [(0, list(q))], 5, ef=10**6,
+            predicate=F.col("label") == 0, strategy=strat,
+        ).collect()
+        assert [r["vec_id"] for r in got] == want, strat
+
+
+@pytest.fixture(scope="module")
+def blob_corpus(spark):
+    """Four well-separated Gaussian blobs — the clustered layout where
+    ball-bound pruning provably bites."""
+    rng = random.Random(11)
+    centers = [(-6, -6), (-6, 6), (6, -6), (6, 6)]
+    rows = []
+    for i in range(400):
+        cx, cy = centers[i % 4]
+        rows.append(
+            (
+                i,
+                [round(rng.gauss(cx, 0.5), 4), round(rng.gauss(cy, 0.5), 4)]
+                + [round(rng.gauss(0, 0.5), 4) for _ in range(DIM - 2)],
+            )
+        )
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+
+
+def test_clustered_prune_full_beam_exact_and_actually_prunes(
+    spark, blob_corpus, tmp_path
+):
+    """Full-beam pruned search ≡ exact brute force (the ball-bound
+    soundness argument end to end), and on blob data the kept-shard
+    sets are PROPER subsets — the 100 TB fan-out win is real, not
+    vacuous."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _prune_plan,
+        nsw_read_topk,
+        nsw_write_clustered,
+    )
+
+    rows = blob_corpus.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    path = str(tmp_path / "gc")
+    nsw_write_clustered(blob_corpus, path, n_shards=8)
+    queries = [(qid, list(x[qid])) for qid in (0, 1, 2, 3)]
+    got = nsw_read_topk(spark, path, queries, K, ef=10**6, prune=True)
+    by_q: dict[int, list[int]] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qid, qv in queries:
+        assert by_q[qid] == _exact_topk(ids, x, np.asarray(qv), K), qid
+    # the decision layer itself: every query prunes at least one shard
+    srows = spark.read.parquet(path + "/_shard_stats").collect()
+    parts = np.asarray([r["part_id"] for r in srows], dtype=np.int64)
+    cents = np.asarray([list(r["centroid"]) for r in srows], np.float64)
+    radii = np.asarray([r["radius"] for r in srows], np.float64)
+    counts = np.asarray([r["n"] for r in srows], dtype=np.int64)
+    qmat = np.asarray([qv for _, qv in queries], dtype=np.float64)
+    kept = _prune_plan(parts, cents, radii, counts, qmat, K)
+    assert all(len(kp) < len(parts) for kp in kept), [len(kp) for kp in kept]
+    # and unpruned agrees at full beam (pruned ≡ unpruned ≡ exact)
+    unpruned = nsw_read_topk(spark, path, queries, K, ef=10**6)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, unpruned.collect())
+    )
+
+
+def test_prune_guards(spark, blob_corpus, corpus, tmp_path):
+    """prune=True refuses every configuration where the τ bound is
+    unsound or the stats are untrustworthy: predicates, blocked sets,
+    tombstones, missing sidecar, stale shard set after append — and
+    recovers after nsw_stats_write."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_append,
+        nsw_delete,
+        nsw_read_topk,
+        nsw_stats_write,
+        nsw_undelete,
+        nsw_write_clustered,
+    )
+
+    rows = blob_corpus.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    path = str(tmp_path / "gg")
+    nsw_write_clustered(blob_corpus, path, n_shards=4)
+    q = [(0, list(x[0]))]
+    with pytest.raises(ValueError, match="sound"):
+        nsw_read_topk(spark, path, q, K, prune=True, predicate=F.lit(True))
+    with pytest.raises(ValueError, match="sound"):
+        nsw_read_topk(spark, path, q, K, prune=True, blocked={1})
+    nsw_delete(spark, path, [17])
+    with pytest.raises(ValueError, match="tombstones"):
+        nsw_read_topk(spark, path, q, K, prune=True)
+    assert nsw_undelete(spark, path, [17]) == 1
+    # append changes the shard set → stats stale → refuse, then refresh
+    extra = spark.createDataFrame(
+        [(10_000, [9.0] * DIM)], "vec_id long, embedding array<double>"
+    )
+    nsw_append(extra, path)
+    with pytest.raises(ValueError, match="stale"):
+        nsw_read_topk(spark, path, q, K, prune=True)
+    nsw_stats_write(spark, path)
+    got = [
+        r["vec_id"]
+        for r in nsw_read_topk(spark, path, q, K, ef=10**6, prune=True).collect()
+    ]
+    all_ids = np.concatenate([ids, [10_000]])
+    all_x = np.vstack([x, [[9.0] * DIM]])
+    assert got == _exact_topk(all_ids, all_x, np.asarray(q[0][1]), K)
+    # a store with no sidecar at all refuses too
+    path2 = str(tmp_path / "gn")
+    nsw_write(blob_corpus, path2)
+    with pytest.raises(ValueError, match="_shard_stats"):
+        nsw_read_topk(spark, path2, q, K, prune=True)
