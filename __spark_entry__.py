@@ -4007,6 +4007,284 @@ def _q_sql_user_funnel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_shared(spark, sf_dir, "sql_user_funnel_setops")
 
 
+# ---------------------------------------------------------------------------
+# r9: store deletion lifecycle (hnswlib mark_deleted / replace_deleted
+# analogs) + clustered-shard ball-bound pruning
+
+
+_NSW_DELETE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q_nsw_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletion over the persisted NSW store
+    (operators/graph_ann.py nsw_delete — the ``mark_deleted`` analog,
+    hnswlib bindings.cpp mark_deleted / hnswalg.h markDelete: the node
+    STAYS in its graph and is traversed, its edges keeping the small
+    world navigable, but is never returned). Here vec_id % 7 == 2
+    (~14% of the corpus) is deleted as ONE distributed sidecar append
+    — O(|deleted|) rows written, zero store rewrite at any store size
+    — and the full-beam search answers the brute-force oracle over
+    exactly the LIVE subset (the same `% 7 <> 2` filter in SQL).
+    Physical reclaim is nsw_compact's job (pinned in
+    tests/test_graph_ann.py::test_nsw_compact_reclaims_tombstones)."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_delete,
+        nsw_read_topk,
+        nsw_write,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _NSW_DELETE_CACHE if k[0] != key[0]]:
+        del _NSW_DELETE_CACHE[stale]
+    path = _NSW_DELETE_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="acorn_nsw_del_") + "/graph"
+        emb = _t(spark, sf_dir, "embeddings")
+        nsw_write(emb, path)
+        nsw_delete(
+            spark, path,
+            emb.filter(F.col("vec_id") % 7 == 2).select("vec_id"),
+        )
+        _NSW_DELETE_CACHE[key] = path
+    q = _query_vec(spark, sf_dir, vec_id=10)  # 10 % 7 = 3 → live
+    res = nsw_read_topk(spark, path, [(10, list(q))], k=10, ef=1_000_000)
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
+_NSW_UPSERT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q_nsw_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector upsert over the persisted NSW store
+    (operators/graph_ann.py nsw_upsert — the
+    ``add_items(replace_deleted=True)`` analog; the reference's
+    add_items path overwrites an existing label in place,
+    /root/reference/acorn.py:35-40): every vec_id % 5 == 1 row is
+    REPLACED by its negated vector (a deterministic, SQL-replayable
+    transform) and one brand-new id (100000, constant 0.5 vector) is
+    INSERTED, all in one upsert batch — tombstone-at-ceiling + shard
+    append, no store rewrite. The full-beam search (query = the OLD
+    vector of updated id 6) answers the brute-force oracle over the
+    UPDATED corpus: the CASE expression in SQL rebuilds the
+    post-upsert table, so a stale old copy or a dead new copy would
+    hash-mismatch immediately."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_upsert,
+        nsw_write,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _NSW_UPSERT_CACHE if k[0] != key[0]]:
+        del _NSW_UPSERT_CACHE[stale]
+    path = _NSW_UPSERT_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="acorn_nsw_ups_") + "/graph"
+        emb = _t(spark, sf_dir, "embeddings")
+        nsw_write(emb.select("vec_id", "embedding"), path)
+        moved = emb.filter(F.col("vec_id") % 5 == 1).select(
+            "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+        )
+        inserted = spark.createDataFrame(
+            [(100_000, [0.5] * 64)], "vec_id long, embedding array<double>"
+        )
+        nsw_upsert(moved.unionByName(inserted), path)
+        _NSW_UPSERT_CACHE[key] = path
+    q = _query_vec(spark, sf_dir, vec_id=6)  # 6 % 5 = 1 → its OLD spot
+    res = nsw_read_topk(spark, path, [(6, list(q))], k=10, ef=1_000_000)
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
+_NSW_PRUNED_CACHE: dict[tuple[str, str], str] = {}
+_PRUNE_QIDS = (2, 4, 8)
+
+
+def _clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's embeddings table is ISOTROPIC (within-label mean
+    radius ≈ global mean radius ≈ 1.0 — no cluster structure), which
+    is precisely the regime where ball-bound pruning is vacuous: every
+    shard ball overlaps every query. Real embedding corpora cluster
+    (that is the SPANN/IVF premise), so the pruning queries derive a
+    10-slab clustered corpus from (embedding, label) with a
+    deterministic, SQL-replayable shift — dim 0 += 4·label — giving
+    slab separation ≈ 4 against member radius ≈ 1. Both engines
+    rebuild the identical corpus, so the oracles replay end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    shifted = F.concat(
+        F.array(
+            F.col("embedding").getItem(0)
+            + F.lit(4.0) * F.col("label").cast("double")
+        ),
+        F.slice("embedding", 2, 63),
+    ).alias("embedding")
+    return emb.select("vec_id", shifted, "label")
+
+
+# the DuckDB replica of _clustered_embeddings' shift ({a} = table alias)
+_SHIFT_SQL = (
+    "list_concat([{a}.embedding[1] + 4 * CAST({a}.label AS DOUBLE)], "
+    "{a}.embedding[2:])"
+)
+
+
+def _q_nsw_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ball-bound shard pruning over a CLUSTER-partitioned store
+    (operators/graph_ann.py nsw_write_clustered + nsw_read_topk(
+    prune=True) — the SPANN shape, Chen et al. NeurIPS'21: coarse
+    cluster per shard, ball-bound shard selection, graph inside).
+    Per-query fan-out is THE stored-graph query cost at scale (one
+    k-candidate walk per shard today); with per-shard (centroid,
+    radius, n) stats, shards whose lower ball bound exceeds the τ
+    cover bound provably cannot hold a top-k point and their
+    DIRECTORIES are never read (the kept-set filter is a partition
+    filter on part_id). The build asserts the prune plan really drops
+    shards at this sf (the nsw_compact_topk in-fn-assert pattern);
+    full-beam pruned search over three queries answers each query's
+    brute-force oracle over the same derived corpus — the soundness
+    proof run end to end. Corpus: ``_clustered_embeddings`` (the
+    driver table is isotropic; see its docstring)."""
+    import tempfile
+
+    import numpy as np
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _prune_plan,
+        nsw_read_topk,
+        nsw_write_clustered,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _NSW_PRUNED_CACHE if k[0] != key[0]]:
+        del _NSW_PRUNED_CACHE[stale]
+    path = _NSW_PRUNED_CACHE.get(key)
+    corpus = _clustered_embeddings(spark, sf_dir)
+    qs = [
+        (
+            qid,
+            list(
+                corpus.filter(F.col("vec_id") == qid)
+                .select("embedding")
+                .head()[0]
+            ),
+        )
+        for qid in _PRUNE_QIDS
+    ]
+    if path is None:
+        path = tempfile.mkdtemp(prefix="acorn_nsw_prn_") + "/graph"
+        nsw_write_clustered(
+            corpus.select("vec_id", "embedding"), path, n_shards=8
+        )
+        srows = spark.read.parquet(path + "/_shard_stats").collect()
+        parts = np.asarray([r["part_id"] for r in srows], dtype=np.int64)
+        cents = np.asarray([list(r["centroid"]) for r in srows], np.float64)
+        radii = np.asarray([r["radius"] for r in srows], np.float64)
+        counts = np.asarray([r["n"] for r in srows], dtype=np.int64)
+        kept = _prune_plan(
+            parts, cents, radii, counts,
+            np.asarray([v for _, v in qs], dtype=np.float64), 10,
+        )
+        searched = sum(len(kp) for kp in kept)
+        assert searched < len(qs) * len(parts), (
+            "clustered store failed to prune any shard",
+            [len(kp) for kp in kept],
+        )
+        _NSW_PRUNED_CACHE[key] = path
+    res = nsw_read_topk(spark, path, qs, k=10, ef=1_000_000, prune=True)
+    return res.select(
+        "query_id", "vec_id", F.round("dist", _R).alias("dist")
+    )
+
+
+def _q_nsw_prune_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruning DECISION arithmetic as a relation, fully replayed in
+    SQL (the cap_stats/cms_heavy_tokens disclosure pattern): over the
+    derived clustered corpus (``_clustered_embeddings``), shards are
+    the DETERMINISTIC cluster-aligned ``label % 8`` partition so the
+    whole chain — per-shard centroid and max-member radius,
+    per-(query, shard) ball bounds lb = max(0, ‖q−c‖−r)² /
+    ub = (‖q−c‖+r)², the τ cover bound (the smallest upper bound whose
+    ub-ordered shard prefix holds ≥ k points), and the kept verdict
+    lb ≤ τ — derives from the embeddings table alone in BOTH engines,
+    and the emitted verdicts are a real mix (tight shards kept,
+    distant slabs pruned; the two folded shards carrying labels 8/9
+    show the fat-ball case). Float policy (the order-free decimal-sum
+    contract, PLANS.md methodology): every per-dim term is rounded to
+    12 dp and summed as DECIMAL(28,12), so centroids and distances
+    are bit-identical regardless of aggregation order; the emitted
+    lb/ub round to 6 dp. tests/test_graph_ann pins that this
+    relational twin agrees with the numpy `_prune_plan` the real
+    prune path executes."""
+    from pyspark.sql.window import Window
+
+    S, k = 8, 10
+    emb = _clustered_embeddings(spark, sf_dir)
+    dims = emb.select(
+        "vec_id",
+        (F.col("label").cast("long") % S).alias("shard"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    dec = lambda c: F.round(c, 12).cast("decimal(28,12)")  # noqa: E731
+    cent = dims.groupBy("shard", "dim").agg(
+        (F.sum(dec(F.col("x"))).cast("double") / F.count("*")).alias("c"),
+        F.count("*").alias("_n"),
+    )
+    member_d2 = (
+        dims.join(cent.select("shard", "dim", "c"), ["shard", "dim"])
+        .groupBy("shard", "vec_id")
+        .agg(F.sum(dec((F.col("x") - F.col("c")) ** 2)).alias("d2"))
+    )
+    stats = member_d2.groupBy("shard").agg(
+        F.max(F.sqrt(F.col("d2").cast("double"))).alias("radius"),
+        F.count("*").alias("n"),
+    )
+    qdims = emb.filter(F.col("vec_id").isin(list(_PRUNE_QIDS))).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("embedding").alias("dim", "qx"),
+    )
+    qdist = (
+        qdims.join(cent.select("shard", "dim", "c"), "dim")
+        .groupBy("query_id", "shard")
+        .agg(F.sum(dec((F.col("qx") - F.col("c")) ** 2)).alias("qd2"))
+        .select(
+            "query_id", "shard",
+            F.sqrt(F.col("qd2").cast("double")).alias("d"),
+        )
+    )
+    bounds = qdist.join(stats, "shard").select(
+        "query_id",
+        "shard",
+        F.pow(F.greatest(F.lit(0.0), F.col("d") - F.col("radius")), 2).alias("lb"),
+        F.pow(F.col("d") + F.col("radius"), 2).alias("ub"),
+        "n",
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("ub").asc(), F.col("shard").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bounds.withColumn("cum_n", F.sum("n").over(w))
+    tau = cum.groupBy("query_id").agg(
+        F.min(F.when(F.col("cum_n") >= k, F.col("ub"))).alias("tau")
+    )
+    return (
+        cum.join(tau, "query_id")
+        .select(
+            "query_id",
+            F.col("shard").alias("part_id"),
+            F.round("lb", _R).alias("lb"),
+            F.round("ub", _R).alias("ub"),
+            (F.col("tau").isNull() | (F.col("lb") <= F.col("tau"))).alias(
+                "kept"
+            ),
+        )
+        .orderBy("query_id", "part_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -4049,6 +4327,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     roundtrip gate (pq_state_persisted) — displacing
     simhash_capped_pairs, hybrid_rrf_retrieval, nsw_compact_topk and
     sessionize (family retention documented at the r8 rotation block).
+    Round 9 rotated the store-lifecycle flagships in —
+    nsw_delete_topk / nsw_upsert_topk (the hnswlib mark_deleted /
+    replace_deleted analogs over the persisted store) and
+    nsw_pruned_topk / nsw_prune_decisions (SPANN-shaped ball-bound
+    shard pruning plus its fully-SQL-replayed decision arithmetic) —
+    displacing bpe_state_persisted, acorn_batch_topk,
+    winnow_capped_pairs and simhash_cap_stats (family retention
+    documented at the r9 rotation block).
     Displaced and new 51+ queries remain oracle-checked by
     tools/selfcheck.py and pytest, and every round commits the
     full-battery artifact SELFCHECK.json so the 51+ surface has durable
@@ -4150,7 +4436,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family keeps ann_ivf_exact_topk / pq_state_persisted /
         # ivfpq_state_persisted plus both NSW rows in evidence
         "acorn_gamma_topk": _q_acorn_gamma_topk,
-        "bpe_state_persisted": _q_bpe_state_persisted,
+        # ==== round-9 rotation (standing policy: the CURRENT round's
+        # flagships earn driver-committed evidence before the round
+        # closes; displaced rows stay oracle-gated at 51+ via the
+        # committed SELFCHECK.json battery; every family keeps >=1
+        # window row).  Swaps:
+        # bpe_state_persisted -> nsw_delete_topk (the mark_deleted
+        #   analog: tombstone-sidecar deletion over the persisted
+        #   store, live-subset oracle; BPE keeps bpe_merges — whose
+        #   plan replays ALL training rounds — and the persisted-state
+        #   family keeps pq_state_persisted in-window);
+        # acorn_batch_topk -> nsw_upsert_topk (the replace_deleted
+        #   analog: replace+insert in one batch, post-upsert-corpus
+        #   oracle; K4 keeps acorn_hybrid's escalation in-window and
+        #   the batched-serving family keeps hybrid_batch_topk);
+        # winnow_capped_pairs -> nsw_pruned_topk (ball-bound shard
+        #   pruning over the clustered store, exact-at-full-beam
+        #   oracle per query; the binding-cap family keeps
+        #   minhash_capped_pairs — the full cap-arithmetic replay —
+        #   in-window);
+        # simhash_cap_stats -> nsw_prune_decisions (the pruning
+        #   decision arithmetic fully replayed in SQL — the new
+        #   disclosure relation takes the disclosure seat;
+        #   minhash_capped_pairs keeps cap arithmetic driver-gated).
+        # ====
+        "nsw_delete_topk": _q_nsw_delete_topk,
         # ==== round-7 rotation (the established policy: the CURRENT
         # round's flagships earn driver-committed evidence before the
         # round closes; every swap is same-family so each family keeps
@@ -4204,7 +4514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   keeps stream_hourly_rollup / stream_decontaminate_docs /
         #   stream_audio_decode / stream_nsw_append). ====
         "hybrid_batch_topk": _q_hybrid_batch_topk,
-        "acorn_batch_topk": _q_acorn_batch_topk,
+        "nsw_upsert_topk": _q_nsw_upsert_topk,  # r9 swap (see block above)
         "stream_nsw_append": _q_stream_nsw_append,
         "pq_state_persisted": _q_pq_state_persisted,
         # ==== round-6c micro-rotation: the late-round flagships — all
@@ -4218,7 +4528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cms_heavy_tokens (sketches keeps a window row — and the CMS
         # one is the FULLY-replayed sketch; HLL/GK stay at 51+). ====
         "decontaminate_docs_bloom_sharded": _q_decontaminate_docs_bloom_sharded,
-        "winnow_capped_pairs": _q_winnow_capped_pairs,
+        "nsw_pruned_topk": _q_nsw_pruned_topk,  # r9 swap (see block above)
         "cms_heavy_tokens": _q_cms_heavy_tokens,
         # -- relational core --
         "agg_lineitem_pricing": _q_agg_lineitem,
@@ -4227,7 +4537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup_events": _q_incremental_rollup,
         # -- dedup family (r7: capped/stream variants in-window; r8
         # rotation displaced simhash_capped_pairs to 51+) --
-        "simhash_cap_stats": _q_simhash_cap_stats,
+        "nsw_prune_decisions": _q_nsw_prune_decisions,  # r9 swap (block above)
         "minhash_capped_pairs": _q_minhash_capped_pairs,
         "near_dup_components": _q_near_dup_components,
         "stream_decontaminate_docs": _q_stream_decontaminate_docs,
@@ -4252,6 +4562,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_curriculum_bins": _q_quality_curriculum,
         # ==== position 51+: redundant variants of operators already gated
         # above; still oracle-verified by tools/selfcheck.py + pytest ====
+        # r9 rotation displacements — all remain oracle-gated here
+        "bpe_state_persisted": _q_bpe_state_persisted,
+        "acorn_batch_topk": _q_acorn_batch_topk,
+        "winnow_capped_pairs": _q_winnow_capped_pairs,
+        "simhash_cap_stats": _q_simhash_cap_stats,
         "decontaminate_docs_bloom": _q_decontaminate_docs_bloom,
         "simhash_near_dups": _q_simhash_near_dups,
         "approx_distinct_users": _q_approx_distinct_users,
@@ -6123,6 +6438,126 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
             FROM embeddings e, q
             ORDER BY {_D2}, e.vec_id LIMIT 10
+        """,
+        # r9 mark_deleted analog: the store search at full beam answers
+        # the brute-force oracle over exactly the LIVE subset — a
+        # deleted row leaking back (or a live row wrongly killed)
+        # hash-mismatches immediately (query vec 10; 10 % 7 = 3 lives)
+        "nsw_delete_topk": f"""
+            WITH {_QV.format(vid=10)}
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM embeddings e, q
+            WHERE e.vec_id % 7 <> 2
+            ORDER BY {_D2}, e.vec_id LIMIT 10
+        """,
+        # r9 replace_deleted analog: the CASE rebuilds the post-upsert
+        # corpus (vec_id % 5 == 1 negated, id 100000 inserted); a stale
+        # old copy or dead new copy hash-mismatches (query = OLD vec 6)
+        "nsw_upsert_topk": f"""
+            WITH u AS (
+                SELECT vec_id,
+                       CASE WHEN vec_id % 5 = 1
+                            THEN list_transform(embedding,
+                                                x -> -CAST(x AS DOUBLE))
+                            ELSE embedding END AS embedding
+                FROM embeddings
+                UNION ALL
+                SELECT 100000 AS vec_id,
+                       list_transform(range(64),
+                                      x -> CAST(0.5 AS DOUBLE)) AS embedding
+            ),
+            {_QV.format(vid=6)}
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM u e, q
+            ORDER BY {_D2}, e.vec_id LIMIT 10
+        """,
+        # r9 ball-bound shard pruning at full beam = exact over the
+        # derived clustered corpus (the _clustered_embeddings shift,
+        # replayed here) — one brute-force block per query
+        "nsw_pruned_topk": "WITH ce AS (SELECT s.vec_id, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s)\n"
+        + "\nUNION ALL\n".join(
+            f"""
+            (SELECT CAST({qid} AS BIGINT) AS query_id, e.vec_id,
+                    ROUND({_D2}, {_R}) AS dist
+             FROM ce e, (SELECT embedding FROM ce WHERE vec_id = {qid}) q
+             ORDER BY {_D2}, e.vec_id LIMIT 10)"""
+            for qid in _PRUNE_QIDS
+        ),
+        # r9: the pruning decision arithmetic replayed end to end —
+        # shard centroids (order-free decimal sums), max-member radii,
+        # ball bounds, the τ cover bound, kept verdicts — over the
+        # derived clustered corpus with cluster-aligned label%8 shards
+        "nsw_prune_decisions": f"""
+            WITH ce AS (
+                SELECT s.vec_id, CAST(s.label AS BIGINT) % 8 AS shard,
+                       {_SHIFT_SQL.format(a="s")} AS emb
+                FROM embeddings s
+            ),
+            dims AS (
+                SELECT vec_id, shard,
+                       generate_subscripts(emb, 1) - 1 AS dim,
+                       unnest(emb) AS x
+                FROM ce
+            ),
+            cent AS (
+                SELECT shard, dim,
+                       CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12)))
+                            AS DOUBLE) / COUNT(*) AS c
+                FROM dims GROUP BY shard, dim
+            ),
+            member_d2 AS (
+                SELECT d.shard, d.vec_id,
+                       SUM(CAST(ROUND((d.x - c.c)^2, 12)
+                                AS DECIMAL(28,12))) AS d2
+                FROM dims d
+                JOIN cent c ON d.shard = c.shard AND d.dim = c.dim
+                GROUP BY d.shard, d.vec_id
+            ),
+            stats AS (
+                SELECT shard, MAX(sqrt(CAST(d2 AS DOUBLE))) AS radius,
+                       COUNT(*) AS n
+                FROM member_d2 GROUP BY shard
+            ),
+            qdims AS (
+                SELECT vec_id AS query_id,
+                       generate_subscripts(emb, 1) - 1 AS dim,
+                       unnest(emb) AS qx
+                FROM ce WHERE vec_id IN (2, 4, 8)
+            ),
+            qdist AS (
+                SELECT q.query_id, c.shard,
+                       sqrt(CAST(SUM(CAST(ROUND((q.qx - c.c)^2, 12)
+                                          AS DECIMAL(28,12)))
+                                 AS DOUBLE)) AS d
+                FROM qdims q JOIN cent c ON q.dim = c.dim
+                GROUP BY q.query_id, c.shard
+            ),
+            bounds AS (
+                SELECT q.query_id, q.shard,
+                       GREATEST(CAST(0 AS DOUBLE), q.d - s.radius)^2 AS lb,
+                       (q.d + s.radius)^2 AS ub,
+                       s.n
+                FROM qdist q JOIN stats s ON q.shard = s.shard
+            ),
+            cum AS (
+                SELECT query_id, shard, lb, ub,
+                       SUM(n) OVER (PARTITION BY query_id
+                                    ORDER BY ub, shard
+                                    ROWS UNBOUNDED PRECEDING) AS cum_n
+                FROM bounds
+            ),
+            tau AS (
+                SELECT query_id,
+                       MIN(CASE WHEN cum_n >= 10 THEN ub END) AS tau
+                FROM cum GROUP BY query_id
+            )
+            SELECT c.query_id, c.shard AS part_id,
+                   ROUND(c.lb, {_R}) AS lb, ROUND(c.ub, {_R}) AS ub,
+                   (t.tau IS NULL OR c.lb <= t.tau) AS kept
+            FROM cum c JOIN tau t ON c.query_id = t.query_id
+            ORDER BY c.query_id, part_id
         """,
         # batched K3 (r8): per-query candidate/filter/truncate blocks —
         # each block IS the single-query postfilter oracle

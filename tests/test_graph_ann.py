@@ -1101,3 +1101,43 @@ def test_prune_guards(spark, blob_corpus, corpus, tmp_path):
     nsw_write(blob_corpus, path2)
     with pytest.raises(ValueError, match="_shard_stats"):
         nsw_read_topk(spark, path2, q, K, prune=True)
+
+
+def test_prune_decisions_relational_twin_matches_numpy(spark):
+    """The registry's nsw_prune_decisions relation (order-free
+    decimal-sum DataFrame arithmetic, SQL-replayed by the oracle) must
+    agree with the numpy `_prune_plan` that the REAL prune path
+    executes — same kept verdicts per (query, shard) on the same
+    inputs. Radius/centroid floats travel different pipelines
+    (decimal-rounded vs raw float64), so the pin is on the DECISIONS,
+    with stats agreement to 1e-9."""
+    import __spark_entry__ as entry
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import _prune_plan
+
+    sf = "/root/testdata/sf0.001"
+    rel = {
+        (r["query_id"], r["part_id"]): r["kept"]
+        for r in entry._q_nsw_prune_decisions(spark, sf).collect()
+    }
+    emb = entry._clustered_embeddings(spark, sf).collect()
+    ids = np.asarray([r["vec_id"] for r in emb])
+    x = np.asarray([list(r["embedding"]) for r in emb], dtype=np.float64)
+    shard = np.asarray([int(r["label"]) % 8 for r in emb], dtype=np.int64)
+    parts = np.unique(shard)
+    cents = np.stack([x[shard == s].mean(axis=0) for s in parts])
+    radii = np.asarray(
+        [
+            np.sqrt(((x[shard == s] - c) ** 2).sum(axis=1)).max()
+            for s, c in zip(parts, cents)
+        ]
+    )
+    counts = np.asarray([(shard == s).sum() for s in parts], dtype=np.int64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    qmat = np.stack([x[pos[q]] for q in entry._PRUNE_QIDS])
+    kept = _prune_plan(parts, cents, radii, counts, qmat, 10)
+    for qi, qid in enumerate(entry._PRUNE_QIDS):
+        for s in parts.tolist():
+            assert rel[(qid, s)] == (s in set(kept[qi].tolist())), (qid, s)
+    # and the relation shows BOTH verdicts (pruning is real, not vacuous)
+    vals = set(rel.values())
+    assert vals == {True, False}, vals

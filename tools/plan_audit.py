@@ -138,6 +138,30 @@ AUDIT: dict[str, list[str]] = {
     "acorn_gamma_topk": [
         "FlatMapGroupsInPandas", "WindowGroupLimit", "_pass",
     ],
+    # round 9: tombstone deletion — the sidecar's max-ceiling aggregate
+    # broadcasts into a hash join tagging each node _deleted (the store
+    # side never shuffles); same per-shard walk + bounded top-k merge
+    "nsw_delete_topk": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit",
+        "BroadcastHashJoin", "_deleted",
+    ],
+    # round 9: upsert = tombstoned old copies + appended shards, read
+    # through the identical tombstone-join plan
+    "nsw_upsert_topk": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit",
+        "BroadcastHashJoin", "_deleted",
+    ],
+    # round 9: ball-bound shard pruning — the kept-set filter IS a
+    # partition filter on part_id (pruned shard directories never read;
+    # PartitionFilters in the scan is the discriminating token), then
+    # the usual per-shard walk + bounded merge
+    "nsw_pruned_topk": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit", "PartitionFilters",
+    ],
+    # round 9: the pruning decision arithmetic as a relation — posexplode
+    # (Generate) to per-dim terms, order-free decimal partial aggregates
+    # (HashAggregate), the τ cover bound via a |queries|×|shards| window
+    "nsw_prune_decisions": ["Generate", "HashAggregate", "Window"],
 }
 
 
