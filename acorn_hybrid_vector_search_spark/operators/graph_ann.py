@@ -582,6 +582,7 @@ def _nsw_nodes(
     id_col: str,
     part_offset: int,
     payload_cols: Sequence[str] = (),
+    part_col: str | None = None,
 ) -> DataFrame:
     """``payload_cols`` (r8): metadata columns stored alongside each
     node — what makes PREDICATE-FILTERED search over the persisted
@@ -592,19 +593,64 @@ def _nsw_nodes(
     ``gamma`` column so maintenance ops can default to the store's own
     densification — ``nsw_append(gamma=None)`` / ``nsw_compact(
     gamma=None)`` read it back instead of silently rebuilding a γ=4
-    store at γ=1 (legacy stores without the column read as γ=1)."""
+    store at γ=1 (legacy stores without the column read as γ=1).
+
+    ``part_col`` (r9): build one graph per VALUE of this column
+    (groupBy + applyInPandas) instead of one per arrival partition —
+    shard ids become ``part_offset + value``. This is what
+    ``nsw_write_clustered`` needs for CLUSTER-PURE shards: a hash
+    ``repartition(n, cluster_id)`` merges arbitrary distant clusters
+    into one task (measured: 64 blobs → 5 shards at n_shards=8, ball
+    radii spanning the merged blobs, kept-fraction ≈ 1.0 — pruning
+    dead on arrival), while grouping BY the cluster value keeps every
+    shard's ball tight."""
     if gamma < 1:
         raise ValueError(f"gamma must be >= 1, got {gamma}")
-    payload_cols = [c for c in payload_cols if c not in (id_col, vec_col)]
-    tagged = df.select(id_col, vec_col, *payload_cols).withColumn(
-        "part_id", F.spark_partition_id() + F.lit(int(part_offset))
-    )
+    payload_cols = [
+        c for c in payload_cols if c not in (id_col, vec_col, part_col)
+    ]
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     extra_schema = "".join(f", {c} {types[c]}" for c in payload_cols)
     out_schema = (
         f"part_id int, seq long, {id_col} long, "
         f"vector array<double>, neighbors array<long>, "
         f"gamma int{extra_schema}"
+    )
+
+    def build_frame(pdf: pd.DataFrame, part_ids) -> pd.DataFrame:
+        x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        g = NswGraph(x, m=m, ef_construction=ef_construction, gamma=gamma)
+        out = {
+            "part_id": part_ids,
+            "seq": np.arange(g.n, dtype=np.int64),
+            id_col: pdf[id_col].to_numpy(dtype=np.int64),
+            "vector": [list(map(float, row)) for row in g.x],
+            "neighbors": [list(map(int, nb)) for nb in g.neighbors],
+            "gamma": np.full(g.n, gamma, dtype=np.int32),
+        }
+        for c in payload_cols:
+            out[c] = pdf[c]
+        return pd.DataFrame(out)
+
+    if part_col is not None:
+        grouped = df.select(
+            id_col, vec_col, *payload_cols,
+            F.col(part_col).cast("int").alias("_pc"),
+        )
+
+        def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            # id-sorted so the shard graph is a pure function of
+            # (members, knobs) — the nsw_compact determinism contract
+            pdf = pdf.sort_values(id_col, ignore_index=True)
+            pid = int(pdf["_pc"].iloc[0]) + int(part_offset)
+            return build_frame(
+                pdf, np.full(len(pdf), pid, dtype=np.int32)
+            )
+
+        return grouped.groupBy("_pc").applyInPandas(build_group, out_schema)
+
+    tagged = df.select(id_col, vec_col, *payload_cols).withColumn(
+        "part_id", F.spark_partition_id() + F.lit(int(part_offset))
     )
 
     def build(batches):
@@ -614,19 +660,7 @@ def _nsw_nodes(
         pdf = pd.concat(frames, ignore_index=True)
         if not len(pdf):
             return
-        x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-        g = NswGraph(x, m=m, ef_construction=ef_construction, gamma=gamma)
-        out = {
-            "part_id": pdf["part_id"].astype("int32"),
-            "seq": np.arange(g.n, dtype=np.int64),
-            id_col: pdf[id_col].to_numpy(dtype=np.int64),
-            "vector": [list(map(float, row)) for row in g.x],
-            "neighbors": [list(map(int, nb)) for nb in g.neighbors],
-            "gamma": np.full(g.n, gamma, dtype=np.int32),
-        }
-        for c in payload_cols:
-            out[c] = pdf[c]
-        yield pd.DataFrame(out)
+        yield build_frame(pdf, pdf["part_id"].astype("int32"))
 
     return tagged.mapInPandas(build, out_schema)
 
@@ -1044,6 +1078,41 @@ def _stats_path(path: str) -> str:
     return path.rstrip("/") + "/_shard_stats"
 
 
+# (appId, stats_path, dir mtime_ns) → (parts, cents, radii, counts); the
+# sidecar is S rows of driver-side constants and every pruned query needs
+# it — without the memo each serve call pays one collect job (measured
+# ~0.2-0.3 s on the ladder, comparable to the whole pruned search).
+# mtime-keyed: nsw_stats_write rewrites the sidecar directory, so a
+# refresh changes the key and stale entries die with the app id.
+_STATS_MEMO: dict[tuple, tuple] = {}
+
+
+def _load_stats(spark, spath: str):
+    import os
+
+    key = None
+    if "://" not in spath:
+        key = (
+            spark.sparkContext.applicationId,
+            spath,
+            os.stat(spath).st_mtime_ns,
+        )
+        hit = _STATS_MEMO.get(key)
+        if hit is not None:
+            return hit
+    srows = spark.read.parquet(spath).collect()
+    out = (
+        np.asarray([int(r["part_id"]) for r in srows], dtype=np.int64),
+        np.asarray([list(r["centroid"]) for r in srows], np.float64),
+        np.asarray([float(r["radius"]) for r in srows], np.float64),
+        np.asarray([int(r["n"]) for r in srows], dtype=np.int64),
+    )
+    if key is not None:
+        _STATS_MEMO.clear()  # one store's stats at a time is plenty
+        _STATS_MEMO[key] = out
+    return out
+
+
 def nsw_stats_write(spark, path: str) -> int:
     """Compute and persist per-shard ball stats — ``(part_id, centroid,
     radius, n)``, radius = max member L2 distance to the shard mean —
@@ -1126,16 +1195,19 @@ def nsw_write_clustered(
     n_iter: int = 10,
     seed: int = 42,
 ) -> None:
-    """Build the store with CLUSTER-partitioned shards — the layout
-    that makes ball-bound pruning bite. ``nsw_write`` shards by
-    arrival order (hash-ish locality), so every shard's ball covers
-    most of the space and nothing prunes; here a bounded-sample
-    k-means (the ivf_build trainer, ann.py:55) assigns each vector to
-    its nearest of ``n_shards`` centroids and shards follow clusters,
-    so shard balls are tight and distant ones are provably skippable.
-    Writes the ``_shard_stats`` sidecar as the final step. Same store
-    layout as ``nsw_write`` otherwise — every reader/maintenance op
-    works unchanged."""
+    """Build the store with CLUSTER-PURE shards — the layout that
+    makes ball-bound pruning bite. ``nsw_write`` shards by arrival
+    order (hash-ish locality), so every shard's ball covers most of
+    the space and nothing prunes; here a bounded-sample k-means (the
+    ivf_build trainer, ann.py:55) assigns each vector to its nearest
+    of ``n_shards`` centroids and each CLUSTER becomes its own shard
+    (one graph per cluster_id group — a hash repartition would merge
+    arbitrary distant clusters into one shard and fatten its ball;
+    see ``_nsw_nodes(part_col=...)``), so shard balls are tight and
+    distant ones are provably skippable. Writes the ``_shard_stats``
+    sidecar as the final step. Same store layout as ``nsw_write``
+    otherwise — every reader/maintenance op works unchanged."""
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
     from acorn_hybrid_vector_search_spark.operators.ann import (
         _kmeans,
         assign_clusters,
@@ -1149,15 +1221,13 @@ def nsw_write_clustered(
     )
     sample = np.asarray([r[0] for r in sample_df.collect()], dtype=np.float64)
     centroids = _kmeans(sample, n_shards, n_iter, seed)
-    parted = (
-        assign_clusters(df, centroids, vec_col=vec_col)
-        .repartition(n_shards, F.col("cluster_id"))
-        .drop("cluster_id")
-    )
-    nsw_write(
-        parted, path, m=m, ef_construction=ef_construction, gamma=gamma,
-        vec_col=vec_col, id_col=id_col, payload_cols=payload_cols,
-    )
+    assigned = assign_clusters(df, centroids, vec_col=vec_col)
+    invalidate()
+    _nsw_nodes(
+        assigned, m=m, ef_construction=ef_construction, gamma=gamma,
+        vec_col=vec_col, id_col=id_col, part_offset=0,
+        payload_cols=payload_cols, part_col="cluster_id",
+    ).write.mode("overwrite").partitionBy("part_id").parquet(path)
     nsw_stats_write(df.sparkSession, path)
 
 
@@ -1293,14 +1363,20 @@ def nsw_read_topk(
                 f"prune=True but no _shard_stats sidecar at {path} — "
                 f"build with nsw_write_clustered or run nsw_stats_write"
             )
-        srows = spark.read.parquet(spath).collect()
-        stat_parts = np.asarray(
-            [int(r["part_id"]) for r in srows], dtype=np.int64
-        )
-        store_parts = {
-            int(r["part_id"])
-            for r in stored.select("part_id").distinct().collect()
-        }
+        stat_parts, cents, radii, counts = _load_stats(spark, spath)
+        # shard set from the partition directory listing when local —
+        # free vs a distinct() job on every pruned query
+        if "://" not in path:
+            store_parts = {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(path)
+                if d.startswith("part_id=")
+            }
+        else:
+            store_parts = {
+                int(r["part_id"])
+                for r in stored.select("part_id").distinct().collect()
+            }
         if set(stat_parts.tolist()) != store_parts:
             raise ValueError(
                 f"stale _shard_stats at {path}: stats cover "
@@ -1308,9 +1384,6 @@ def nsw_read_topk(
                 f"{len(store_parts)} — run nsw_stats_write after "
                 f"append/compact changed the shard set"
             )
-        cents = np.asarray([list(r["centroid"]) for r in srows], np.float64)
-        radii = np.asarray([float(r["radius"]) for r in srows], np.float64)
-        counts = np.asarray([int(r["n"]) for r in srows], dtype=np.int64)
         kept = _prune_plan(stat_parts, cents, radii, counts, qmat, k)
         allowed = {}
         for qi, parts in enumerate(kept):

@@ -201,6 +201,7 @@ def main() -> None:
     _hybrid_batch_section()
     _nsw_hybrid_batch_section()
     _acorn_gamma_section()
+    _nsw_prune_section()
     _regression_triage_section()
 
 
@@ -726,6 +727,62 @@ def _acorn_gamma_section() -> None:
         "both strategies answer the exact pre-filter oracle at full "
         "beam (acorn_gamma_topk, hash-verified; never-scored passing "
         "nodes are scored directly at full beam).\n"
+    )
+
+
+def _nsw_prune_section() -> None:
+    """Ball-bound shard pruning ladder (r9), regenerated from
+    BENCH_LADDER.json's nsw_prune block (tools/bench_nsw_prune.py)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        lad = json.load(open(os.path.join(root, "BENCH_LADDER.json")))
+    except OSError:
+        return
+    sec = lad.get("nsw_prune")
+    if not sec:
+        return
+    print("\n## Ball-bound shard pruning over the clustered store (measured)\n")
+    print(
+        f"The SPANN shape (Chen et al., NeurIPS'21) on the NSW store: "
+        f"{sec['n_vectors']:,} vectors in {sec['n_blobs']} Gaussian "
+        f"blobs (dim {sec['dim']}), nsw_write_clustered stores + "
+        f"_shard_stats sidecars, a {sec['n_queries']}-query batch at "
+        f"serving beam ef={sec['ef']}, k={sec['k']}. Per shard count: "
+        f"the kept-shard/rows-walked fractions from the actual "
+        f"_prune_plan, and wall time unpruned vs pruned (full-beam "
+        f"pruned ≡ unpruned ≡ brute force asserted in-run):\n"
+    )
+    print(
+        "| shards | kept shards | rows walked | unpruned q16 | "
+        "pruned q16 | speedup |"
+    )
+    print("|---|---|---|---|---|---|")
+    for r in sec["shard_counts"]:
+        print(
+            f"| {r['n_shards']} | {r['kept_shard_fraction']:.1%} | "
+            f"{r['rows_walked_fraction']:.1%} | {r['unpruned_q16_s']}s | "
+            f"{r['pruned_q16_s']}s | {r['speedup']}x |"
+        )
+    print(
+        "\nReading: UNPRUNED cost grows with shard count (every shard "
+        "answers a k-candidate walk for every query — the fan-out cost "
+        "nsw_append's docstring discloses), while PRUNED cost stays "
+        "nearly flat: at 256+ shards the ball bounds keep ~1.6% of "
+        "rows, and wall time improves 1.4-1.6× on this box. The "
+        "local[32] numbers understate the at-scale win — a 16-query "
+        "batch here sits on a ~0.6 s job floor that dominates either "
+        "way; at 100 TB the rows-walked column IS the bytes-read "
+        "column, and 1.6% of the store read instead of 100% is the "
+        "claim that matters. Honest boundary: pruning needs shards ≈ "
+        "natural clusters — at 16 shards over 64 blobs each ball "
+        "spans 4 blobs and nothing prunes (kept ≈ 100%, the measured "
+        "row); nsw_write on arrival order is the same degenerate case, "
+        "which is why the registry's nsw_pruned_topk documents the "
+        "isotropic-corpus caveat and derives a clustered one. Guards "
+        "keep the bound sound: predicates/blocked sets, tombstones, "
+        "and stale stats all refuse to prune (test_prune_guards).\n"
     )
 
 
