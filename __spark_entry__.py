@@ -4199,6 +4199,74 @@ def _q_nsw_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NSW_STREAM_UPS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q_stream_nsw_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector UPSERT (streaming/indexing.py stream_nsw_upsert
+    — the foreachBatch twin of nsw_upsert and the CDC arrival mode for
+    the graph store): the store is seeded with ALL embeddings, then
+    two micro-batches of replacements arrive (vec_id % 6 == 1 rows
+    negated, % 6 == 4 rows mapped x → 0.5−x; disjoint id classes, so
+    batch order cannot matter), each batch tombstoning its ids at the
+    batch-deterministic ceiling and landing as its own keyed shards.
+    The full-beam search (query = the OLD vector of updated id 13)
+    answers the brute-force oracle over the CASE-rebuilt post-upsert
+    corpus — a surviving old copy or dead new copy hash-mismatches.
+    Stream ≡ batch ≡ the nsw_upsert_topk contract, extended to
+    arrival."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write,
+    )
+    from acorn_hybrid_vector_search_spark.streaming.indexing import (
+        stream_nsw_upsert,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _NSW_STREAM_UPS_CACHE if k[0] != key[0]]:
+        del _NSW_STREAM_UPS_CACHE[stale]
+    path = _NSW_STREAM_UPS_CACHE.get(key)
+    if path is None:
+        root = tempfile.mkdtemp(prefix="acorn_nsw_sups_")
+        path = root + "/graph"
+        # float32 at rest; the two update files must agree on DOUBLE
+        # elements (the 0.5−x class promotes, the −x class would not)
+        emb = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        nsw_write(emb, path)
+        neg = emb.filter(F.col("vec_id") % 6 == 1).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+        flip = emb.filter(F.col("vec_id") % 6 == 4).select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.lit(0.5) - x
+            ).alias("embedding"),
+        )
+        src = root + "/src"
+        neg.coalesce(1).write.mode("overwrite").parquet(src)
+        flip.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(neg.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sq = stream_nsw_upsert(
+            stream, path, root + "/ckpt", target_shards=4
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        _NSW_STREAM_UPS_CACHE[key] = path
+    q = _query_vec(spark, sf_dir, vec_id=13)  # 13 % 6 = 1 → its OLD spot
+    res = nsw_read_topk(spark, path, [(13, list(q))], k=10, ef=1_000_000)
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
 def _q_nsw_prune_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pruning DECISION arithmetic as a relation, fully replayed in
     SQL (the cap_stats/cms_heavy_tokens disclosure pattern): over the
@@ -4329,12 +4397,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sessionize (family retention documented at the r8 rotation block).
     Round 9 rotated the store-lifecycle flagships in —
     nsw_delete_topk / nsw_upsert_topk (the hnswlib mark_deleted /
-    replace_deleted analogs over the persisted store) and
+    replace_deleted analogs over the persisted store),
     nsw_pruned_topk / nsw_prune_decisions (SPANN-shaped ball-bound
-    shard pruning plus its fully-SQL-replayed decision arithmetic) —
-    displacing bpe_state_persisted, acorn_batch_topk,
-    winnow_capped_pairs and simhash_cap_stats (family retention
-    documented at the r9 rotation block).
+    shard pruning plus its fully-SQL-replayed decision arithmetic),
+    and stream_nsw_upsert (the CDC arrival mode, subsuming the append
+    twin's machinery) — displacing bpe_state_persisted,
+    acorn_batch_topk, winnow_capped_pairs, simhash_cap_stats and
+    stream_nsw_append (family retention documented at the r9
+    rotation block).
     Displaced and new 51+ queries remain oracle-checked by
     tools/selfcheck.py and pytest, and every round commits the
     full-battery artifact SELFCHECK.json so the 51+ surface has durable
@@ -4515,7 +4585,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   stream_audio_decode / stream_nsw_append). ====
         "hybrid_batch_topk": _q_hybrid_batch_topk,
         "nsw_upsert_topk": _q_nsw_upsert_topk,  # r9 swap (see block above)
-        "stream_nsw_append": _q_stream_nsw_append,
+        # r9 swap: the streaming-UPSERT twin subsumes the append twin —
+        # the upsert writer runs the identical batch-keyed shard + mid-
+        # stream compaction machinery PLUS the tombstone ceiling; the
+        # append form stays oracle-gated at 51+
+        "stream_nsw_upsert": _q_stream_nsw_upsert,
         "pq_state_persisted": _q_pq_state_persisted,
         # ==== round-6c micro-rotation: the late-round flagships — all
         # SAME-FAMILY swaps, so every family keeps its window row:
@@ -4567,6 +4641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acorn_batch_topk": _q_acorn_batch_topk,
         "winnow_capped_pairs": _q_winnow_capped_pairs,
         "simhash_cap_stats": _q_simhash_cap_stats,
+        "stream_nsw_append": _q_stream_nsw_append,
         "decontaminate_docs_bloom": _q_decontaminate_docs_bloom,
         "simhash_near_dups": _q_simhash_near_dups,
         "approx_distinct_users": _q_approx_distinct_users,
@@ -6467,6 +6542,27 @@ def oracle_sql() -> dict[str, str]:
                                       x -> CAST(0.5 AS DOUBLE)) AS embedding
             ),
             {_QV.format(vid=6)}
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM u e, q
+            ORDER BY {_D2}, e.vec_id LIMIT 10
+        """,
+        # r9 streaming upsert: two disjoint replacement classes (order-
+        # independent) rebuilt by the CASE — stream ≡ batch ≡ the
+        # nsw_upsert_topk contract (query = OLD vec 13)
+        "stream_nsw_upsert": f"""
+            WITH u AS (
+                SELECT vec_id,
+                       CASE WHEN vec_id % 6 = 1
+                            THEN list_transform(embedding,
+                                                x -> -CAST(x AS DOUBLE))
+                            WHEN vec_id % 6 = 4
+                            THEN list_transform(embedding,
+                                                x -> CAST(0.5 AS DOUBLE)
+                                                     - CAST(x AS DOUBLE))
+                            ELSE embedding END AS embedding
+                FROM embeddings
+            ),
+            {_QV.format(vid=13)}
             SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
             FROM u e, q
             ORDER BY {_D2}, e.vec_id LIMIT 10

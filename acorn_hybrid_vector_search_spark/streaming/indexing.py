@@ -78,10 +78,23 @@ def nsw_stream_batch_writer(
     target_shards: int | None = None,
     compact_factor: float = 2.0,
     parts_cap: int = _NSW_PARTS_CAP,
+    upsert: bool = False,
 ):
-    """The foreachBatch body of ``stream_nsw_append`` as a standalone
-    callable (exposed so tests can drive it with an explicit batch_id
-    and pin replay idempotency).
+    """The foreachBatch body of ``stream_nsw_append`` /
+    ``stream_nsw_upsert`` as a standalone callable (exposed so tests
+    can drive it with an explicit batch_id and pin replay idempotency).
+
+    ``upsert=True`` (r9) additionally tombstones every incoming id at
+    ``part_ceiling = offset − 1`` BEFORE writing the batch's shards —
+    the streaming twin of ``nsw_upsert``: old copies (all of which
+    live in shards below this batch's range) die, the batch's own
+    copies stay live. The ceiling is a pure function of the batch id,
+    so a replay appends byte-identical tombstone rows (duplicates are
+    harmless — readers take max ceiling per id) and remains
+    idempotent. Replay window, disclosed: between the tombstone append
+    and the shard write a crash leaves the id absent until the replay
+    completes — the replace is not atomic per item (foreachBatch
+    offers batch-level, not row-level, transactionality).
 
     Per micro-batch, in order:
 
@@ -118,10 +131,13 @@ def nsw_stream_batch_writer(
     minutely triggers); re-key the store (one nsw_compact, then a fresh
     checkpoint) to reset.
     """
+    from pyspark.sql import functions as F
+
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
     from acorn_hybrid_vector_search_spark.operators.graph_ann import (
         _nsw_nodes,
         _store_gamma,
+        _tombstones_path,
         nsw_compact,
     )
 
@@ -182,6 +198,21 @@ def nsw_stream_batch_writer(
                     spark, path, n_shards=t, m=m,
                     ef_construction=ef_construction, id_col=id_col,
                 )
+        if upsert and os.path.exists(path):
+            # streaming replace: kill every pre-batch copy of the
+            # incoming ids. Deterministic ceiling (offset-1) ⇒ a replay
+            # appends byte-identical rows; old copies all sit below this
+            # batch's range, the batch's own shards sit at ≥ offset
+            (
+                batch_df.select(F.col(id_col).cast("long").alias(id_col))
+                .distinct()
+                .withColumn(
+                    "part_ceiling", F.lit(int(offset) - 1).cast("int")
+                )
+                .write.mode("append")
+                .parquet(_tombstones_path(path))
+            )
+            invalidate()
         nodes = _nsw_nodes(
             batch_df.coalesce(parts_cap),
             m=m,
@@ -202,6 +233,47 @@ def nsw_stream_batch_writer(
         invalidate()
 
     return write_batch
+
+
+def stream_nsw_upsert(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    m: int = 8,
+    ef_construction: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_shards: int | None = None,
+    compact_factor: float = 2.0,
+):
+    """Streaming vector UPSERT (r9) — the foreachBatch twin of
+    ``nsw_upsert`` and the CDC arrival mode for the graph store: each
+    micro-batch of (id, vector) rows REPLACES the stored copies of its
+    ids (tombstone at a batch-deterministic ceiling) and lands as
+    batch-keyed shards, replay-idempotent like ``stream_nsw_append``;
+    the shard-count compaction policy also RECLAIMS accumulated
+    old-copy tombstones whenever it fires, so a long-running upsert
+    stream self-cleans. Semantics and the replay argument live in
+    ``nsw_stream_batch_writer(upsert=True)``. Returns the
+    StreamingQuery."""
+    return (
+        stream.writeStream.foreachBatch(
+            nsw_stream_batch_writer(
+                path,
+                m=m,
+                ef_construction=ef_construction,
+                vec_col=vec_col,
+                id_col=id_col,
+                target_shards=target_shards,
+                compact_factor=compact_factor,
+                upsert=True,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
 
 
 def stream_nsw_append(

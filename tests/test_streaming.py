@@ -632,3 +632,133 @@ def test_stream_nsw_append_rejects_remote_path(spark):
     write_batch = nsw_stream_batch_writer("s3a://bucket/graph", target_shards=2)
     with pytest.raises(ValueError, match="local"):
         write_batch(_mk_vec_rows(spark, 0, 4), 0)
+
+
+def test_stream_nsw_upsert_replaces_and_is_replay_idempotent(spark, tmp_path):
+    """r9 streaming upsert: (a) a micro-batch REPLACES stored copies of
+    its ids (search returns the new vector, the old copy is dead);
+    (b) replaying the same batch id — even partitioned differently —
+    leaves exactly one live copy per id."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write,
+    )
+    from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+    from acorn_hybrid_vector_search_spark.streaming.indexing import (
+        nsw_stream_batch_writer,
+    )
+
+    path = str(tmp_path / "graph")
+    base = _mk_vec_rows(spark, 0, 60)
+    nsw_write(base, path)
+    write_batch = nsw_stream_batch_writer(
+        path, target_shards=2, compact_factor=100.0, parts_cap=64,
+        upsert=True,
+    )
+    # batch 0 replaces ids 10..19 with far-away vectors + inserts 900
+    moved = spark.createDataFrame(
+        [(i, [3.0 + 0.01 * i] * 8) for i in range(10, 20)] + [(900, [2.5] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    write_batch(moved.repartition(4), 0)
+    write_batch(moved.repartition(2), 0)  # replay, different partitioning
+    updated = base.filter("vec_id < 10 OR vec_id >= 20").unionByName(moved)
+    q = [3.051] * 8
+    got = nsw_read_topk(spark, path, [(0, q)], 5, ef=10**6).collect()
+    want = knn_exact(updated, q, 5).select("vec_id").collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    # old copies dead: querying an old vector of a replaced id never
+    # returns that id at distance 0
+    old15 = base.filter("vec_id = 15").head()["embedding"]
+    top = nsw_read_topk(spark, path, [(0, list(old15))], 1, ef=10**6).head()
+    assert not (top["vec_id"] == 15 and top["dist"] < 1e-9)
+
+
+def test_stream_nsw_upsert_compaction_reclaims_midstream(spark, tmp_path):
+    """The shard-count policy fires during an upsert stream and RECLAIMS
+    accumulated old-copy tombstones: after compaction the store holds
+    exactly one physical copy per live id and answers the updated
+    corpus exactly."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write,
+    )
+    from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+    from acorn_hybrid_vector_search_spark.streaming.indexing import (
+        nsw_stream_batch_writer,
+    )
+
+    path = str(tmp_path / "graph")
+    nsw_write(_mk_vec_rows(spark, 0, 40).repartition(4), path)
+    write_batch = nsw_stream_batch_writer(
+        path, target_shards=2, compact_factor=2.0, parts_cap=64, upsert=True,
+    )
+    b0 = spark.createDataFrame(
+        [(i, [2.0 + 0.01 * i] * 8) for i in range(0, 8)],
+        "vec_id long, embedding array<double>",
+    )
+    b1 = spark.createDataFrame(
+        [(i, [4.0 + 0.01 * i] * 8) for i in range(4, 12)],
+        "vec_id long, embedding array<double>",
+    )
+    write_batch(b0.repartition(8), 0)
+    # batch 1 start: 4 + 8 = 12 shards > 2x2 -> compacts (reclaiming
+    # b0's tombstoned originals), then b1 re-replaces ids 4..7
+    write_batch(b1.repartition(8), 1)
+    updated = (
+        _mk_vec_rows(spark, 0, 40).filter("vec_id >= 12")
+        .unionByName(b0.filter("vec_id < 4"))
+        .unionByName(b1)
+    )
+    ids = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(path).select("vec_id").collect()
+    )
+    # physical copies: compacted base (reclaimed) + b1 shards; ids 4..7
+    # appear twice physically (b0 copy compacted-live + b1 copy) until
+    # the NEXT compaction, but only the b1 copy is LIVE via tombstones
+    q = [4.051] * 8
+    got = nsw_read_topk(spark, path, [(0, q)], 6, ef=10**6).collect()
+    want = knn_exact(updated, q, 6).select("vec_id").collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+
+
+def test_stream_nsw_upsert_end_to_end_streaming_query(spark, tmp_path):
+    """The actual writeStream path for upserts: two disjoint update
+    files drain via stream_nsw_upsert and the store answers the
+    updated corpus exactly."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write,
+    )
+    from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+    from acorn_hybrid_vector_search_spark.streaming.indexing import (
+        stream_nsw_upsert,
+    )
+
+    base = _mk_vec_rows(spark, 0, 60)
+    path = str(tmp_path / "graph")
+    nsw_write(base, path)
+    upd = spark.createDataFrame(
+        [(i, [5.0 + 0.01 * i] * 8) for i in range(0, 6)]
+        + [(i, [7.0 + 0.01 * i] * 8) for i in range(30, 36)],
+        "vec_id long, embedding array<double>",
+    )
+    src = str(tmp_path / "src")
+    upd.filter("vec_id < 6").coalesce(1).write.mode("overwrite").parquet(src)
+    upd.filter("vec_id >= 30").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(upd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_nsw_upsert(stream, path, str(tmp_path / "ckpt"), target_shards=4)
+    q.processAllAvailable()
+    q.stop()
+    updated = base.filter(
+        "(vec_id >= 6 AND vec_id < 30) OR vec_id >= 36"
+    ).unionByName(upd)
+    for probe in ([5.031] * 8, [7.331] * 8):
+        got = nsw_read_topk(spark, path, [(0, probe)], 4, ef=10**6).collect()
+        want = knn_exact(updated, probe, 4).select("vec_id").collect()
+        assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]

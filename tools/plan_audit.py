@@ -162,6 +162,12 @@ AUDIT: dict[str, list[str]] = {
     # (Generate) to per-dim terms, order-free decimal partial aggregates
     # (HashAggregate), the τ cover bound via a |queries|×|shards| window
     "nsw_prune_decisions": ["Generate", "HashAggregate", "Window"],
+    # round 9: streaming upsert reads back through the same tombstone-
+    # join store plan as the batch lifecycle queries
+    "stream_nsw_upsert": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit",
+        "BroadcastHashJoin", "_deleted",
+    ],
 }
 
 
