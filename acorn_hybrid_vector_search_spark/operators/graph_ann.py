@@ -565,6 +565,7 @@ def nsw_write(
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
 
     invalidate()
+    _clear_sidecars(path)
     _nsw_nodes(
         df, m=m, ef_construction=ef_construction, gamma=gamma,
         vec_col=vec_col, id_col=id_col, part_offset=0,
@@ -688,16 +689,66 @@ def _tombstones_path(path: str) -> str:
     return path.rstrip("/") + "/_tombstones"
 
 
+def _clear_sidecars(path: str) -> None:
+    """A store REBUILD must not inherit the old store's sidecars: under
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` the overwrite
+    replaces only ``part_id=`` directories, leaving ``_tombstones``
+    behind — whose ceilings cover the rebuilt store's 0-based shard
+    ids, silently deleting arbitrary rebuilt rows — and a stale
+    ``_shard_stats`` (review r9). Local-path op; rebuilding a
+    tombstoned REMOTE store should route through a fresh prefix."""
+    import shutil
+
+    if "://" in path:
+        return
+    for side in (_tombstones_path(path), _stats_path(path)):
+        shutil.rmtree(side, ignore_errors=True)
+
+
+def _swap_dir(live: str, tmp: str) -> None:
+    """Swap a fully-written ``tmp`` directory into ``live``'s place with
+    no loss window (the r7 compact crash discipline, extracted in r9 so
+    store and sidecar rewrites share ONE copy of it): move the live dir
+    aside, move tmp in, delete the old copy only after the new one is
+    in place; on any failure restore the live dir first and never
+    strand tmp. Local paths only — callers fail fast on '://'."""
+    import os
+    import shutil
+
+    old = live.rstrip("/") + "__old"
+    try:
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(live, old)
+        os.rename(tmp, live)
+    except BaseException:
+        if not os.path.exists(live) and os.path.exists(old):
+            os.rename(old, live)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(old)
+
+
 def _read_tombstones(spark, path: str, id_col: str) -> "DataFrame | None":
     import os
+
+    from pyspark.errors import AnalysisException
 
     tpath = _tombstones_path(path)
     if "://" not in tpath and not os.path.exists(tpath):
         return None
     try:
         return spark.read.parquet(tpath)
-    except Exception:
-        return None  # remote path with no sidecar yet
+    except AnalysisException as e:
+        # ONLY the two legitimate no-sidecar shapes may read as "no
+        # deletions": the remote path not existing, and a sidecar dir
+        # emptied of files. Anything else (corrupt footer, permission,
+        # transient I/O) must propagate — swallowing it would silently
+        # resurrect deleted vectors (review r9)
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
 
 
 def _ids_frame(spark, ids, id_col: str) -> DataFrame:
@@ -771,12 +822,15 @@ def nsw_delete(
     ceiling = stored.agg(F.max("part_id")).head()[0]
     if strict:
         miss = ids_df.join(stored.select(id_col), id_col, "left_anti")
-        n_miss = miss.count()
-        if n_miss:
-            sample = sorted(r[0] for r in miss.limit(5).collect())
+        # one job answers both existence and the sample (review r9:
+        # count + limit-collect re-ran the anti-join twice)
+        sample_rows = miss.take(6)
+        if sample_rows:
+            sample = sorted(r[0] for r in sample_rows[:5])
+            more = " (and more)" if len(sample_rows) > 5 else ""
             raise ValueError(
-                f"nsw_delete: {n_miss} id(s) not present in the store at "
-                f"{path} (first few: {sample}) — hnswlib mark_deleted "
+                f"nsw_delete: id(s) not present in the store at {path} "
+                f"(first few: {sample}{more}) — hnswlib mark_deleted "
                 f"parity; pass strict=False to tombstone regardless"
             )
     (
@@ -797,7 +851,6 @@ def nsw_undelete(spark, path: str, ids, *, id_col: str = "vec_id") -> int:
     the same undefined territory as unmark after replace_deleted in
     hnswlib; compact first if the history is unknown. Local paths only
     (the sidecar rewrite swaps directories)."""
-    import os
     import shutil
 
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
@@ -825,19 +878,12 @@ def nsw_undelete(spark, path: str, ids, *, id_col: str = "vec_id") -> int:
         invalidate()
         return int(restored)
     tmp = tpath + "__tmp"
-    old = tpath + "__old"
     try:
         keep.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(tpath, old)
-        os.rename(tmp, tpath)
     except BaseException:
-        if not os.path.exists(tpath) and os.path.exists(old):
-            os.rename(old, tpath)
         shutil.rmtree(tmp, ignore_errors=True)
         raise
-    shutil.rmtree(old)
+    _swap_dir(tpath, tmp)
     invalidate()
     return int(restored)
 
@@ -865,6 +911,18 @@ def nsw_upsert(
     cost, no store rewrite; ``nsw_compact`` later folds the
     deleted-old-copy history away."""
     spark = df.sparkSession
+    # validate payload compatibility BEFORE the tombstone write: the
+    # delete must not land if the append is doomed — a failed append
+    # after the tombstones would leave the incoming ids' live copies
+    # silently invisible with no replacement written (review r9)
+    stored_cols = set(spark.read.parquet(path).columns)
+    want = {id_col, "vector", *payload_cols}
+    have = stored_cols - {"part_id", "seq", "neighbors", "gamma"}
+    if want != have:
+        raise ValueError(
+            f"payload mismatch vs store at {path}: store has "
+            f"{sorted(have)}, upsert would write {sorted(want)}"
+        )
     nsw_delete(spark, path, df.select(id_col), id_col=id_col, strict=False)
     nsw_append(
         df, path, m=m, ef_construction=ef_construction, gamma=gamma,
@@ -975,7 +1033,6 @@ def nsw_compact(
     on an object store, write a versioned prefix and flip a pointer
     (manifest) instead — the parquet layout is identical either way.
     """
-    import os
     import shutil
 
     # The swap below is os.rename-based and therefore LOCAL-ONLY; other
@@ -1037,27 +1094,19 @@ def nsw_compact(
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
 
     tmp = path.rstrip("/") + "__compact_tmp"
-    old = path.rstrip("/") + "__old"
     try:
         packed.write.mode("overwrite").partitionBy("part_id").parquet(tmp)
         n_new = spark.read.parquet(tmp).select("part_id").distinct().count()
-        # swap with no loss window (/code-review r7): move the LIVE store
-        # aside BEFORE the rename — a crash between steps leaves either the
-        # old store (at path or path__old) or the new one, never nothing;
-        # the old copy is deleted only after the new store is in place
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(path, old)
-        os.rename(tmp, path)
     except BaseException:
-        # never strand a half-written tmp store next to the live one —
-        # but if the live store was already moved aside (failure between
-        # the two renames), restore it FIRST so a store exists at `path`
-        if not os.path.exists(path) and os.path.exists(old):
-            os.rename(old, path)
+        # never strand a half-written tmp store next to the live one
         shutil.rmtree(tmp, ignore_errors=True)
         raise
-    shutil.rmtree(old)
+    # swap with no loss window (/code-review r7; shared helper r9): a
+    # crash mid-swap leaves either the old store (at path or path__old)
+    # or the new one, never nothing. The swap also drops the tombstone
+    # and stats sidecars with the old directory — REQUIRED: compacted
+    # shards renumber below every old ceiling
+    _swap_dir(path, tmp)
     invalidate()
     return n_new
 
@@ -1213,6 +1262,12 @@ def nsw_write_clustered(
         assign_clusters,
     )
 
+    if "cluster_id" in df.columns or "cluster_id" in payload_cols:
+        raise ValueError(
+            "nsw_write_clustered claims the 'cluster_id' column for its "
+            "kmeans assignment — a corpus column (or payload) of that "
+            "name would be silently overwritten / dropped; rename it"
+        )
     n = df.count()
     frac = min(1.0, sample_rows / max(n, 1))
     sample_df = (
@@ -1223,6 +1278,7 @@ def nsw_write_clustered(
     centroids = _kmeans(sample, n_shards, n_iter, seed)
     assigned = assign_clusters(df, centroids, vec_col=vec_col)
     invalidate()
+    _clear_sidecars(path)
     _nsw_nodes(
         assigned, m=m, ef_construction=ef_construction, gamma=gamma,
         vec_col=vec_col, id_col=id_col, part_offset=0,
@@ -1384,6 +1440,25 @@ def nsw_read_topk(
                 f"{len(store_parts)} — run nsw_stats_write after "
                 f"append/compact changed the shard set"
             )
+        if "://" not in path:
+            # CONTENT staleness, not just the shard-id set (review r9):
+            # a same-set rewrite (streaming replay, dynamic-mode
+            # rebuild) leaves the ids identical while the balls moved —
+            # any shard directory younger than the stats sidecar means
+            # the stats no longer describe it
+            stats_m = os.stat(spath).st_mtime_ns
+            newer = [
+                d
+                for d in os.listdir(path)
+                if d.startswith("part_id=")
+                and os.stat(os.path.join(path, d)).st_mtime_ns > stats_m
+            ]
+            if newer:
+                raise ValueError(
+                    f"stale _shard_stats at {path}: shard dir(s) "
+                    f"{sorted(newer)[:3]}… were rewritten after the "
+                    f"stats — run nsw_stats_write"
+                )
         kept = _prune_plan(stat_parts, cents, radii, counts, qmat, k)
         allowed = {}
         for qi, parts in enumerate(kept):

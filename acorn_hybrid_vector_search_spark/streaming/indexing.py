@@ -235,6 +235,22 @@ def nsw_stream_batch_writer(
     return write_batch
 
 
+def _start_nsw_stream(
+    stream: DataFrame, path: str, checkpoint: str, *, upsert: bool, **kw
+):
+    """Shared writeStream assembly for the append/upsert twins — one
+    place for the sink options (review r9: the two wrappers were
+    verbatim copies differing in one flag)."""
+    return (
+        stream.writeStream.foreachBatch(
+            nsw_stream_batch_writer(path, upsert=upsert, **kw)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_nsw_upsert(
     stream: DataFrame,
     path: str,
@@ -257,22 +273,11 @@ def stream_nsw_upsert(
     stream self-cleans. Semantics and the replay argument live in
     ``nsw_stream_batch_writer(upsert=True)``. Returns the
     StreamingQuery."""
-    return (
-        stream.writeStream.foreachBatch(
-            nsw_stream_batch_writer(
-                path,
-                m=m,
-                ef_construction=ef_construction,
-                vec_col=vec_col,
-                id_col=id_col,
-                target_shards=target_shards,
-                compact_factor=compact_factor,
-                upsert=True,
-            )
-        )
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .start()
+    return _start_nsw_stream(
+        stream, path, checkpoint, upsert=True,
+        m=m, ef_construction=ef_construction, vec_col=vec_col,
+        id_col=id_col, target_shards=target_shards,
+        compact_factor=compact_factor,
     )
 
 
@@ -299,19 +304,9 @@ def stream_nsw_append(
     each costing a k-candidate search per query. Semantics, replay
     idempotency and the compaction ordering argument live in
     ``nsw_stream_batch_writer``. Returns the StreamingQuery."""
-    return (
-        stream.writeStream.foreachBatch(
-            nsw_stream_batch_writer(
-                path,
-                m=m,
-                ef_construction=ef_construction,
-                vec_col=vec_col,
-                id_col=id_col,
-                target_shards=target_shards,
-                compact_factor=compact_factor,
-            )
-        )
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .start()
+    return _start_nsw_stream(
+        stream, path, checkpoint, upsert=False,
+        m=m, ef_construction=ef_construction, vec_col=vec_col,
+        id_col=id_col, target_shards=target_shards,
+        compact_factor=compact_factor,
     )

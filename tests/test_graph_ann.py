@@ -1141,3 +1141,99 @@ def test_prune_decisions_relational_twin_matches_numpy(spark):
     # and the relation shows BOTH verdicts (pruning is real, not vacuous)
     vals = set(rel.values())
     assert vals == {True, False}, vals
+
+
+def test_nsw_upsert_payload_mismatch_leaves_store_intact(spark, tmp_path):
+    """r9 review: a doomed upsert must fail BEFORE its tombstones land —
+    otherwise the incoming ids' live copies go invisible with no
+    replacement written."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import nsw_upsert
+
+    rng = random.Random(5)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(DIM)], i % 2)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    path = str(tmp_path / "gp")
+    nsw_write(df, path, payload_cols=["label"])
+    bad = spark.createDataFrame(
+        [(7, [0.5] * DIM)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="payload mismatch"):
+        nsw_upsert(bad, path)  # no label column
+    import os
+
+    assert not os.path.exists(path + "/_tombstones")
+    got = nsw_read_topk(
+        spark, path, [(0, list(rows[7][1]))], 1, ef=10**6
+    ).head()
+    assert got["vec_id"] == 7  # still live
+
+
+def test_nsw_write_rebuild_clears_sidecars(spark, corpus, vectors, tmp_path):
+    """r9 review: under dynamic partitionOverwriteMode a rebuild
+    replaces only part_id dirs — stale tombstones (whose ceilings
+    cover the new 0-based shards) would silently delete rebuilt rows,
+    so the writers clear the sidecars explicitly."""
+    import os
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import nsw_delete
+
+    ids, x = vectors
+    path = _store_from(corpus, tmp_path)
+    nsw_delete(spark, path, [int(ids[0])])
+    assert os.path.exists(path + "/_tombstones")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        nsw_write(corpus, path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert not os.path.exists(path + "/_tombstones")
+    q = _queries(vectors)[0]
+    got = [
+        r["vec_id"]
+        for r in nsw_read_topk(spark, path, [q], K, ef=10**6).collect()
+    ]
+    assert got == _exact_topk(ids, x, np.asarray(q[1]), K)  # nothing dead
+
+
+def test_prune_refuses_content_stale_stats(spark, blob_corpus, tmp_path):
+    """r9 review: a same-shard-set rewrite must not serve old ball
+    stats — any shard directory younger than the sidecar refuses."""
+    import os
+    import time as _time
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write_clustered,
+    )
+
+    path = str(tmp_path / "gs")
+    nsw_write_clustered(blob_corpus, path, n_shards=4)
+    rows = blob_corpus.collect()
+    q = [(0, list(rows[0]["embedding"]))]
+    nsw_read_topk(spark, path, q, K, ef=10**6, prune=True).count()  # fine
+    part = next(
+        d for d in os.listdir(path) if d.startswith("part_id=")
+    )
+    _time.sleep(0.01)
+    os.utime(os.path.join(path, part))  # simulate a same-set rewrite
+    with pytest.raises(ValueError, match="rewritten"):
+        nsw_read_topk(spark, path, q, K, prune=True)
+
+
+def test_nsw_write_clustered_rejects_cluster_id_column(spark, blob_corpus, tmp_path):
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_write_clustered,
+    )
+
+    bad = blob_corpus.withColumn("cluster_id", F.lit(1))
+    with pytest.raises(ValueError, match="cluster_id"):
+        nsw_write_clustered(bad, str(tmp_path / "gx"), n_shards=4)
