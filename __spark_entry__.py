@@ -4198,6 +4198,48 @@ def _q_nsw_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_DELETE_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _q_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletion on the IVF store (ann.py ivf_delete — the
+    graph store's mark_deleted sidecar contract applied to the flat
+    inverted lists; r9 symmetry row): vec_id % 9 == 3 is deleted as one
+    sidecar append, ``ivf_read`` filters the dead rows at load with one
+    broadcast join, and ``ivf_search_exact`` — whose ball-bound pruning
+    stays sound because radii upper-bound a SUPERSET of the live
+    members — answers the brute-force oracle over exactly the live
+    subset."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_delete,
+        ivf_read,
+        ivf_search_exact,
+        ivf_write,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _IVF_DELETE_CACHE if k[0] != key[0]]:
+        del _IVF_DELETE_CACHE[stale]
+    live = _IVF_DELETE_CACHE.get(key)
+    if live is None:
+        path = tempfile.mkdtemp(prefix="acorn_ivf_del_") + "/ivf"
+        emb = _t(spark, sf_dir, "embeddings")
+        ivf_write(ivf_build(emb, n_clusters=8, with_radii=True), path)
+        ivf_delete(
+            spark, path,
+            emb.filter(F.col("vec_id") % 9 == 3).select("vec_id"),
+        )
+        # the loaded handle is the prepared artifact (build-once/
+        # query-many — the ann_ivf_exact_topk contract)
+        _IVF_DELETE_CACHE[key] = live = ivf_read(spark, path)
+    q = _query_vec(spark, sf_dir, vec_id=20)  # 20 % 9 = 2 → live
+    res = ivf_search_exact(live, list(q), 10)
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
 _NSW_STREAM_UPS_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -4641,6 +4683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_capped_pairs": _q_winnow_capped_pairs,
         "simhash_cap_stats": _q_simhash_cap_stats,
         "stream_nsw_append": _q_stream_nsw_append,
+        # r9: IVF tombstone symmetry (selfcheck-gated; the graph
+        # lifecycle holds the five driver rows)
+        "ivf_delete_topk": _q_ivf_delete_topk,
         "decontaminate_docs_bloom": _q_decontaminate_docs_bloom,
         "simhash_near_dups": _q_simhash_near_dups,
         "approx_distinct_users": _q_approx_distinct_users,
@@ -6522,6 +6567,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
             FROM embeddings e, q
             WHERE e.vec_id % 7 <> 2
+            ORDER BY {_D2}, e.vec_id LIMIT 10
+        """,
+        # r9 IVF tombstone symmetry: exact-pruned search over the
+        # tombstone-filtered handle answers the live-subset brute force
+        # (query vec 20; 20 % 9 = 2 lives)
+        "ivf_delete_topk": f"""
+            WITH {_QV.format(vid=20)}
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM embeddings e, q
+            WHERE e.vec_id % 9 <> 3
             ORDER BY {_D2}, e.vec_id LIMIT 10
         """,
         # r9 replace_deleted analog: the CASE rebuilds the post-upsert

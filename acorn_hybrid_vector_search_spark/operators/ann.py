@@ -180,6 +180,17 @@ def ivf_write(index: IVFIndex, path: str) -> None:
     parquet sidecar. The reference rebuilds its HNSW graph every run
     (~51 s, /root/reference/acorn.py:274-277, README.md:232); here build
     once, prune forever."""
+    # a REBUILD must not inherit a previous store's tombstones (their
+    # ceilings cover batch=-1 and would silently delete rebuilt rows —
+    # the graph writers' _clear_sidecars rule, r9)
+    if "://" not in path:
+        import shutil
+
+        from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+            _tombstones_path,
+        )
+
+        shutil.rmtree(_tombstones_path(path), ignore_errors=True)
     # base rows live under batch=-1: streaming ingest appends sibling
     # batch=<id> directories (streaming/indexing.py), so every writer owns
     # exactly one subtree and a replayed micro-batch can overwrite its own
@@ -206,19 +217,127 @@ def ivf_read(
     spark, path: str, *, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> IVFIndex:
     """Load a persisted index. The lists DataFrame carries cluster_id as a
-    PARTITION column, so `cluster_id IN (...)` prunes at file-listing time."""
+    PARTITION column, so `cluster_id IN (...)` prunes at file-listing time.
+
+    Tombstones (r9): ids deleted via ``ivf_delete`` are filtered out HERE
+    — one broadcast join at load, so every search over the returned
+    handle (nprobe, exact-pruned, predicate) honors deletions with zero
+    per-search cost. Version-aware on the ``batch`` ownership level: a
+    streaming micro-batch that re-adds a deleted id lands above the
+    tombstone's ceiling and stays live (the graph store's part_ceiling
+    contract, graph_ann.py). Radii stay sound — they upper-bound a
+    superset of the live members."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _read_tombstones,
+    )
+
     cb = spark.read.parquet(f"{path}/codebook").orderBy("cluster_id").collect()
     centroids = np.asarray([r["centroid"] for r in cb], dtype=np.float64)
     radii = None
     if cb and "radius" in cb[0].asDict() and cb[0]["radius"] is not None:
         radii = np.asarray([r["radius"] for r in cb], dtype=np.float64)
+    df = spark.read.parquet(f"{path}/lists")
+    tomb = _read_tombstones(spark, path, id_col)
+    if tomb is not None:
+        ceil = tomb.groupBy(id_col).agg(
+            F.max("batch_ceiling").alias("_tomb_ceiling")
+        )
+        df = (
+            df.join(F.broadcast(ceil), id_col, "left")
+            .filter(
+                F.col("_tomb_ceiling").isNull()
+                | (F.col("batch") > F.col("_tomb_ceiling"))
+            )
+            .drop("_tomb_ceiling")
+        )
     # `batch` is a writer-ownership detail (base load vs streaming
     # micro-batches) — drop it from the logical schema; cluster_id pruning
     # is unaffected (both are partition levels).
-    df = spark.read.parquet(f"{path}/lists").drop("batch")
+    df = df.drop("batch")
     return IVFIndex(
         df=df, centroids=centroids, vec_col=vec_col, id_col=id_col, radii=radii
     )
+
+
+def ivf_delete(
+    spark, path: str, ids, *, id_col: str = "vec_id", strict: bool = True
+) -> None:
+    """Mark ids deleted in a persisted IVF store — the same tombstone
+    sidecar contract as the graph store (graph_ann.py nsw_delete / the
+    hnswlib mark_deleted analog): O(|ids|) sidecar rows appended, no
+    list rewrite at any store size. The ceiling is the store's max
+    ``batch`` ownership id, so a later streaming micro-batch re-adding
+    the id stays live. ``ivf_read`` applies tombstones at load;
+    ``ivf_reclaim`` is the physical delete."""
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _ids_frame,
+        _tombstones_path,
+    )
+
+    ids_df = _ids_frame(spark, ids, id_col)
+    lists = spark.read.parquet(f"{path}/lists")
+    ceiling = lists.agg(F.max("batch")).head()[0]
+    if strict:
+        miss = ids_df.join(lists.select(id_col), id_col, "left_anti")
+        sample_rows = miss.take(6)
+        if sample_rows:
+            sample = sorted(r[0] for r in sample_rows[:5])
+            more = " (and more)" if len(sample_rows) > 5 else ""
+            raise ValueError(
+                f"ivf_delete: id(s) not present in the store at {path} "
+                f"(first few: {sample}{more}); pass strict=False to "
+                f"tombstone regardless"
+            )
+    (
+        ids_df.withColumn("batch_ceiling", F.lit(int(ceiling)).cast("long"))
+        .write.mode("append")
+        .parquet(_tombstones_path(path))
+    )
+    invalidate()
+
+
+def ivf_reclaim(spark, path: str, *, id_col: str = "vec_id") -> int:
+    """Physical delete for the IVF store — the nsw_compact analog, far
+    cheaper here because lists are flat rows (no graph rebuild): rewrite
+    the lists with tombstoned rows dropped, collapse streaming batch
+    history into the base subtree, and clear the sidecar (required, as
+    in nsw_compact: the collapsed rows land at batch=-1, below every
+    ceiling). Returns the live row count. Local paths only (directory
+    swap)."""
+    import shutil
+
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _swap_dir,
+        _tombstones_path,
+    )
+
+    if "://" in path:
+        raise ValueError(
+            f"ivf_reclaim swaps directories and only supports local "
+            f"paths; got {path!r}"
+        )
+    live = ivf_read(spark, path, id_col=id_col).df
+    n_live = live.count()
+    if n_live == 0:
+        raise ValueError(
+            f"ivf_reclaim would empty the store at {path}: every row is "
+            f"tombstoned — drop the store directory instead"
+        )
+    lists = f"{path}/lists"
+    tmp = lists + "__tmp"
+    try:
+        live.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            f"{tmp}/batch=-1"
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    _swap_dir(lists, tmp)
+    shutil.rmtree(_tombstones_path(path), ignore_errors=True)
+    invalidate()
+    return int(n_live)
 
 
 def ivf_search(

@@ -653,3 +653,63 @@ def test_ann_search_executes_routed_rung(spark, tmp_path):
         df, q, pred, 5, ivf_index=idx, accessors=acc
     ).collect()
     assert sorted(r["vec_id"] for r in ex2) == sorted(r["vec_id"] for r in want)
+
+
+def test_ivf_delete_read_reclaim_lifecycle(spark, emb, qvec, tmp_path):
+    """r9 IVF tombstones (the graph store's mark_deleted contract on the
+    flat lists): delete filters at load for every search, strict raises
+    on unknown ids, a streaming re-add above the ceiling revives,
+    reclaim drops rows physically and clears the sidecar, and a fresh
+    ivf_write to the same path never inherits old tombstones."""
+    import os
+
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_delete,
+        ivf_read,
+        ivf_reclaim,
+        ivf_search,
+        ivf_write,
+    )
+    from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+
+    path = str(tmp_path / "ivf")
+    idx = ivf_build(emb, n_clusters=8, seed=42, with_radii=True)
+    ivf_write(idx, path)
+    n = emb.count()
+    top2 = [r["vec_id"] for r in knn_exact(emb, qvec, 2).collect()]
+    ivf_delete(spark, path, top2)
+    with pytest.raises(ValueError, match="not present"):
+        ivf_delete(spark, path, [10**9])
+    live = ivf_read(spark, path)
+    assert live.df.count() == n - 2
+    got = [
+        r["vec_id"]
+        for r in ivf_search(live, qvec, 3, nprobe=len(idx.centroids)).collect()
+    ]
+    want = [
+        r["vec_id"]
+        for r in knn_exact(
+            emb.filter(~F.col("vec_id").isin(top2)), qvec, 3
+        ).collect()
+    ]
+    assert got == want
+    # streaming re-add above the ceiling revives the id
+    revived = emb.filter(F.col("vec_id") == top2[0])
+    from acorn_hybrid_vector_search_spark.operators.ann import assign_clusters
+
+    assign_clusters(revived, idx.centroids).write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(f"{path}/lists/batch=0")
+    live2 = ivf_read(spark, path)
+    assert live2.df.count() == n - 1
+    assert live2.df.filter(F.col("vec_id") == top2[0]).count() == 1
+    # reclaim: physical delete + sidecar cleared + history collapsed
+    assert ivf_reclaim(spark, path) == n - 1
+    assert not os.path.exists(path + "/_tombstones")
+    raw = spark.read.parquet(f"{path}/lists")
+    assert raw.count() == n - 1
+    assert ivf_read(spark, path).df.count() == n - 1
+    # rebuild to the same path never inherits tombstones
+    ivf_delete(spark, path, [int(top2[0])])
+    ivf_write(idx, path)
+    assert ivf_read(spark, path).df.count() == n

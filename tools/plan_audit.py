@@ -168,6 +168,12 @@ AUDIT: dict[str, list[str]] = {
         "FlatMapGroupsInPandas", "WindowGroupLimit",
         "BroadcastHashJoin", "_deleted",
     ],
+    # round 9: IVF tombstone symmetry — cluster partition pruning
+    # (PartitionFilters) survives the broadcast tombstone filter, exact
+    # top-k stays a TakeOrderedAndProject
+    "ivf_delete_topk": [
+        "PartitionFilters", "BroadcastHashJoin", "TakeOrderedAndProject",
+    ],
 }
 
 
