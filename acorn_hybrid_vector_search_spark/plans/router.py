@@ -190,7 +190,7 @@ NSW_GAMMA_RECALL: tuple[tuple[int, float], ...] = (
 
 @dataclass
 class AnnRoute:
-    strategy: str  # "prefilter" | "exact" | "ivf_exact" | "nsw" | "nsw_gamma" | "ivf"
+    strategy: str  # "prefilter" | "exact" | "ivf_exact" | "nsw" | "nsw_gamma" | "ivf" | "nsw_pruned"
     selectivity: float
     nprobe: int | None = None
     ef: int | None = None
@@ -250,6 +250,7 @@ class StrategyRouter:
         has_ivf_index: bool = False,
         has_nsw_index: bool = False,
         has_gamma_store: bool = False,
+        has_pruned_store: bool = False,
         small_corpus: int = 100_000,
         selective_cutoff: float = 0.05,
     ) -> AnnRoute:
@@ -284,6 +285,16 @@ class StrategyRouter:
         4. Exact demanded (or nothing meets the budget) → ``ivf_exact``
            (ball-bound pruned, provably exact, scans a data-adaptive
            fraction) when an IVF index exists, else brute force.
+        5. r9: exact demanded, NO predicate, and a CLUSTERED graph
+           store with fresh ball stats exists (``nsw_write_clustered``)
+           → ``nsw_pruned``: full-beam pruned store search — provably
+           exact via the same τ cover bound, and the measured fan-out
+           shape beats ivf_exact's two-phase scan (BENCH_LADDER
+           ``nsw_prune``: pruned cost stays flat as shard count grows,
+           1.6% of rows walked at 256+ shards). Predicates exclude the
+           rung — the bound covers the kth UNFILTERED neighbor only
+           (nsw_read_topk raises; the router never routes into a
+           guard).
         """
         sel = estimate_selectivity(self.stats, predicates)
         n = self.stats.n_rows
@@ -291,6 +302,7 @@ class StrategyRouter:
             return AnnRoute("prefilter", sel)
         if n <= small_corpus and not (
             has_ivf_index or has_nsw_index or has_gamma_store
+            or has_pruned_store
         ):
             return AnnRoute("exact", sel)
         if min_recall < 1.0:
@@ -314,6 +326,8 @@ class StrategyRouter:
                 for nprobe, r in IVF_RECALL:
                     if r >= min_recall:
                         return AnnRoute("ivf", sel, nprobe=nprobe, expected_recall=r)
+        if not predicates and has_pruned_store:
+            return AnnRoute("nsw_pruned", sel)
         if has_ivf_index:
             return AnnRoute("ivf_exact", sel)
         return AnnRoute("exact", sel)
@@ -345,6 +359,7 @@ class StrategyRouter:
         ivf_index: Any = None,
         nsw_path: str | None = None,
         gamma_path: str | None = None,
+        pruned_path: str | None = None,
         accessors: Mapping[str, AttributeAccessor] | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
@@ -372,6 +387,7 @@ class StrategyRouter:
             has_ivf_index=ivf_index is not None,
             has_nsw_index=nsw_path is not None,
             has_gamma_store=gamma_path is not None,
+            has_pruned_store=pruned_path is not None,
         )
         acc = accessors or abo_accessors()
         pred_col = (
@@ -402,6 +418,17 @@ class StrategyRouter:
             return nsw_read_topk(
                 df.sparkSession, nsw_path, [(0, list(query_vec))], k,
                 ef=route.ef, predicate=pred_col, id_col=id_col,
+            ).drop("query_id")
+        if route.strategy == "nsw_pruned":
+            from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+                nsw_read_topk,
+            )
+
+            # full beam ⇒ provably exact under the τ cover bound; the
+            # route fires only for predicate-free queries (rule 5)
+            return nsw_read_topk(
+                df.sparkSession, pruned_path, [(0, list(query_vec))], k,
+                ef=1_000_000, prune=True, id_col=id_col,
             ).drop("query_id")
         if route.strategy == "ivf":
             from acorn_hybrid_vector_search_spark.operators.ann import (

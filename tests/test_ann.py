@@ -282,6 +282,25 @@ def test_router_ann_decision_matrix():
     )
     assert a.strategy == "prefilter"
 
+    # 8. r9: exact + NO predicate + clustered store with stats →
+    #    nsw_pruned outranks ivf_exact (BENCH_LADDER nsw_prune: pruned
+    #    cost flat in shard count, 1.6% rows walked at 256+ shards)
+    a = r.route_ann(10, has_pruned_store=True, has_ivf_index=True)
+    assert a.strategy == "nsw_pruned"
+    # predicates exclude the rung (τ covers the kth UNFILTERED
+    # neighbor only — the executor-level guard is never routed into)
+    a = r.route_ann(10, predicates=pred, has_pruned_store=True,
+                    has_ivf_index=True)
+    assert a.strategy != "nsw_pruned"
+    # a recall budget still prefers the cheaper approximate rungs
+    a = r.route_ann(
+        10, min_recall=0.9, has_nsw_index=True, has_pruned_store=True,
+    )
+    assert a.strategy == "nsw"
+    # the pruned store counts as an index for the small-corpus rule
+    small = StrategyRouter(TableStats(n_rows=50_000))
+    assert small.route_ann(10, has_pruned_store=True).strategy == "nsw_pruned"
+
 
 def test_router_prefers_registered_subset(stats, emb):
     r = StrategyRouter(stats, default_large_k=50)
@@ -713,3 +732,24 @@ def test_ivf_delete_read_reclaim_lifecycle(spark, emb, qvec, tmp_path):
     ivf_delete(spark, path, [int(top2[0])])
     ivf_write(idx, path)
     assert ivf_read(spark, path).df.count() == n
+
+
+def test_ann_search_pruned_rung_dispatch(spark, emb, qvec, tmp_path):
+    """r9: ann_search executes the nsw_pruned rung — exact-demanded,
+    predicate-free query over a clustered store answers brute force."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_write_clustered,
+    )
+    from acorn_hybrid_vector_search_spark.plans.router import TableStats
+
+    path = str(tmp_path / "gc")
+    nsw_write_clustered(emb.select("vec_id", "embedding"), path, n_shards=4)
+    router = StrategyRouter(TableStats(n_rows=emb.count()))
+    assert router.route_ann(5, has_pruned_store=True).strategy == "nsw_pruned"
+    got = (
+        router.ann_search(emb, list(qvec), None, 5, pruned_path=path)
+        .orderBy("dist", "vec_id")
+        .collect()
+    )
+    want = knn_exact(emb, qvec, 5).select("vec_id").collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
