@@ -4173,8 +4173,12 @@ def _q_nsw_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         qs = [(qid, by_id[qid]) for qid in _PRUNE_QIDS]
         path = tempfile.mkdtemp(prefix="acorn_nsw_prn_") + "/graph"
+        # ONE store serves both pruning rows: label payload + exact
+        # per-shard label counts enable the r9b predicate-aware form
+        # (nsw_pruned_hybrid_topk) beside this plain-top-k row
         nsw_write_clustered(
-            corpus.select("vec_id", "embedding"), path, n_shards=8
+            corpus, path, n_shards=8,
+            payload_cols=["label"], stats_attrs=["label"],
         )
         srows = spark.read.parquet(path + "/_shard_stats").collect()
         parts = np.asarray([r["part_id"] for r in srows], dtype=np.int64)
@@ -4193,6 +4197,68 @@ def _q_nsw_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NSW_PRUNED_CACHE[key] = cached = (path, qs)
     path, qs = cached
     res = nsw_read_topk(spark, path, qs, k=10, ef=1_000_000, prune=True)
+    return res.select(
+        "query_id", "vec_id", F.round("dist", _R).alias("dist")
+    )
+
+
+def _q_nsw_pruned_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-aware shard pruning (r9b — the ACORN×SPANN
+    composition, graph_ann.py nsw_read_topk(prune_match=...)): plain
+    ball-bound pruning is UNSOUND under a predicate (τ covers the kth
+    unfiltered neighbor), but with EXACT per-shard value counts
+    (``nsw_stats_write(attrs=['label'])`` — the zone-map idea on graph
+    shards) the τ cover prefix counts PASSING members, zero-passing
+    shard directories are skipped outright, and the match rides the
+    walk as the usual Catalyst filter-functor mask. Over the derived
+    clustered corpus the matched label IS one slab, so the build
+    asserts the hybrid kept sets are strictly smaller than the plain
+    ones; at full beam the search answers the exact pre-filter oracle
+    (brute force over the shifted corpus WHERE label = 3) —
+    hash-verified. Shares the nsw_pruned_topk store (one build, both
+    pruning rows)."""
+    import numpy as np
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _attr_stats_path,
+        _load_attr_stats,
+        _prune_plan,
+        nsw_read_topk,
+    )
+
+    # build (or reuse) the shared clustered store + its query vectors
+    _q_nsw_pruned_topk(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path, qs = _NSW_PRUNED_CACHE[key]
+    srows = spark.read.parquet(path + "/_shard_stats").collect()
+    parts = np.asarray([r["part_id"] for r in srows], dtype=np.int64)
+    cents = np.asarray([list(r["centroid"]) for r in srows], np.float64)
+    radii = np.asarray([r["radius"] for r in srows], np.float64)
+    counts = np.asarray([r["n"] for r in srows], dtype=np.int64)
+    ac = _load_attr_stats(spark, _attr_stats_path(path))
+    pc = np.asarray(
+        [ac["label"].get(int(p), {}).get("3", 0) for p in parts],
+        dtype=np.int64,
+    )
+    qmat = np.asarray([v for _, v in qs], dtype=np.float64)
+    plain = _prune_plan(parts, cents, radii, counts, qmat, 10)
+    match = _prune_plan(parts, cents, radii, pc, qmat, 10, skip_empty=True)
+    # never worse than plain pruning, and the zone-map property is
+    # real: shards with zero passing members exist and are skippable
+    # (at tiny sf plain pruning already keeps a single shard per
+    # query, so strict improvement is asserted where it can exist)
+    assert sum(len(m) for m in match) <= sum(len(p) for p in plain), (
+        [len(m) for m in match], [len(p) for p in plain],
+    )
+    assert (pc == 0).any(), "expected zero-passing shards for label 3"
+    if sum(len(p) for p in plain) > len(qmat):
+        assert sum(len(m) for m in match) < sum(len(p) for p in plain), (
+            [len(m) for m in match], [len(p) for p in plain],
+        )
+    res = nsw_read_topk(
+        spark, path, qs, k=10, ef=1_000_000,
+        prune=True, prune_match=("label", 3),
+    )
     return res.select(
         "query_id", "vec_id", F.round("dist", _R).alias("dist")
     )
@@ -4642,7 +4708,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-groups; simhash to 51+), approx_distinct_users →
         # cms_heavy_tokens (sketches keeps a window row — and the CMS
         # one is the FULLY-replayed sketch; HLL/GK stay at 51+). ====
-        "decontaminate_docs_bloom_sharded": _q_decontaminate_docs_bloom_sharded,
+        # r9b swap: predicate-aware pruning (the ACORN×SPANN
+        # composition — exact per-shard value counts make the τ bound
+        # sound under an exact-match predicate) earns the driver row;
+        # decontam keeps stream_decontaminate_docs in-window (whose
+        # foreachBatch gate runs the same broadcast bloom screen +
+        # exact verify), the sharded-bloom row stays oracle-gated 51+
+        "nsw_pruned_hybrid_topk": _q_nsw_pruned_hybrid_topk,
         "nsw_pruned_topk": _q_nsw_pruned_topk,  # r9 swap (see block above)
         "cms_heavy_tokens": _q_cms_heavy_tokens,
         # -- relational core --
@@ -4683,6 +4755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_capped_pairs": _q_winnow_capped_pairs,
         "simhash_cap_stats": _q_simhash_cap_stats,
         "stream_nsw_append": _q_stream_nsw_append,
+        "decontaminate_docs_bloom_sharded": _q_decontaminate_docs_bloom_sharded,
         # r9: IVF tombstone symmetry (selfcheck-gated; the graph
         # lifecycle holds the five driver rows)
         "ivf_delete_topk": _q_ivf_delete_topk,
@@ -6632,6 +6705,21 @@ def oracle_sql() -> dict[str, str]:
             (SELECT CAST({qid} AS BIGINT) AS query_id, e.vec_id,
                     ROUND({_D2}, {_R}) AS dist
              FROM ce e, (SELECT embedding FROM ce WHERE vec_id = {qid}) q
+             ORDER BY {_D2}, e.vec_id LIMIT 10)"""
+            for qid in _PRUNE_QIDS
+        ),
+        # r9b predicate-aware pruning at full beam = the exact
+        # pre-filter oracle over the derived clustered corpus (the
+        # matched label is one slab; kept-set shrinkage asserted in-fn)
+        "nsw_pruned_hybrid_topk": "WITH ce AS (SELECT s.vec_id, s.label, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s)\n"
+        + "\nUNION ALL\n".join(
+            f"""
+            (SELECT CAST({qid} AS BIGINT) AS query_id, e.vec_id,
+                    ROUND({_D2}, {_R}) AS dist
+             FROM (SELECT * FROM ce WHERE label = 3) e,
+                  (SELECT embedding FROM ce WHERE vec_id = {qid}) q
              ORDER BY {_D2}, e.vec_id LIMIT 10)"""
             for qid in _PRUNE_QIDS
         ),

@@ -701,7 +701,11 @@ def _clear_sidecars(path: str) -> None:
 
     if "://" in path:
         return
-    for side in (_tombstones_path(path), _stats_path(path)):
+    for side in (
+        _tombstones_path(path),
+        _stats_path(path),
+        _attr_stats_path(path),
+    ):
         shutil.rmtree(side, ignore_errors=True)
 
 
@@ -1127,6 +1131,10 @@ def _stats_path(path: str) -> str:
     return path.rstrip("/") + "/_shard_stats"
 
 
+def _attr_stats_path(path: str) -> str:
+    return path.rstrip("/") + "/_shard_attr_stats"
+
+
 # (appId, stats_path, dir mtime_ns) → (parts, cents, radii, counts); the
 # sidecar is S rows of driver-side constants and every pruned query needs
 # it — without the memo each serve call pays one collect job (measured
@@ -1162,7 +1170,37 @@ def _load_stats(spark, spath: str):
     return out
 
 
-def nsw_stats_write(spark, path: str) -> int:
+_ATTR_STATS_MEMO: dict[tuple, dict] = {}
+
+
+def _load_attr_stats(spark, apath: str) -> dict:
+    """``{attr: {part_id: {value_str: n}}}`` from the attr-counts
+    sidecar, mtime-memoized like ``_load_stats`` — every pruned hybrid
+    serve needs the same S×V rows."""
+    import os
+
+    key = None
+    if "://" not in apath:
+        key = (
+            spark.sparkContext.applicationId,
+            apath,
+            os.stat(apath).st_mtime_ns,
+        )
+        hit = _ATTR_STATS_MEMO.get(key)
+        if hit is not None:
+            return hit
+    out: dict = {}
+    for r in spark.read.parquet(apath).collect():
+        out.setdefault(r["attr"], {}).setdefault(int(r["part_id"]), {})[
+            r["value"]
+        ] = int(r["n"])
+    if key is not None:
+        _ATTR_STATS_MEMO.clear()
+        _ATTR_STATS_MEMO[key] = out
+    return out
+
+
+def nsw_stats_write(spark, path: str, *, attrs: Sequence[str] = ()) -> int:
     """Compute and persist per-shard ball stats — ``(part_id, centroid,
     radius, n)``, radius = max member L2 distance to the shard mean —
     as a ``_shard_stats`` sidecar ("_"-hidden from store reads). One
@@ -1170,7 +1208,21 @@ def nsw_stats_write(spark, path: str) -> int:
     ``nsw_write``/``nsw_append``/``nsw_compact`` change the shard set
     (``nsw_write_clustered`` does it for you); ``nsw_read_topk(
     prune=True)`` refuses stale stats (shard-set mismatch) rather than
-    pruning unsoundly. Returns the number of shards covered."""
+    pruning unsoundly. Returns the number of shards covered.
+
+    ``attrs`` (r9b): payload columns to also aggregate EXACT per-shard
+    value counts for — ``(part_id, attr, value, n)`` in a
+    ``_shard_attr_stats`` sidecar, values canonicalized to strings.
+    These counts are what make pruning sound UNDER an exact-match
+    predicate (``nsw_read_topk(prune_match=...)``): the τ cover bound
+    can then count PASSING members per shard instead of all members —
+    and a shard with zero passing members is skipped outright, the
+    zone-map/partition-statistics idea applied to graph shards. One
+    partial-agg pass over (part_id, attr, value) — output is
+    shard × attr × distinct-value rows, the usual zone-map economics
+    (intended for categorical/low-cardinality attributes; exact-match
+    on canonicalized strings, so float-valued attrs are a caller
+    mistake)."""
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
 
     stored = spark.read.parquet(path)
@@ -1195,6 +1247,26 @@ def nsw_stats_write(spark, path: str) -> int:
         .applyInPandas(stats, out_schema)
     )
     sdf.write.mode("overwrite").parquet(_stats_path(path))
+    if attrs:
+        missing = [a for a in attrs if a not in stored.columns]
+        if missing:
+            raise ValueError(
+                f"attr stats requested for columns not in the store at "
+                f"{path}: {missing} — store them via "
+                f"nsw_write(payload_cols=...)"
+            )
+        counts = None
+        for a in attrs:
+            part = (
+                stored.groupBy(
+                    "part_id",
+                    F.lit(a).alias("attr"),
+                    F.col(a).cast("string").alias("value"),
+                )
+                .agg(F.count("*").alias("n"))
+            )
+            counts = part if counts is None else counts.unionByName(part)
+        counts.write.mode("overwrite").parquet(_attr_stats_path(path))
     invalidate()
     return spark.read.parquet(_stats_path(path)).count()
 
@@ -1206,6 +1278,8 @@ def _prune_plan(
     counts: np.ndarray,
     qmat: np.ndarray,
     k: int,
+    *,
+    skip_empty: bool = False,
 ) -> list[np.ndarray]:
     """Per query: the sound kept-shard set. For shard s with centroid
     c_s and radius r_s, every member's squared distance to q lies in
@@ -1213,19 +1287,32 @@ def _prune_plan(
     bound; τ = the upper bound of the first prefix holding ≥ k points
     (so the exact kth-NN distance ≤ τ); shards whose LOWER bound
     exceeds τ cannot contribute a top-k point and are dropped. Fewer
-    than k points in the whole store ⇒ keep everything."""
+    than k points in the whole store ⇒ keep everything (that still
+    counts).
+
+    ``skip_empty`` (r9b, the predicate-aware form): ``counts`` are the
+    PASSING-member counts for an exact-match predicate — the ball
+    bounds still hold for every member, so ordering by ub and covering
+    k PASSING members bounds the kth PASSING distance; shards with
+    zero passing members can never contribute and are dropped even
+    when the cover falls short of k."""
     out = []
     for qi in range(qmat.shape[0]):
         d = np.sqrt(((cents - qmat[qi]) ** 2).sum(axis=1))
         lb = np.maximum(0.0, d - radii) ** 2
         ub = (d + radii) ** 2
+        nonempty = counts > 0 if skip_empty else np.ones(len(parts), bool)
         order = np.argsort(ub, kind="stable")
+        order = order[nonempty[order]]
+        if order.size == 0:
+            out.append(parts[:0].copy())
+            continue
         cum = np.cumsum(counts[order])
         if cum[-1] < k:
-            out.append(parts.copy())
+            out.append(parts[nonempty].copy())
             continue
         tau = float(ub[order[int(np.searchsorted(cum, k))]])
-        out.append(parts[lb <= tau])
+        out.append(parts[(lb <= tau) & nonempty])
     return out
 
 
@@ -1240,6 +1327,7 @@ def nsw_write_clustered(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     payload_cols: Sequence[str] = (),
+    stats_attrs: Sequence[str] = (),
     sample_rows: int = 20_000,
     n_iter: int = 10,
     seed: int = 42,
@@ -1284,7 +1372,7 @@ def nsw_write_clustered(
         vec_col=vec_col, id_col=id_col, part_offset=0,
         payload_cols=payload_cols, part_col="cluster_id",
     ).write.mode("overwrite").partitionBy("part_id").parquet(path)
-    nsw_stats_write(df.sparkSession, path)
+    nsw_stats_write(df.sparkSession, path, attrs=stats_attrs)
 
 
 def nsw_read_topk(
@@ -1301,6 +1389,7 @@ def nsw_read_topk(
     strategy: str = "traverse_all",
     subgraph_m: int = 8,
     prune: bool = False,
+    prune_match: "tuple[str, Any] | None" = None,
     id_col: str = "vec_id",
     dist_col: str = "dist",
 ) -> DataFrame:
@@ -1367,7 +1456,23 @@ def nsw_read_topk(
     shard set. Full beam ⇒ pruned ≡ unpruned ≡ exact (the bound
     argument in ``_prune_plan``); budgeted, kept-shard walks are
     bit-identical but a pruned shard no longer contributes its
-    beyond-τ candidates."""
+    beyond-τ candidates.
+
+    ``prune_match`` (r9b, the ACORN×SPANN composition): ``(attr,
+    value)`` — an exact-match predicate that pruning IS sound under,
+    because the ``_shard_attr_stats`` sidecar (``nsw_stats_write(
+    attrs=[attr])``) holds exact per-shard PASSING counts: the τ
+    cover prefix counts passing members only (ball bounds hold for
+    every member, so covering k passing members bounds the kth
+    passing distance), and zero-passing shards are skipped outright —
+    the zone-map idea on graph shards. The match also rides the walk
+    as the usual Catalyst ``_pass`` mask (traversed-never-returned,
+    or the γ-subgraph walk under ``strategy='subgraph'``), so at full
+    beam the result answers the exact pre-filter oracle. Values are
+    compared on their canonical string form (the sidecar stores
+    ``CAST(value AS STRING)``) — intended for categorical payloads.
+    Mutually exclusive with ``predicate``/``predicates``; requires
+    ``prune=True``."""
     qids = [int(q) for q, _ in queries]
     if len(qids) != len(set(qids)):
         raise ValueError(
@@ -1387,12 +1492,16 @@ def nsw_read_topk(
         raise ValueError(f"predicates for ids not in the batch: {unknown}")
     if strategy not in ("traverse_all", "subgraph"):
         raise ValueError(f"unknown strategy: {strategy!r}")
-    if strategy == "subgraph" and not (has_pred or pred_qids):
+    if strategy == "subgraph" and not (
+        has_pred or pred_qids or prune_match is not None
+    ):
         raise ValueError(
             "strategy='subgraph' is the ACORN-γ predicate-subgraph walk "
-            "— it requires predicate or predicates"
+            "— it requires predicate, predicates, or prune_match"
         )
 
+    if prune_match is not None and not prune:
+        raise ValueError("prune_match requires prune=True")
     stored = spark.read.parquet(path)
     tomb = _read_tombstones(spark, path, id_col)
     allowed: dict[int, np.ndarray] | None = None
@@ -1401,10 +1510,11 @@ def nsw_read_topk(
 
         if has_pred or pred_qids or blocked_set:
             raise ValueError(
-                "prune=True is sound for plain top-k only — predicates "
-                "and blocked sets change which kth distance bounds the "
-                "search, so ball-bound shard pruning could drop a shard "
-                "holding a passing point"
+                "prune=True is sound for plain top-k only — arbitrary "
+                "predicates and blocked sets change which kth distance "
+                "bounds the search, so ball-bound shard pruning could "
+                "drop a shard holding a passing point (an exact-match "
+                "predicate with per-shard counts IS sound: prune_match)"
             )
         if tomb is not None and tomb.limit(1).count() > 0:
             raise ValueError(
@@ -1459,7 +1569,48 @@ def nsw_read_topk(
                     f"{sorted(newer)[:3]}… were rewritten after the "
                     f"stats — run nsw_stats_write"
                 )
-        kept = _prune_plan(stat_parts, cents, radii, counts, qmat, k)
+        if prune_match is not None:
+            m_attr, m_val = prune_match
+            apath = _attr_stats_path(path)
+            if "://" not in apath and not os.path.exists(apath):
+                raise ValueError(
+                    f"prune_match but no _shard_attr_stats sidecar at "
+                    f"{path} — run nsw_stats_write(attrs=[{m_attr!r}])"
+                )
+            if "://" not in path:
+                astats_m = os.stat(apath).st_mtime_ns
+                newer = [
+                    d
+                    for d in os.listdir(path)
+                    if d.startswith("part_id=")
+                    and os.stat(os.path.join(path, d)).st_mtime_ns > astats_m
+                ]
+                if newer:
+                    raise ValueError(
+                        f"stale _shard_attr_stats at {path}: shard "
+                        f"dir(s) {sorted(newer)[:3]}… were rewritten "
+                        f"after the counts — run nsw_stats_write"
+                    )
+            attr_counts = _load_attr_stats(spark, apath)
+            if m_attr not in attr_counts:
+                raise ValueError(
+                    f"_shard_attr_stats at {path} does not cover "
+                    f"{m_attr!r} (covered: {sorted(attr_counts)}) — run "
+                    f"nsw_stats_write(attrs=[{m_attr!r}])"
+                )
+            by_part = attr_counts[m_attr]
+            val_s = str(m_val)
+            counts = np.asarray(
+                [by_part.get(int(p), {}).get(val_s, 0) for p in stat_parts],
+                dtype=np.int64,
+            )
+            # the match is also the walk's filter-functor mask
+            predicate = F.col(m_attr) == F.lit(m_val)
+            has_pred = True
+        kept = _prune_plan(
+            stat_parts, cents, radii, counts, qmat, k,
+            skip_empty=prune_match is not None,
+        )
         allowed = {}
         for qi, parts in enumerate(kept):
             for p in parts.tolist():

@@ -1237,3 +1237,109 @@ def test_nsw_write_clustered_rejects_cluster_id_column(spark, blob_corpus, tmp_p
     bad = blob_corpus.withColumn("cluster_id", F.lit(1))
     with pytest.raises(ValueError, match="cluster_id"):
         nsw_write_clustered(bad, str(tmp_path / "gx"), n_shards=4)
+
+
+def test_prune_match_sound_and_prunes_by_passing_counts(spark, tmp_path):
+    """r9b predicate-aware pruning: with per-shard exact-match counts,
+    the τ cover counts PASSING members and zero-passing shards are
+    skipped outright — full beam answers the exact pre-filter oracle,
+    kept sets shrink vs plain pruning when the value is concentrated,
+    and the guard matrix holds (needs prune, uncovered attr, stale
+    attr sidecar)."""
+    import os
+    import time as _time
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _attr_stats_path,
+        _load_attr_stats,
+        _prune_plan,
+        nsw_read_topk,
+        nsw_stats_write,
+        nsw_write_clustered,
+    )
+
+    rng = random.Random(13)
+    centers = [(-6, -6), (-6, 6), (6, -6), (6, 6)]
+    rows = []
+    for i in range(400):
+        b = i % 4
+        cx, cy = centers[b]
+        rows.append(
+            (
+                i,
+                [round(rng.gauss(cx, 0.5), 4), round(rng.gauss(cy, 0.5), 4)]
+                + [round(rng.gauss(0, 0.5), 4) for _ in range(DIM - 2)],
+                b,  # label IS the blob → the value concentrates spatially
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    path = str(tmp_path / "gm")
+    nsw_write_clustered(
+        df, path, n_shards=8, payload_cols=["label"], stats_attrs=["label"]
+    )
+    q = rows[1][1]  # a blob-1 point; search for label 3 (the FAR blob)
+    got = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6,
+        prune=True, prune_match=("label", 3),
+    ).collect()
+    exact = sorted(
+        (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+        for r in rows
+        if r[2] == 3
+    )[:5]
+    assert [r["vec_id"] for r in got] == [i for _, i in exact]
+    # kept sets: passing counts prune strictly harder here (the value
+    # lives in a far corner — plain pruning must keep the near shards,
+    # match pruning skips every zero-passing one)
+    srows = spark.read.parquet(path + "/_shard_stats").collect()
+    parts = np.asarray([r["part_id"] for r in srows], dtype=np.int64)
+    cents = np.asarray([list(r["centroid"]) for r in srows], np.float64)
+    radii = np.asarray([r["radius"] for r in srows], np.float64)
+    counts = np.asarray([r["n"] for r in srows], dtype=np.int64)
+    ac = _load_attr_stats(spark, _attr_stats_path(path))
+    pc = np.asarray(
+        [ac["label"].get(int(p), {}).get("3", 0) for p in parts],
+        dtype=np.int64,
+    )
+    assert (pc == 0).any()  # zero-passing shards exist
+    qm = np.asarray([q], dtype=np.float64)
+    plain = _prune_plan(parts, cents, radii, counts, qm, 5)[0]
+    match = _prune_plan(parts, cents, radii, pc, qm, 5, skip_empty=True)[0]
+    assert len(match) < len(plain), (len(match), len(plain))
+    assert set(match.tolist()) <= {
+        int(p) for p, c in zip(parts, pc) if c > 0
+    }
+    # guards
+    with pytest.raises(ValueError, match="requires prune"):
+        nsw_read_topk(spark, path, [(0, list(q))], 5, prune_match=("label", 3))
+    with pytest.raises(ValueError, match="cover"):
+        nsw_read_topk(
+            spark, path, [(0, list(q))], 5, prune=True,
+            prune_match=("nope", 3),
+        )
+    # absent value everywhere → empty result, not an error
+    assert (
+        nsw_read_topk(
+            spark, path, [(0, list(q))], 5, ef=10**6,
+            prune=True, prune_match=("label", 99),
+        ).count()
+        == 0
+    )
+    # content-stale attr sidecar refuses
+    part = next(d for d in os.listdir(path) if d.startswith("part_id="))
+    _time.sleep(0.01)
+    os.utime(os.path.join(path, part))
+    with pytest.raises(ValueError, match="stale"):
+        nsw_read_topk(
+            spark, path, [(0, list(q))], 5, prune=True,
+            prune_match=("label", 3),
+        )
+    # refresh restores service
+    nsw_stats_write(spark, path, attrs=["label"])
+    got2 = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6,
+        prune=True, prune_match=("label", 3),
+    ).collect()
+    assert [r["vec_id"] for r in got2] == [i for _, i in exact]

@@ -64,8 +64,11 @@ def main() -> None:
     spark = get_spark("bench-nsw-prune")
     spark.sparkContext.setLogLevel("ERROR")
     sdf = spark.createDataFrame(
-        [(i, [float(v) for v in x[i]]) for i in range(n)],
-        "vec_id long, embedding array<double>",
+        [
+            (i, [float(v) for v in x[i]], int(blob[i]))
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>, label int",
     ).repartition(32)
 
     rows = []
@@ -73,7 +76,10 @@ def main() -> None:
         root = tempfile.mkdtemp(prefix="acorn_prune_ladder_")
         path = root + "/graph"
         t0 = time.time()
-        nsw_write_clustered(sdf, path, n_shards=s)
+        nsw_write_clustered(
+            sdf, path, n_shards=s,
+            payload_cols=["label"], stats_attrs=["label"],
+        )
         build_s = time.time() - t0
 
         srows = spark.read.parquet(path + "/_shard_stats").collect()
@@ -130,6 +136,53 @@ def main() -> None:
             )]
             assert got == want, f"pruned full-beam != brute force (q {qid})"
 
+        # r9b predicate-aware point: match one blob's label (~1/64 of
+        # rows) — passing counts + zero-passing skip vs the same query
+        # batch run as an unpruned filter-functor walk
+        from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+            _attr_stats_path,
+            _load_attr_stats,
+        )
+        from pyspark.sql import functions as F
+
+        ac = _load_attr_stats(spark, _attr_stats_path(path))
+        pc = np.asarray(
+            [ac["label"].get(int(p), {}).get("7", 0) for p in parts],
+            dtype=np.int64,
+        )
+        kept_m = _prune_plan(
+            parts, cents, radii, pc,
+            np.asarray([v for _, v in queries], dtype=np.float64), K,
+            skip_empty=True,
+        )
+        match_frac = float(
+            np.mean([len(kp) / len(parts) for kp in kept_m])
+        )
+        match_rows_frac = float(
+            sum(cnt_by_part[int(p)] for kp in kept_m for p in kp.tolist())
+            / (n * len(queries))
+        )
+        nsw_read_topk(
+            spark, path, queries, K, ef=EF,
+            prune=True, prune_match=("label", 7),
+        ).count()
+        t0 = time.time()
+        nsw_read_topk(
+            spark, path, queries, K, ef=EF,
+            prune=True, prune_match=("label", 7),
+        ).count()
+        match_s = time.time() - t0
+        nsw_read_topk(
+            spark, path, queries, K, ef=EF,
+            predicate=F.col("label") == 7,
+        ).count()
+        t0 = time.time()
+        nsw_read_topk(
+            spark, path, queries, K, ef=EF,
+            predicate=F.col("label") == 7,
+        ).count()
+        filt_unpruned_s = time.time() - t0
+
         rec = {
             "n_shards": int(len(parts)),
             "build_s": round(build_s, 1),
@@ -138,6 +191,10 @@ def main() -> None:
             "unpruned_q16_s": round(unpruned_s, 3),
             "pruned_q16_s": round(pruned_s, 3),
             "speedup": round(unpruned_s / max(pruned_s, 1e-9), 2),
+            "match_kept_shard_fraction": round(match_frac, 4),
+            "match_rows_walked_fraction": round(match_rows_frac, 4),
+            "match_pruned_q16_s": round(match_s, 3),
+            "match_unpruned_filter_q16_s": round(filt_unpruned_s, 3),
         }
         rows.append(rec)
         print(rec, flush=True)

@@ -168,6 +168,12 @@ AUDIT: dict[str, list[str]] = {
         "FlatMapGroupsInPandas", "WindowGroupLimit",
         "BroadcastHashJoin", "_deleted",
     ],
+    # round 9b: predicate-aware pruning — the kept-set partition filter
+    # plus the Catalyst _pass mask riding into the per-shard walk
+    "nsw_pruned_hybrid_topk": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit",
+        "PartitionFilters", "_pass",
+    ],
     # round 9: IVF tombstone symmetry — cluster partition pruning
     # (PartitionFilters) survives the broadcast tombstone filter, exact
     # top-k stays a TakeOrderedAndProject
@@ -767,17 +773,34 @@ def _nsw_prune_section() -> None:
         f"_prune_plan, and wall time unpruned vs pruned (full-beam "
         f"pruned ≡ unpruned ≡ brute force asserted in-run):\n"
     )
-    print(
-        "| shards | kept shards | rows walked | unpruned q16 | "
-        "pruned q16 | speedup |"
-    )
-    print("|---|---|---|---|---|---|")
-    for r in sec["shard_counts"]:
+    has_match = "match_kept_shard_fraction" in sec["shard_counts"][0]
+    if has_match:
         print(
+            "| shards | kept | rows walked | unpruned q16 | pruned q16 "
+            "| speedup | MATCH kept | MATCH rows | MATCH pruned q16 | "
+            "filter-only q16 |"
+        )
+        print("|---|---|---|---|---|---|---|---|---|---|")
+    else:
+        print(
+            "| shards | kept shards | rows walked | unpruned q16 | "
+            "pruned q16 | speedup |"
+        )
+        print("|---|---|---|---|---|---|")
+    for r in sec["shard_counts"]:
+        base = (
             f"| {r['n_shards']} | {r['kept_shard_fraction']:.1%} | "
             f"{r['rows_walked_fraction']:.1%} | {r['unpruned_q16_s']}s | "
             f"{r['pruned_q16_s']}s | {r['speedup']}x |"
         )
+        if has_match:
+            base += (
+                f" {r['match_kept_shard_fraction']:.1%} | "
+                f"{r['match_rows_walked_fraction']:.1%} | "
+                f"{r['match_pruned_q16_s']}s | "
+                f"{r['match_unpruned_filter_q16_s']}s |"
+            )
+        print(base)
     print(
         "\nReading: UNPRUNED cost grows with shard count (every shard "
         "answers a k-candidate walk for every query — the fan-out cost "
@@ -788,14 +811,22 @@ def _nsw_prune_section() -> None:
         "batch here sits on a ~0.6 s job floor that dominates either "
         "way; at 100 TB the rows-walked column IS the bytes-read "
         "column, and 1.6% of the store read instead of 100% is the "
-        "claim that matters. Honest boundary: pruning needs shards ≈ "
-        "natural clusters — at 16 shards over 64 blobs each ball "
-        "spans 4 blobs and nothing prunes (kept ≈ 100%, the measured "
-        "row); nsw_write on arrival order is the same degenerate case, "
-        "which is why the registry's nsw_pruned_topk documents the "
-        "isotropic-corpus caveat and derives a clustered one. Guards "
-        "keep the bound sound: predicates/blocked sets, tombstones, "
-        "and stale stats all refuse to prune (test_prune_guards).\n"
+        "claim that matters. The MATCH columns are the r9b "
+        "predicate-aware form (prune_match over the exact per-shard "
+        "label counts, matching ~1/64 of rows): passing-count τ + "
+        "zero-passing skip prunes even where the BALL bounds are dead "
+        "— at 16 fat shards plain pruning keeps ~93% of rows, the "
+        "zone-map match keeps ~14% — and beats the same query run as "
+        "an unpruned filter-functor walk at every shard count. Honest "
+        "boundary: plain pruning needs shards ≈ natural clusters — at "
+        "16 shards over 64 blobs each ball spans 4 blobs and nothing "
+        "prunes (the measured row); nsw_write on arrival order is the "
+        "same degenerate case, which is why the registry's "
+        "nsw_pruned_topk documents the isotropic-corpus caveat and "
+        "derives a clustered one. Guards keep the bound sound: "
+        "arbitrary predicates/blocked sets, tombstones, and stale "
+        "stats (ball OR attr-count sidecars) all refuse to prune "
+        "(test_prune_guards, test_prune_match_*).\n"
     )
 
 
