@@ -4222,7 +4222,9 @@ def _q_nsw_pruned_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from acorn_hybrid_vector_search_spark.operators.graph_ann import (
         _attr_stats_path,
         _load_attr_stats,
+        _load_stats,
         _prune_plan,
+        _stats_path,
         nsw_read_topk,
     )
 
@@ -4230,11 +4232,9 @@ def _q_nsw_pruned_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _q_nsw_pruned_topk(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     path, qs = _NSW_PRUNED_CACHE[key]
-    srows = spark.read.parquet(path + "/_shard_stats").collect()
-    parts = np.asarray([r["part_id"] for r in srows], dtype=np.int64)
-    cents = np.asarray([list(r["centroid"]) for r in srows], np.float64)
-    radii = np.asarray([r["radius"] for r in srows], np.float64)
-    counts = np.asarray([r["n"] for r in srows], dtype=np.int64)
+    # mtime-memoized loads — a fresh collect per benched call would be
+    # most of this row's latency (review r9b)
+    parts, cents, radii, counts = _load_stats(spark, _stats_path(path))
     ac = _load_attr_stats(spark, _attr_stats_path(path))
     pc = np.asarray(
         [ac["label"].get(int(p), {}).get("3", 0) for p in parts],

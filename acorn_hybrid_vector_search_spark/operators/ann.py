@@ -180,9 +180,11 @@ def ivf_write(index: IVFIndex, path: str) -> None:
     parquet sidecar. The reference rebuilds its HNSW graph every run
     (~51 s, /root/reference/acorn.py:274-277, README.md:232); here build
     once, prune forever."""
-    # a REBUILD must not inherit a previous store's tombstones (their
-    # ceilings cover batch=-1 and would silently delete rebuilt rows —
-    # the graph writers' _clear_sidecars rule, r9)
+    # a REBUILD owns the WHOLE store: clearing only the tombstone
+    # sidecar while mode('overwrite') replaces only batch=-1 would let
+    # old streaming lists/batch=<id> subtrees survive — resurrecting
+    # ids whose tombstones were just wiped and duplicating every
+    # re-ingested id (review r9b); drop lists/ and the sidecar together
     if "://" not in path:
         import shutil
 
@@ -190,6 +192,7 @@ def ivf_write(index: IVFIndex, path: str) -> None:
             _tombstones_path,
         )
 
+        shutil.rmtree(f"{path}/lists", ignore_errors=True)
         shutil.rmtree(_tombstones_path(path), ignore_errors=True)
     # base rows live under batch=-1: streaming ingest appends sibling
     # batch=<id> directories (streaming/indexing.py), so every writer owns
@@ -211,6 +214,12 @@ def ivf_write(index: IVFIndex, path: str) -> None:
     spark.createDataFrame(
         rows, "cluster_id INT, centroid ARRAY<DOUBLE>, radius DOUBLE"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    # store writers drop pinned materializations: a semantically-equal
+    # read plan over this path must never serve the pre-rewrite
+    # snapshot (the r7 rule every other writer already follows)
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+
+    invalidate()
 
 
 def ivf_read(
@@ -229,6 +238,7 @@ def ivf_read(
     superset of the live members."""
     from acorn_hybrid_vector_search_spark.operators.graph_ann import (
         _read_tombstones,
+        _tombstone_ceiling,
     )
 
     cb = spark.read.parquet(f"{path}/codebook").orderBy("cluster_id").collect()
@@ -239,9 +249,7 @@ def ivf_read(
     df = spark.read.parquet(f"{path}/lists")
     tomb = _read_tombstones(spark, path, id_col)
     if tomb is not None:
-        ceil = tomb.groupBy(id_col).agg(
-            F.max("batch_ceiling").alias("_tomb_ceiling")
-        )
+        ceil = _tombstone_ceiling(tomb, id_col, ceiling_col="batch_ceiling")
         df = (
             df.join(F.broadcast(ceil), id_col, "left")
             .filter(

@@ -763,12 +763,17 @@ def _ids_frame(spark, ids, id_col: str) -> DataFrame:
     ).distinct()
 
 
-def _tombstone_ceiling(tomb: DataFrame, id_col: str) -> DataFrame:
+def _tombstone_ceiling(
+    tomb: DataFrame, id_col: str, ceiling_col: str = "part_ceiling"
+) -> DataFrame:
     """One row per deleted id with its highest ceiling: an id deleted,
-    re-added (higher part_id) and deleted again keeps the max ceiling,
-    which kills every copy that existed at the LAST delete."""
+    re-added (higher ownership id) and deleted again keeps the max
+    ceiling, which kills every copy that existed at the LAST delete.
+    ``ceiling_col`` names the store's ownership level — ``part_ceiling``
+    for graph shards, ``batch_ceiling`` for the IVF lists (one contract,
+    one implementation; review r9b)."""
     return tomb.groupBy(id_col).agg(
-        F.max("part_ceiling").alias("_tomb_ceiling")
+        F.max(ceiling_col).alias("_tomb_ceiling")
     )
 
 

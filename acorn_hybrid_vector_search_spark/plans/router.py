@@ -420,15 +420,29 @@ class StrategyRouter:
                 ef=route.ef, predicate=pred_col, id_col=id_col,
             ).drop("query_id")
         if route.strategy == "nsw_pruned":
+            import os
+
             from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+                _load_stats,
+                _stats_path,
                 nsw_read_topk,
             )
 
             # full beam ⇒ provably exact under the τ cover bound; the
-            # route fires only for predicate-free queries (rule 5)
+            # route fires only for predicate-free queries (rule 5).
+            # The beam must COVER the largest shard — a hardcoded cap
+            # would silently go approximate once a shard outgrew it
+            # (review r9b); the stats sidecar knows max shard size, and
+            # a missing sidecar falls through to nsw_read_topk's guard
+            spath = _stats_path(pruned_path)
+            ef = k
+            if "://" in spath or os.path.exists(spath):
+                _, _, _, counts = _load_stats(df.sparkSession, spath)
+                if counts.size:
+                    ef = max(k, int(counts.max()))
             return nsw_read_topk(
                 df.sparkSession, pruned_path, [(0, list(query_vec))], k,
-                ef=1_000_000, prune=True, id_col=id_col,
+                ef=ef, prune=True, id_col=id_col,
             ).drop("query_id")
         if route.strategy == "ivf":
             from acorn_hybrid_vector_search_spark.operators.ann import (

@@ -732,6 +732,19 @@ def test_ivf_delete_read_reclaim_lifecycle(spark, emb, qvec, tmp_path):
     ivf_delete(spark, path, [int(top2[0])])
     ivf_write(idx, path)
     assert ivf_read(spark, path).df.count() == n
+    # ...nor leftover streaming batch subtrees (review r9b: clearing
+    # only the sidecar while overwrite replaced only batch=-1 would
+    # both resurrect the deleted id AND duplicate re-ingested ones)
+    assign_clusters(
+        emb.filter(F.col("vec_id") == top2[1]), idx.centroids
+    ).write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{path}/lists/batch=5"
+    )
+    ivf_delete(spark, path, [int(top2[1])])
+    ivf_write(idx, path)
+    fresh = ivf_read(spark, path).df
+    assert fresh.count() == n  # no leftover subtree, no dead id
+    assert fresh.filter(F.col("vec_id") == top2[1]).count() == 1
 
 
 def test_ann_search_pruned_rung_dispatch(spark, emb, qvec, tmp_path):

@@ -76,10 +76,15 @@ def main() -> None:
 
     search_clean_s = q16()
 
-    # ids untouched by the query set so exactness spot-checks stay easy
-    del_ids = [int(i) for i in range(N_OPS) if i not in set(q_idx.tolist())][
-        :N_OPS
-    ]
+    # ids untouched by the query set so exactness spot-checks stay easy;
+    # draw from a widened range so the count is EXACTLY N_OPS even when
+    # query ids land below it (review r9b: the old slice could only
+    # truncate, so 'delete_1k' sometimes deleted 998)
+    q_set = set(q_idx.tolist())
+    del_ids = [
+        int(i) for i in range(N_OPS + N_QUERIES) if i not in q_set
+    ][:N_OPS]
+    assert len(del_ids) == N_OPS
     t0 = time.time()
     nsw_delete(spark, path, del_ids, strict=False)
     delete_s = time.time() - t0
