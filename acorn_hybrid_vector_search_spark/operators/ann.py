@@ -184,16 +184,28 @@ def ivf_write(index: IVFIndex, path: str) -> None:
     # sidecar while mode('overwrite') replaces only batch=-1 would let
     # old streaming lists/batch=<id> subtrees survive — resurrecting
     # ids whose tombstones were just wiped and duplicating every
-    # re-ingested id (review r9b); drop lists/ and the sidecar together
-    if "://" not in path:
-        import shutil
-
-        from acorn_hybrid_vector_search_spark.operators.graph_ann import (
-            _tombstones_path,
+    # re-ingested id (review r9b); drop lists/ and the sidecar together.
+    # The cleanup is os-level and LOCAL-ONLY — on a remote store it
+    # cannot run, and silently skipping it would re-open exactly that
+    # resurrection/duplication window (ADVICE r9), so fail fast like
+    # every other lifecycle op: rebuild a remote index under a FRESH
+    # versioned prefix and flip a manifest pointer instead.
+    if "://" in path:
+        raise ValueError(
+            f"ivf_write's rebuild pre-clean (stale lists/batch=<id> "
+            f"subtrees + the tombstone sidecar) is os-level and only "
+            f"supports local paths; got {path!r} — write a fresh "
+            f"versioned prefix and flip a manifest pointer on remote "
+            f"stores"
         )
+    import shutil
 
-        shutil.rmtree(f"{path}/lists", ignore_errors=True)
-        shutil.rmtree(_tombstones_path(path), ignore_errors=True)
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _tombstones_path,
+    )
+
+    shutil.rmtree(f"{path}/lists", ignore_errors=True)
+    shutil.rmtree(_tombstones_path(path), ignore_errors=True)
     # base rows live under batch=-1: streaming ingest appends sibling
     # batch=<id> directories (streaming/indexing.py), so every writer owns
     # exactly one subtree and a replayed micro-batch can overwrite its own

@@ -695,16 +695,26 @@ def _clear_sidecars(path: str) -> None:
     replaces only ``part_id=`` directories, leaving ``_tombstones``
     behind — whose ceilings cover the rebuilt store's 0-based shard
     ids, silently deleting arbitrary rebuilt rows — and a stale
-    ``_shard_stats`` (review r9). Local-path op; rebuilding a
-    tombstoned REMOTE store should route through a fresh prefix."""
+    ``_shard_stats`` (review r9). The rmtree is os-level and
+    LOCAL-ONLY; a silent no-op on a remote path would leave exactly
+    those stale sidecars live (ADVICE r9), so fail fast like
+    nsw_compact / nsw_undelete / ivf_reclaim do — rebuild a remote
+    store under a FRESH versioned prefix and flip a manifest pointer."""
     import shutil
 
     if "://" in path:
-        return
+        raise ValueError(
+            f"rebuilding over an existing store path requires clearing "
+            f"its sidecars (_tombstones/_shard_stats/...), an os-level "
+            f"local-only operation; got {path!r} — rebuild a remote "
+            f"store under a fresh versioned prefix and flip a manifest "
+            f"pointer instead"
+        )
     for side in (
         _tombstones_path(path),
         _stats_path(path),
         _attr_stats_path(path),
+        _numeric_stats_path(path),
     ):
         shutil.rmtree(side, ignore_errors=True)
 
@@ -1140,24 +1150,70 @@ def _attr_stats_path(path: str) -> str:
     return path.rstrip("/") + "/_shard_attr_stats"
 
 
-# (appId, stats_path, dir mtime_ns) → (parts, cents, radii, counts); the
-# sidecar is S rows of driver-side constants and every pruned query needs
-# it — without the memo each serve call pays one collect job (measured
-# ~0.2-0.3 s on the ladder, comparable to the whole pruned search).
-# mtime-keyed: nsw_stats_write rewrites the sidecar directory, so a
-# refresh changes the key and stale entries die with the app id.
+def _numeric_stats_path(path: str) -> str:
+    return path.rstrip("/") + "/_shard_numeric_stats"
+
+
+def _dir_fingerprint(path: str) -> tuple:
+    """Content fingerprint of a sidecar directory: sorted (name, size,
+    mtime_ns) of its files. Strict-mtime memo keys alone are unsafe on
+    filesystems with coarse timestamp granularity — a rewrite landing
+    in the same tick would serve the stale memoized stats (ADVICE r9);
+    size+name+mtime of every file distinguishes any real parquet
+    rewrite (part file names embed fresh UUIDs)."""
+    import os
+
+    return tuple(
+        sorted(
+            (name, st.st_size, st.st_mtime_ns)
+            for name in os.listdir(path)
+            for st in (os.stat(os.path.join(path, name)),)
+        )
+    )
+
+
+def _check_stats_fresh(path: str, spath: str, what: str) -> list[str]:
+    """Shard directories rewritten at-or-after the stats sidecar's
+    mtime make the stats unable to describe them. Returns the stale
+    shard-dir names (empty = fresh); remote paths are uncheckable and
+    report fresh — their writers already fail fast. The comparison is
+    ``>=``, not ``>`` (ADVICE r9): on a coarse-granularity filesystem
+    a shard rewritten in the same tick as the stats is AMBIGUOUS, and
+    ambiguity must read as stale — pruning on stale stats silently
+    breaks the exactness contract, while a spurious refresh costs one
+    ``nsw_stats_write``."""
+    import os
+
+    if "://" in path:
+        return []
+    stats_m = os.stat(spath).st_mtime_ns
+    return [
+        d
+        for d in os.listdir(path)
+        if d.startswith("part_id=")
+        and os.stat(os.path.join(path, d)).st_mtime_ns >= stats_m
+    ]
+
+
+# (appId, stats_path, dir content fingerprint) → (parts, cents, radii,
+# counts); the sidecar is S rows of driver-side constants and every pruned
+# query needs it — without the memo each serve call pays one collect job
+# (measured ~0.2-0.3 s on the ladder, comparable to the whole pruned
+# search). Fingerprint-keyed (per-file name+size+mtime, not the bare dir
+# mtime — ADVICE r9: coarse timestamp granularity could let a same-tick
+# rewrite serve stale stats): nsw_stats_write rewrites the sidecar
+# directory, so a refresh changes the key and stale entries die with the
+# app id.
 _STATS_MEMO: dict[tuple, tuple] = {}
 
 
 def _load_stats(spark, spath: str):
-    import os
-
     key = None
     if "://" not in spath:
         key = (
             spark.sparkContext.applicationId,
             spath,
-            os.stat(spath).st_mtime_ns,
+            _dir_fingerprint(spath),
         )
         hit = _STATS_MEMO.get(key)
         if hit is not None:
@@ -1180,16 +1236,14 @@ _ATTR_STATS_MEMO: dict[tuple, dict] = {}
 
 def _load_attr_stats(spark, apath: str) -> dict:
     """``{attr: {part_id: {value_str: n}}}`` from the attr-counts
-    sidecar, mtime-memoized like ``_load_stats`` — every pruned hybrid
-    serve needs the same S×V rows."""
-    import os
-
+    sidecar, fingerprint-memoized like ``_load_stats`` — every pruned
+    hybrid serve needs the same S×V rows."""
     key = None
     if "://" not in apath:
         key = (
             spark.sparkContext.applicationId,
             apath,
-            os.stat(apath).st_mtime_ns,
+            _dir_fingerprint(apath),
         )
         hit = _ATTR_STATS_MEMO.get(key)
         if hit is not None:
@@ -1555,25 +1609,17 @@ def nsw_read_topk(
                 f"{len(store_parts)} — run nsw_stats_write after "
                 f"append/compact changed the shard set"
             )
-        if "://" not in path:
-            # CONTENT staleness, not just the shard-id set (review r9):
-            # a same-set rewrite (streaming replay, dynamic-mode
-            # rebuild) leaves the ids identical while the balls moved —
-            # any shard directory younger than the stats sidecar means
-            # the stats no longer describe it
-            stats_m = os.stat(spath).st_mtime_ns
-            newer = [
-                d
-                for d in os.listdir(path)
-                if d.startswith("part_id=")
-                and os.stat(os.path.join(path, d)).st_mtime_ns > stats_m
-            ]
-            if newer:
-                raise ValueError(
-                    f"stale _shard_stats at {path}: shard dir(s) "
-                    f"{sorted(newer)[:3]}… were rewritten after the "
-                    f"stats — run nsw_stats_write"
-                )
+        # CONTENT staleness, not just the shard-id set (review r9): a
+        # same-set rewrite (streaming replay, dynamic-mode rebuild)
+        # leaves the ids identical while the balls moved — any shard
+        # directory rewritten at-or-after the sidecar means the stats
+        # no longer describe it (>=: same-tick is ambiguous ⇒ stale)
+        if newer := _check_stats_fresh(path, spath, "_shard_stats"):
+            raise ValueError(
+                f"stale _shard_stats at {path}: shard dir(s) "
+                f"{sorted(newer)[:3]}… were rewritten at or after the "
+                f"stats — run nsw_stats_write"
+            )
         if prune_match is not None:
             m_attr, m_val = prune_match
             apath = _attr_stats_path(path)
@@ -1582,20 +1628,12 @@ def nsw_read_topk(
                     f"prune_match but no _shard_attr_stats sidecar at "
                     f"{path} — run nsw_stats_write(attrs=[{m_attr!r}])"
                 )
-            if "://" not in path:
-                astats_m = os.stat(apath).st_mtime_ns
-                newer = [
-                    d
-                    for d in os.listdir(path)
-                    if d.startswith("part_id=")
-                    and os.stat(os.path.join(path, d)).st_mtime_ns > astats_m
-                ]
-                if newer:
-                    raise ValueError(
-                        f"stale _shard_attr_stats at {path}: shard "
-                        f"dir(s) {sorted(newer)[:3]}… were rewritten "
-                        f"after the counts — run nsw_stats_write"
-                    )
+            if newer := _check_stats_fresh(path, apath, "_shard_attr_stats"):
+                raise ValueError(
+                    f"stale _shard_attr_stats at {path}: shard "
+                    f"dir(s) {sorted(newer)[:3]}… were rewritten at "
+                    f"or after the counts — run nsw_stats_write"
+                )
             attr_counts = _load_attr_stats(spark, apath)
             if m_attr not in attr_counts:
                 raise ValueError(

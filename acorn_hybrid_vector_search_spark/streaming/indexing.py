@@ -113,6 +113,12 @@ def nsw_stream_batch_writer(
        guaranteed to contain only committed batches) exceeds
        ``compact_factor × target_shards``, re-pack via
        ``operators.graph_ann.nsw_compact`` before writing this batch.
+       SKIPPED when the store's post-tombstone view is empty (ADVICE
+       r9): that shape only arises when a replayed upsert batch's
+       first attempt tombstoned every live row — compacting would
+       raise 'would empty the store' and wedge the stream in a crash
+       loop; this batch's own shard write restores liveness and the
+       policy re-fires on a later batch.
     3. **Batch-keyed shard write** — the batch builds its own
        per-partition graphs under the deterministic part_id range
        ``[(batch_id+1)·parts_cap, (batch_id+1)·parts_cap + nparts)``
@@ -135,7 +141,9 @@ def nsw_stream_batch_writer(
 
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
     from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _apply_tombstones,
         _nsw_nodes,
+        _read_tombstones,
         _store_gamma,
         _tombstones_path,
         nsw_compact,
@@ -194,10 +202,28 @@ def nsw_stream_batch_writer(
             gamma = _store_gamma(stored)
             n_shards = stored.select("part_id").distinct().count()
             if n_shards > compact_factor * t:
-                nsw_compact(
-                    spark, path, n_shards=t, m=m,
-                    ef_construction=ef_construction, id_col=id_col,
+                # wedge guard (ADVICE r9): in upsert mode a REPLAYED
+                # batch's first attempt may have tombstoned every live
+                # row of a small store (its own shards were pre-cleaned
+                # above), and nsw_compact would then raise 'would empty
+                # the store' — a crash loop no retry escapes. An empty
+                # post-tombstone view here is always that replay shape
+                # (this batch's rows are about to restore liveness), so
+                # SKIP compaction for this batch; the policy re-fires
+                # on a later batch once live rows exist again.
+                tomb = _read_tombstones(spark, path, id_col)
+                would_empty = tomb is not None and (
+                    _apply_tombstones(stored, tomb, id_col)
+                    .filter(~F.col("_deleted"))
+                    .limit(1)
+                    .count()
+                    == 0
                 )
+                if not would_empty:
+                    nsw_compact(
+                        spark, path, n_shards=t, m=m,
+                        ef_construction=ef_construction, id_col=id_col,
+                    )
         if upsert and os.path.exists(path):
             # streaming replace: kill every pre-batch copy of the
             # incoming ids. Deterministic ceiling (offset-1) ⇒ a replay

@@ -766,3 +766,27 @@ def test_ann_search_pruned_rung_dispatch(spark, emb, qvec, tmp_path):
     )
     want = knn_exact(emb, qvec, 5).select("vec_id").collect()
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+
+
+def test_ivf_write_rejects_remote_paths(spark):
+    """ADVICE r9: ivf_write's rebuild pre-clean (dropping stale
+    lists/batch=<id> subtrees + the tombstone sidecar) is os-level and
+    local-only; silently skipping it on a remote store would let a
+    rebuild resurrect just-deleted ids and duplicate re-ingested ones,
+    so the writer fails fast like ivf_reclaim / nsw_compact."""
+    import numpy as np
+    import pytest
+
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        IVFIndex,
+        ivf_write,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0], 0)], "vec_id long, embedding array<double>, cluster_id int"
+    )
+    idx = IVFIndex(
+        df=df, centroids=np.zeros((1, 2)), vec_col="embedding", id_col="vec_id"
+    )
+    with pytest.raises(ValueError, match="local"):
+        ivf_write(idx, "s3a://bucket/ivf")

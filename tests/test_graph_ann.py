@@ -1343,3 +1343,91 @@ def test_prune_match_sound_and_prunes_by_passing_counts(spark, tmp_path):
         prune=True, prune_match=("label", 3),
     ).collect()
     assert [r["vec_id"] for r in got2] == [i for _, i in exact]
+
+
+def test_rebuild_sidecar_clear_rejects_remote_paths(spark):
+    """ADVICE r9: _clear_sidecars used to silently no-op on remote
+    paths, so rebuilding a tombstoned remote store via nsw_write /
+    nsw_write_clustered left stale tombstones whose ceilings cover the
+    rebuilt 0-based shard ids (silently deleting arbitrary rebuilt
+    rows). Rebuild-over-existing-path writers now fail fast on '://'
+    — remote rebuilds go through a fresh versioned prefix."""
+    import pytest
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _clear_sidecars,
+        nsw_write,
+    )
+
+    with pytest.raises(ValueError, match="versioned prefix"):
+        _clear_sidecars("s3a://bucket/graph")
+    df = spark.createDataFrame(
+        [(0, [0.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="versioned prefix"):
+        nsw_write(df, "s3a://bucket/graph")
+
+
+def test_prune_staleness_same_tick_reads_as_stale(spark, tmp_path):
+    """ADVICE r9: the content-staleness guard must treat a shard
+    directory whose mtime EQUALS the stats sidecar's as stale — on a
+    coarse-granularity filesystem same-tick means ambiguous, and
+    pruning on ambiguous stats would silently break the exactness
+    contract."""
+    import os
+
+    import pytest
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _stats_path,
+        nsw_read_topk,
+        nsw_write_clustered,
+    )
+
+    path = str(tmp_path / "graph")
+    df = spark.createDataFrame(
+        [(i, [float(i % 4) * 3.0, float(i)]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    nsw_write_clustered(df, path, n_shards=4)
+    # sanity: fresh stats prune fine
+    nsw_read_topk(spark, path, [(0, [0.0, 2.0])], 3, ef=10**6, prune=True)
+    # pin one shard dir's mtime to exactly the stats dir's mtime
+    stats_m = os.stat(_stats_path(path)).st_mtime_ns
+    shard = next(d for d in os.listdir(path) if d.startswith("part_id="))
+    os.utime(os.path.join(path, shard), ns=(stats_m, stats_m))
+    with pytest.raises(ValueError, match="stale _shard_stats"):
+        nsw_read_topk(spark, path, [(0, [0.0, 2.0])], 3, ef=10**6, prune=True)
+
+
+def test_stats_memo_rekeys_on_content_change(spark, tmp_path):
+    """ADVICE r9: the _load_stats memo key is a per-file content
+    fingerprint (name+size+mtime of every sidecar file), not the bare
+    directory mtime — a sidecar rewritten within the same timestamp
+    tick must still invalidate the memo."""
+    import os
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _load_stats,
+        _stats_path,
+        nsw_stats_write,
+        nsw_write,
+    )
+
+    path = str(tmp_path / "graph")
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    nsw_write(df.repartition(2), path)
+    nsw_stats_write(spark, path)
+    spath = _stats_path(path)
+    first = _load_stats(spark, spath)
+    dir_m = os.stat(spath).st_mtime_ns
+    # rewrite the sidecar (new part-file names/sizes), then force the
+    # DIRECTORY mtime back to the old tick — a bare-mtime key would
+    # serve the stale memo entry
+    nsw_stats_write(spark, path)
+    os.utime(spath, ns=(dir_m, dir_m))
+    second = _load_stats(spark, spath)
+    assert second is not first  # re-loaded, not the memoized object

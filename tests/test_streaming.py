@@ -762,3 +762,69 @@ def test_stream_nsw_upsert_end_to_end_streaming_query(spark, tmp_path):
         got = nsw_read_topk(spark, path, [(0, probe)], 4, ef=10**6).collect()
         want = knn_exact(updated, probe, 4).select("vec_id").collect()
         assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+
+
+def test_stream_nsw_upsert_skips_compaction_that_would_empty(spark, tmp_path):
+    """ADVICE r9 wedge guard: a replayed upsert batch whose first
+    attempt tombstoned every live row (crash between the tombstone
+    append and the shard write) must NOT crash-loop in the mid-stream
+    compaction policy — the writer skips compaction for that batch
+    (liveness returns with the batch's own shards) instead of letting
+    nsw_compact raise 'would empty the store'."""
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _tombstones_path,
+        nsw_read_topk,
+        nsw_write,
+    )
+    from acorn_hybrid_vector_search_spark.operators.knn import knn_exact
+    from acorn_hybrid_vector_search_spark.streaming.indexing import (
+        nsw_stream_batch_writer,
+    )
+
+    path = str(tmp_path / "graph")
+    base = _mk_vec_rows(spark, 0, 40)
+    nsw_write(base.repartition(3), path)
+    write_batch = nsw_stream_batch_writer(
+        path, target_shards=2, compact_factor=2.0, parts_cap=64, upsert=True,
+    )
+    # batch 0 replaces every id: 3 base shards -> no compaction (3 <= 4)
+    v1 = spark.createDataFrame(
+        [(i, [2.0 + 0.01 * i] * 8) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    write_batch(v1.repartition(2), 0)
+    # simulate batch 1's crashed FIRST attempt: its tombstones (ceiling
+    # = offset-1 = 2*64-1, a pure function of the batch id, so these
+    # rows are byte-identical to what the attempt wrote) landed, the
+    # shard write did not
+    (
+        v1.select("vec_id")
+        .withColumn("part_ceiling", F.lit(2 * 64 - 1).cast("int"))
+        .write.mode("append")
+        .parquet(_tombstones_path(path))
+    )
+    # replay of batch 1: store has 3 base + 2 batch-0 shards (5 > 4 ->
+    # the policy fires) and EVERY row is tombstoned -> pre-fix this
+    # raised 'would empty the store' on every retry
+    v2 = spark.createDataFrame(
+        [(i, [5.0 + 0.01 * i] * 8) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    write_batch(v2.repartition(2), 1)
+    q = [5.191] * 8
+    got = nsw_read_topk(spark, path, [(0, q)], 5, ef=10**6).collect()
+    want = knn_exact(v2, q, 5).select("vec_id").collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    # and the policy still fires on a later batch once rows are live
+    # again: batch 2 pushes the shard count past the threshold and the
+    # store compacts without error
+    v3 = spark.createDataFrame(
+        [(i, [8.0 + 0.01 * i] * 8) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    write_batch(v3.repartition(2), 2)
+    got3 = nsw_read_topk(spark, path, [(0, [8.191] * 8)], 5, ef=10**6).collect()
+    want3 = knn_exact(v3, [8.191] * 8, 5).select("vec_id").collect()
+    assert [r["vec_id"] for r in got3] == [r["vec_id"] for r in want3]
