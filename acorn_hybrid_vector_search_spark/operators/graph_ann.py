@@ -1259,7 +1259,75 @@ def _load_attr_stats(spark, apath: str) -> dict:
     return out
 
 
-def nsw_stats_write(spark, path: str, *, attrs: Sequence[str] = ()) -> int:
+_NUMERIC_STATS_MEMO: dict[tuple, dict] = {}
+
+
+def _load_numeric_stats(spark, npath: str) -> dict:
+    """``{attr: {part_id: (vmin, vmax, n_present)}}`` from the numeric
+    zone-map sidecar, fingerprint-memoized like ``_load_stats``."""
+    key = None
+    if "://" not in npath:
+        key = (
+            spark.sparkContext.applicationId,
+            npath,
+            _dir_fingerprint(npath),
+        )
+        hit = _NUMERIC_STATS_MEMO.get(key)
+        if hit is not None:
+            return hit
+    out: dict = {}
+    for r in spark.read.parquet(npath).collect():
+        out.setdefault(r["attr"], {})[int(r["part_id"])] = (
+            r["vmin"], r["vmax"], int(r["n_present"]),
+        )
+    if key is not None:
+        _NUMERIC_STATS_MEMO.clear()
+        _NUMERIC_STATS_MEMO[key] = out
+    return out
+
+
+# the §2.3 range operators the numeric zone maps understand; the
+# reference spells leq/geq (acorn.py:176-185 item_weight/model_year)
+# and its class-2/3 queries use strict < / > — all four are one
+# canonical form here
+_RANGE_OPS = {"<": "<", "<=": "<=", ">": ">", ">=": ">=",
+              "leq": "<=", "geq": ">="}
+
+
+def _range_shard_verdict(
+    vmin, vmax, n_present: int, op: str, value: float
+) -> tuple[int, bool]:
+    """(certain_passing_lower_bound, may_pass) for one shard from its
+    numeric zone map. A shard whose whole [vmin, vmax] passes the
+    range has EXACTLY ``n_present`` passing members (NULL/missing
+    attrs reject per §2.3, so only present values count); one whose
+    whole range fails has zero and is skippable; a straddling shard
+    may pass but certifies nothing (lower bound 0)."""
+    if n_present == 0 or vmin is None or vmax is None:
+        return 0, False
+    v = float(value)
+    if op == "<":
+        all_pass, none_pass = vmax < v, vmin >= v
+    elif op == "<=":
+        all_pass, none_pass = vmax <= v, vmin > v
+    elif op == ">":
+        all_pass, none_pass = vmin > v, vmax <= v
+    else:  # ">="
+        all_pass, none_pass = vmin >= v, vmax < v
+    if all_pass:
+        return n_present, True
+    if none_pass:
+        return 0, False
+    return 0, True
+
+
+def nsw_stats_write(
+    spark,
+    path: str,
+    *,
+    attrs: Sequence[str] = (),
+    numeric_attrs: Sequence[str] = (),
+) -> int:
     """Compute and persist per-shard ball stats — ``(part_id, centroid,
     radius, n)``, radius = max member L2 distance to the shard mean —
     as a ``_shard_stats`` sidecar ("_"-hidden from store reads). One
@@ -1281,7 +1349,20 @@ def nsw_stats_write(spark, path: str, *, attrs: Sequence[str] = ()) -> int:
     shard × attr × distinct-value rows, the usual zone-map economics
     (intended for categorical/low-cardinality attributes; exact-match
     on canonicalized strings, so float-valued attrs are a caller
-    mistake)."""
+    mistake).
+
+    ``numeric_attrs`` (r10): numeric payload columns to aggregate
+    per-shard (vmin, vmax, n_present) zone maps for — the
+    ``_shard_numeric_stats`` sidecar behind ``nsw_read_topk(
+    prune_range=...)``, which makes pruning sound under §2.3's
+    leq/geq/</> range predicates (reference acorn.py:176-185,
+    item_weight/model_year — its class-2/3 queries are range-shaped):
+    a shard whose whole [vmin, vmax] passes contributes its exact
+    present count to the τ cover, one whose whole range fails is
+    never read, a straddling shard stays searchable but certifies
+    nothing. One S-row partial-agg pass per attribute; columns must
+    be numeric (min/max over a string column would compare
+    lexicographically and silently break the bound)."""
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
 
     stored = spark.read.parquet(path)
@@ -1326,6 +1407,32 @@ def nsw_stats_write(spark, path: str, *, attrs: Sequence[str] = ()) -> int:
             )
             counts = part if counts is None else counts.unionByName(part)
         counts.write.mode("overwrite").parquet(_attr_stats_path(path))
+    if numeric_attrs:
+        from pyspark.sql.types import NumericType
+
+        by_name = {f.name: f.dataType for f in stored.schema.fields}
+        bad = [
+            a for a in numeric_attrs
+            if a not in by_name or not isinstance(by_name[a], NumericType)
+        ]
+        if bad:
+            raise ValueError(
+                f"numeric zone maps requested for non-numeric or missing "
+                f"columns in the store at {path}: {bad} — min/max over a "
+                f"non-numeric column would order lexicographically and "
+                f"silently break the range bound"
+            )
+        zones = None
+        for a in numeric_attrs:
+            part = stored.groupBy(
+                "part_id", F.lit(a).alias("attr")
+            ).agg(
+                F.min(F.col(a).cast("double")).alias("vmin"),
+                F.max(F.col(a).cast("double")).alias("vmax"),
+                F.count(F.col(a)).alias("n_present"),
+            )
+            zones = part if zones is None else zones.unionByName(part)
+        zones.write.mode("overwrite").parquet(_numeric_stats_path(path))
     invalidate()
     return spark.read.parquet(_stats_path(path)).count()
 
@@ -1339,6 +1446,7 @@ def _prune_plan(
     k: int,
     *,
     skip_empty: bool = False,
+    possible: np.ndarray | None = None,
 ) -> list[np.ndarray]:
     """Per query: the sound kept-shard set. For shard s with centroid
     c_s and radius r_s, every member's squared distance to q lies in
@@ -1354,24 +1462,36 @@ def _prune_plan(
     bounds still hold for every member, so ordering by ub and covering
     k PASSING members bounds the kth PASSING distance; shards with
     zero passing members can never contribute and are dropped even
-    when the cover falls short of k."""
+    when the cover falls short of k.
+
+    ``possible`` (r10, the numeric zone-map form): a boolean mask of
+    shards that MAY contain a passing member, when ``counts`` are only
+    LOWER bounds of the true passing counts (a min/max zone map proves
+    all-pass or none-pass per shard; a straddling shard contributes
+    certain count 0 but must stay searchable). Soundness carries:
+    under-counting only grows the τ cover prefix (τ never shrinks
+    below the exact-count τ, so the kept set only widens), a shard
+    outside ``possible`` provably has no passing member, and a cover
+    falling short of k keeps every possible shard. Defaults to
+    ``counts > 0`` under ``skip_empty`` (exact counts), else all."""
+    if possible is None:
+        possible = counts > 0 if skip_empty else np.ones(len(parts), bool)
     out = []
     for qi in range(qmat.shape[0]):
         d = np.sqrt(((cents - qmat[qi]) ** 2).sum(axis=1))
         lb = np.maximum(0.0, d - radii) ** 2
         ub = (d + radii) ** 2
-        nonempty = counts > 0 if skip_empty else np.ones(len(parts), bool)
         order = np.argsort(ub, kind="stable")
-        order = order[nonempty[order]]
+        order = order[possible[order]]
         if order.size == 0:
             out.append(parts[:0].copy())
             continue
         cum = np.cumsum(counts[order])
         if cum[-1] < k:
-            out.append(parts[nonempty].copy())
+            out.append(parts[possible].copy())
             continue
         tau = float(ub[order[int(np.searchsorted(cum, k))]])
-        out.append(parts[(lb <= tau) & nonempty])
+        out.append(parts[(lb <= tau) & possible])
     return out
 
 
@@ -1387,6 +1507,7 @@ def nsw_write_clustered(
     id_col: str = "vec_id",
     payload_cols: Sequence[str] = (),
     stats_attrs: Sequence[str] = (),
+    numeric_stats_attrs: Sequence[str] = (),
     sample_rows: int = 20_000,
     n_iter: int = 10,
     seed: int = 42,
@@ -1431,7 +1552,113 @@ def nsw_write_clustered(
         vec_col=vec_col, id_col=id_col, part_offset=0,
         payload_cols=payload_cols, part_col="cluster_id",
     ).write.mode("overwrite").partitionBy("part_id").parquet(path)
-    nsw_stats_write(df.sparkSession, path, attrs=stats_attrs)
+    nsw_stats_write(
+        df.sparkSession, path,
+        attrs=stats_attrs, numeric_attrs=numeric_stats_attrs,
+    )
+
+
+def nsw_recluster(
+    spark,
+    path: str,
+    *,
+    n_shards: int = 16,
+    m: int = 8,
+    ef_construction: int = 32,
+    gamma: int | None = None,
+    stats_attrs: Sequence[str] = (),
+    numeric_stats_attrs: Sequence[str] = (),
+    sample_rows: int = 20_000,
+    n_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> int:
+    """Cluster-preserving compaction (r10 — closes the lifecycle hole
+    VERDICT r9 named): ``nsw_compact`` re-packs into id-HASH shards,
+    which merges distant clusters, fattens every shard ball and kills
+    pruning (measured, see ``nsw_write_clustered``); ``nsw_append``
+    onto a clustered store breaks cluster purity the same way — so a
+    clustered store that grows or reclaims tombstones used to lose
+    prunability permanently. ``nsw_recluster`` is the compaction that
+    RESTORES it: read the live rows (tombstones reclaimed — deletions
+    become permanent, exactly the ``nsw_compact`` contract), re-train
+    the coarse k-means on a bounded sample, rebuild CLUSTER-PURE
+    shards, swap the store in place with no loss window, and write
+    fresh ``_shard_stats`` (plus any requested attr / numeric
+    zone-map sidecars). Full-beam searches are exact over the union
+    before and after (pinned); pruned searches work again immediately
+    after — no manual stats refresh. Returns the new shard count.
+    Local paths only (directory swap), like ``nsw_compact``."""
+    import shutil
+
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        _kmeans,
+        assign_clusters,
+    )
+
+    if "://" in path:
+        raise ValueError(
+            f"nsw_recluster swaps via os.rename and only supports local "
+            f"paths; got {path!r} — recluster to a new prefix and flip a "
+            f"manifest pointer on remote stores"
+        )
+    raw = spark.read.parquet(path)
+    if gamma is None:
+        gamma = _store_gamma(raw)
+    tomb = _read_tombstones(spark, path, id_col)
+    if tomb is not None:
+        raw = (
+            _apply_tombstones(raw, tomb, id_col)
+            .filter(~F.col("_deleted"))
+            .drop("_deleted")
+        )
+        if raw.limit(1).count() == 0:
+            raise ValueError(
+                f"nsw_recluster would empty the store at {path}: every "
+                f"row is tombstoned — drop the store directory instead"
+            )
+    extras = [
+        c for c in raw.columns
+        if c not in {"part_id", "seq", "neighbors", "gamma", id_col, "vector"}
+    ]
+    if "cluster_id" in extras:
+        raise ValueError(
+            "nsw_recluster claims the 'cluster_id' column for its kmeans "
+            "assignment — a stored payload of that name would be "
+            "silently dropped; rebuild via nsw_write_clustered instead"
+        )
+    stored = raw.select(id_col, "vector", *extras)
+    n = stored.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample_df = (
+        stored.select("vector") if frac >= 1.0
+        else stored.select("vector").sample(frac, seed=seed)
+    )
+    sample = np.asarray([r[0] for r in sample_df.collect()], dtype=np.float64)
+    centroids = _kmeans(sample, n_shards, n_iter, seed)
+    assigned = assign_clusters(stored, centroids, vec_col="vector")
+    packed = _nsw_nodes(
+        assigned, m=m, ef_construction=ef_construction, gamma=gamma,
+        vec_col="vector", id_col=id_col, part_offset=0,
+        payload_cols=extras, part_col="cluster_id",
+    )
+    tmp = path.rstrip("/") + "__recluster_tmp"
+    try:
+        packed.write.mode("overwrite").partitionBy("part_id").parquet(tmp)
+        n_new = spark.read.parquet(tmp).select("part_id").distinct().count()
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    # the swap drops the tombstone and stats sidecars with the old
+    # directory — REQUIRED (reclustered shards renumber below every old
+    # ceiling), and the fresh stats land right after
+    _swap_dir(path, tmp)
+    invalidate()
+    nsw_stats_write(
+        spark, path, attrs=stats_attrs, numeric_attrs=numeric_stats_attrs
+    )
+    return int(n_new)
 
 
 def nsw_read_topk(
@@ -1448,7 +1675,8 @@ def nsw_read_topk(
     strategy: str = "traverse_all",
     subgraph_m: int = 8,
     prune: bool = False,
-    prune_match: "tuple[str, Any] | None" = None,
+    prune_match: "tuple[str, Any] | Mapping[int, tuple[str, Any]] | None" = None,
+    prune_range: "tuple[str, str, float] | None" = None,
     id_col: str = "vec_id",
     dist_col: str = "dist",
 ) -> DataFrame:
@@ -1531,7 +1759,31 @@ def nsw_read_topk(
     compared on their canonical string form (the sidecar stores
     ``CAST(value AS STRING)``) — intended for categorical payloads.
     Mutually exclusive with ``predicate``/``predicates``; requires
-    ``prune=True``."""
+    ``prune=True``.
+
+    ``prune_match`` as a MAPPING ``query_id → (attr, value)`` (r10,
+    the serving shape mirroring r8b's per-query ``predicates``): every
+    query in the batch prunes and filters on its OWN exact match, all
+    from ONE store read — per-query kept sets already exist in the
+    prune plan, the attr sidecar already stores per-value counts, and
+    each match becomes one Catalyst ``_pass_<qid>`` boolean on the
+    shared node scan. Queries absent from the mapping prune on plain
+    ball bounds and walk unfiltered. Every referenced attr must be
+    covered by the ``_shard_attr_stats`` sidecar.
+
+    ``prune_range`` (r10): ``(attr, op, value)`` with op one of
+    ``< <= > >=`` (``leq``/``geq`` accepted — §2.3's spelling): a
+    RANGE predicate that pruning is sound under via the numeric
+    zone-map sidecar (``nsw_stats_write(numeric_attrs=[attr])``): a
+    shard whose whole [vmin, vmax] passes contributes its exact
+    present count to the τ cover, one whose whole range fails is
+    provably empty of passing members and its directory is never
+    read, and a straddling shard stays searchable but certifies
+    nothing (``_prune_plan(possible=...)`` — under-counting only
+    widens the kept set, so exactness holds at full beam). The range
+    rides the walk as the usual Catalyst mask (NULL/missing attr
+    rejects, §2.3). Mutually exclusive with ``prune_match`` and
+    ``predicate``/``predicates``; requires ``prune=True``."""
     qids = [int(q) for q, _ in queries]
     if len(qids) != len(set(qids)):
         raise ValueError(
@@ -1561,6 +1813,28 @@ def nsw_read_topk(
 
     if prune_match is not None and not prune:
         raise ValueError("prune_match requires prune=True")
+    if prune_range is not None and not prune:
+        raise ValueError("prune_range requires prune=True")
+    if prune_match is not None and prune_range is not None:
+        raise ValueError(
+            "pass either prune_match or prune_range, not both — one "
+            "predicate drives both the zone-map prune and the walk mask"
+        )
+    match_by_qid: "dict[int, tuple] | None" = None
+    if prune_match is not None and not isinstance(prune_match, tuple):
+        match_by_qid = {
+            int(q): (a, v) for q, (a, v) in dict(prune_match).items()
+        }
+        if not match_by_qid:
+            raise ValueError(
+                "empty prune_match mapping — pass None for an unfiltered "
+                "pruned search, or a (attr, value) tuple for one shared "
+                "match"
+            )
+        if unknown := [q for q in sorted(match_by_qid) if q not in qset]:
+            raise ValueError(
+                f"prune_match for ids not in the batch: {unknown}"
+            )
     stored = spark.read.parquet(path)
     tomb = _read_tombstones(spark, path, id_col)
     allowed: dict[int, np.ndarray] | None = None
@@ -1620,13 +1894,19 @@ def nsw_read_topk(
                 f"{sorted(newer)[:3]}… were rewritten at or after the "
                 f"stats — run nsw_stats_write"
             )
+        possible = None
+        per_query_counts: "list[np.ndarray] | None" = None
         if prune_match is not None:
-            m_attr, m_val = prune_match
             apath = _attr_stats_path(path)
+            need = (
+                sorted({a for a, _ in match_by_qid.values()})
+                if match_by_qid is not None
+                else [prune_match[0]]
+            )
             if "://" not in apath and not os.path.exists(apath):
                 raise ValueError(
                     f"prune_match but no _shard_attr_stats sidecar at "
-                    f"{path} — run nsw_stats_write(attrs=[{m_attr!r}])"
+                    f"{path} — run nsw_stats_write(attrs={need!r})"
                 )
             if newer := _check_stats_fresh(path, apath, "_shard_attr_stats"):
                 raise ValueError(
@@ -1635,25 +1915,106 @@ def nsw_read_topk(
                     f"or after the counts — run nsw_stats_write"
                 )
             attr_counts = _load_attr_stats(spark, apath)
-            if m_attr not in attr_counts:
+            if missing := [a for a in need if a not in attr_counts]:
                 raise ValueError(
                     f"_shard_attr_stats at {path} does not cover "
-                    f"{m_attr!r} (covered: {sorted(attr_counts)}) — run "
-                    f"nsw_stats_write(attrs=[{m_attr!r}])"
+                    f"{missing} (covered: {sorted(attr_counts)}) — run "
+                    f"nsw_stats_write(attrs={need!r})"
                 )
-            by_part = attr_counts[m_attr]
-            val_s = str(m_val)
-            counts = np.asarray(
-                [by_part.get(int(p), {}).get(val_s, 0) for p in stat_parts],
-                dtype=np.int64,
-            )
-            # the match is also the walk's filter-functor mask
-            predicate = F.col(m_attr) == F.lit(m_val)
+
+            def _match_counts(a: str, v) -> np.ndarray:
+                by_part, vs = attr_counts[a], str(v)
+                return np.asarray(
+                    [by_part.get(int(p), {}).get(vs, 0) for p in stat_parts],
+                    dtype=np.int64,
+                )
+
+            if match_by_qid is None:
+                m_attr, m_val = prune_match
+                counts = _match_counts(m_attr, m_val)
+                # the match is also the walk's filter-functor mask
+                predicate = F.col(m_attr) == F.lit(m_val)
+                has_pred = True
+            else:
+                # per-query serving shape: each query's own passing
+                # counts drive its own τ cover; unmatched queries keep
+                # the plain all-member counts. Each match also becomes
+                # that query's Catalyst _pass_<qid> walk mask (the r8b
+                # predicates machinery, reused verbatim downstream).
+                per_query_counts = [
+                    _match_counts(*match_by_qid[q])
+                    if q in match_by_qid
+                    else counts
+                    for q in qids
+                ]
+                preds = {
+                    q: F.col(a) == F.lit(v)
+                    for q, (a, v) in match_by_qid.items()
+                }
+                pred_qids = sorted(preds)
+        elif prune_range is not None:
+            r_attr, r_op_raw, r_val = prune_range
+            r_op = _RANGE_OPS.get(r_op_raw)
+            if r_op is None:
+                raise ValueError(
+                    f"prune_range op must be one of "
+                    f"{sorted(_RANGE_OPS)}, got {r_op_raw!r} — zone "
+                    f"maps prove all-pass/none-pass for half-open "
+                    f"ranges only (exact-match is prune_match)"
+                )
+            npath = _numeric_stats_path(path)
+            if "://" not in npath and not os.path.exists(npath):
+                raise ValueError(
+                    f"prune_range but no _shard_numeric_stats sidecar "
+                    f"at {path} — run nsw_stats_write("
+                    f"numeric_attrs=[{r_attr!r}])"
+                )
+            if newer := _check_stats_fresh(path, npath, "_shard_numeric_stats"):
+                raise ValueError(
+                    f"stale _shard_numeric_stats at {path}: shard "
+                    f"dir(s) {sorted(newer)[:3]}… were rewritten at "
+                    f"or after the zone maps — run nsw_stats_write"
+                )
+            num_stats = _load_numeric_stats(spark, npath)
+            if r_attr not in num_stats:
+                raise ValueError(
+                    f"_shard_numeric_stats at {path} does not cover "
+                    f"{r_attr!r} (covered: {sorted(num_stats)}) — run "
+                    f"nsw_stats_write(numeric_attrs=[{r_attr!r}])"
+                )
+            zones = num_stats[r_attr]
+            verdicts = [
+                _range_shard_verdict(
+                    *zones.get(int(p), (None, None, 0)), r_op, float(r_val)
+                )
+                for p in stat_parts
+            ]
+            counts = np.asarray([c for c, _ in verdicts], dtype=np.int64)
+            possible = np.asarray([m for _, m in verdicts], dtype=bool)
+            col = F.col(r_attr)
+            predicate = {
+                "<": col < F.lit(r_val),
+                "<=": col <= F.lit(r_val),
+                ">": col > F.lit(r_val),
+                ">=": col >= F.lit(r_val),
+            }[r_op]
             has_pred = True
-        kept = _prune_plan(
-            stat_parts, cents, radii, counts, qmat, k,
-            skip_empty=prune_match is not None,
-        )
+        if per_query_counts is not None:
+            kept = []
+            for qi, q in enumerate(qids):
+                kept.extend(
+                    _prune_plan(
+                        stat_parts, cents, radii, per_query_counts[qi],
+                        qmat[qi : qi + 1], k,
+                        skip_empty=q in match_by_qid,
+                    )
+                )
+        else:
+            kept = _prune_plan(
+                stat_parts, cents, radii, counts, qmat, k,
+                skip_empty=prune_match is not None,
+                possible=possible,
+            )
         allowed = {}
         for qi, parts in enumerate(kept):
             for p in parts.tolist():

@@ -1431,3 +1431,292 @@ def test_stats_memo_rekeys_on_content_change(spark, tmp_path):
     os.utime(spath, ns=(dir_m, dir_m))
     second = _load_stats(spark, spath)
     assert second is not first  # re-loaded, not the memoized object
+
+
+def _blob_rows_with(rng_seed=13, n=400, extra=None):
+    """Four well-separated blobs; `extra(i, blob)` appends a payload."""
+    rng = random.Random(rng_seed)
+    centers = [(-6, -6), (-6, 6), (6, -6), (6, 6)]
+    rows = []
+    for i in range(n):
+        b = i % 4
+        cx, cy = centers[b]
+        vec = [round(rng.gauss(cx, 0.5), 4), round(rng.gauss(cy, 0.5), 4)] + [
+            round(rng.gauss(0, 0.5), 4) for _ in range(DIM - 2)
+        ]
+        rows.append((i, vec, b) if extra is None else (i, vec, *extra(i, b)))
+    return rows
+
+
+def test_prune_range_zone_maps_sound_and_skip_fail_shards(spark, tmp_path):
+    """r10 numeric zone maps: per-shard (vmin, vmax, n_present) make
+    ball-bound pruning sound under §2.3's range ops — all-pass shards
+    contribute exact counts to the τ cover, none-pass shards are
+    skipped outright, straddling shards stay searchable; full beam
+    answers the exact pre-filter oracle for <, <= (leq), >, >=."""
+    import os
+    import time as _time
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _load_numeric_stats,
+        _numeric_stats_path,
+        _prune_plan,
+        _range_shard_verdict,
+        nsw_read_topk,
+        nsw_stats_write,
+        nsw_write_clustered,
+    )
+
+    # weight rides the blob: blob b has weights in [10b, 10b+4]
+    rows = _blob_rows_with(extra=lambda i, b: (b * 10 + i % 5,))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, weight int"
+    )
+    path = str(tmp_path / "gz")
+    nsw_write_clustered(
+        df, path, n_shards=8, payload_cols=["weight"],
+        numeric_stats_attrs=["weight"],
+    )
+    q = rows[1][1]  # a blob-1 point
+
+    def brute(pred, kq=5):
+        return [
+            i
+            for _, i in sorted(
+                (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+                for r in rows
+                if pred(r[2])
+            )[:kq]
+        ]
+
+    # weight < 10: only blob 0 passes — blob 1-3 shards are none-pass
+    got = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6,
+        prune=True, prune_range=("weight", "<", 10),
+    ).collect()
+    assert [r["vec_id"] for r in got] == brute(lambda w: w < 10)
+    # zone-map verdicts: none-pass shards exist and are excluded
+    zones = _load_numeric_stats(spark, _numeric_stats_path(path))["weight"]
+    srows = spark.read.parquet(path + "/_shard_stats").collect()
+    parts = np.asarray([r["part_id"] for r in srows], dtype=np.int64)
+    cents = np.asarray([list(r["centroid"]) for r in srows], np.float64)
+    radii = np.asarray([r["radius"] for r in srows], np.float64)
+    verdicts = [
+        _range_shard_verdict(*zones[int(p)], "<", 10.0) for p in parts
+    ]
+    cert = np.asarray([c for c, _ in verdicts], dtype=np.int64)
+    poss = np.asarray([m for _, m in verdicts], dtype=bool)
+    assert (~poss).any()  # provably-failing shards exist
+    kept = _prune_plan(
+        parts, cents, radii, cert, np.asarray([q]), 5, possible=poss
+    )[0]
+    assert set(kept.tolist()) <= set(parts[poss].tolist())
+    # straddling ranges stay exact: weight < 12 splits blob 1's shards
+    got2 = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6,
+        prune=True, prune_range=("weight", "leq", 12),
+    ).collect()
+    assert [r["vec_id"] for r in got2] == brute(lambda w: w <= 12)
+    v2 = [_range_shard_verdict(*zones[int(p)], "<=", 12.0) for p in parts]
+    assert any(c == 0 and m for c, m in v2)  # straddlers certify nothing
+    # open-ended ranges: everything passes ≡ plain pruned top-k;
+    # nothing passes → empty result, not an error
+    got3 = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6,
+        prune=True, prune_range=("weight", ">=", -1),
+    ).collect()
+    assert [r["vec_id"] for r in got3] == brute(lambda w: True)
+    assert (
+        nsw_read_topk(
+            spark, path, [(0, list(q))], 5, ef=10**6,
+            prune=True, prune_range=("weight", ">", 999),
+        ).count()
+        == 0
+    )
+    # guard matrix
+    with pytest.raises(ValueError, match="requires prune"):
+        nsw_read_topk(
+            spark, path, [(0, list(q))], 5, prune_range=("weight", "<", 10)
+        )
+    with pytest.raises(ValueError, match="op must be one of"):
+        nsw_read_topk(
+            spark, path, [(0, list(q))], 5, prune=True,
+            prune_range=("weight", "==", 10),
+        )
+    with pytest.raises(ValueError, match="does not cover"):
+        nsw_read_topk(
+            spark, path, [(0, list(q))], 5, prune=True,
+            prune_range=("nope", "<", 10),
+        )
+    with pytest.raises(ValueError, match="not both"):
+        nsw_read_topk(
+            spark, path, [(0, list(q))], 5, prune=True,
+            prune_range=("weight", "<", 10), prune_match=("weight", 0),
+        )
+    with pytest.raises(ValueError, match="non-numeric"):
+        nsw_stats_write(spark, path, numeric_attrs=["vector"])
+    # content-stale zone maps refuse; refresh restores
+    part = next(d for d in os.listdir(path) if d.startswith("part_id="))
+    _time.sleep(0.01)
+    os.utime(os.path.join(path, part))
+    # (the ball-stats guard fires first — any sidecar staleness refuses)
+    with pytest.raises(ValueError, match="stale _shard"):
+        nsw_read_topk(
+            spark, path, [(0, list(q))], 5, prune=True,
+            prune_range=("weight", "<", 10),
+        )
+    nsw_stats_write(spark, path, numeric_attrs=["weight"])
+    got4 = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6,
+        prune=True, prune_range=("weight", "<", 10),
+    ).collect()
+    assert [r["vec_id"] for r in got4] == brute(lambda w: w < 10)
+
+
+def test_prune_match_per_query_batch_equals_loop(spark, tmp_path):
+    """r10 per-query prune_match: a mapping query_id → (attr, value)
+    gives every query its OWN zone-map prune + walk mask from ONE
+    store read; each query's rows equal (a) the exact pre-filter
+    brute force for its match and (b) the single-query tuple-form
+    call — and unmatched queries prune/walk plain."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write_clustered,
+    )
+
+    rows = _blob_rows_with()
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    path = str(tmp_path / "gpm")
+    nsw_write_clustered(
+        df, path, n_shards=8, payload_cols=["label"], stats_attrs=["label"]
+    )
+    qs = [(0, rows[1][1]), (1, rows[2][1]), (2, rows[3][1])]
+    matches = {0: ("label", 3), 1: ("label", 0)}  # qid 2: unfiltered
+    got = nsw_read_topk(
+        spark, path, qs, 5, ef=10**6, prune=True, prune_match=matches,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+
+    def brute(qv, pred):
+        return [
+            i
+            for _, i in sorted(
+                (sum((a - b) ** 2 for a, b in zip(r[1], qv)), r[0])
+                for r in rows
+                if pred(r[2])
+            )[:5]
+        ]
+
+    assert by_q[0] == brute(qs[0][1], lambda b: b == 3)
+    assert by_q[1] == brute(qs[1][1], lambda b: b == 0)
+    assert by_q[2] == brute(qs[2][1], lambda b: True)
+    # batch ≡ per-query loop (tuple form / plain prune)
+    for qid, qv in qs:
+        if qid in matches:
+            solo = nsw_read_topk(
+                spark, path, [(qid, qv)], 5, ef=10**6,
+                prune=True, prune_match=matches[qid],
+            ).collect()
+        else:
+            solo = nsw_read_topk(
+                spark, path, [(qid, qv)], 5, ef=10**6, prune=True,
+            ).collect()
+        assert by_q[qid] == [r["vec_id"] for r in solo]
+    # guards: unknown qid, empty mapping
+    with pytest.raises(ValueError, match="not in the batch"):
+        nsw_read_topk(
+            spark, path, qs, 5, prune=True, prune_match={9: ("label", 1)},
+        )
+    with pytest.raises(ValueError, match="empty prune_match"):
+        nsw_read_topk(spark, path, qs, 5, prune=True, prune_match={})
+
+
+def test_nsw_recluster_restores_prunability_after_growth(spark, tmp_path):
+    """r10 lifecycle close (VERDICT r9 'compaction and clustering are
+    mutually destructive'): write_clustered → append (breaks cluster
+    purity, stats go stale) → delete → nsw_recluster → pruned search
+    hash-equals brute force over the live corpus, shards actually
+    prune again, and the attr sidecar is refreshed for prune_match."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _load_stats,
+        _prune_plan,
+        _stats_path,
+        nsw_delete,
+        nsw_read_topk,
+        nsw_recluster,
+        nsw_write_clustered,
+    )
+
+    rows = _blob_rows_with(n=320)
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    path = str(tmp_path / "grc")
+    nsw_write_clustered(
+        df, path, n_shards=8, payload_cols=["label"], stats_attrs=["label"]
+    )
+    # growth: a new batch of blob-0-adjacent points lands as appended
+    # shards — cluster purity broken, stats stale
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import nsw_append
+
+    extra = _blob_rows_with(rng_seed=99, n=80)
+    extra = [(i + 1000, v, b) for (i, v, b) in extra]
+    nsw_append(
+        spark.createDataFrame(
+            extra, "vec_id long, embedding array<double>, label int"
+        ),
+        path,
+        payload_cols=["label"],
+    )
+    q = rows[1][1]
+    with pytest.raises(ValueError, match="stale _shard_stats"):
+        nsw_read_topk(spark, path, [(0, list(q))], 5, prune=True)
+    # delete a slice, then recluster: reclaims tombstones + re-purifies
+    dead = [i for i, _, _ in rows if i % 10 == 7]
+    nsw_delete(spark, path, dead)
+    n_new = nsw_recluster(
+        spark, path, n_shards=8, stats_attrs=["label"]
+    )
+    assert n_new == 8
+    live = [r for r in rows if r[0] % 10 != 7] + extra
+
+    def brute(qv, pred):
+        return [
+            i
+            for _, i in sorted(
+                (sum((a - b) ** 2 for a, b in zip(r[1], qv)), r[0])
+                for r in live
+                if pred(r[2])
+            )[:5]
+        ]
+
+    got = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6, prune=True
+    ).collect()
+    assert [r["vec_id"] for r in got] == brute(q, lambda b: True)
+    # prunability restored: the plan drops shards again
+    parts, cents, radii, counts = _load_stats(spark, _stats_path(path))
+    kept = _prune_plan(parts, cents, radii, counts, np.asarray([q]), 5)[0]
+    assert len(kept) < len(parts), (len(kept), len(parts))
+    # the refreshed attr sidecar serves prune_match immediately
+    got_m = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6,
+        prune=True, prune_match=("label", 3),
+    ).collect()
+    assert [r["vec_id"] for r in got_m] == brute(q, lambda b: b == 3)
+    # deletions are permanent (the nsw_compact contract): a deleted id
+    # never reappears
+    all_ids = {
+        r["vec_id"]
+        for r in nsw_read_topk(
+            spark, path, [(0, list(q))], 300, ef=10**6
+        ).collect()
+    }
+    assert not (all_ids & set(dead))
+    # remote refuses
+    with pytest.raises(ValueError, match="local"):
+        nsw_recluster(spark, "s3a://bucket/graph")
