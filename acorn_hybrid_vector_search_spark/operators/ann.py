@@ -25,6 +25,7 @@ reference's hand-SIMD (hnswlib/hnswlib/space_l2.h).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 from dataclasses import dataclass
 
@@ -46,10 +47,43 @@ class IVFIndex:
     vec_col: str
     id_col: str
     radii: np.ndarray | None = None  # (C,) max L2 member distance per cluster
+    # r10 zone maps on the inverted lists — {attr: {cluster_id:
+    # {value_str: n}}}, the SAME per-(partition, attr, value) exact-count
+    # contract as the graph store's _shard_attr_stats (graph_ann.py):
+    # ivf_search_exact(match=...) skips zero-passing lists outright
+    attr_counts: dict | None = None
 
     @property
     def n_clusters(self) -> int:
         return int(self.centroids.shape[0])
+
+
+def _ivf_attr_counts(
+    assigned: DataFrame, attrs: Sequence[str]
+) -> dict:
+    """Exact per-list value counts — one partial-agg pass per attr over
+    (cluster_id, value), C×V-row collects (zone-map economics: meant
+    for categorical/low-cardinality attributes). Values canonicalize
+    to strings, mirroring the graph store's sidecar exactly."""
+    missing = [a for a in attrs if a not in assigned.columns]
+    if missing:
+        raise ValueError(
+            f"attr stats requested for columns not in the indexed "
+            f"table: {missing}"
+        )
+    out: dict = {}
+    for a in attrs:
+        rows = (
+            assigned.groupBy(
+                "cluster_id", F.col(a).cast("string").alias("value")
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        per = out.setdefault(a, {})
+        for r in rows:
+            per.setdefault(int(r["cluster_id"]), {})[r["value"]] = int(r["n"])
+    return out
 
 
 def _kmeans(sample: np.ndarray, n_clusters: int, n_iter: int, seed: int) -> np.ndarray:
@@ -100,6 +134,7 @@ def ivf_build(
     n_iter: int = 10,
     seed: int = 42,
     with_radii: bool = False,
+    stats_attrs: Sequence[str] = (),
 ) -> IVFIndex:
     """Train the codebook on a bounded sample and tag every row with its
     cluster. (Persist with ``index.df.write.partitionBy('cluster_id')`` to
@@ -110,6 +145,12 @@ def ivf_build(
     the build artifact ``ivf_search_exact`` needs for provably-exact
     pruned search. Build-time-only cost, like the reference's index
     construction (/root/reference/acorn.py:274-277).
+
+    ``stats_attrs`` (r10): payload columns to aggregate exact per-LIST
+    value counts for — the zone-map sidecar contract shared with the
+    graph store (``nsw_stats_write(attrs=...)``), consumed by
+    ``ivf_search_exact(match=...)`` to skip zero-passing lists under
+    an exact-match predicate.
     """
     n = df.count()
     frac = min(1.0, sample_rows / max(n, 1))
@@ -120,12 +161,14 @@ def ivf_build(
     radii = None
     if with_radii:
         radii = _cluster_radii(assigned, centroids, vec_col=vec_col)
+    attr_counts = _ivf_attr_counts(assigned, stats_attrs) if stats_attrs else None
     return IVFIndex(
         df=assigned,
         centroids=centroids,
         vec_col=vec_col,
         id_col=id_col,
         radii=radii,
+        attr_counts=attr_counts,
     )
 
 
@@ -170,6 +213,9 @@ def refresh_radii(index: IVFIndex) -> IVFIndex:
         vec_col=index.vec_col,
         id_col=index.id_col,
         radii=_cluster_radii(index.df, index.centroids, vec_col=index.vec_col),
+        # zone-map counts stay: radii refresh doesn't change membership,
+        # and post-ingest loads already recompute them (ivf_read)
+        attr_counts=index.attr_counts,
     )
 
 
@@ -226,6 +272,21 @@ def ivf_write(index: IVFIndex, path: str) -> None:
     spark.createDataFrame(
         rows, "cluster_id INT, centroid ARRAY<DOUBLE>, radius DOUBLE"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    # r10: persist the per-list zone maps (same row shape as the graph
+    # store's _shard_attr_stats sidecar — one contract, two stores); a
+    # rebuild without stats must also DROP a stale sidecar (the
+    # _clear_sidecars rule)
+    shutil.rmtree(f"{path}/attr_stats", ignore_errors=True)
+    if index.attr_counts:
+        arows = [
+            (int(c), a, v, int(n))
+            for a, per in index.attr_counts.items()
+            for c, vals in per.items()
+            for v, n in vals.items()
+        ]
+        spark.createDataFrame(
+            arows, "cluster_id INT, attr STRING, value STRING, n LONG"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/attr_stats")
     # store writers drop pinned materializations: a semantically-equal
     # read plan over this path must never serve the pre-rewrite
     # snapshot (the r7 rule every other writer already follows)
@@ -273,9 +334,44 @@ def ivf_read(
     # `batch` is a writer-ownership detail (base load vs streaming
     # micro-batches) — drop it from the logical schema; cluster_id pruning
     # is unaffected (both are partition levels).
+    has_extra_batches = _ivf_has_stream_batches(path)
     df = df.drop("batch")
+    attr_counts = None
+    apath = f"{path}/attr_stats"
+    if os.path.exists(apath):
+        persisted_attrs = sorted(
+            {r["attr"] for r in spark.read.parquet(apath).select("attr").distinct().collect()}
+        )
+        if has_extra_batches:
+            # streaming ingest appended rows the persisted counts never
+            # saw — a zero-count list could now hold passing members,
+            # so zero-skip would be UNSOUND on stale counts. Recompute
+            # from the LIVE view (tombstones applied above): exact and
+            # fresh, one bounded aggregate per attr at load time.
+            attr_counts = _ivf_attr_counts(df, persisted_attrs)
+        else:
+            # tombstones alone keep persisted counts sound for skipping:
+            # deletions only SHRINK a list's passing set, so zero stays
+            # zero (a stale-high count just prunes less — never wrong)
+            attr_counts = {}
+            for r in spark.read.parquet(apath).collect():
+                attr_counts.setdefault(r["attr"], {}).setdefault(
+                    int(r["cluster_id"]), {}
+                )[r["value"]] = int(r["n"])
     return IVFIndex(
-        df=df, centroids=centroids, vec_col=vec_col, id_col=id_col, radii=radii
+        df=df, centroids=centroids, vec_col=vec_col, id_col=id_col,
+        radii=radii, attr_counts=attr_counts,
+    )
+
+
+def _ivf_has_stream_batches(path: str) -> bool:
+    """True when streaming ingest added lists/batch=<id> subtrees beyond
+    the base batch=-1 (local stores only — ivf_write refuses remote)."""
+    lists = f"{path}/lists"
+    if "://" in path or not os.path.isdir(lists):
+        return False
+    return any(
+        d.startswith("batch=") and d != "batch=-1" for d in os.listdir(lists)
     )
 
 
@@ -388,6 +484,8 @@ def ivf_search_exact(
     index: IVFIndex,
     query_vec: Sequence[float],
     k: int,
+    *,
+    match: tuple[str, object] | None = None,
 ) -> DataFrame:
     """PROVABLY EXACT top-k with data-adaptive cluster pruning — the
     IVF answer to "approximate is not acceptable, full scan is too much".
@@ -414,16 +512,58 @@ def ivf_search_exact(
     ingest (streaming/indexing.py) appends members that may exceed a
     stored radius — recompute radii after ingest (one cheap aggregate)
     before using exact pruned search on a grown index.
+
+    ``match`` (r10, the graph store's ``prune_match`` on the IVF lists
+    — one shared zone-map contract): ``(attr, value)`` exact-match
+    predicate with per-list exact value counts (``ivf_build(
+    stats_attrs=[attr])`` / loaded by ``ivf_read``): zero-passing
+    lists are skipped at EVERY stage (their directories are never
+    read — the cluster_id filter is partition pruning), phase 1 runs
+    in the nearest list that actually holds passing members, and the
+    ball lower bound applies unchanged to the passing subset (every
+    passing member is a member), so the result is the exact filtered
+    top-k. Counts persisted at build stay sound under deletions
+    (passing sets only shrink; zero stays zero) and are recomputed at
+    load when streaming batches appended rows the counts never saw
+    (``ivf_read``).
     """
     if index.radii is None:
         raise ValueError("ivf_search_exact requires an index built with_radii=True")
+    pred = None
+    passing = None
+    if match is not None:
+        m_attr, m_val = match
+        if not index.attr_counts or m_attr not in index.attr_counts:
+            covered = sorted(index.attr_counts or ())
+            raise ValueError(
+                f"ivf_search_exact(match=({m_attr!r}, …)) needs per-list "
+                f"value counts for {m_attr!r} (covered: {covered}) — "
+                f"build with ivf_build(stats_attrs=[{m_attr!r}])"
+            )
+        per = index.attr_counts[m_attr]
+        vs = str(m_val)
+        passing = np.asarray(
+            [per.get(c, {}).get(vs, 0) for c in range(index.n_clusters)],
+            dtype=np.int64,
+        )
+        pred = F.col(m_attr) == F.lit(m_val)
+        if not (passing > 0).any():
+            return knn_exact(
+                index.df.filter(F.lit(False)), list(query_vec), k,
+                vec_col=index.vec_col, id_col=index.id_col,
+            )
     q = np.asarray(list(query_vec), dtype=np.float64)
     dc = np.sqrt(((index.centroids - q[None, :]) ** 2).sum(axis=1))  # (C,) L2
     order = np.argsort(dc, kind="stable")
+    if passing is not None:
+        order = np.asarray([c for c in order if passing[int(c)] > 0])
     first = int(order[0])
 
+    scan1 = index.df.filter(F.col("cluster_id") == first)
+    if pred is not None:
+        scan1 = scan1.filter(pred)
     top1 = knn_exact(
-        index.df.filter(F.col("cluster_id") == first),
+        scan1,
         list(query_vec),
         k,
         vec_col=index.vec_col,
@@ -437,8 +577,11 @@ def ivf_search_exact(
         probe = [first] + [
             int(c) for c in order[1:] if lower[int(c)] <= d_k + 1e-9
         ]
+    scan = index.df.filter(F.col("cluster_id").isin(probe))
+    if pred is not None:
+        scan = scan.filter(pred)
     return knn_exact(
-        index.df.filter(F.col("cluster_id").isin(probe)),
+        scan,
         list(query_vec),
         k,
         vec_col=index.vec_col,

@@ -1558,6 +1558,77 @@ def nsw_write_clustered(
     )
 
 
+def pruned_match_attrs(spark, path: str) -> frozenset:
+    """The attrs a clustered store can serve exact-match zone-map-pruned
+    queries for RIGHT NOW: covered by a ``_shard_attr_stats`` sidecar
+    that is present and content-fresh (and whose ball-stats sidecar is
+    too). Returns the empty set on any missing/stale sidecar — the
+    router consults this BEFORE picking the ``nsw_pruned_match`` rung,
+    so it never routes into ``nsw_read_topk``'s staleness guards."""
+    import os
+
+    spath, apath = _stats_path(path), _attr_stats_path(path)
+    if "://" not in path:
+        if not (os.path.exists(spath) and os.path.exists(apath)):
+            return frozenset()
+        if _check_stats_fresh(path, spath, "_shard_stats"):
+            return frozenset()
+        if _check_stats_fresh(path, apath, "_shard_attr_stats"):
+            return frozenset()
+    return frozenset(_load_attr_stats(spark, apath))
+
+
+def estimate_kept_fraction(
+    spark, path: str, query_vec, k: int
+) -> "float | None":
+    """Row-weighted kept fraction the ball-bound prune plan would give
+    THIS query — a driver-side estimate from the S-row stats sidecar
+    (one memoized load, zero jobs after the first): Σ n over kept
+    shards / Σ n. The router consults it before preferring the
+    ``nsw_pruned`` rung — ball bounds weaken with dimension (the
+    BENCH_LADDER ``nsw_prune_dim`` rung measures it), and a plan that
+    keeps ~everything pays the stats machinery for no skipped I/O, so
+    a high fraction falls back to ``ivf_exact``. ``None`` when stats
+    are missing/stale (the rung's own guards then decide)."""
+    import os
+
+    spath = _stats_path(path)
+    if "://" not in path and not os.path.exists(spath):
+        return None
+    if _check_stats_fresh(path, spath, "_shard_stats"):
+        return None
+    parts, cents, radii, counts = _load_stats(spark, spath)
+    total = int(counts.sum())
+    if not total:
+        return None
+    kept = _prune_plan(
+        parts, cents, radii, counts,
+        np.asarray([list(query_vec)], dtype=np.float64), k,
+    )[0]
+    kept_set = set(kept.tolist())
+    kept_rows = sum(
+        int(c) for p, c in zip(parts.tolist(), counts.tolist())
+        if p in kept_set
+    )
+    return kept_rows / total
+
+
+def pruned_full_beam(spark, path: str, k: int) -> int:
+    """The ef that makes a pruned store search PROVABLY exact: the beam
+    must cover the largest shard — a hardcoded cap would silently go
+    approximate once a shard outgrew it (review r9b). Reads max shard
+    size off the stats sidecar (memoized); a missing sidecar returns k
+    and falls through to ``nsw_read_topk``'s own guard."""
+    import os
+
+    spath = _stats_path(path)
+    if "://" in spath or os.path.exists(spath):
+        _, _, _, counts = _load_stats(spark, spath)
+        if counts.size:
+            return max(k, int(counts.max()))
+    return k
+
+
 def nsw_recluster(
     spark,
     path: str,

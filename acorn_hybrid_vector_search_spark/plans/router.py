@@ -190,7 +190,7 @@ NSW_GAMMA_RECALL: tuple[tuple[int, float], ...] = (
 
 @dataclass
 class AnnRoute:
-    strategy: str  # "prefilter" | "exact" | "ivf_exact" | "nsw" | "nsw_gamma" | "ivf" | "nsw_pruned"
+    strategy: str  # "prefilter" | "exact" | "ivf_exact" | "nsw" | "nsw_gamma" | "ivf" | "nsw_pruned" | "nsw_pruned_match"
     selectivity: float
     nprobe: int | None = None
     ef: int | None = None
@@ -251,8 +251,11 @@ class StrategyRouter:
         has_nsw_index: bool = False,
         has_gamma_store: bool = False,
         has_pruned_store: bool = False,
+        pruned_attrs: "frozenset[str] | Sequence[str] | None" = None,
+        est_kept_fraction: float | None = None,
         small_corpus: int = 100_000,
         selective_cutoff: float = 0.05,
+        kept_fraction_cutoff: float = 0.9,
     ) -> AnnRoute:
         """Pick the ANN escalation rung from corpus size × k ×
         selectivity × recall requirement, using RECALL.md's committed
@@ -291,13 +294,49 @@ class StrategyRouter:
            exact via the same τ cover bound, and the measured fan-out
            shape beats ivf_exact's two-phase scan (BENCH_LADDER
            ``nsw_prune``: pruned cost stays flat as shard count grows,
-           1.6% of rows walked at 256+ shards). Predicates exclude the
-           rung — the bound covers the kth UNFILTERED neighbor only
-           (nsw_read_topk raises; the router never routes into a
-           guard).
+           1.6% of rows walked at 256+ shards). Arbitrary predicates
+           exclude the rung — the bound covers the kth UNFILTERED
+           neighbor only (nsw_read_topk raises; the router never
+           routes into a guard). r10: the rung also consults
+           ``est_kept_fraction`` (the driver-side prune-plan estimate
+           for THIS query, ``graph_ann.estimate_kept_fraction``) —
+           ball bounds weaken with dimension, and a plan keeping
+           > ``kept_fraction_cutoff`` of the rows pays the stats
+           machinery for no skipped I/O, so it falls back to
+           ``ivf_exact`` when that index exists.
+        6. r10: an exact-match SINGLE-attribute predicate whose attr
+           has FRESH per-shard value counts on the clustered store
+           (``pruned_attrs``, from ``graph_ann.pruned_match_attrs``)
+           → ``nsw_pruned_match``: the zone-map-pruned hybrid walk —
+           provably exact under the match (the τ cover counts PASSING
+           members; zero-passing shard dirs never read) and measured
+           up to 1.8× over the filter-only walk (BENCH_LADDER
+           ``nsw_prune`` match columns). Outranks the selective
+           prefilter rule: at scale the prefilter scan still touches
+           every row group of the base table while the zone maps skip
+           whole shard directories. Range / substring / multi-attr
+           predicates and uncovered attrs still refuse (pruning is
+           only sound where exact per-shard passing counts exist —
+           the numeric zone maps of ``prune_range`` are a direct-call
+           surface this round). A sub-1.0 recall budget with a γ
+           store still prefers the cheaper budgeted subgraph walk.
         """
         sel = estimate_selectivity(self.stats, predicates)
         n = self.stats.n_rows
+        # rule 6 (r10): the ACORN×SPANN zone-map rung — checked before
+        # the selective-prefilter rule (it answers the same exact
+        # pre-filter oracle while reading only passing shards)
+        if (
+            predicates
+            and len(predicates) == 1
+            and has_pruned_store
+            and pruned_attrs
+            and not (min_recall < 1.0 and has_gamma_store)
+        ):
+            ((attr, spec),) = dict(predicates).items()
+            op = list(spec)[0]
+            if op == "exact" and attr in set(pruned_attrs):
+                return AnnRoute("nsw_pruned_match", sel)
         if predicates and sel <= selective_cutoff:
             return AnnRoute("prefilter", sel)
         if n <= small_corpus and not (
@@ -327,6 +366,16 @@ class StrategyRouter:
                     if r >= min_recall:
                         return AnnRoute("ivf", sel, nprobe=nprobe, expected_recall=r)
         if not predicates and has_pruned_store:
+            if (
+                est_kept_fraction is not None
+                and est_kept_fraction > kept_fraction_cutoff
+                and has_ivf_index
+            ):
+                # the prune plan would keep ~everything for this query
+                # (high dimension / overlapping balls): the stats
+                # machinery buys no skipped I/O — take the IVF
+                # two-phase exact scan instead
+                return AnnRoute("ivf_exact", sel)
             return AnnRoute("nsw_pruned", sel)
         if has_ivf_index:
             return AnnRoute("ivf_exact", sel)
@@ -376,10 +425,28 @@ class StrategyRouter:
         conjunction in the scan; nsw/nsw_gamma evaluate it in CATALYST
         on the stored node table (filter-functor / subgraph walk);
         ``ivf`` applies it after the nprobe pruning (``ivf_search``'s
-        predicate param). An EXACT-required query with predicates falls
+        predicate param); an exact-match single-attr predicate over a
+        clustered store with fresh zone maps dispatches to the
+        ``nsw_pruned_match`` rung (r10 — provably exact under the
+        match). Any OTHER exact-required query with predicates falls
         back to the exact prefilter scan rather than ``ivf_search_exact``
         (whose ball-bound executor is predicate-less) — exactness is
         never traded for a prune."""
+        pruned_attrs = None
+        est_kept = None
+        if pruned_path is not None:
+            from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+                estimate_kept_fraction,
+                pruned_match_attrs,
+            )
+
+            # both are driver-side sidecar reads (memoized, freshness-
+            # checked) — the router never routes into a staleness guard
+            pruned_attrs = pruned_match_attrs(df.sparkSession, pruned_path)
+            if not predicates:
+                est_kept = estimate_kept_fraction(
+                    df.sparkSession, pruned_path, query_vec, k
+                )
         route = self.route_ann(
             k,
             predicates=predicates,
@@ -388,6 +455,8 @@ class StrategyRouter:
             has_nsw_index=nsw_path is not None,
             has_gamma_store=gamma_path is not None,
             has_pruned_store=pruned_path is not None,
+            pruned_attrs=pruned_attrs,
+            est_kept_fraction=est_kept,
         )
         acc = accessors or abo_accessors()
         pred_col = (
@@ -419,30 +488,28 @@ class StrategyRouter:
                 df.sparkSession, nsw_path, [(0, list(query_vec))], k,
                 ef=route.ef, predicate=pred_col, id_col=id_col,
             ).drop("query_id")
-        if route.strategy == "nsw_pruned":
-            import os
-
+        if route.strategy in ("nsw_pruned", "nsw_pruned_match"):
             from acorn_hybrid_vector_search_spark.operators.graph_ann import (
-                _load_stats,
-                _stats_path,
                 nsw_read_topk,
+                pruned_full_beam,
             )
 
-            # full beam ⇒ provably exact under the τ cover bound; the
-            # route fires only for predicate-free queries (rule 5).
-            # The beam must COVER the largest shard — a hardcoded cap
-            # would silently go approximate once a shard outgrew it
-            # (review r9b); the stats sidecar knows max shard size, and
-            # a missing sidecar falls through to nsw_read_topk's guard
-            spath = _stats_path(pruned_path)
-            ef = k
-            if "://" in spath or os.path.exists(spath):
-                _, _, _, counts = _load_stats(df.sparkSession, spath)
-                if counts.size:
-                    ef = max(k, int(counts.max()))
+            # full beam ⇒ provably exact under the τ cover bound (for
+            # the match rung: the cover counts PASSING members, and the
+            # beam covering the largest shard covers any passing
+            # subset of it). The beam must COVER the largest shard — a
+            # hardcoded cap would silently go approximate once a shard
+            # outgrew it (review r9b); the stats sidecar knows max
+            # shard size, and a missing sidecar falls through to
+            # nsw_read_topk's guard
+            ef = pruned_full_beam(df.sparkSession, pruned_path, k)
+            prune_match = None
+            if route.strategy == "nsw_pruned_match":
+                ((attr, spec),) = dict(predicates).items()
+                prune_match = (attr, list(spec)[1])
             return nsw_read_topk(
                 df.sparkSession, pruned_path, [(0, list(query_vec))], k,
-                ef=ef, prune=True, id_col=id_col,
+                ef=ef, prune=True, prune_match=prune_match, id_col=id_col,
             ).drop("query_id")
         if route.strategy == "ivf":
             from acorn_hybrid_vector_search_spark.operators.ann import (

@@ -790,3 +790,275 @@ def test_ivf_write_rejects_remote_paths(spark):
     )
     with pytest.raises(ValueError, match="local"):
         ivf_write(idx, "s3a://bucket/ivf")
+
+
+def test_ivf_search_exact_match_skips_zero_passing_lists(spark, tmp_path):
+    """r10 IVF zone-map symmetry (one shared contract with the graph
+    store's prune_match): per-list exact value counts let
+    ivf_search_exact(match=...) skip zero-passing lists at every
+    stage, run phase 1 in the nearest list that HOLDS passing members,
+    and stay provably exact (ball lower bounds apply to the passing
+    subset). Persisted counts survive the write/read roundtrip, stay
+    sound under tombstones, and are recomputed when streaming batches
+    append rows the counts never saw."""
+    import random
+
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_delete,
+        ivf_read,
+        ivf_search_exact,
+        ivf_write,
+    )
+
+    rng = random.Random(7)
+    centers = [(-6, -6), (-6, 6), (6, -6), (6, 6)]
+    rows = []
+    for i in range(400):
+        b = i % 4
+        cx, cy = centers[b]
+        rows.append(
+            (
+                i,
+                [round(rng.gauss(cx, 0.5), 4), round(rng.gauss(cy, 0.5), 4)]
+                + [round(rng.gauss(0, 0.5), 4) for _ in range(6)],
+                b,
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    idx = ivf_build(
+        df, n_clusters=8, with_radii=True, stats_attrs=["label"]
+    )
+    # zero-passing lists exist (labels ride the blobs)
+    per = idx.attr_counts["label"]
+    zeros = [
+        c for c in range(idx.n_clusters) if per.get(c, {}).get("3", 0) == 0
+    ]
+    assert zeros
+
+    q = rows[1][1]  # a blob-1 point; blob 3 is the far corner
+
+    def brute(pred, kq=5):
+        return [
+            i
+            for _, i in sorted(
+                (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+                for r in rows
+                if pred(r[0], r[2])
+            )[:kq]
+        ]
+
+    got = ivf_search_exact(idx, q, 5, match=("label", 3)).collect()
+    assert [r["vec_id"] for r in got] == brute(lambda i, b: b == 3)
+    # guards: uncovered attr, absent value
+    with pytest.raises(ValueError, match="stats_attrs"):
+        ivf_search_exact(idx, q, 5, match=("nope", 1))
+    assert ivf_search_exact(idx, q, 5, match=("label", 99)).count() == 0
+    # persistence roundtrip keeps the counts + the result
+    path = str(tmp_path / "ivf")
+    ivf_write(idx, path)
+    loaded = ivf_read(spark, path)
+    assert loaded.attr_counts == idx.attr_counts
+    got2 = ivf_search_exact(loaded, q, 5, match=("label", 3)).collect()
+    assert [r["vec_id"] for r in got2] == brute(lambda i, b: b == 3)
+    # tombstones: persisted counts stay (stale-high is sound — zero
+    # stays zero) and the search answers the LIVE filtered subset
+    want_live = brute(lambda i, b: b == 3)
+    ivf_delete(spark, path, [want_live[0]])
+    loaded2 = ivf_read(spark, path)
+    assert loaded2.attr_counts == idx.attr_counts  # not recomputed
+    got3 = ivf_search_exact(loaded2, q, 5, match=("label", 3)).collect()
+    assert [r["vec_id"] for r in got3] == brute(
+        lambda i, b: b == 3 and i != want_live[0]
+    )
+    # streaming append into a PREVIOUSLY-ZERO list: counts recompute at
+    # load, so the new passing rows are found (zero-skip stays sound)
+    from acorn_hybrid_vector_search_spark.operators.ann import assign_clusters
+
+    new = spark.createDataFrame(
+        [(9000, list(q), 3)], "vec_id long, embedding array<double>, label int"
+    )
+    assign_clusters(new, idx.centroids).write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(f"{path}/lists/batch=0")
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+
+    invalidate()
+    loaded3 = ivf_read(spark, path)
+    assert loaded3.attr_counts != idx.attr_counts  # recomputed
+    got4 = ivf_search_exact(loaded3, q, 1, match=("label", 3)).head()
+    assert got4["vec_id"] == 9000 and got4["dist"] < 1e-12
+
+
+def test_router_prune_match_rung_decision_matrix():
+    """r10 rule 6: an exact-match SINGLE-attribute predicate with fresh
+    zone maps on the clustered store routes to nsw_pruned_match;
+    range/substring/multi-attr predicates and uncovered attrs still
+    refuse; a sub-1.0 budget with a γ store still prefers the budgeted
+    subgraph walk. Plus the rule-5 kept-fraction consult: a prune plan
+    that would keep ~everything falls back to ivf_exact."""
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        AttributeStats,
+        StrategyRouter,
+        TableStats,
+    )
+
+    big = TableStats(
+        n_rows=10_000_000,
+        attrs={
+            "label": AttributeStats(
+                counts={i: 1_000_000 for i in range(10)},
+                n_rows=10_000_000,
+                n_null=0,
+            )
+        },
+    )
+    r = StrategyRouter(big)
+    cov = frozenset({"label"})
+    pm = {"label": ["exact", 3]}
+
+    a = r.route_ann(10, predicates=pm, has_pruned_store=True, pruned_attrs=cov)
+    assert a.strategy == "nsw_pruned_match"
+    # outranks the selective-prefilter rule (sel 0.1 <= cutoff 0.15)
+    a = r.route_ann(
+        10, predicates=pm, has_pruned_store=True, pruned_attrs=cov,
+        selective_cutoff=0.15,
+    )
+    assert a.strategy == "nsw_pruned_match"
+    # range / substring / multi-attr refuse
+    for bad in (
+        {"label": ["leq", 3]},
+        {"label": ["substring", "3"]},
+        {"label": ["exact", 3], "other": ["exact", 1]},
+    ):
+        a = r.route_ann(
+            10, predicates=bad, has_pruned_store=True, pruned_attrs=cov
+        )
+        assert a.strategy != "nsw_pruned_match", bad
+    # uncovered attr refuses (stale/missing sidecar reads as empty set)
+    a = r.route_ann(
+        10, predicates=pm, has_pruned_store=True, pruned_attrs=frozenset()
+    )
+    assert a.strategy != "nsw_pruned_match"
+    # approximate budget + γ store: the budgeted subgraph walk wins
+    a = r.route_ann(
+        10, predicates=pm, min_recall=0.9, has_pruned_store=True,
+        pruned_attrs=cov, has_gamma_store=True,
+    )
+    assert a.strategy == "nsw_gamma"
+    # approximate budget WITHOUT a γ store: exact rung meets any budget
+    a = r.route_ann(
+        10, predicates=pm, min_recall=0.9, has_pruned_store=True,
+        pruned_attrs=cov,
+    )
+    assert a.strategy == "nsw_pruned_match"
+    # rule-5 kept-fraction consult (r10, VERDICT r9 #6)
+    a = r.route_ann(
+        10, has_pruned_store=True, has_ivf_index=True, est_kept_fraction=0.95
+    )
+    assert a.strategy == "ivf_exact"
+    a = r.route_ann(
+        10, has_pruned_store=True, has_ivf_index=True, est_kept_fraction=0.5
+    )
+    assert a.strategy == "nsw_pruned"
+    # no IVF to fall back to → the pruned rung stays (still exact)
+    a = r.route_ann(10, has_pruned_store=True, est_kept_fraction=0.95)
+    assert a.strategy == "nsw_pruned"
+
+
+def test_ann_search_dispatches_prune_match_rung(spark, tmp_path):
+    """r10: ann_search derives zone-map coverage + the kept-fraction
+    estimate from the store itself and EXECUTES the nsw_pruned_match
+    rung — dispatched ≡ the direct nsw_read_topk(prune_match=...) call
+    ≡ the exact pre-filter brute force; a STALE attr sidecar silently
+    (and correctly) falls back to the exact prefilter scan instead of
+    routing into the staleness guard."""
+    import os
+    import random
+    import time as _time
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write_clustered,
+        pruned_full_beam,
+    )
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        AttributeStats,
+        StrategyRouter,
+        TableStats,
+    )
+
+    rng = random.Random(29)
+    centers = [(-6, -6), (-6, 6), (6, -6), (6, 6)]
+    rows = []
+    for i in range(320):
+        b = i % 4
+        cx, cy = centers[b]
+        rows.append(
+            (
+                i,
+                [round(rng.gauss(cx, 0.5), 4), round(rng.gauss(cy, 0.5), 4)]
+                + [round(rng.gauss(0, 0.5), 4) for _ in range(6)],
+                b,
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    store = str(tmp_path / "gc")
+    nsw_write_clustered(
+        df, store, n_shards=8, payload_cols=["label"], stats_attrs=["label"]
+    )
+    stats = TableStats(
+        n_rows=10_000_000,
+        attrs={
+            "label": AttributeStats(
+                counts={i: 2_500_000 for i in range(4)},
+                n_rows=10_000_000,
+                n_null=0,
+            )
+        },
+    )
+    router = StrategyRouter(stats)
+    acc = flat_accessors({"label": "int", "vec_id": "bigint"})
+    q = rows[1][1]
+    pred = {"label": ["exact", 3]}
+
+    got = router.ann_search(
+        df, q, pred, 5, pruned_path=store, accessors=acc
+    ).collect()
+    direct = (
+        nsw_read_topk(
+            spark, store, [(0, list(q))], 5,
+            ef=pruned_full_beam(spark, store, 5),
+            prune=True, prune_match=("label", 3),
+        )
+        .drop("query_id")
+        .collect()
+    )
+    key = lambda rs: [(r["vec_id"], round(r["dist"], 9)) for r in rs]
+    brute = sorted(
+        (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+        for r in rows
+        if r[2] == 3
+    )[:5]
+    assert key(got) == key(direct)
+    assert [r["vec_id"] for r in got] == [i for _, i in brute]
+    # stale attr sidecar → coverage reads empty → exact prefilter
+    # fallback, same answer, no guard exception
+    part = next(d for d in os.listdir(store) if d.startswith("part_id="))
+    _time.sleep(0.01)
+    os.utime(os.path.join(store, part))
+    got2 = router.ann_search(
+        df, q, pred, 5, pruned_path=store, accessors=acc
+    ).collect()
+    assert sorted(r["vec_id"] for r in got2) == sorted(i for _, i in brute)
