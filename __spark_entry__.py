@@ -4173,12 +4173,23 @@ def _q_nsw_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         qs = [(qid, by_id[qid]) for qid in _PRUNE_QIDS]
         path = tempfile.mkdtemp(prefix="acorn_nsw_prn_") + "/graph"
-        # ONE store serves both pruning rows: label payload + exact
-        # per-shard label counts enable the r9b predicate-aware form
-        # (nsw_pruned_hybrid_topk) beside this plain-top-k row
+        # ONE store serves the whole pruning family: label payload +
+        # exact per-shard label counts enable the r9b predicate-aware
+        # form (nsw_pruned_hybrid_topk), the r10 per-query batch form
+        # (nsw_pruned_batch_topk) and the routed rung
+        # (routed_pruned_match_topk); the derived numeric payload
+        # ``weight`` = label*10 + vec_id%5 (riding the slabs, so range
+        # zone maps have provably-failing shards) + its per-shard
+        # (vmin, vmax, n_present) sidecar enable the r10 range form
+        # (nsw_pruned_range_topk)
+        corpus = corpus.withColumn(
+            "weight",
+            (F.col("label") * 10 + F.col("vec_id") % 5).cast("double"),
+        )
         nsw_write_clustered(
             corpus, path, n_shards=8,
-            payload_cols=["label"], stats_attrs=["label"],
+            payload_cols=["label", "weight"],
+            stats_attrs=["label"], numeric_stats_attrs=["weight"],
         )
         srows = spark.read.parquet(path + "/_shard_stats").collect()
         parts = np.asarray([r["part_id"] for r in srows], dtype=np.int64)
@@ -4460,6 +4471,277 @@ def _q_nsw_prune_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nsw_pruned_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric zone maps on graph shards (r10 — VERDICT r9 ask #4;
+    reference acorn.py:176-185, whose class-2/3 queries constrain
+    item_weight/model_year with leq/geq ranges): per-shard
+    (vmin, vmax, n_present) make ball-bound pruning sound under a
+    RANGE predicate — a shard whose whole value range passes
+    contributes its exact present count to the τ cover, a shard whose
+    whole range fails is provably empty of passing members and its
+    DIRECTORY is never read, and a straddling shard stays searchable
+    while certifying nothing (under-counting only widens the kept
+    set). The derived payload weight = label·10 + vec_id%5 rides the
+    label slabs, so ``weight < 23`` fully passes slabs 0-1, straddles
+    slab 2 and provably fails slabs 3-9; the build asserts
+    provably-failing shards exist. Full beam answers the exact
+    pre-filter oracle (brute force over the shifted corpus WHERE
+    weight < 23) — hash-verified. Shares the clustered store with the
+    whole pruning family (one build, five rows)."""
+    import numpy as np
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _load_numeric_stats,
+        _load_stats,
+        _numeric_stats_path,
+        _range_shard_verdict,
+        _stats_path,
+        nsw_read_topk,
+    )
+
+    _q_nsw_pruned_topk(spark, sf_dir)  # build/reuse the shared store
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path, qs = _NSW_PRUNED_CACHE[key]
+    parts, _, _, _ = _load_stats(spark, _stats_path(path))
+    zones = _load_numeric_stats(spark, _numeric_stats_path(path))["weight"]
+    verdicts = [
+        _range_shard_verdict(*zones[int(p)], "<", 23.0) for p in parts
+    ]
+    # the zone maps must PROVE failure somewhere (slabs 3-9 at weight
+    # ≥ 30) or the rung is vacuous on this corpus
+    assert any(not m for _, m in verdicts), verdicts
+    res = nsw_read_topk(
+        spark, path, [qs[0]], k=10, ef=1_000_000,
+        prune=True, prune_range=("weight", "<", 23.0),
+    )
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
+_NSW_PRUNED_BATCH_QS: dict[tuple[str, str], list] = {}
+_PRUNE_BATCH_MATCHES = {2: 1, 4: 3, 8: 5}  # query_id → matched label
+
+
+def _q_nsw_pruned_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query predicate-aware pruning (r10 — VERDICT r9 ask #3, the
+    serving shape mirroring r8b's per-query ``predicates``): ONE read
+    of the clustered store answers a batch where THREE queries each
+    prune and filter on their OWN exact match (labels 1, 3, 5 — three
+    distinct values, three different zone-map kept sets) and a fourth
+    query carries no match (plain ball-bound pruning — the r9
+    nsw_pruned_topk machinery stays in-window inside this row). Each
+    match is one Catalyst ``_pass_<qid>`` boolean on the shared node
+    scan and one per-query τ cover over the attr sidecar's counts. At
+    full beam every sub-result answers its own exact pre-filter
+    oracle — hash-verified per query; pytest pins batch ≡
+    per-query-loop."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+    )
+
+    _q_nsw_pruned_topk(spark, sf_dir)  # build/reuse the shared store
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path, qs = _NSW_PRUNED_CACHE[key]
+    for stale in [k for k in _NSW_PRUNED_BATCH_QS if k[0] != key[0]]:
+        del _NSW_PRUNED_BATCH_QS[stale]
+    batch_qs = _NSW_PRUNED_BATCH_QS.get(key)
+    if batch_qs is None:
+        v16 = (
+            _clustered_embeddings(spark, sf_dir)
+            .filter(F.col("vec_id") == 16)
+            .head()["embedding"]
+        )
+        batch_qs = list(qs) + [(16, list(v16))]
+        _NSW_PRUNED_BATCH_QS[key] = batch_qs
+    res = nsw_read_topk(
+        spark, path, batch_qs, k=10, ef=1_000_000,
+        prune=True,
+        prune_match={
+            q: ("label", v) for q, v in _PRUNE_BATCH_MATCHES.items()
+        },
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("dist", _R).alias("dist")
+    )
+
+
+def _q_routed_pruned_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zone-map rung reached THROUGH THE PLANNER (r10 — VERDICT r9
+    ask #1: "the engine's best new trick is unreachable through its
+    own planner"): ``StrategyRouter.ann_search`` derives zone-map
+    coverage from the store's own sidecars (``pruned_match_attrs`` —
+    stale/missing reads as uncovered, so the router never routes into
+    a staleness guard), rule 6 dispatches the exact-match
+    single-attribute predicate {label: exact 3} to
+    ``nsw_read_topk(prune=True, prune_match=...)`` at the provably-
+    exact full beam, and the in-fn assert pins that the chosen rung
+    IS nsw_pruned_match. Answers the identical exact pre-filter
+    oracle as the direct-call row — route → run, one call (the
+    dedup_search symmetry). K5 routing keeps its window row here
+    (routed_hybrid's flat-strategy invariance stays selfcheck-gated
+    at 51+)."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        pruned_match_attrs,
+    )
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        AttributeStats,
+        StrategyRouter,
+        TableStats,
+    )
+
+    _q_nsw_pruned_topk(spark, sf_dir)  # build/reuse the shared store
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path, qs = _NSW_PRUNED_CACHE[key]
+    stats = TableStats(
+        n_rows=10_000_000,
+        attrs={
+            "label": AttributeStats(
+                counts={i: 1_000_000 for i in range(10)},
+                n_rows=10_000_000,
+                n_null=0,
+            )
+        },
+    )
+    router = StrategyRouter(stats)
+    pred = {"label": ["exact", 3]}
+    covered = pruned_match_attrs(spark, path)
+    route = router.route_ann(
+        10, predicates=pred, has_pruned_store=True, pruned_attrs=covered
+    )
+    assert route.strategy == "nsw_pruned_match", route
+    corpus = _clustered_embeddings(spark, sf_dir)
+    res = router.ann_search(
+        corpus, list(qs[0][1]), pred, 10,
+        pruned_path=path,
+        accessors=flat_accessors({"label": "int", "vec_id": "bigint"}),
+    )
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
+_IVF_MATCH_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _q_ivf_pruned_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF zone-map symmetry (r10 — VERDICT r9 ask #7: the tombstone
+    contract was unified across both stores in r9; this round unifies
+    predicate-aware pruning): ``ivf_build(stats_attrs=['label'])``
+    persists the SAME per-(partition, attr, value) exact-count shape
+    as the graph store's ``_shard_attr_stats``, the write/read
+    roundtrip carries it, and ``ivf_search_exact(match=('label', 3))``
+    skips zero-passing lists at every stage — phase 1 runs in the
+    nearest list that HOLDS passing members, the ball lower bound
+    applies unchanged to the passing subset, so the result is the
+    exact filtered top-k (pruned ≡ unpruned ≡ brute force pinned in
+    pytest). The build asserts zero-passing lists exist over the
+    clustered corpus. Answers the exact pre-filter oracle — the same
+    brute force the graph-store rows answer."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_search_exact,
+        ivf_write,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _IVF_MATCH_CACHE if k[0] != key[0]]:
+        del _IVF_MATCH_CACHE[stale]
+    cached = _IVF_MATCH_CACHE.get(key)
+    if cached is None:
+        corpus = _clustered_embeddings(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="acorn_ivf_match_") + "/ivf"
+        ivf_write(
+            ivf_build(
+                corpus, n_clusters=8, with_radii=True, stats_attrs=["label"]
+            ),
+            path,
+        )
+        live = ivf_read(spark, path)
+        per = live.attr_counts["label"]
+        assert any(
+            per.get(c, {}).get("3", 0) == 0 for c in range(live.n_clusters)
+        ), "expected zero-passing lists for label 3 on the clustered corpus"
+        qv = (
+            corpus.filter(F.col("vec_id") == 2).head()["embedding"]
+        )
+        _IVF_MATCH_CACHE[key] = cached = (live, list(qv))
+    live, qv = cached
+    res = ivf_search_exact(live, qv, 10, match=("label", 3))
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
+_NSW_RECLUSTER_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _q_nsw_recluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-preserving compaction (r10 — VERDICT r9 ask #2, closing
+    "compaction and clustering are mutually destructive"): the
+    clustered store grows (``nsw_append`` of a derived batch — id +
+    1000000, every element + 0.125; cluster purity broken, pruned
+    reads refuse on stale stats), loses rows (``nsw_delete`` of
+    vec_id%11==5 — the r9 delete machinery executes in-window inside
+    this build), then ``nsw_recluster`` re-trains the coarse k-means
+    over the LIVE rows, rebuilds cluster-pure shards, reclaims the
+    tombstones and refreshes the stats sidecars in one swap. The
+    full-beam PRUNED search then answers the brute-force oracle over
+    the post-lifecycle corpus (original minus deleted, union the
+    appended batch — all SQL-rebuildable), and the build asserts the
+    prune plan actually drops shards again (prunability restored)."""
+    import tempfile
+
+    import numpy as np
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _load_stats,
+        _prune_plan,
+        _stats_path,
+        nsw_append,
+        nsw_delete,
+        nsw_read_topk,
+        nsw_recluster,
+        nsw_write_clustered,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _NSW_RECLUSTER_CACHE if k[0] != key[0]]:
+        del _NSW_RECLUSTER_CACHE[stale]
+    cached = _NSW_RECLUSTER_CACHE.get(key)
+    if cached is None:
+        corpus = _clustered_embeddings(spark, sf_dir)
+        qv = list(corpus.filter(F.col("vec_id") == 2).head()["embedding"])
+        path = tempfile.mkdtemp(prefix="acorn_nsw_rcl_") + "/graph"
+        nsw_write_clustered(
+            corpus, path, n_shards=8,
+            payload_cols=["label"], stats_attrs=["label"],
+        )
+        grown = corpus.filter(F.col("vec_id") % 7 == 3).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(0.125)
+            ).alias("embedding"),
+            "label",
+        )
+        nsw_append(grown, path, payload_cols=["label"])
+        nsw_delete(
+            spark, path,
+            corpus.filter(F.col("vec_id") % 11 == 5).select("vec_id"),
+        )
+        n_new = nsw_recluster(spark, path, n_shards=8, stats_attrs=["label"])
+        parts, cents, radii, counts = _load_stats(spark, _stats_path(path))
+        kept = _prune_plan(
+            parts, cents, radii, counts,
+            np.asarray([qv], dtype=np.float64), 10,
+        )[0]
+        assert len(kept) < n_new, (len(kept), n_new)
+        _NSW_RECLUSTER_CACHE[key] = cached = (path, qv)
+    path, qv = cached
+    res = nsw_read_topk(spark, path, [(2, qv)], k=10, ef=1_000_000, prune=True)
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -4512,6 +4794,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     acorn_batch_topk, winnow_capped_pairs, simhash_cap_stats and
     stream_nsw_append (family retention documented at the r9
     rotation block).
+    Round 10 rotated its zone-map/lifecycle flagships in (standing
+    policy; every family keeps ≥1 window row; displaced rows stay
+    oracle-gated at 51+ via the committed SELFCHECK.json).  Swaps:
+    nsw_delete_topk → nsw_recluster_topk (the recluster build RUNS
+    nsw_delete + nsw_append before reclustering, so the r9 delete
+    machinery still executes in-window; lifecycle keeps
+    nsw_upsert_topk + stream_nsw_upsert);
+    nsw_pruned_topk → nsw_pruned_batch_topk (the batch carries one
+    UNMATCHED query, so plain ball-bound pruning still executes
+    in-window, plus three per-query zone-map matches);
+    routed_hybrid → routed_pruned_match_topk (K5 routing keeps a
+    window row — the new one drives ann_search's rule-6 dispatch;
+    the flat-strategy result-invariance oracle stays at 51+);
+    image_similarity → nsw_pruned_range_topk (media keeps
+    images_etl / audio_etl / video_frames_etl / images_decode — four
+    real-decode rows; embedding-cosine similarity keeps pure_topk
+    and the ANN family);
+    text_quality → ivf_pruned_match_topk (the heuristic quality
+    scorer still executes in-window inside quality_curriculum_bins;
+    text keeps token_counts / lang_id_histogram / bm25_topk_docs).
     Displaced and new 51+ queries remain oracle-checked by
     tools/selfcheck.py and pytest, and every round commits the
     full-battery artifact SELFCHECK.json so the 51+ surface has durable
@@ -4532,7 +4834,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_etl": _q_images_etl,
         # -- ANN family: exact-pruned IVF oracle + batch k-NN + routing --
         "ann_ivf_exact_topk": _q_ann_ivf_exact,
-        "routed_hybrid": _q_routed_hybrid,
+        # r10 swap: K5 routing through the planner now drives the
+        # rule-6 zone-map rung; the flat-strategy invariance oracle
+        # (routed_hybrid) stays at 51+
+        "routed_pruned_match_topk": _q_routed_pruned_match_topk,
         # multimodal audio: REAL WAV decode, fully oracle-replayed
         # (displaced histogram_event_type — A1 retains
         # histogram_brand_nested in-window, event_type moved to 51+)
@@ -4579,7 +4884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_dedup_pairs": _q_routed_dedup_pairs,
         "scd2_orders_history": _q_scd2_orders_history,
         "bpe_merges": _q_bpe_merges,
-        "image_similarity": _q_image_similarity,
+        "nsw_pruned_range_topk": _q_nsw_pruned_range_topk,  # r10 swap
         "html_text_extraction": _q_html_text_extraction,
         # ==== round-6b rotation (same policy as r4 ask #3 / r5 ask #3,
         # applied to THIS round's flagships before the round closes): the
@@ -4637,7 +4942,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   disclosure relation takes the disclosure seat;
         #   minhash_capped_pairs keeps cap arithmetic driver-gated).
         # ====
-        "nsw_delete_topk": _q_nsw_delete_topk,
+        # r10 swap: the recluster lifecycle row runs delete+append in
+        # its build (see the r10 rotation block above); nsw_delete_topk
+        # stays oracle-gated at 51+
+        "nsw_recluster_topk": _q_nsw_recluster_topk,
         # ==== round-7 rotation (the established policy: the CURRENT
         # round's flagships earn driver-committed evidence before the
         # round closes; every swap is same-family so each family keeps
@@ -4715,7 +5023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # foreachBatch gate runs the same broadcast bloom screen +
         # exact verify), the sharded-bloom row stays oracle-gated 51+
         "nsw_pruned_hybrid_topk": _q_nsw_pruned_hybrid_topk,
-        "nsw_pruned_topk": _q_nsw_pruned_topk,  # r9 swap (see block above)
+        "nsw_pruned_batch_topk": _q_nsw_pruned_batch_topk,  # r10 swap
         "cms_heavy_tokens": _q_cms_heavy_tokens,
         # -- relational core --
         "agg_lineitem_pricing": _q_agg_lineitem,
@@ -4730,7 +5038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decontaminate_docs": _q_stream_decontaminate_docs,
         # -- text analysis --
         "token_counts": _q_token_counts,
-        "text_quality": _q_text_quality,
+        "ivf_pruned_match_topk": _q_ivf_pruned_match_topk,  # r10 swap
         # round-5: REAL JPEG decode replaces the pii demo in-window
         # (text family keeps token_counts/text_quality/lang_id; pii
         # remains oracle-checked at 51+)
@@ -4749,6 +5057,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_curriculum_bins": _q_quality_curriculum,
         # ==== position 51+: redundant variants of operators already gated
         # above; still oracle-verified by tools/selfcheck.py + pytest ====
+        # r10 rotation displacements — all remain oracle-gated here
+        "nsw_delete_topk": _q_nsw_delete_topk,
+        "nsw_pruned_topk": _q_nsw_pruned_topk,
+        "routed_hybrid": _q_routed_hybrid,
+        "image_similarity": _q_image_similarity,
+        "text_quality": _q_text_quality,
         # r9 rotation displacements — all remain oracle-gated here
         "bpe_state_persisted": _q_bpe_state_persisted,
         "acorn_batch_topk": _q_acorn_batch_topk,
@@ -6723,6 +7037,87 @@ def oracle_sql() -> dict[str, str]:
              ORDER BY {_D2}, e.vec_id LIMIT 10)"""
             for qid in _PRUNE_QIDS
         ),
+        # r10 numeric zone maps at full beam = the exact pre-filter
+        # oracle under a RANGE predicate over the derived clustered
+        # corpus (weight = label*10 + vec_id%5 rides the slabs;
+        # provably-failing shards asserted in-fn)
+        "nsw_pruned_range_topk": "WITH ce AS (SELECT s.vec_id, "
+        "CAST(s.label * 10 + s.vec_id % 5 AS DOUBLE) AS weight, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s)\n"
+        + f"""
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM (SELECT * FROM ce WHERE weight < 23) e,
+                 (SELECT embedding FROM ce WHERE vec_id = 2) q
+            ORDER BY {_D2}, e.vec_id LIMIT 10""",
+        # r10 per-query zone-map pruning: each matched query answers
+        # its own exact pre-filter oracle (labels 1/3/5 — three
+        # distinct kept sets) and the unmatched query the plain
+        # brute force, all from ONE store read on the Spark side
+        "nsw_pruned_batch_topk": "WITH ce AS (SELECT s.vec_id, s.label, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s)\n"
+        + "\nUNION ALL\n".join(
+            [
+                f"""
+            (SELECT CAST({qid} AS BIGINT) AS query_id, e.vec_id,
+                    ROUND({_D2}, {_R}) AS dist
+             FROM (SELECT * FROM ce WHERE label = {lbl}) e,
+                  (SELECT embedding FROM ce WHERE vec_id = {qid}) q
+             ORDER BY {_D2}, e.vec_id LIMIT 10)"""
+                for qid, lbl in _PRUNE_BATCH_MATCHES.items()
+            ]
+            + [
+                f"""
+            (SELECT CAST(16 AS BIGINT) AS query_id, e.vec_id,
+                    ROUND({_D2}, {_R}) AS dist
+             FROM ce e, (SELECT embedding FROM ce WHERE vec_id = 16) q
+             ORDER BY {_D2}, e.vec_id LIMIT 10)"""
+            ]
+        ),
+        # r10 routed + IVF twins: both answer the identical exact
+        # pre-filter oracle (label = 3, query vec_id = 2) — the first
+        # through StrategyRouter.ann_search's rule-6 dispatch onto the
+        # graph store, the second through ivf_search_exact's
+        # zero-passing-list skip on the inverted lists
+        "routed_pruned_match_topk": "WITH ce AS (SELECT s.vec_id, s.label, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s)\n"
+        + f"""
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM (SELECT * FROM ce WHERE label = 3) e,
+                 (SELECT embedding FROM ce WHERE vec_id = 2) q
+            ORDER BY {_D2}, e.vec_id LIMIT 10""",
+        "ivf_pruned_match_topk": "WITH ce AS (SELECT s.vec_id, s.label, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s)\n"
+        + f"""
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM (SELECT * FROM ce WHERE label = 3) e,
+                 (SELECT embedding FROM ce WHERE vec_id = 2) q
+            ORDER BY {_D2}, e.vec_id LIMIT 10""",
+        # r10 recluster lifecycle: the post-lifecycle corpus is
+        # SQL-rebuilt (originals minus vec_id%11==5, union the
+        # appended +0.125-shifted batch at id+1000000) and the pruned
+        # full-beam search must answer its brute force exactly — a
+        # resurrected deleted row, a lost appended row, or an unsound
+        # prune all hash-mismatch
+        "nsw_recluster_topk": "WITH ce AS (SELECT s.vec_id, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s),\n"
+        + f"""
+            live AS (
+                SELECT vec_id, embedding FROM ce WHERE vec_id % 11 <> 5
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) + 0.125)
+                           AS embedding
+                FROM ce WHERE vec_id % 7 = 3
+            )
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM live e, (SELECT embedding FROM ce WHERE vec_id = 2) q
+            ORDER BY {_D2}, e.vec_id LIMIT 10""",
         # r9: the pruning decision arithmetic replayed end to end —
         # shard centroids (order-free decimal sums), max-member radii,
         # ball bounds, the τ cover bound, kept verdicts — over the
