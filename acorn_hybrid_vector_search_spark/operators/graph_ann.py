@@ -1875,11 +1875,15 @@ def nsw_read_topk(
     if strategy not in ("traverse_all", "subgraph"):
         raise ValueError(f"unknown strategy: {strategy!r}")
     if strategy == "subgraph" and not (
-        has_pred or pred_qids or prune_match is not None
+        has_pred
+        or pred_qids
+        or prune_match is not None
+        or prune_range is not None
     ):
         raise ValueError(
             "strategy='subgraph' is the ACORN-γ predicate-subgraph walk "
-            "— it requires predicate, predicates, or prune_match"
+            "— it requires predicate, predicates, prune_match, or "
+            "prune_range"
         )
 
     if prune_match is not None and not prune:

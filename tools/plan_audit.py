@@ -180,6 +180,39 @@ AUDIT: dict[str, list[str]] = {
     "ivf_delete_topk": [
         "PartitionFilters", "BroadcastHashJoin", "TakeOrderedAndProject",
     ],
+    # round 10: numeric zone maps — the kept-set partition filter (none-
+    # pass shard dirs never read) plus the RANGE predicate riding the
+    # walk as the Catalyst _pass mask
+    "nsw_pruned_range_topk": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit",
+        "PartitionFilters", "_pass",
+    ],
+    # round 10: per-query zone-map pruning — each matched query's own
+    # _pass_<qid> Catalyst boolean on ONE stored-table scan, per-query
+    # kept sets folded into one partition filter
+    "nsw_pruned_batch_topk": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit",
+        "PartitionFilters", "_pass_2", "_pass_4", "_pass_8",
+    ],
+    # round 10: the routed rung builds the IDENTICAL plan as the direct
+    # prune_match call — rule-6 dispatch changes which plan is built,
+    # never the plan itself
+    "routed_pruned_match_topk": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit",
+        "PartitionFilters", "_pass",
+    ],
+    # round 10: IVF zone-map symmetry — zero-passing lists are excluded
+    # from the cluster partition filter, the match predicate is PUSHED
+    # into the parquet scan of the kept lists, exact top-k stays a
+    # TakeOrderedAndProject
+    "ivf_pruned_match_topk": [
+        "PartitionFilters", "PushedFilters", "TakeOrderedAndProject",
+    ],
+    # round 10: after recluster the store prunes again — same plan
+    # family as nsw_pruned_topk over the re-purified shards
+    "nsw_recluster_topk": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit", "PartitionFilters",
+    ],
 }
 
 
@@ -220,7 +253,10 @@ def main() -> None:
     _nsw_hybrid_batch_section()
     _acorn_gamma_section()
     _nsw_prune_section()
+    _nsw_prune_dim_section()
+    _nsw_recluster_section()
     _nsw_lifecycle_section()
+    _acorn_amortized_section()
     _regression_triage_section()
 
 
@@ -827,6 +863,181 @@ def _nsw_prune_section() -> None:
         "arbitrary predicates/blocked sets, tombstones, and stale "
         "stats (ball OR attr-count sidecars) all refuse to prune "
         "(test_prune_guards, test_prune_match_*).\n"
+    )
+
+
+def _nsw_prune_dim_section() -> None:
+    """Prune-vs-dimension ladder (r10 — VERDICT r9 ask #6), regenerated
+    from BENCH_LADDER.json's nsw_prune_dim block
+    (tools/bench_nsw_prune_dim.py)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        lad = json.load(open(os.path.join(root, "BENCH_LADDER.json")))
+    except OSError:
+        return
+    sec = lad.get("nsw_prune_dim")
+    if not sec:
+        return
+    print("\n## Prune-vs-dimension ladder (measured — r10)\n")
+    print(
+        f"Ball bounds and dimension: {sec['n_vectors']:,} vectors, "
+        f"{sec['n_blobs']} blobs, {sec['n_shards']} cluster-pure "
+        f"shards, {sec['n_queries']}-query batch at ef={sec['ef']}. "
+        f"Two geometries per dim — `tight` (noise σ=0.5 vs center "
+        f"σ=4, the r9 recipe's ratio) and `fat` (noise σ=4 ≈ "
+        f"separation, the isotropic-ish adversarial case). "
+        f"`router est` is the DRIVER-SIDE kept-fraction estimate "
+        f"(graph_ann.estimate_kept_fraction) that rule 5 consults "
+        f"before preferring the pruned rung — computed from the "
+        f"S-row stats sidecar, zero store I/O. Full-beam pruned ≡ "
+        f"brute force asserted in-run at every point:\n"
+    )
+    print(
+        "| dim | geometry | kept shards | rows walked | router est | "
+        "unpruned q8 | pruned q8 | speedup |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for r in sec["dims"]:
+        print(
+            f"| {r['dim']} | {r['geometry']} | "
+            f"{r['kept_shard_fraction']:.1%} | "
+            f"{r['rows_walked_fraction']:.1%} | "
+            f"{r['router_est_kept_fraction']:.2f} | "
+            f"{r['unpruned_q8_s']}s | {r['pruned_q8_s']}s | "
+            f"{r['speedup']}x |"
+        )
+    print(
+        f"\nReading: GEOMETRY dominates, dimension erodes — with the "
+        f"radius/separation ratio held, pruning stays useful all the "
+        f"way to 2048 but degrades measurably (rows walked "
+        f"~39% → ~61% from dim 64 to 2048 on the tight rows: in high "
+        f"dimension every member sits near its shard's radius, so "
+        f"the lb/ub intervals widen relative to their gaps), while "
+        f"the fat geometry keeps ~100% at EVERY dim — the washout is "
+        f"a property of radius≈separation, not of width. The router "
+        f"consequence is the `router est` column: the driver-side "
+        f"estimate equals the real rows-walked fraction (it IS the "
+        f"same τ-cover arithmetic on the same sidecar), reads ≈1.0 on "
+        f"exactly the runs where pruning measured SLOWER than the "
+        f"plain scan (fat rows: the stats machinery buys no skipped "
+        f"I/O), and costs zero jobs — so rule 5 now skips the rung "
+        f"when the estimate exceeds "
+        f"{sec['kept_fraction_cutoff']:.0%} and an IVF index exists "
+        f"(plans/router.py; pinned by "
+        f"test_router_prune_match_rung_decision_matrix). Wall-time "
+        f"speedups at this toy scale sit on the local job floor "
+        f"either way — rows-walked is the bytes-read story that "
+        f"scales.\n"
+    )
+
+
+def _nsw_recluster_section() -> None:
+    """Recluster lifecycle ladder point (r10 — VERDICT r9 ask #2),
+    regenerated from BENCH_LADDER.json's nsw_recluster block
+    (tools/bench_nsw_recluster.py)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        lad = json.load(open(os.path.join(root, "BENCH_LADDER.json")))
+    except OSError:
+        return
+    sec = lad.get("nsw_recluster")
+    if not sec:
+        return
+    print("\n## Recluster restores prunability after growth (measured — r10)\n")
+    print(
+        f"The r9 verdict's lifecycle hole, closed and measured: "
+        f"{sec['n_vectors']:,}-vector clustered store "
+        f"({sec['n_shards']} shards), grown by {sec['n_appended']:,} "
+        f"appended rows and {sec['n_deleted']:,} deletions. States "
+        f"below share the same {sec['n_queries']}-query batch; every "
+        f"pruned search is full-beam exactness-checked against brute "
+        f"force over that state's live corpus in-run:\n"
+    )
+    print("| state | shards | kept shards | rows walked | pruned q8 | op cost |")
+    print("|---|---|---|---|---|---|")
+    for r in sec["states"]:
+        if "pruned_reads" in r:
+            print(
+                f"| {r['state']} | {r['n_shards']} | — | — | "
+                f"{r['pruned_reads']} | — |"
+            )
+        else:
+            print(
+                f"| {r['state']} | {r['n_shards']} | "
+                f"{r['kept_shard_fraction']:.1%} | "
+                f"{r['rows_walked_fraction']:.1%} | "
+                f"{r['pruned_q8_s']}s | {r.get('op_s', '—')}s |"
+            )
+    b, rr = sec["built_vs_reclustered_kept_fraction"]
+    print(
+        f"\nReading: growth breaks cluster purity and the guards "
+        f"correctly refuse to prune; `nsw_compact` (id-hash re-pack) "
+        f"makes pruning LEGAL again but USELESS — hash shards merge "
+        f"distant blobs and the kept fraction reads ~100%, the r9 "
+        f"finding re-measured; `nsw_recluster` re-trains the coarse "
+        f"k-means over the live rows and restores the built-state "
+        f"kept fraction ({b:.1%} built → {rr:.1%} reclustered) while "
+        f"reclaiming every tombstone and refreshing all sidecars in "
+        f"one swap. A clustered store's maintenance loop is therefore "
+        f"append → delete → recluster, never compact.\n"
+    )
+
+
+def _acorn_amortized_section() -> None:
+    """Amortized-ACORN headline row (r10 — VERDICT r9 ask #5),
+    regenerated from BENCH_LADDER.json's acorn_amortized block
+    (tools/bench_acorn_amortized.py)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        lad = json.load(open(os.path.join(root, "BENCH_LADDER.json")))
+    except OSError:
+        return
+    sec = lad.get("acorn_amortized")
+    if not sec:
+        return
+    print("\n## Amortized-ACORN headline row (measured — r10)\n")
+    print(
+        f"The BASELINE.md 3.5 ms ACORN row times ONE in-process C++ "
+        f"knn_query on a prebuilt hnswlib index; the engine's "
+        f"single-query ~50 ms is the Spark job-dispatch floor, which "
+        f"no plan shape removes. The same-contract comparable is "
+        f"per-query amortized cost in the serving surface the engine "
+        f"ships — one nsw_read_topk(predicates={{qid: …}}) batch over "
+        f"the prebuilt {sec['n_vectors']:,}-vector store (build "
+        f"{sec['build_s_untimed']}s, untimed — the reference's 51 s "
+        f"build isn't timed either), median of 5, loadavg at launch "
+        f"{sec['loadavg_at_launch']} (idle-settle evidence):\n"
+    )
+    print("| workload | batch | wall | amortized/query | baseline | ratio |")
+    print("|---|---|---|---|---|---|")
+    print(
+        f"| ACORN-shaped hybrid (per-query exact-match predicates) | "
+        f"{sec['batch']} | {sec['hybrid_batch_s']}s | "
+        f"**{sec['hybrid_amortized_ms_per_query']} ms** | "
+        f"{sec['baseline_acorn_ms']} ms | "
+        f"{sec['hybrid_vs_baseline_ratio']}× |"
+    )
+    print(
+        f"| pure top-k (the brute knn_query workload) | {sec['batch']} "
+        f"| {sec['pure_batch_s']}s | "
+        f"**{sec['pure_amortized_ms_per_query']} ms** | "
+        f"{sec['baseline_brute_ms']} ms | "
+        f"{sec['pure_vs_baseline_ratio']}× |"
+    )
+    print(
+        f"\nReading: at |Q|={sec['batch']} the store answers hybrid "
+        f"queries at per-query milliseconds — the measurement contract "
+        f"the 3.5 ms baseline actually lives in (amortized, prebuilt, "
+        f"in-process); the pure-top-k amortized row lands well under "
+        f"its 98.2 ms brute baseline. This is the committed "
+        f"same-contract comparable for the one BASELINE.md row that "
+        f"had none (referenced from the BASELINE-gate triage below).\n"
     )
 
 
