@@ -4742,6 +4742,167 @@ def _q_nsw_recluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("dist", _R).alias("dist"))
 
 
+def _q_nsw_range_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numeric zone-map VERDICT arithmetic as a relation, fully
+    replayed in SQL (the nsw_prune_decisions disclosure pattern for
+    r10's range form): over the derived clustered corpus with the
+    slab-riding weight payload, shards are the deterministic
+    ``label % 8`` partition, so per-shard (vmin, vmax, n_present) and
+    the all-pass / none-pass / straddle verdict for ``weight < 25``
+    (25, not the search rows' 23: the %8 shards fold labels {0,8} and
+    {1,9} into straddlers, and 25 is the threshold at which all three
+    verdict classes appear — pinned in pytest) —
+    plus the certain-count (n_present on all-pass, else 0) and
+    may-pass flags `_prune_plan(possible=...)` consumes — derive from
+    the embeddings table alone in BOTH engines. Pure integer
+    arithmetic in doubles (weight = label·10 + vec_id%5), so no
+    float-order policy is needed. tests/test_graph_ann pins that this
+    relational twin agrees with the `_range_shard_verdict` the real
+    prune path executes."""
+    S, thresh = 8, 25
+    emb = _clustered_embeddings(spark, sf_dir).withColumn(
+        "weight",
+        (F.col("label") * 10 + F.col("vec_id") % 5).cast("double"),
+    )
+    z = (
+        emb.select(
+            (F.col("label").cast("long") % S).alias("part_id"), "weight"
+        )
+        .groupBy("part_id")
+        .agg(
+            F.min("weight").alias("vmin"),
+            F.max("weight").alias("vmax"),
+            F.count("weight").alias("n_present"),
+        )
+    )
+    verdict = (
+        F.when(F.col("vmax") < thresh, F.lit("all_pass"))
+        .when(F.col("vmin") >= thresh, F.lit("none_pass"))
+        .otherwise(F.lit("straddle"))
+    )
+    return (
+        z.select(
+            "part_id", "vmin", "vmax", "n_present",
+            verdict.alias("verdict"),
+            F.when(F.col("vmax") < thresh, F.col("n_present"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("certain"),
+            (~(F.col("vmin") >= thresh)).alias("possible"),
+        )
+        .orderBy("part_id")
+    )
+
+
+def _q_routed_pruned_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10b: rule 6's RANGE arm through the planner — ann_search
+    derives numeric zone-map coverage from the store's own sidecar
+    (``pruned_range_attrs``) and dispatches the single-attribute
+    ``weight < 23`` predicate (the reference's class-2/3 query shape,
+    acorn.py:176-185) to ``nsw_read_topk(prune=True, prune_range=...)``
+    at the provably-exact full beam; the in-fn assert pins the chosen
+    rung. Same exact pre-filter oracle as the direct-call row
+    (nsw_pruned_range_topk). Shares the clustered store."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        pruned_range_attrs,
+    )
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        AttributeStats,
+        StrategyRouter,
+        TableStats,
+    )
+
+    _q_nsw_pruned_topk(spark, sf_dir)  # build/reuse the shared store
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path, qs = _NSW_PRUNED_CACHE[key]
+    stats = TableStats(
+        n_rows=10_000_000,
+        attrs={
+            "weight": AttributeStats(
+                counts={float(i): 200_000 for i in range(50)},
+                n_rows=10_000_000,
+                n_null=0,
+            )
+        },
+    )
+    router = StrategyRouter(stats)
+    pred = {"weight": ["<", 23]}
+    covered = pruned_range_attrs(spark, path)
+    route = router.route_ann(
+        10, predicates=pred, has_pruned_store=True,
+        pruned_range_attrs=covered,
+    )
+    assert route.strategy == "nsw_pruned_range", route
+    corpus = _clustered_embeddings(spark, sf_dir).withColumn(
+        "weight",
+        (F.col("label") * 10 + F.col("vec_id") % 5).cast("double"),
+    )
+    res = router.ann_search(
+        corpus, list(qs[0][1]), pred, 10,
+        pruned_path=path,
+        accessors=flat_accessors({"weight": "double", "vec_id": "bigint"}),
+    )
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
+_IVF_RANGE_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _q_ivf_pruned_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10b IVF numeric zone-map symmetry: per-list (vmin, vmax,
+    n_present) — `_range_shard_verdict` shared verbatim with the
+    graph store — let ``ivf_search_exact(range_pred=('weight','<',23))``
+    skip provably-failing lists while straddling/all-pass lists scan
+    with the predicate pushed into the parquet read; provably-failing
+    lists asserted in-fn, write/read roundtrip in the build. Answers
+    the same exact pre-filter range oracle as the graph-store row."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_search_exact,
+        ivf_write,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _range_shard_verdict,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _IVF_RANGE_CACHE if k[0] != key[0]]:
+        del _IVF_RANGE_CACHE[stale]
+    cached = _IVF_RANGE_CACHE.get(key)
+    if cached is None:
+        corpus = _clustered_embeddings(spark, sf_dir).withColumn(
+            "weight",
+            (F.col("label") * 10 + F.col("vec_id") % 5).cast("double"),
+        )
+        path = tempfile.mkdtemp(prefix="acorn_ivf_rng_") + "/ivf"
+        ivf_write(
+            ivf_build(
+                corpus, n_clusters=8, with_radii=True,
+                numeric_stats_attrs=["weight"],
+            ),
+            path,
+        )
+        live = ivf_read(spark, path)
+        zones = live.numeric_stats["weight"]
+        assert any(
+            not _range_shard_verdict(
+                *zones.get(c, (None, None, 0)), "<", 23.0
+            )[1]
+            for c in range(live.n_clusters)
+        ), "expected provably-failing lists for weight < 23"
+        qv = corpus.filter(F.col("vec_id") == 2).head()["embedding"]
+        _IVF_RANGE_CACHE[key] = cached = (live, list(qv))
+    live, qv = cached
+    res = ivf_search_exact(live, qv, 10, range_pred=("weight", "<", 23))
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
@@ -5057,6 +5218,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_curriculum_bins": _q_quality_curriculum,
         # ==== position 51+: redundant variants of operators already gated
         # above; still oracle-verified by tools/selfcheck.py + pytest ====
+        # r10b depth rows (51+, selfcheck-gated — the five r10 primary
+        # flagships hold the window seats): the router range arm, the
+        # IVF range twin, and the range-verdict disclosure relation
+        "routed_pruned_range_topk": _q_routed_pruned_range_topk,
+        "ivf_pruned_range_topk": _q_ivf_pruned_range_topk,
+        "nsw_range_decisions": _q_nsw_range_decisions,
         # r10 rotation displacements — all remain oracle-gated here
         "nsw_delete_topk": _q_nsw_delete_topk,
         "nsw_pruned_topk": _q_nsw_pruned_topk,
@@ -7118,6 +7285,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
             FROM live e, (SELECT embedding FROM ce WHERE vec_id = 2) q
             ORDER BY {_D2}, e.vec_id LIMIT 10""",
+        # r10b: the router range arm and the IVF range twin answer the
+        # identical exact pre-filter range oracle as the direct-call
+        # graph row (weight < 23, query vec_id = 2)
+        "routed_pruned_range_topk": "WITH ce AS (SELECT s.vec_id, "
+        "CAST(s.label * 10 + s.vec_id % 5 AS DOUBLE) AS weight, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s)\n"
+        + f"""
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM (SELECT * FROM ce WHERE weight < 23) e,
+                 (SELECT embedding FROM ce WHERE vec_id = 2) q
+            ORDER BY {_D2}, e.vec_id LIMIT 10""",
+        "ivf_pruned_range_topk": "WITH ce AS (SELECT s.vec_id, "
+        "CAST(s.label * 10 + s.vec_id % 5 AS DOUBLE) AS weight, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s)\n"
+        + f"""
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM (SELECT * FROM ce WHERE weight < 23) e,
+                 (SELECT embedding FROM ce WHERE vec_id = 2) q
+            ORDER BY {_D2}, e.vec_id LIMIT 10""",
+        # r10b: the zone-map verdict arithmetic disclosed as a relation
+        # — per-shard min/max/count and the all-pass/none-pass/straddle
+        # verdict with the certain/possible outputs the prune plan
+        # consumes, pure integer arithmetic in doubles
+        "nsw_range_decisions": """
+            SELECT (CAST(label AS BIGINT) % 8) AS part_id,
+                   MIN(CAST(label * 10 + vec_id % 5 AS DOUBLE)) AS vmin,
+                   MAX(CAST(label * 10 + vec_id % 5 AS DOUBLE)) AS vmax,
+                   COUNT(*) AS n_present,
+                   CASE WHEN MAX(CAST(label * 10 + vec_id % 5 AS DOUBLE)) < 25
+                        THEN 'all_pass'
+                        WHEN MIN(CAST(label * 10 + vec_id % 5 AS DOUBLE)) >= 25
+                        THEN 'none_pass'
+                        ELSE 'straddle' END AS verdict,
+                   CASE WHEN MAX(CAST(label * 10 + vec_id % 5 AS DOUBLE)) < 25
+                        THEN COUNT(*) ELSE 0 END AS certain,
+                   NOT (MIN(CAST(label * 10 + vec_id % 5 AS DOUBLE)) >= 25)
+                       AS possible
+            FROM embeddings
+            GROUP BY 1 ORDER BY part_id""",
         # r9: the pruning decision arithmetic replayed end to end —
         # shard centroids (order-free decimal sums), max-member radii,
         # ball bounds, the τ cover bound, kept verdicts — over the

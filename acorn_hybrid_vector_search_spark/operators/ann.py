@@ -52,6 +52,11 @@ class IVFIndex:
     # contract as the graph store's _shard_attr_stats (graph_ann.py):
     # ivf_search_exact(match=...) skips zero-passing lists outright
     attr_counts: dict | None = None
+    # r10b numeric zone maps — {attr: {cluster_id: (vmin, vmax,
+    # n_present)}}, the graph store's _shard_numeric_stats contract on
+    # the lists: ivf_search_exact(range_pred=...) skips provably-
+    # failing lists under §2.3 range ops
+    numeric_stats: dict | None = None
 
     @property
     def n_clusters(self) -> int:
@@ -83,6 +88,44 @@ def _ivf_attr_counts(
         per = out.setdefault(a, {})
         for r in rows:
             per.setdefault(int(r["cluster_id"]), {})[r["value"]] = int(r["n"])
+    return out
+
+
+def _ivf_numeric_stats(
+    assigned: DataFrame, attrs: Sequence[str]
+) -> dict:
+    """Per-list (vmin, vmax, n_present) numeric zone maps — the graph
+    store's ``_shard_numeric_stats`` shape on the inverted lists. Like
+    ``nsw_stats_write(numeric_attrs=...)``, non-numeric columns are
+    refused (lexicographic min/max would silently break the range
+    bound)."""
+    from pyspark.sql.types import NumericType
+
+    by_name = {f.name: f.dataType for f in assigned.schema.fields}
+    bad = [
+        a for a in attrs
+        if a not in by_name or not isinstance(by_name[a], NumericType)
+    ]
+    if bad:
+        raise ValueError(
+            f"numeric zone maps requested for non-numeric or missing "
+            f"columns in the indexed table: {bad}"
+        )
+    out: dict = {}
+    for a in attrs:
+        rows = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                F.min(F.col(a).cast("double")).alias("vmin"),
+                F.max(F.col(a).cast("double")).alias("vmax"),
+                F.count(F.col(a)).alias("n_present"),
+            )
+            .collect()
+        )
+        out[a] = {
+            int(r["cluster_id"]): (r["vmin"], r["vmax"], int(r["n_present"]))
+            for r in rows
+        }
     return out
 
 
@@ -135,6 +178,7 @@ def ivf_build(
     seed: int = 42,
     with_radii: bool = False,
     stats_attrs: Sequence[str] = (),
+    numeric_stats_attrs: Sequence[str] = (),
 ) -> IVFIndex:
     """Train the codebook on a bounded sample and tag every row with its
     cluster. (Persist with ``index.df.write.partitionBy('cluster_id')`` to
@@ -150,7 +194,11 @@ def ivf_build(
     value counts for — the zone-map sidecar contract shared with the
     graph store (``nsw_stats_write(attrs=...)``), consumed by
     ``ivf_search_exact(match=...)`` to skip zero-passing lists under
-    an exact-match predicate.
+    an exact-match predicate. ``numeric_stats_attrs`` (r10b): numeric
+    payload columns to aggregate per-list (vmin, vmax, n_present)
+    zone maps for — ``ivf_search_exact(range_pred=...)``'s evidence
+    under §2.3 range ops, mirroring
+    ``nsw_stats_write(numeric_attrs=...)``.
     """
     n = df.count()
     frac = min(1.0, sample_rows / max(n, 1))
@@ -162,6 +210,11 @@ def ivf_build(
     if with_radii:
         radii = _cluster_radii(assigned, centroids, vec_col=vec_col)
     attr_counts = _ivf_attr_counts(assigned, stats_attrs) if stats_attrs else None
+    numeric_stats = (
+        _ivf_numeric_stats(assigned, numeric_stats_attrs)
+        if numeric_stats_attrs
+        else None
+    )
     return IVFIndex(
         df=assigned,
         centroids=centroids,
@@ -169,6 +222,7 @@ def ivf_build(
         id_col=id_col,
         radii=radii,
         attr_counts=attr_counts,
+        numeric_stats=numeric_stats,
     )
 
 
@@ -216,6 +270,7 @@ def refresh_radii(index: IVFIndex) -> IVFIndex:
         # zone-map counts stay: radii refresh doesn't change membership,
         # and post-ingest loads already recompute them (ivf_read)
         attr_counts=index.attr_counts,
+        numeric_stats=index.numeric_stats,
     )
 
 
@@ -287,6 +342,20 @@ def ivf_write(index: IVFIndex, path: str) -> None:
         spark.createDataFrame(
             arows, "cluster_id INT, attr STRING, value STRING, n LONG"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/attr_stats")
+    shutil.rmtree(f"{path}/numeric_stats", ignore_errors=True)
+    if index.numeric_stats:
+        nrows = [
+            (int(c), a, vmin, vmax, int(np_))
+            for a, per in index.numeric_stats.items()
+            for c, (vmin, vmax, np_) in per.items()
+        ]
+        spark.createDataFrame(
+            nrows,
+            "cluster_id INT, attr STRING, vmin DOUBLE, vmax DOUBLE, "
+            "n_present LONG",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/numeric_stats"
+        )
     # store writers drop pinned materializations: a semantically-equal
     # read plan over this path must never serve the pre-rewrite
     # snapshot (the r7 rule every other writer already follows)
@@ -358,9 +427,29 @@ def ivf_read(
                 attr_counts.setdefault(r["attr"], {}).setdefault(
                     int(r["cluster_id"]), {}
                 )[r["value"]] = int(r["n"])
+    numeric_stats = None
+    npath = f"{path}/numeric_stats"
+    if os.path.exists(npath):
+        persisted_nums = sorted(
+            {r["attr"] for r in spark.read.parquet(npath).select("attr").distinct().collect()}
+        )
+        if has_extra_batches:
+            # same staleness argument: appended rows can widen a
+            # list's [vmin, vmax] — a none-pass verdict on stale
+            # bounds would skip passing members
+            numeric_stats = _ivf_numeric_stats(df, persisted_nums)
+        else:
+            # deletions only NARROW the true range, so stale-wide
+            # bounds stay sound (a straddle verdict where none-pass
+            # now holds just prunes less)
+            numeric_stats = {}
+            for r in spark.read.parquet(npath).collect():
+                numeric_stats.setdefault(r["attr"], {})[
+                    int(r["cluster_id"])
+                ] = (r["vmin"], r["vmax"], int(r["n_present"]))
     return IVFIndex(
         df=df, centroids=centroids, vec_col=vec_col, id_col=id_col,
-        radii=radii, attr_counts=attr_counts,
+        radii=radii, attr_counts=attr_counts, numeric_stats=numeric_stats,
     )
 
 
@@ -486,6 +575,7 @@ def ivf_search_exact(
     k: int,
     *,
     match: tuple[str, object] | None = None,
+    range_pred: tuple[str, str, float] | None = None,
 ) -> DataFrame:
     """PROVABLY EXACT top-k with data-adaptive cluster pruning — the
     IVF answer to "approximate is not acceptable, full scan is too much".
@@ -526,11 +616,68 @@ def ivf_search_exact(
     (passing sets only shrink; zero stays zero) and are recomputed at
     load when streaming batches appended rows the counts never saw
     (``ivf_read``).
+
+    ``range_pred`` (r10b): ``(attr, op, value)`` with op in
+    ``< <= > >=`` (+ ``leq``/``geq``) — the numeric zone-map form
+    over per-list (vmin, vmax, n_present) stats (``ivf_build(
+    numeric_stats_attrs=[attr])``): lists whose whole value range
+    fails are skipped at every stage, straddling/all-pass lists are
+    scanned with the predicate pushed into the parquet read, and the
+    ball lower bound applies unchanged to the passing subset —
+    exact filtered top-k, the graph store's ``prune_range`` on the
+    inverted lists. Mutually exclusive with ``match``.
     """
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _RANGE_OPS,
+        _range_shard_verdict,
+    )
+
     if index.radii is None:
         raise ValueError("ivf_search_exact requires an index built with_radii=True")
+    if match is not None and range_pred is not None:
+        raise ValueError("pass either match or range_pred, not both")
     pred = None
     passing = None
+    if range_pred is not None:
+        r_attr, r_op_raw, r_val = range_pred
+        r_op = _RANGE_OPS.get(r_op_raw)
+        if r_op is None:
+            raise ValueError(
+                f"range_pred op must be one of {sorted(_RANGE_OPS)}, "
+                f"got {r_op_raw!r}"
+            )
+        if not index.numeric_stats or r_attr not in index.numeric_stats:
+            covered = sorted(index.numeric_stats or ())
+            raise ValueError(
+                f"ivf_search_exact(range_pred=({r_attr!r}, …)) needs "
+                f"per-list numeric zone maps for {r_attr!r} (covered: "
+                f"{covered}) — build with ivf_build("
+                f"numeric_stats_attrs=[{r_attr!r}])"
+            )
+        zones = index.numeric_stats[r_attr]
+        passing = np.asarray(
+            [
+                1
+                if _range_shard_verdict(
+                    *zones.get(c, (None, None, 0)), r_op, float(r_val)
+                )[1]
+                else 0
+                for c in range(index.n_clusters)
+            ],
+            dtype=np.int64,
+        )
+        col = F.col(r_attr)
+        pred = {
+            "<": col < F.lit(r_val),
+            "<=": col <= F.lit(r_val),
+            ">": col > F.lit(r_val),
+            ">=": col >= F.lit(r_val),
+        }[r_op]
+        if not (passing > 0).any():
+            return knn_exact(
+                index.df.filter(F.lit(False)), list(query_vec), k,
+                vec_col=index.vec_col, id_col=index.id_col,
+            )
     if match is not None:
         m_attr, m_val = match
         if not index.attr_counts or m_attr not in index.attr_counts:

@@ -1578,6 +1578,26 @@ def pruned_match_attrs(spark, path: str) -> frozenset:
     return frozenset(_load_attr_stats(spark, apath))
 
 
+def pruned_range_attrs(spark, path: str) -> frozenset:
+    """The attrs a clustered store can serve RANGE zone-map-pruned
+    queries for right now: covered by a ``_shard_numeric_stats``
+    sidecar that is present and content-fresh (ball stats too). Empty
+    set on any missing/stale sidecar — the ``pruned_match_attrs``
+    contract for the numeric rung (router rule 6's range arm never
+    routes into a staleness guard)."""
+    import os
+
+    spath, npath = _stats_path(path), _numeric_stats_path(path)
+    if "://" not in path:
+        if not (os.path.exists(spath) and os.path.exists(npath)):
+            return frozenset()
+        if _check_stats_fresh(path, spath, "_shard_stats"):
+            return frozenset()
+        if _check_stats_fresh(path, npath, "_shard_numeric_stats"):
+            return frozenset()
+    return frozenset(_load_numeric_stats(spark, npath))
+
+
 def estimate_kept_fraction(
     spark, path: str, query_vec, k: int
 ) -> "float | None":

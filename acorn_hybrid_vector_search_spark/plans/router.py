@@ -190,7 +190,7 @@ NSW_GAMMA_RECALL: tuple[tuple[int, float], ...] = (
 
 @dataclass
 class AnnRoute:
-    strategy: str  # "prefilter" | "exact" | "ivf_exact" | "nsw" | "nsw_gamma" | "ivf" | "nsw_pruned" | "nsw_pruned_match"
+    strategy: str  # "prefilter" | "exact" | "ivf_exact" | "nsw" | "nsw_gamma" | "ivf" | "nsw_pruned" | "nsw_pruned_match" | "nsw_pruned_range"
     selectivity: float
     nprobe: int | None = None
     ef: int | None = None
@@ -252,6 +252,7 @@ class StrategyRouter:
         has_gamma_store: bool = False,
         has_pruned_store: bool = False,
         pruned_attrs: "frozenset[str] | Sequence[str] | None" = None,
+        pruned_range_attrs: "frozenset[str] | Sequence[str] | None" = None,
         est_kept_fraction: float | None = None,
         small_corpus: int = 100_000,
         selective_cutoff: float = 0.05,
@@ -316,10 +317,17 @@ class StrategyRouter:
            every row group of the base table while the zone maps skip
            whole shard directories. Range / substring / multi-attr
            predicates and uncovered attrs still refuse (pruning is
-           only sound where exact per-shard passing counts exist —
-           the numeric zone maps of ``prune_range`` are a direct-call
-           surface this round). A sub-1.0 recall budget with a γ
-           store still prefers the cheaper budgeted subgraph walk.
+           only sound where per-shard passing statistics exist). A
+           sub-1.0 recall budget with a γ store still prefers the
+           cheaper budgeted subgraph walk. r10b: the rung has a RANGE
+           arm — a single-attribute ``leq/geq/</>/<=/>=`` predicate
+           whose attr has FRESH numeric min/max zone maps
+           (``pruned_range_attrs``, from
+           ``graph_ann.pruned_range_attrs``) routes to
+           ``nsw_pruned_range`` (sound via all-pass/none-pass/straddle
+           verdicts — the reference's class-2/3 queries are exactly
+           this shape, acorn.py:176-185); substring and multi-attr
+           conjunctions still refuse.
         """
         sel = estimate_selectivity(self.stats, predicates)
         n = self.stats.n_rows
@@ -330,13 +338,22 @@ class StrategyRouter:
             predicates
             and len(predicates) == 1
             and has_pruned_store
-            and pruned_attrs
             and not (min_recall < 1.0 and has_gamma_store)
         ):
             ((attr, spec),) = dict(predicates).items()
             op = list(spec)[0]
-            if op == "exact" and attr in set(pruned_attrs):
+            if (
+                op == "exact"
+                and pruned_attrs
+                and attr in set(pruned_attrs)
+            ):
                 return AnnRoute("nsw_pruned_match", sel)
+            if (
+                op in ("leq", "geq", "<", ">", "<=", ">=")
+                and pruned_range_attrs
+                and attr in set(pruned_range_attrs)
+            ):
+                return AnnRoute("nsw_pruned_range", sel)
         if predicates and sel <= selective_cutoff:
             return AnnRoute("prefilter", sel)
         if n <= small_corpus and not (
@@ -433,16 +450,19 @@ class StrategyRouter:
         (whose ball-bound executor is predicate-less) — exactness is
         never traded for a prune."""
         pruned_attrs = None
+        range_attrs = None
         est_kept = None
         if pruned_path is not None:
             from acorn_hybrid_vector_search_spark.operators.graph_ann import (
                 estimate_kept_fraction,
                 pruned_match_attrs,
+                pruned_range_attrs,
             )
 
-            # both are driver-side sidecar reads (memoized, freshness-
+            # all driver-side sidecar reads (memoized, freshness-
             # checked) — the router never routes into a staleness guard
             pruned_attrs = pruned_match_attrs(df.sparkSession, pruned_path)
+            range_attrs = pruned_range_attrs(df.sparkSession, pruned_path)
             if not predicates:
                 est_kept = estimate_kept_fraction(
                     df.sparkSession, pruned_path, query_vec, k
@@ -456,6 +476,7 @@ class StrategyRouter:
             has_gamma_store=gamma_path is not None,
             has_pruned_store=pruned_path is not None,
             pruned_attrs=pruned_attrs,
+            pruned_range_attrs=range_attrs,
             est_kept_fraction=est_kept,
         )
         acc = accessors or abo_accessors()
@@ -488,15 +509,18 @@ class StrategyRouter:
                 df.sparkSession, nsw_path, [(0, list(query_vec))], k,
                 ef=route.ef, predicate=pred_col, id_col=id_col,
             ).drop("query_id")
-        if route.strategy in ("nsw_pruned", "nsw_pruned_match"):
+        if route.strategy in (
+            "nsw_pruned", "nsw_pruned_match", "nsw_pruned_range"
+        ):
             from acorn_hybrid_vector_search_spark.operators.graph_ann import (
                 nsw_read_topk,
                 pruned_full_beam,
             )
 
             # full beam ⇒ provably exact under the τ cover bound (for
-            # the match rung: the cover counts PASSING members, and the
-            # beam covering the largest shard covers any passing
+            # the match/range rungs: the cover counts PASSING members
+            # — exactly for match, as a lower bound for range — and
+            # the beam covering the largest shard covers any passing
             # subset of it). The beam must COVER the largest shard — a
             # hardcoded cap would silently go approximate once a shard
             # outgrew it (review r9b); the stats sidecar knows max
@@ -504,12 +528,18 @@ class StrategyRouter:
             # nsw_read_topk's guard
             ef = pruned_full_beam(df.sparkSession, pruned_path, k)
             prune_match = None
+            prune_range = None
             if route.strategy == "nsw_pruned_match":
                 ((attr, spec),) = dict(predicates).items()
                 prune_match = (attr, list(spec)[1])
+            elif route.strategy == "nsw_pruned_range":
+                ((attr, spec),) = dict(predicates).items()
+                op, value = list(spec)[0], list(spec)[1]
+                prune_range = (attr, op, value)
             return nsw_read_topk(
                 df.sparkSession, pruned_path, [(0, list(query_vec))], k,
-                ef=ef, prune=True, prune_match=prune_match, id_col=id_col,
+                ef=ef, prune=True, prune_match=prune_match,
+                prune_range=prune_range, id_col=id_col,
             ).drop("query_id")
         if route.strategy == "ivf":
             from acorn_hybrid_vector_search_spark.operators.ann import (

@@ -1062,3 +1062,203 @@ def test_ann_search_dispatches_prune_match_rung(spark, tmp_path):
         df, q, pred, 5, pruned_path=store, accessors=acc
     ).collect()
     assert sorted(r["vec_id"] for r in got2) == sorted(i for _, i in brute)
+
+
+def test_router_prune_range_rung_matrix_and_dispatch(spark, tmp_path):
+    """r10b: rule 6's RANGE arm — a single-attr leq/geq/</> predicate
+    with fresh numeric zone maps routes to nsw_pruned_range (the
+    reference's class-2/3 query shape); uncovered attrs, substring and
+    multi-attr still refuse; ann_search dispatch ≡ the direct
+    prune_range call ≡ the exact pre-filter brute force."""
+    import random
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write_clustered,
+        pruned_full_beam,
+        pruned_range_attrs,
+    )
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        AttributeStats,
+        StrategyRouter,
+        TableStats,
+    )
+
+    big = TableStats(
+        n_rows=10_000_000,
+        attrs={
+            "weight": AttributeStats(
+                counts={i: 250_000 for i in range(40)},
+                n_rows=10_000_000,
+                n_null=0,
+            )
+        },
+    )
+    r = StrategyRouter(big)
+    cov = frozenset({"weight"})
+    for op in ("leq", "geq", "<", ">", "<=", ">="):
+        a = r.route_ann(
+            10, predicates={"weight": [op, 12]},
+            has_pruned_store=True, pruned_range_attrs=cov,
+        )
+        assert a.strategy == "nsw_pruned_range", op
+    # uncovered / substring / multi-attr refuse
+    a = r.route_ann(
+        10, predicates={"weight": ["<", 12]},
+        has_pruned_store=True, pruned_range_attrs=frozenset(),
+    )
+    assert a.strategy != "nsw_pruned_range"
+    a = r.route_ann(
+        10, predicates={"weight": ["substring", "1"]},
+        has_pruned_store=True, pruned_range_attrs=cov,
+    )
+    assert a.strategy != "nsw_pruned_range"
+    a = r.route_ann(
+        10, predicates={"weight": ["<", 12], "other": ["exact", 1]},
+        has_pruned_store=True, pruned_range_attrs=cov,
+    )
+    assert a.strategy != "nsw_pruned_range"
+
+    # dispatch over a real store
+    rng = random.Random(31)
+    centers = [(-6, -6), (-6, 6), (6, -6), (6, 6)]
+    rows = []
+    for i in range(320):
+        b = i % 4
+        cx, cy = centers[b]
+        rows.append(
+            (
+                i,
+                [round(rng.gauss(cx, 0.5), 4), round(rng.gauss(cy, 0.5), 4)]
+                + [round(rng.gauss(0, 0.5), 4) for _ in range(6)],
+                float(b * 10 + i % 5),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, weight double"
+    )
+    store = str(tmp_path / "gr")
+    nsw_write_clustered(
+        df, store, n_shards=8, payload_cols=["weight"],
+        numeric_stats_attrs=["weight"],
+    )
+    assert pruned_range_attrs(spark, store) == frozenset({"weight"})
+    router = StrategyRouter(big)
+    acc = flat_accessors({"weight": "double", "vec_id": "bigint"})
+    q = rows[1][1]
+    pred = {"weight": ["leq", 12]}
+    got = router.ann_search(
+        df, q, pred, 5, pruned_path=store, accessors=acc
+    ).collect()
+    direct = (
+        nsw_read_topk(
+            spark, store, [(0, list(q))], 5,
+            ef=pruned_full_beam(spark, store, 5),
+            prune=True, prune_range=("weight", "leq", 12),
+        )
+        .drop("query_id")
+        .collect()
+    )
+    key = lambda rs: [(r["vec_id"], round(r["dist"], 9)) for r in rs]
+    brute = sorted(
+        (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+        for r in rows
+        if r[2] <= 12
+    )[:5]
+    assert key(got) == key(direct)
+    assert [r["vec_id"] for r in got] == [i for _, i in brute]
+
+
+def test_ivf_search_exact_range_pred_zone_maps(spark, tmp_path):
+    """r10b IVF numeric zone maps (the graph store's prune_range on
+    the inverted lists — one shared verdict helper): per-list
+    (vmin, vmax, n_present) skip provably-failing lists, straddling
+    lists stay scanned, results equal the exact filtered brute force
+    for every §2.3 range op; persisted stats roundtrip and guard."""
+    import random
+
+    import pytest
+
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_search_exact,
+        ivf_write,
+    )
+
+    rng = random.Random(41)
+    centers = [(-6, -6), (-6, 6), (6, -6), (6, 6)]
+    rows = []
+    for i in range(400):
+        b = i % 4
+        cx, cy = centers[b]
+        rows.append(
+            (
+                i,
+                [round(rng.gauss(cx, 0.5), 4), round(rng.gauss(cy, 0.5), 4)]
+                + [round(rng.gauss(0, 0.5), 4) for _ in range(6)],
+                float(b * 10 + i % 5),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, weight double"
+    )
+    idx = ivf_build(
+        df, n_clusters=8, with_radii=True, numeric_stats_attrs=["weight"]
+    )
+    q = rows[1][1]
+
+    def brute(pred, kq=5):
+        return [
+            i
+            for _, i in sorted(
+                (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+                for r in rows
+                if pred(r[2])
+            )[:kq]
+        ]
+
+    cases = [
+        (("weight", "<", 10), lambda w: w < 10),
+        (("weight", "leq", 12), lambda w: w <= 12),
+        (("weight", ">", 30), lambda w: w > 30),
+        (("weight", ">=", 33), lambda w: w >= 33),
+    ]
+    for rp, py in cases:
+        got = ivf_search_exact(idx, q, 5, range_pred=rp).collect()
+        assert [r["vec_id"] for r in got] == brute(py), rp
+    # provably-failing lists exist for weight < 10
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _range_shard_verdict,
+    )
+
+    zones = idx.numeric_stats["weight"]
+    fails = [
+        c
+        for c in range(idx.n_clusters)
+        if not _range_shard_verdict(*zones[c], "<", 10.0)[1]
+    ]
+    assert fails
+    # empty result (nothing passes), not an error
+    assert ivf_search_exact(idx, q, 5, range_pred=("weight", ">", 99)).count() == 0
+    # guards
+    with pytest.raises(ValueError, match="not both"):
+        ivf_search_exact(
+            idx, q, 5, match=("weight", 0), range_pred=("weight", "<", 10)
+        )
+    with pytest.raises(ValueError, match="op must be one of"):
+        ivf_search_exact(idx, q, 5, range_pred=("weight", "==", 10))
+    with pytest.raises(ValueError, match="numeric_stats_attrs"):
+        ivf_search_exact(idx, q, 5, range_pred=("nope", "<", 10))
+    with pytest.raises(ValueError, match="non-numeric"):
+        ivf_build(df, n_clusters=4, numeric_stats_attrs=["embedding"])
+    # persistence roundtrip
+    path = str(tmp_path / "ivfr")
+    ivf_write(idx, path)
+    loaded = ivf_read(spark, path)
+    assert loaded.numeric_stats == idx.numeric_stats
+    got2 = ivf_search_exact(loaded, q, 5, range_pred=("weight", "leq", 12)).collect()
+    assert [r["vec_id"] for r in got2] == brute(lambda w: w <= 12)

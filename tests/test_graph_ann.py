@@ -1720,3 +1720,35 @@ def test_nsw_recluster_restores_prunability_after_growth(spark, tmp_path):
     # remote refuses
     with pytest.raises(ValueError, match="local"):
         nsw_recluster(spark, "s3a://bucket/graph")
+
+
+def test_range_decisions_relational_twin_matches_verdict_helper(spark):
+    """r10b disclosure pin: the nsw_range_decisions relation (per-shard
+    vmin/vmax/n_present + all-pass/none-pass/straddle verdict +
+    certain/possible) agrees with the `_range_shard_verdict` the real
+    prune path executes, shard by shard."""
+    import __spark_entry__ as entrymod
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _range_shard_verdict,
+    )
+
+    rows = entrymod._q_nsw_range_decisions(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    seen_verdicts = set()
+    for r in rows:
+        certain, possible = _range_shard_verdict(
+            r["vmin"], r["vmax"], r["n_present"], "<", 25.0
+        )
+        assert certain == r["certain"], r
+        assert possible == r["possible"], r
+        seen_verdicts.add(r["verdict"])
+        if r["verdict"] == "all_pass":
+            assert certain == r["n_present"] and possible
+        elif r["verdict"] == "none_pass":
+            assert certain == 0 and not possible
+        else:
+            assert certain == 0 and possible
+    # the corpus exercises all three verdict classes
+    assert seen_verdicts == {"all_pass", "none_pass", "straddle"}

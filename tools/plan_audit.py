@@ -920,9 +920,9 @@ def _nsw_prune_dim_section() -> None:
         f"consequence is the `router est` column: the driver-side "
         f"estimate equals the real rows-walked fraction (it IS the "
         f"same τ-cover arithmetic on the same sidecar), reads ≈1.0 on "
-        f"exactly the runs where pruning measured SLOWER than the "
-        f"plain scan (fat rows: the stats machinery buys no skipped "
-        f"I/O), and costs zero jobs — so rule 5 now skips the rung "
+        f"the fat rows — where pruning never wins and twice measured "
+        f"SLOWER than the plain scan (the stats machinery buys no "
+        f"skipped I/O) — and costs zero jobs; so rule 5 now skips the rung "
         f"when the estimate exceeds "
         f"{sec['kept_fraction_cutoff']:.0%} and an IVF index exists "
         f"(plans/router.py; pinned by "
@@ -979,11 +979,15 @@ def _nsw_recluster_section() -> None:
         f"makes pruning LEGAL again but USELESS — hash shards merge "
         f"distant blobs and the kept fraction reads ~100%, the r9 "
         f"finding re-measured; `nsw_recluster` re-trains the coarse "
-        f"k-means over the live rows and restores the built-state "
-        f"kept fraction ({b:.1%} built → {rr:.1%} reclustered) while "
-        f"reclaiming every tombstone and refreshing all sidecars in "
-        f"one swap. A clustered store's maintenance loop is therefore "
-        f"append → delete → recluster, never compact.\n"
+        f"k-means over the live rows and brings the kept fraction "
+        f"from the compacted ~100% back to {rr:.1%} — the same order "
+        f"as the fresh build's {b:.1%} (not identical: the grown "
+        f"corpus re-trains on a fresh sample, so centroid placement "
+        f"differs; the disclosure is honest, the compacted/reclustered "
+        f"gap is the operative claim) — while reclaiming every "
+        f"tombstone and refreshing all sidecars in one swap. A "
+        f"clustered store's maintenance loop is therefore append → "
+        f"delete → recluster, never compact.\n"
     )
 
 
