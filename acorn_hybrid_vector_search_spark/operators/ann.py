@@ -288,25 +288,31 @@ def ivf_write(index: IVFIndex, path: str) -> None:
     # re-ingested id (review r9b); drop lists/ and the sidecar together.
     # The cleanup is os-level and LOCAL-ONLY — on a remote store it
     # cannot run, and silently skipping it would re-open exactly that
-    # resurrection/duplication window (ADVICE r9), so fail fast like
-    # every other lifecycle op: rebuild a remote index under a FRESH
-    # versioned prefix and flip a manifest pointer instead.
-    if "://" in path:
-        raise ValueError(
-            f"ivf_write's rebuild pre-clean (stale lists/batch=<id> "
-            f"subtrees + the tombstone sidecar) is os-level and only "
-            f"supports local paths; got {path!r} — write a fresh "
-            f"versioned prefix and flip a manifest pointer on remote "
-            f"stores"
-        )
+    # resurrection/duplication window (ADVICE r9), so a remote REBUILD
+    # fails fast like every other lifecycle op: rebuild a remote index
+    # under a FRESH versioned prefix and flip a manifest pointer. A
+    # first write to a provably-absent remote prefix has nothing to
+    # pre-clean and proceeds (review r10 — creation must stay
+    # possible); unprovable existence fails fast conservatively.
     import shutil
 
     from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _remote_path_exists,
         _tombstones_path,
     )
 
-    shutil.rmtree(f"{path}/lists", ignore_errors=True)
-    shutil.rmtree(_tombstones_path(path), ignore_errors=True)
+    if "://" in path:
+        if _remote_path_exists(index.df.sparkSession, path):
+            raise ValueError(
+                f"ivf_write's rebuild pre-clean (stale lists/batch=<id> "
+                f"subtrees + the tombstone sidecar) is os-level and only "
+                f"supports local paths; got {path!r} — write a fresh "
+                f"versioned prefix and flip a manifest pointer on remote "
+                f"stores"
+            )
+    else:
+        shutil.rmtree(f"{path}/lists", ignore_errors=True)
+        shutil.rmtree(_tombstones_path(path), ignore_errors=True)
     # base rows live under batch=-1: streaming ingest appends sibling
     # batch=<id> directories (streaming/indexing.py), so every writer owns
     # exactly one subtree and a replayed micro-batch can overwrite its own
@@ -687,10 +693,16 @@ def ivf_search_exact(
                 f"value counts for {m_attr!r} (covered: {covered}) — "
                 f"build with ivf_build(stats_attrs=[{m_attr!r}])"
             )
+        from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+            _canon_value_count,
+        )
+
         per = index.attr_counts[m_attr]
-        vs = str(m_val)
         passing = np.asarray(
-            [per.get(c, {}).get(vs, 0) for c in range(index.n_clusters)],
+            [
+                _canon_value_count(per.get(c, {}), m_val)
+                for c in range(index.n_clusters)
+            ],
             dtype=np.int64,
         )
         pred = F.col(m_attr) == F.lit(m_val)

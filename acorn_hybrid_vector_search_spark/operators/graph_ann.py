@@ -565,7 +565,7 @@ def nsw_write(
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
 
     invalidate()
-    _clear_sidecars(path)
+    _clear_sidecars(path, df.sparkSession)
     _nsw_nodes(
         df, m=m, ef_construction=ef_construction, gamma=gamma,
         vec_col=vec_col, id_col=id_col, part_offset=0,
@@ -689,7 +689,21 @@ def _tombstones_path(path: str) -> str:
     return path.rstrip("/") + "/_tombstones"
 
 
-def _clear_sidecars(path: str) -> None:
+def _remote_path_exists(spark, path: str) -> bool:
+    """Hadoop-FS existence probe for a remote URI (the public
+    FileSystem API through the session's JVM gateway). Any failure —
+    missing connector, bad credentials — reports True: the caller
+    treats 'cannot prove absent' as 'could exist' and fails fast."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+    except Exception:
+        return True
+
+
+def _clear_sidecars(path: str, spark=None) -> None:
     """A store REBUILD must not inherit the old store's sidecars: under
     ``spark.sql.sources.partitionOverwriteMode=dynamic`` the overwrite
     replaces only ``part_id=`` directories, leaving ``_tombstones``
@@ -697,12 +711,19 @@ def _clear_sidecars(path: str) -> None:
     ids, silently deleting arbitrary rebuilt rows — and a stale
     ``_shard_stats`` (review r9). The rmtree is os-level and
     LOCAL-ONLY; a silent no-op on a remote path would leave exactly
-    those stale sidecars live (ADVICE r9), so fail fast like
-    nsw_compact / nsw_undelete / ivf_reclaim do — rebuild a remote
-    store under a FRESH versioned prefix and flip a manifest pointer."""
+    those stale sidecars live (ADVICE r9), so a remote REBUILD fails
+    fast like nsw_compact / nsw_undelete / ivf_reclaim do — rebuild a
+    remote store under a FRESH versioned prefix and flip a manifest
+    pointer. A FIRST write to a remote prefix that provably does not
+    exist has nothing to clear and proceeds (review r10: the fail-fast
+    must not make remote store CREATION impossible — that was the
+    error message's own prescribed remedy); when existence cannot be
+    proven either way, it fails fast conservatively."""
     import shutil
 
     if "://" in path:
+        if spark is not None and not _remote_path_exists(spark, path):
+            return  # fresh prefix: nothing to clear, creation is sound
         raise ValueError(
             f"rebuilding over an existing store path requires clearing "
             f"its sidecars (_tombstones/_shard_stats/...), an os-level "
@@ -1172,20 +1193,73 @@ def _dir_fingerprint(path: str) -> tuple:
     )
 
 
-def _check_stats_fresh(path: str, spath: str, what: str) -> list[str]:
-    """Shard directories rewritten at-or-after the stats sidecar's
-    mtime make the stats unable to describe them. Returns the stale
-    shard-dir names (empty = fresh); remote paths are uncheckable and
-    report fresh — their writers already fail fast. The comparison is
-    ``>=``, not ``>`` (ADVICE r9): on a coarse-granularity filesystem
-    a shard rewritten in the same tick as the stats is AMBIGUOUS, and
-    ambiguity must read as stale — pruning on stale stats silently
-    breaks the exactness contract, while a spurious refresh costs one
-    ``nsw_stats_write``."""
+_STORE_FP_FILE = "_store_fp.json"
+
+
+def _shard_fp_hash(path: str, d: str) -> str:
+    """Stable digest of one shard directory's content fingerprint."""
+    import hashlib
+    import os
+
+    return hashlib.md5(
+        repr(_dir_fingerprint(os.path.join(path, d))).encode()
+    ).hexdigest()
+
+
+def _record_store_fp(path: str, sidecar: str, fps: dict) -> None:
+    """Persist the per-shard content fingerprints a stats write was
+    computed against, INSIDE the sidecar directory (the leading ``_``
+    keeps the json invisible to parquet reads of the sidecar)."""
+    import json
+    import os
+
+    with open(os.path.join(sidecar, _STORE_FP_FILE), "w") as f:
+        json.dump(fps, f)
+
+
+def _snapshot_store_fp(path: str) -> dict:
+    import os
+
+    return {
+        d: _shard_fp_hash(path, d)
+        for d in os.listdir(path)
+        if d.startswith("part_id=")
+    }
+
+
+def _check_stats_fresh(path: str, spath: str) -> list[str]:
+    """Shard directories whose CONTENT no longer matches what the
+    stats sidecar was computed against. Returns the stale shard-dir
+    names (empty = fresh); remote paths are uncheckable and report
+    fresh — their writers already fail fast.
+
+    Preferred evidence (r10): the per-shard content fingerprints
+    ``nsw_stats_write`` snapshots BEFORE aggregating and records into
+    the sidecar (``_store_fp.json`` — name+size+mtime of every file):
+    a shard rewritten even in the same filesystem-timestamp tick
+    changes its part-file names (fresh UUIDs) and is caught, while a
+    store whose bytes are untouched stays fresh regardless of
+    timestamp granularity — closing BOTH directions of the ADVICE r9
+    coarse-mtime hazard. Sidecars written before the fingerprint
+    existed fall back to the mtime rule, ``>=`` so a same-tick
+    rewrite reads as stale (ambiguity must refuse: pruning on stale
+    stats silently breaks the exactness contract, while a spurious
+    refresh costs one ``nsw_stats_write``)."""
+    import json
     import os
 
     if "://" in path:
         return []
+    fp_file = os.path.join(spath, _STORE_FP_FILE)
+    if os.path.exists(fp_file):
+        with open(fp_file) as f:
+            recorded = json.load(f)
+        return [
+            d
+            for d in os.listdir(path)
+            if d.startswith("part_id=")
+            and recorded.get(d) != _shard_fp_hash(path, d)
+        ]
     stats_m = os.stat(spath).st_mtime_ns
     return [
         d
@@ -1321,6 +1395,33 @@ def _range_shard_verdict(
     return 0, True
 
 
+def _canon_value_count(vals: "dict[str, int]", value) -> int:
+    """The passing count for ``value`` out of one partition's
+    value→count map, matching the way CATALYST equality would: the
+    sidecar keys are ``CAST(col AS STRING)`` of ONE column type, so at
+    most one key can equal the predicate value under numeric coercion
+    — ``2015.0`` against an int column must find the ``'2015'`` key
+    (the walk mask ``col == lit(2015.0)`` matches those rows), and a
+    plain ``str(value)`` lookup would silently report zero passing
+    members and prune every shard (review r10). Exact string first,
+    then numeric equality over parseable keys; non-numeric mismatches
+    count zero (consistent with the mask matching nothing)."""
+    s = str(value)
+    if s in vals:
+        return vals[s]
+    try:
+        fv = float(value)
+    except (TypeError, ValueError):
+        return 0
+    for k, n in vals.items():
+        try:
+            if float(k) == fv:
+                return n
+        except (TypeError, ValueError):
+            continue
+    return 0
+
+
 def nsw_stats_write(
     spark,
     path: str,
@@ -1365,6 +1466,10 @@ def nsw_stats_write(
     lexicographically and silently break the bound)."""
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
 
+    # snapshot the shard-content fingerprints BEFORE any aggregation:
+    # a shard rewritten mid-write then reads as stale (recorded pre-fp
+    # ≠ current), never as falsely fresh (see _check_stats_fresh)
+    fps = None if "://" in path else _snapshot_store_fp(path)
     stored = spark.read.parquet(path)
     out_schema = "part_id int, centroid array<double>, radius double, n long"
 
@@ -1387,6 +1492,8 @@ def nsw_stats_write(
         .applyInPandas(stats, out_schema)
     )
     sdf.write.mode("overwrite").parquet(_stats_path(path))
+    if fps is not None:
+        _record_store_fp(path, _stats_path(path), fps)
     if attrs:
         missing = [a for a in attrs if a not in stored.columns]
         if missing:
@@ -1407,6 +1514,8 @@ def nsw_stats_write(
             )
             counts = part if counts is None else counts.unionByName(part)
         counts.write.mode("overwrite").parquet(_attr_stats_path(path))
+        if fps is not None:
+            _record_store_fp(path, _attr_stats_path(path), fps)
     if numeric_attrs:
         from pyspark.sql.types import NumericType
 
@@ -1433,6 +1542,8 @@ def nsw_stats_write(
             )
             zones = part if zones is None else zones.unionByName(part)
         zones.write.mode("overwrite").parquet(_numeric_stats_path(path))
+        if fps is not None:
+            _record_store_fp(path, _numeric_stats_path(path), fps)
     invalidate()
     return spark.read.parquet(_stats_path(path)).count()
 
@@ -1546,7 +1657,7 @@ def nsw_write_clustered(
     centroids = _kmeans(sample, n_shards, n_iter, seed)
     assigned = assign_clusters(df, centroids, vec_col=vec_col)
     invalidate()
-    _clear_sidecars(path)
+    _clear_sidecars(path, df.sparkSession)
     _nsw_nodes(
         assigned, m=m, ef_construction=ef_construction, gamma=gamma,
         vec_col=vec_col, id_col=id_col, part_offset=0,
@@ -1556,6 +1667,25 @@ def nsw_write_clustered(
         df.sparkSession, path,
         attrs=stats_attrs, numeric_attrs=numeric_stats_attrs,
     )
+
+
+def _absent_ok(fn, default):
+    """Run a sidecar load, reading a MISSING sidecar as its absence
+    value instead of an exception — remote paths skip the os-level
+    existence checks, so the router-facing helpers must stay total
+    there (review r10: ann_search calls them on every invocation; a
+    remote store without some optional sidecar must read as
+    'uncovered', never crash). Only the two legitimate no-sidecar
+    error shapes are swallowed (the _read_tombstones rule)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return fn()
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return default
+        raise
 
 
 def pruned_match_attrs(spark, path: str) -> frozenset:
@@ -1571,11 +1701,13 @@ def pruned_match_attrs(spark, path: str) -> frozenset:
     if "://" not in path:
         if not (os.path.exists(spath) and os.path.exists(apath)):
             return frozenset()
-        if _check_stats_fresh(path, spath, "_shard_stats"):
+        if _check_stats_fresh(path, spath):
             return frozenset()
-        if _check_stats_fresh(path, apath, "_shard_attr_stats"):
+        if _check_stats_fresh(path, apath):
             return frozenset()
-    return frozenset(_load_attr_stats(spark, apath))
+    return _absent_ok(
+        lambda: frozenset(_load_attr_stats(spark, apath)), frozenset()
+    )
 
 
 def pruned_range_attrs(spark, path: str) -> frozenset:
@@ -1591,11 +1723,32 @@ def pruned_range_attrs(spark, path: str) -> frozenset:
     if "://" not in path:
         if not (os.path.exists(spath) and os.path.exists(npath)):
             return frozenset()
-        if _check_stats_fresh(path, spath, "_shard_stats"):
+        if _check_stats_fresh(path, spath):
             return frozenset()
-        if _check_stats_fresh(path, npath, "_shard_numeric_stats"):
+        if _check_stats_fresh(path, npath):
             return frozenset()
-    return frozenset(_load_numeric_stats(spark, npath))
+    return _absent_ok(
+        lambda: frozenset(_load_numeric_stats(spark, npath)), frozenset()
+    )
+
+
+def store_has_tombstones(spark, path: str) -> bool:
+    """True when the store carries LIVE tombstone rows — the condition
+    under which every ``prune=True`` read refuses (stats count dead
+    members). The router consults this before treating a clustered
+    store as prunable at all (review r10: rule 5/6 used to dispatch a
+    tombstoned store straight into the guard). Local stores answer
+    from the sidecar directory listing (emptied sidecars are rmtree'd
+    by nsw_undelete — r9); remote stores pay one bounded read."""
+    import os
+
+    tpath = _tombstones_path(path)
+    if "://" not in path:
+        return os.path.isdir(tpath) and any(
+            not f.startswith((".", "_")) for f in os.listdir(tpath)
+        )
+    tomb = _read_tombstones(spark, path, "vec_id")
+    return tomb is not None and tomb.limit(1).count() > 0
 
 
 def estimate_kept_fraction(
@@ -1615,9 +1768,12 @@ def estimate_kept_fraction(
     spath = _stats_path(path)
     if "://" not in path and not os.path.exists(spath):
         return None
-    if _check_stats_fresh(path, spath, "_shard_stats"):
+    if _check_stats_fresh(path, spath):
         return None
-    parts, cents, radii, counts = _load_stats(spark, spath)
+    loaded = _absent_ok(lambda: _load_stats(spark, spath), None)
+    if loaded is None:
+        return None
+    parts, cents, radii, counts = loaded
     total = int(counts.sum())
     if not total:
         return None
@@ -1643,9 +1799,9 @@ def pruned_full_beam(spark, path: str, k: int) -> int:
 
     spath = _stats_path(path)
     if "://" in spath or os.path.exists(spath):
-        _, _, _, counts = _load_stats(spark, spath)
-        if counts.size:
-            return max(k, int(counts.max()))
+        loaded = _absent_ok(lambda: _load_stats(spark, spath), None)
+        if loaded is not None and loaded[3].size:
+            return max(k, int(loaded[3].max()))
     return k
 
 
@@ -1983,7 +2139,7 @@ def nsw_read_topk(
         # leaves the ids identical while the balls moved — any shard
         # directory rewritten at-or-after the sidecar means the stats
         # no longer describe it (>=: same-tick is ambiguous ⇒ stale)
-        if newer := _check_stats_fresh(path, spath, "_shard_stats"):
+        if newer := _check_stats_fresh(path, spath):
             raise ValueError(
                 f"stale _shard_stats at {path}: shard dir(s) "
                 f"{sorted(newer)[:3]}… were rewritten at or after the "
@@ -2003,7 +2159,7 @@ def nsw_read_topk(
                     f"prune_match but no _shard_attr_stats sidecar at "
                     f"{path} — run nsw_stats_write(attrs={need!r})"
                 )
-            if newer := _check_stats_fresh(path, apath, "_shard_attr_stats"):
+            if newer := _check_stats_fresh(path, apath):
                 raise ValueError(
                     f"stale _shard_attr_stats at {path}: shard "
                     f"dir(s) {sorted(newer)[:3]}… were rewritten at "
@@ -2018,9 +2174,12 @@ def nsw_read_topk(
                 )
 
             def _match_counts(a: str, v) -> np.ndarray:
-                by_part, vs = attr_counts[a], str(v)
+                by_part = attr_counts[a]
                 return np.asarray(
-                    [by_part.get(int(p), {}).get(vs, 0) for p in stat_parts],
+                    [
+                        _canon_value_count(by_part.get(int(p), {}), v)
+                        for p in stat_parts
+                    ],
                     dtype=np.int64,
                 )
 
@@ -2064,7 +2223,7 @@ def nsw_read_topk(
                     f"at {path} — run nsw_stats_write("
                     f"numeric_attrs=[{r_attr!r}])"
                 )
-            if newer := _check_stats_fresh(path, npath, "_shard_numeric_stats"):
+            if newer := _check_stats_fresh(path, npath):
                 raise ValueError(
                     f"stale _shard_numeric_stats at {path}: shard "
                     f"dir(s) {sorted(newer)[:3]}… were rewritten at "

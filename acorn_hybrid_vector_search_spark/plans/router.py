@@ -320,7 +320,8 @@ class StrategyRouter:
            only sound where per-shard passing statistics exist). A
            sub-1.0 recall budget with a γ store still prefers the
            cheaper budgeted subgraph walk. r10b: the rung has a RANGE
-           arm — a single-attribute ``leq/geq/</>/<=/>=`` predicate
+           arm — a single-attribute ``leq/geq/</>`` predicate (exactly
+           the op spellings build_predicate enforces)
            whose attr has FRESH numeric min/max zone maps
            (``pruned_range_attrs``, from
            ``graph_ann.pruned_range_attrs``) routes to
@@ -348,8 +349,14 @@ class StrategyRouter:
                 and attr in set(pruned_attrs)
             ):
                 return AnnRoute("nsw_pruned_match", sel)
+            # ONLY the §2.3 op spellings build_predicate ENFORCES
+            # ('<='/'>=' are not §2.3 ops — the predicate builder
+            # ignores them, so routing them to the enforcing rung
+            # would make the result depend on sidecar freshness:
+            # filtered when fresh, constraint-ignored on the prefilter
+            # fallback when stale — review r10)
             if (
-                op in ("leq", "geq", "<", ">", "<=", ">=")
+                op in ("leq", "geq", "<", ">")
                 and pruned_range_attrs
                 and attr in set(pruned_range_attrs)
             ):
@@ -452,18 +459,37 @@ class StrategyRouter:
         pruned_attrs = None
         range_attrs = None
         est_kept = None
+        prunable = False
         if pruned_path is not None:
             from acorn_hybrid_vector_search_spark.operators.graph_ann import (
                 estimate_kept_fraction,
                 pruned_match_attrs,
                 pruned_range_attrs,
+                store_has_tombstones,
             )
 
-            # all driver-side sidecar reads (memoized, freshness-
-            # checked) — the router never routes into a staleness guard
-            pruned_attrs = pruned_match_attrs(df.sparkSession, pruned_path)
-            range_attrs = pruned_range_attrs(df.sparkSession, pruned_path)
-            if not predicates:
+            # a tombstoned store refuses EVERY pruned read (the stats
+            # count dead members), so the router treats it as having no
+            # pruned store at all — never routing rule 5/6 into the
+            # guard (review r10); compact/recluster restores the rungs
+            prunable = not store_has_tombstones(df.sparkSession, pruned_path)
+            # sidecar loads shaped to the predicate: only the arm that
+            # can actually fire pays its (memoized, freshness-checked)
+            # driver-side read — so the router never routes into a
+            # staleness guard AND a predicate-free query never loads
+            # the attr/numeric sidecars (review r10)
+            if prunable and predicates and len(predicates) == 1:
+                ((_attr, _spec),) = dict(predicates).items()
+                _op = list(_spec)[0]
+                if _op == "exact":
+                    pruned_attrs = pruned_match_attrs(
+                        df.sparkSession, pruned_path
+                    )
+                elif _op in ("leq", "geq", "<", ">"):
+                    range_attrs = pruned_range_attrs(
+                        df.sparkSession, pruned_path
+                    )
+            elif prunable and not predicates:
                 est_kept = estimate_kept_fraction(
                     df.sparkSession, pruned_path, query_vec, k
                 )
@@ -474,7 +500,7 @@ class StrategyRouter:
             has_ivf_index=ivf_index is not None,
             has_nsw_index=nsw_path is not None,
             has_gamma_store=gamma_path is not None,
-            has_pruned_store=pruned_path is not None,
+            has_pruned_store=prunable,
             pruned_attrs=pruned_attrs,
             pruned_range_attrs=range_attrs,
             est_kept_fraction=est_kept,

@@ -1054,14 +1054,45 @@ def test_ann_search_dispatches_prune_match_rung(spark, tmp_path):
     assert key(got) == key(direct)
     assert [r["vec_id"] for r in got] == [i for _, i in brute]
     # stale attr sidecar → coverage reads empty → exact prefilter
-    # fallback, same answer, no guard exception
+    # fallback, same answer, no guard exception (r10: staleness is a
+    # CONTENT change — a bare mtime touch correctly stays fresh)
     part = next(d for d in os.listdir(store) if d.startswith("part_id="))
     _time.sleep(0.01)
-    os.utime(os.path.join(store, part))
+    with open(os.path.join(store, part, "_rewrite_marker"), "w") as f:
+        f.write("x")
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        pruned_match_attrs,
+    )
+
+    assert pruned_match_attrs(spark, store) == frozenset()  # now stale
     got2 = router.ann_search(
         df, q, pred, 5, pruned_path=store, accessors=acc
     ).collect()
     assert sorted(r["vec_id"] for r in got2) == sorted(i for _, i in brute)
+    # tombstones also de-prune the store through the router: the
+    # dispatch falls back instead of crashing in the prune guard
+    # (review r10) — and a predicate-free query routes off the rung too
+    os.remove(os.path.join(store, part, "_rewrite_marker"))
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_delete,
+        nsw_stats_write,
+    )
+
+    nsw_stats_write(spark, store, attrs=["label"])
+    nsw_delete(spark, store, [rows[0][0]])
+    got3 = router.ann_search(
+        df, q, pred, 5, pruned_path=store, accessors=acc
+    ).collect()
+    assert sorted(r["vec_id"] for r in got3) == sorted(i for _, i in brute)
+    got4 = router.ann_search(
+        df, q, None, 5, pruned_path=store, accessors=acc
+    ).collect()
+    brute_all = sorted(
+        (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0]) for r in rows
+    )[:5]
+    assert sorted(r["vec_id"] for r in got4) == sorted(
+        i for _, i in brute_all
+    )
 
 
 def test_router_prune_range_rung_matrix_and_dispatch(spark, tmp_path):
@@ -1099,12 +1130,21 @@ def test_router_prune_range_rung_matrix_and_dispatch(spark, tmp_path):
     )
     r = StrategyRouter(big)
     cov = frozenset({"weight"})
-    for op in ("leq", "geq", "<", ">", "<=", ">="):
+    for op in ("leq", "geq", "<", ">"):
         a = r.route_ann(
             10, predicates={"weight": [op, 12]},
             has_pruned_store=True, pruned_range_attrs=cov,
         )
         assert a.strategy == "nsw_pruned_range", op
+    # '<='/'>=' are NOT §2.3 ops — build_predicate IGNORES them, so
+    # routing them to the enforcing rung would change semantics with
+    # sidecar freshness (review r10); they refuse
+    for op in ("<=", ">="):
+        a = r.route_ann(
+            10, predicates={"weight": [op, 12]},
+            has_pruned_store=True, pruned_range_attrs=cov,
+        )
+        assert a.strategy != "nsw_pruned_range", op
     # uncovered / substring / multi-attr refuse
     a = r.route_ann(
         10, predicates={"weight": ["<", 12]},

@@ -1224,9 +1224,14 @@ def test_prune_refuses_content_stale_stats(spark, blob_corpus, tmp_path):
         d for d in os.listdir(path) if d.startswith("part_id=")
     )
     _time.sleep(0.01)
-    os.utime(os.path.join(path, part))  # simulate a same-set rewrite
+    _mutate_shard_dir(path, part)  # simulate a same-set rewrite
     with pytest.raises(ValueError, match="rewritten"):
         nsw_read_topk(spark, path, q, K, prune=True)
+    # r10: a bare TOUCH (mtime moves, content identical) stays FRESH —
+    # the fingerprint evidence reads bytes, not timestamps
+    os.remove(os.path.join(path, part, "_rewrite_marker"))
+    os.utime(os.path.join(path, part))
+    nsw_read_topk(spark, path, q, K, ef=10**6, prune=True).count()
 
 
 def test_nsw_write_clustered_rejects_cluster_id_column(spark, blob_corpus, tmp_path):
@@ -1330,7 +1335,7 @@ def test_prune_match_sound_and_prunes_by_passing_counts(spark, tmp_path):
     # content-stale attr sidecar refuses
     part = next(d for d in os.listdir(path) if d.startswith("part_id="))
     _time.sleep(0.01)
-    os.utime(os.path.join(path, part))
+    _mutate_shard_dir(path, part)
     with pytest.raises(ValueError, match="stale"):
         nsw_read_topk(
             spark, path, [(0, list(q))], 5, prune=True,
@@ -1369,16 +1374,20 @@ def test_rebuild_sidecar_clear_rejects_remote_paths(spark):
 
 
 def test_prune_staleness_same_tick_reads_as_stale(spark, tmp_path):
-    """ADVICE r9: the content-staleness guard must treat a shard
-    directory whose mtime EQUALS the stats sidecar's as stale — on a
-    coarse-granularity filesystem same-tick means ambiguous, and
-    pruning on ambiguous stats would silently break the exactness
-    contract."""
+    """ADVICE r9, upgraded r10: a shard REWRITTEN in the same
+    filesystem-timestamp tick as the stats must read as stale. The
+    evidence is the per-shard CONTENT fingerprint nsw_stats_write
+    records into the sidecar — so the guard catches a same-tick
+    rewrite even when every mtime is forced EQUAL (where any
+    mtime-comparison rule is blind); stores written before the
+    fingerprint existed fall back to the >= mtime rule (ambiguity
+    reads as stale)."""
     import os
 
     import pytest
 
     from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _STORE_FP_FILE,
         _stats_path,
         nsw_read_topk,
         nsw_write_clustered,
@@ -1392,9 +1401,22 @@ def test_prune_staleness_same_tick_reads_as_stale(spark, tmp_path):
     nsw_write_clustered(df, path, n_shards=4)
     # sanity: fresh stats prune fine
     nsw_read_topk(spark, path, [(0, [0.0, 2.0])], 3, ef=10**6, prune=True)
-    # pin one shard dir's mtime to exactly the stats dir's mtime
+    # same-tick rewrite: content changes, then ALL mtimes forced equal
     stats_m = os.stat(_stats_path(path)).st_mtime_ns
     shard = next(d for d in os.listdir(path) if d.startswith("part_id="))
+    _mutate_shard_dir(path, shard)
+    os.utime(os.path.join(path, shard), ns=(stats_m, stats_m))
+    with pytest.raises(ValueError, match="stale _shard_stats"):
+        nsw_read_topk(spark, path, [(0, [0.0, 2.0])], 3, ef=10**6, prune=True)
+    # legacy stores (no fingerprint file): the >= mtime fallback still
+    # reads a same-tick shard as stale
+    os.remove(os.path.join(path, shard, "_rewrite_marker"))
+    os.remove(os.path.join(_stats_path(path), _STORE_FP_FILE))
+    # removing the fp file bumped the sidecar dir mtime — pin it back
+    # so the fallback compares against the original stats tick
+    os.utime(_stats_path(path), ns=(stats_m, stats_m))
+    os.utime(os.path.join(path, shard), ns=(stats_m - 10, stats_m - 10))
+    nsw_read_topk(spark, path, [(0, [0.0, 2.0])], 3, ef=10**6, prune=True)
     os.utime(os.path.join(path, shard), ns=(stats_m, stats_m))
     with pytest.raises(ValueError, match="stale _shard_stats"):
         nsw_read_topk(spark, path, [(0, [0.0, 2.0])], 3, ef=10**6, prune=True)
@@ -1558,7 +1580,7 @@ def test_prune_range_zone_maps_sound_and_skip_fail_shards(spark, tmp_path):
     # content-stale zone maps refuse; refresh restores
     part = next(d for d in os.listdir(path) if d.startswith("part_id="))
     _time.sleep(0.01)
-    os.utime(os.path.join(path, part))
+    _mutate_shard_dir(path, part)
     # (the ball-stats guard fires first — any sidecar staleness refuses)
     with pytest.raises(ValueError, match="stale _shard"):
         nsw_read_topk(
@@ -1752,3 +1774,80 @@ def test_range_decisions_relational_twin_matches_verdict_helper(spark):
             assert certain == 0 and possible
     # the corpus exercises all three verdict classes
     assert seen_verdicts == {"all_pass", "none_pass", "straddle"}
+
+
+def _mutate_shard_dir(path, part):
+    """Simulate a shard rewrite for staleness tests: change the shard
+    directory's CONTENT fingerprint (the r10 staleness evidence — a
+    real rewrite lands fresh part-file names; a bare mtime touch is
+    correctly fresh now) with a spark-invisible "_"-prefixed file."""
+    import os
+
+    with open(os.path.join(path, part, "_rewrite_marker"), "w") as f:
+        f.write("x")
+
+
+def test_prune_match_canonical_value_lookup(spark, tmp_path):
+    """review r10: the sidecar stores CAST(col AS STRING); the walk
+    mask uses Catalyst equality with numeric coercion — so the counts
+    lookup must find the '3' key for value 3.0 (and vice versa), or a
+    type-spelling mismatch silently prunes every shard and returns
+    empty where the prefilter answer has rows."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _canon_value_count,
+        nsw_read_topk,
+        nsw_write_clustered,
+    )
+
+    assert _canon_value_count({"3": 7}, 3.0) == 7
+    assert _canon_value_count({"3.0": 7}, 3) == 7
+    assert _canon_value_count({"3": 7}, "3") == 7
+    assert _canon_value_count({"3": 7}, 4) == 0
+    assert _canon_value_count({"x": 7}, 3) == 0
+
+    rows = _blob_rows_with(n=200)
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    path = str(tmp_path / "gcv")
+    nsw_write_clustered(
+        df, path, n_shards=8, payload_cols=["label"], stats_attrs=["label"]
+    )
+    q = rows[1][1]
+    want = [
+        i
+        for _, i in sorted(
+            (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+            for r in rows
+            if r[2] == 3
+        )[:5]
+    ]
+    # float spelling of the int label: the mask matches via coercion,
+    # and the counts lookup must agree
+    got = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6,
+        prune=True, prune_match=("label", 3.0),
+    ).collect()
+    assert [r["vec_id"] for r in got] == want
+
+
+def test_router_sidecar_helpers_remote_missing_read_as_uncovered(spark):
+    """review r10: the router-facing helpers must stay TOTAL on remote
+    paths (ann_search calls them on every invocation) — a remote store
+    missing an optional sidecar reads as uncovered/None, never an
+    AnalysisException. file:// is '://'-shaped, so a nonexistent
+    file:// path exercises exactly the remote branch."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        estimate_kept_fraction,
+        pruned_full_beam,
+        pruned_match_attrs,
+        pruned_range_attrs,
+        store_has_tombstones,
+    )
+
+    missing = "file:///nonexistent_acorn_probe_xyz/graph"
+    assert pruned_match_attrs(spark, missing) == frozenset()
+    assert pruned_range_attrs(spark, missing) == frozenset()
+    assert estimate_kept_fraction(spark, missing, [0.0, 0.0], 5) is None
+    assert pruned_full_beam(spark, missing, 5) == 5
+    assert store_has_tombstones(spark, missing) is False
