@@ -1127,41 +1127,48 @@ def _regression_triage_section() -> None:
     measurements and their fixes."""
     print("\n## Headline triage (round 10: prefilter_exact isolated median — the standing discipline)\n")
     print(
-        "Fresh-session isolated median-of-5 at sf0.1, prepared contract, "
-        "loadavg (0.12, 0.36, 1.00) at launch: **0.0581 s** (runs "
-        "0.0498-0.0871) = **1.60×** vs the 36.4 ms baseline — 2× gate "
+        "Fresh-session isolated median-of-5 at sf0.1, prepared "
+        "contract, at the FINAL r10 HEAD: **0.0523 s** (runs "
+        "0.0487-0.0776) = **1.44×** vs the 36.4 ms baseline — 2× gate "
         "met, seventh consecutive round; the committed battery figure "
-        "is **0.049 s = 1.35×**. Plan and code unchanged since r4. The "
-        "one BASELINE row that had no same-contract comparable now has "
-        "one: the amortized-ACORN section above reports 13.71 ms/query "
-        "hybrid at |Q|=64 (3.92× the 3.5 ms in-process C++ row, "
-        "amortized-prebuilt contract on both sides) and 10.45 ms/query "
-        "pure top-k = 0.106× of the 98.2 ms brute baseline.\n"
+        "is **0.056 s = 1.54×**; a mid-round isolated median on the "
+        "same plan read 0.0581 s (the spread IS the host band — plan "
+        "and code unchanged since r4). The one BASELINE row that had "
+        "no same-contract comparable now has one: the amortized-ACORN "
+        "section above reports 13.71 ms/query hybrid at |Q|=64 (3.92× "
+        "the 3.5 ms in-process C++ row, amortized-prebuilt contract on "
+        "both sides) and 10.45 ms/query pure top-k = 0.106× of the "
+        "98.2 ms brute baseline.\n"
     )
-    print("\n## Regression triage (round 10: hot battery + the two risers)\n")
+    print("\n## Regression triage (round 10: hot battery, host phase, and the risers)\n")
     print(
-        "Gate runs (idle-settled, loadavg 1m ≤ 0.1 at launch): hot "
-        "**73.99 s / 151 queries**, cold **83.34 s**. vs the committed "
-        "r9 BENCH.json on the 143 COMMON queries: 81.6 → 71.3 s hot "
-        "(median per-query ratio 0.852 — a favorable host phase on top "
-        "of real wins; the heaviest capped/stream rows all moved down: "
+        "Mid-round gate (idle-settled): hot **73.99 s / 151 queries**, "
+        "cold 83.34 s. vs the committed r9 BENCH.json on the 143 "
+        "COMMON queries: 81.6 → 71.3 s hot (median per-query ratio "
+        "0.852; the heaviest capped/stream rows all moved down: "
         "winnow_incremental_capped −0.82, stream_decontaminate_docs "
         "−0.62, minhash_incremental_capped −0.58). The r10 surface "
-        "adds 8 rows totalling 2.66 s (nsw_pruned_range 0.41, "
-        "nsw_pruned_batch 0.42, routed_pruned_match 0.44, "
-        "routed_pruned_range 0.45, ivf_pruned_match 0.20, "
-        "ivf_pruned_range 0.25, nsw_recluster 0.28, "
-        "nsw_range_decisions 0.21). Two common-set risers left the "
-        "±0.3 s band and were isolated-median triaged (fresh session, "
-        "median-of-5): sliding_rollup_events battery 0.42→1.00 but "
-        "isolated **0.435 s** ≈ its r9 battery figure — dispersion, "
-        "not code (plan untouched this round); stream_attribution_join "
-        "battery 2.07→2.48, isolated **2.139 s** vs r9's 2.073 — "
-        "within noise. One cold run was DISCARDED per the r8b "
-        "discipline: launched 60 s after the hot battery (5-min "
-        "loadavg 3.1) it read 92.6 s with a uniform 1.17 median ratio "
-        "on untouched plans — the settled re-run above is the "
-        "committed artifact.\n"
+        "adds 8 rows totalling ~2.7 s. Final HEAD gate after the r10c "
+        "review fixes: hot **80.25 s** / cold **90.92 s** — the +10% "
+        "vs mid-round is UNIFORM host phase, not the r10c code: "
+        "untouched-plan median ratio 1.113 vs 1.053 on the queries "
+        "r10c actually touched (the touched set moved LESS), two "
+        "same-code HEAD runs read 80.7/80.2, and the isolated "
+        "prefilter median at HEAD (0.0523 s) is the round's BEST. "
+        "Risers triaged by isolated median (fresh session, "
+        "median-of-5): sliding_rollup_events battery 1.00 → isolated "
+        "**0.435 s** ≈ its r9 figure (dispersion, plan untouched); "
+        "stream_attribution_join 2.48 → isolated **2.139 s** vs r9's "
+        "2.073 (noise); routed_pruned_match_topk 0.69 battery → "
+        "isolated **0.533 s** vs 0.44 mid-round — the real ~0.09 s "
+        "delta is the r10c robustness probes (tombstone listdir + "
+        "per-call content-fingerprint freshness over 8 shard dirs + "
+        "shaped sidecar checks), driver-side work that buys the "
+        "never-routes-into-a-guard contract and is independent of "
+        "data scale. One cold run was DISCARDED per the r8b "
+        "discipline: launched 60 s after a hot battery (5-min loadavg "
+        "3.1) it read 92.6 s at a uniform 1.17 ratio on untouched "
+        "plans; the committed artifacts are settled re-runs.\n"
     )
     print("\n## Headline triage (round 9: prefilter_exact isolated median — the r6 ask-#8 standing discipline)\n")
     print(
