@@ -571,6 +571,7 @@ def nsw_write(
         vec_col=vec_col, id_col=id_col, part_offset=0,
         payload_cols=payload_cols,
     ).write.mode("overwrite").partitionBy("part_id").parquet(path)
+    _bump_store_version(path)
 
 
 def _nsw_nodes(
@@ -878,6 +879,7 @@ def nsw_delete(
         .write.mode("append")
         .parquet(_tombstones_path(path))
     )
+    _bump_store_version(path)
     invalidate()
 
 
@@ -915,6 +917,7 @@ def nsw_undelete(spark, path: str, ids, *, id_col: str = "vec_id") -> int:
         # nothing left: drop the sidecar entirely so readers (and the
         # prune tombstone guard) see a tombstone-free store
         shutil.rmtree(tpath)
+        _bump_store_version(path)
         invalidate()
         return int(restored)
     tmp = tpath + "__tmp"
@@ -924,6 +927,7 @@ def nsw_undelete(spark, path: str, ids, *, id_col: str = "vec_id") -> int:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     _swap_dir(tpath, tmp)
+    _bump_store_version(path)
     invalidate()
     return int(restored)
 
@@ -1036,6 +1040,7 @@ def nsw_append(
         vec_col=vec_col, id_col=id_col, part_offset=int(max_part) + 1,
         payload_cols=payload_cols,
     ).write.mode("append").partitionBy("part_id").parquet(path)
+    _bump_store_version(path)
 
 
 def nsw_compact(
@@ -1145,8 +1150,10 @@ def nsw_compact(
     # crash mid-swap leaves either the old store (at path or path__old)
     # or the new one, never nothing. The swap also drops the tombstone
     # and stats sidecars with the old directory — REQUIRED: compacted
-    # shards renumber below every old ceiling
+    # shards renumber below every old ceiling. The version token went
+    # with the old directory too; a fresh one marks the new layout.
     _swap_dir(path, tmp)
+    _bump_store_version(path)
     invalidate()
     return n_new
 
@@ -1194,6 +1201,56 @@ def _dir_fingerprint(path: str) -> tuple:
 
 
 _STORE_FP_FILE = "_store_fp.json"
+_STORE_VERSION_FILE = "_store_version.json"
+# reserved key inside _store_fp.json (shard keys are "part_id=N" dir
+# names, so no collision is possible)
+_FP_VERSION_KEY = "__store_version__"
+
+
+def _read_store_version(path: str) -> "dict | None":
+    """The store's current version token, or None when the store has no
+    token (legacy store, remote path, or a store last written by an
+    out-of-API writer). The token is an opaque ``{"v": counter,
+    "nonce": hex}`` pair — compared by full equality, never ordered."""
+    import json
+    import os
+
+    if "://" in path:
+        return None
+    vf = os.path.join(path, _STORE_VERSION_FILE)
+    if not os.path.exists(vf):
+        return None
+    try:
+        with open(vf) as f:
+            tok = json.load(f)
+    except (OSError, ValueError):
+        return None
+    return tok if isinstance(tok, dict) and "v" in tok else None
+
+
+def _bump_store_version(path: str) -> "dict | None":
+    """Write a fresh store-version token — called by EVERY store mutator
+    (r11, VERDICT r10 ask #1): the O(1) freshness protocol that replaces
+    ``ann_search``'s per-dispatch per-shard content-fingerprint walk.
+    Monotonic counter + random nonce (the nonce defeats ABA across
+    directory swaps and out-of-band restores of an old counter value).
+    Remote paths are a no-op (their readers already report
+    fresh/uncheckable and their mutators fail fast) — returns the new
+    token, or None when none was written. The leading ``_`` keeps the
+    json invisible to parquet reads of the store root."""
+    import json
+    import os
+
+    if "://" in path or not os.path.isdir(path):
+        return None
+    prev = _read_store_version(path)
+    tok = {
+        "v": (int(prev["v"]) + 1) if prev else 1,
+        "nonce": os.urandom(8).hex(),
+    }
+    with open(os.path.join(path, _STORE_VERSION_FILE), "w") as f:
+        json.dump(tok, f)
+    return tok
 
 
 def _shard_fp_hash(path: str, d: str) -> str:
@@ -1206,15 +1263,23 @@ def _shard_fp_hash(path: str, d: str) -> str:
     ).hexdigest()
 
 
-def _record_store_fp(path: str, sidecar: str, fps: dict) -> None:
+def _record_store_fp(
+    path: str, sidecar: str, fps: dict, version: "dict | None" = None
+) -> None:
     """Persist the per-shard content fingerprints a stats write was
     computed against, INSIDE the sidecar directory (the leading ``_``
-    keeps the json invisible to parquet reads of the sidecar)."""
+    keeps the json invisible to parquet reads of the sidecar).
+    ``version`` (r11): the store-version token snapshotted BEFORE the
+    stats aggregation — the O(1) freshness evidence ``_check_stats_fresh``
+    prefers over the per-shard fingerprint walk."""
     import json
     import os
 
+    rec = dict(fps)
+    if version is not None:
+        rec[_FP_VERSION_KEY] = version
     with open(os.path.join(sidecar, _STORE_FP_FILE), "w") as f:
-        json.dump(fps, f)
+        json.dump(rec, f)
 
 
 def _snapshot_store_fp(path: str) -> dict:
@@ -1233,18 +1298,31 @@ def _check_stats_fresh(path: str, spath: str) -> list[str]:
     names (empty = fresh); remote paths are uncheckable and report
     fresh — their writers already fail fast.
 
-    Preferred evidence (r10): the per-shard content fingerprints
+    Preferred evidence (r11, VERDICT r10 ask #1 — the O(1) protocol):
+    the store-version token. Every store mutator bumps
+    ``_store_version.json`` at the store root; ``nsw_stats_write``
+    records the token it computed against into the sidecar. Token
+    match ⇒ provably no in-API mutation since the stats were written —
+    ONE file read, no per-shard walk, flat in shard count. Token
+    mismatch (or either side absent) falls through to the r10 content
+    fingerprints rather than refusing outright: a mutation that never
+    touched shard content (e.g. a tombstone write, which the prune
+    rungs gate separately) must not permanently demote the store.
+
+    Fallback evidence (r10): the per-shard content fingerprints
     ``nsw_stats_write`` snapshots BEFORE aggregating and records into
     the sidecar (``_store_fp.json`` — name+size+mtime of every file):
     a shard rewritten even in the same filesystem-timestamp tick
     changes its part-file names (fresh UUIDs) and is caught, while a
     store whose bytes are untouched stays fresh regardless of
     timestamp granularity — closing BOTH directions of the ADVICE r9
-    coarse-mtime hazard. Sidecars written before the fingerprint
-    existed fall back to the mtime rule, ``>=`` so a same-tick
-    rewrite reads as stale (ambiguity must refuse: pruning on stale
-    stats silently breaks the exactness contract, while a spurious
-    refresh costs one ``nsw_stats_write``)."""
+    coarse-mtime hazard. A shard RECORDED in the snapshot but since
+    deleted from disk also reads as stale (ADVICE r10 — the one-way
+    iteration over current dirs was blind to deletions). Sidecars
+    written before the fingerprint existed fall back to the mtime
+    rule, ``>=`` so a same-tick rewrite reads as stale (ambiguity
+    must refuse: pruning on stale stats silently breaks the exactness
+    contract, while a spurious refresh costs one ``nsw_stats_write``)."""
     import json
     import os
 
@@ -1254,12 +1332,17 @@ def _check_stats_fresh(path: str, spath: str) -> list[str]:
     if os.path.exists(fp_file):
         with open(fp_file) as f:
             recorded = json.load(f)
-        return [
-            d
-            for d in os.listdir(path)
-            if d.startswith("part_id=")
-            and recorded.get(d) != _shard_fp_hash(path, d)
+        rec_version = recorded.pop(_FP_VERSION_KEY, None)
+        if rec_version is not None and rec_version == _read_store_version(path):
+            return []  # O(1) fast path: no mutator ran since the stats
+        current = {
+            d for d in os.listdir(path) if d.startswith("part_id=")
+        }
+        stale = [
+            d for d in current if recorded.get(d) != _shard_fp_hash(path, d)
         ]
+        stale.extend(sorted(set(recorded) - current))
+        return stale
     stats_m = os.stat(spath).st_mtime_ns
     return [
         d
@@ -1405,7 +1488,17 @@ def _canon_value_count(vals: "dict[str, int]", value) -> int:
     plain ``str(value)`` lookup would silently report zero passing
     members and prune every shard (review r10). Exact string first,
     then numeric equality over parseable keys; non-numeric mismatches
-    count zero (consistent with the mask matching nothing)."""
+    count zero (consistent with the mask matching nothing).
+
+    Booleans (ADVICE r10): Spark's ``CAST(boolcol AS STRING)`` spells
+    ``'true'``/``'false'`` while ``str(True)`` is ``'True'`` and the
+    numeric fallback can't parse the keys — a bool predicate value
+    would silently prune every shard. Canonicalize to the lowercase
+    spelling and skip the numeric fallback (``float(True)`` is 1.0,
+    which must NOT match a numeric column's ``'1'`` key — Catalyst
+    does not equate ``intcol == lit(True)`` rows with 1s under ANSI)."""
+    if isinstance(value, bool):
+        return vals.get(str(value).lower(), 0)
     s = str(value)
     if s in vals:
         return vals[s]
@@ -1420,6 +1513,106 @@ def _canon_value_count(vals: "dict[str, int]", value) -> int:
         except (TypeError, ValueError):
             continue
     return 0
+
+
+_CONJ_OPS = frozenset({"exact"}) | frozenset(_RANGE_OPS)
+
+
+def _normalize_conj(conj) -> "dict[str, tuple]":
+    """Validate and normalize one conjunction ``{attr: (op, value)}``
+    (specs may arrive as the §2.3 ``[op, value]`` lists). Every op must
+    be exact or a recognized range spelling — the zone maps prove
+    nothing about substring or unknown ops, so pruning under them would
+    be unsound."""
+    if not conj:
+        raise ValueError(
+            "empty prune_conj conjunction — pass None for an unfiltered "
+            "pruned search"
+        )
+    out = {}
+    for attr, spec in dict(conj).items():
+        op, value = list(spec)[0], list(spec)[1]
+        if op not in _CONJ_OPS:
+            raise ValueError(
+                f"prune_conj op must be 'exact' or one of "
+                f"{sorted(_RANGE_OPS)}, got {op!r} for {attr!r} — zone "
+                f"maps prove nothing about other ops"
+            )
+        out[str(attr)] = (op, value)
+    return out
+
+
+def _conj_shard_stats(
+    conj: "dict[str, tuple]",
+    attr_counts: dict,
+    num_stats: dict,
+    stat_parts: np.ndarray,
+    member_counts: np.ndarray,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """(certain_passing_lower_bounds, may_pass) over all shards for a
+    CONJUNCTION of exact-match / range constraints (r11, VERDICT r10
+    ask #3 — the reference's literal class-2 query shape is a
+    two-attribute conjunction, acorn.py:296-298). Per shard with n
+    members: each constraint i has a certain per-shard passing count
+    lb_i (exact: the sidecar's exact count; range: n_present on
+    all-pass, else 0) and a may-pass verdict. Bonferroni gives the
+    sound conjunction bound |∩ P_i| ≥ n − Σ (n − lb_i): under-counting
+    only widens the τ cover (``_prune_plan(possible=...)``), a shard
+    where ANY constraint is none-pass provably holds no passing member,
+    and a cover falling short of k keeps every possible shard."""
+    n_parts = len(stat_parts)
+    deficits = np.zeros(n_parts, dtype=np.int64)
+    possible = np.ones(n_parts, dtype=bool)
+    for attr, (op, value) in conj.items():
+        if op == "exact":
+            by_part = attr_counts[attr]
+            passing = np.asarray(
+                [
+                    _canon_value_count(by_part.get(int(p), {}), value)
+                    for p in stat_parts
+                ],
+                dtype=np.int64,
+            )
+            may = passing > 0
+        else:
+            r_op = _RANGE_OPS[op]
+            zones = num_stats[attr]
+            verdicts = [
+                _range_shard_verdict(
+                    *zones.get(int(p), (None, None, 0)), r_op, float(value)
+                )
+                for p in stat_parts
+            ]
+            passing = np.asarray([c for c, _ in verdicts], dtype=np.int64)
+            may = np.asarray([m for _, m in verdicts], dtype=bool)
+        possible &= may
+        deficits += member_counts - passing
+    lb = np.maximum(0, member_counts - deficits)
+    return np.where(possible, lb, 0), possible
+
+
+def _conj_pred_col(conj: "dict[str, tuple]"):
+    """The conjunction as ONE Catalyst walk mask over the store's flat
+    payload columns — identical to ``build_predicate`` over flat
+    passthrough accessors for these ops (NULL comparison yields SQL
+    NULL, which the walk's fillna(False) rejects — §2.3's strict
+    missing-attribute rejection; the router's dispatch gate
+    ``_flat_passthrough`` guarantees the accessor semantics coincide)."""
+    cond = None
+    for attr, (op, value) in conj.items():
+        col = F.col(attr)
+        if op == "exact":
+            c = col == F.lit(value)
+        else:
+            r_op = _RANGE_OPS[op]
+            c = {
+                "<": col < F.lit(value),
+                "<=": col <= F.lit(value),
+                ">": col > F.lit(value),
+                ">=": col >= F.lit(value),
+            }[r_op]
+        cond = c if cond is None else cond & c
+    return cond
 
 
 def nsw_stats_write(
@@ -1466,9 +1659,15 @@ def nsw_stats_write(
     lexicographically and silently break the bound)."""
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
 
-    # snapshot the shard-content fingerprints BEFORE any aggregation:
-    # a shard rewritten mid-write then reads as stale (recorded pre-fp
-    # ≠ current), never as falsely fresh (see _check_stats_fresh)
+    # snapshot the store-version token and the shard-content
+    # fingerprints BEFORE any aggregation: a mutation landing mid-write
+    # bumps the token (and changes shard content), so the recorded
+    # evidence reads as stale — never as falsely fresh
+    # (_check_stats_fresh). A store with no token yet (pre-r11 layout)
+    # gets one initialized here so its sidecars join the O(1) protocol.
+    ver = None
+    if "://" not in path:
+        ver = _read_store_version(path) or _bump_store_version(path)
     fps = None if "://" in path else _snapshot_store_fp(path)
     stored = spark.read.parquet(path)
     out_schema = "part_id int, centroid array<double>, radius double, n long"
@@ -1493,7 +1692,7 @@ def nsw_stats_write(
     )
     sdf.write.mode("overwrite").parquet(_stats_path(path))
     if fps is not None:
-        _record_store_fp(path, _stats_path(path), fps)
+        _record_store_fp(path, _stats_path(path), fps, ver)
     if attrs:
         missing = [a for a in attrs if a not in stored.columns]
         if missing:
@@ -1515,7 +1714,7 @@ def nsw_stats_write(
             counts = part if counts is None else counts.unionByName(part)
         counts.write.mode("overwrite").parquet(_attr_stats_path(path))
         if fps is not None:
-            _record_store_fp(path, _attr_stats_path(path), fps)
+            _record_store_fp(path, _attr_stats_path(path), fps, ver)
     if numeric_attrs:
         from pyspark.sql.types import NumericType
 
@@ -1543,7 +1742,7 @@ def nsw_stats_write(
             zones = part if zones is None else zones.unionByName(part)
         zones.write.mode("overwrite").parquet(_numeric_stats_path(path))
         if fps is not None:
-            _record_store_fp(path, _numeric_stats_path(path), fps)
+            _record_store_fp(path, _numeric_stats_path(path), fps, ver)
     invalidate()
     return spark.read.parquet(_stats_path(path)).count()
 
@@ -1663,6 +1862,7 @@ def nsw_write_clustered(
         vec_col=vec_col, id_col=id_col, part_offset=0,
         payload_cols=payload_cols, part_col="cluster_id",
     ).write.mode("overwrite").partitionBy("part_id").parquet(path)
+    _bump_store_version(path)
     nsw_stats_write(
         df.sparkSession, path,
         attrs=stats_attrs, numeric_attrs=numeric_stats_attrs,
@@ -1675,15 +1875,22 @@ def _absent_ok(fn, default):
     existence checks, so the router-facing helpers must stay total
     there (review r10: ann_search calls them on every invocation; a
     remote store without some optional sidecar must read as
-    'uncovered', never crash). Only the two legitimate no-sidecar
-    error shapes are swallowed (the _read_tombstones rule)."""
+    'uncovered', never crash). Only the legitimate no-sidecar error
+    shapes are swallowed (the _read_tombstones rule); 'Path does not
+    exist' is the pre-error-class spelling older Spark versions raise
+    for the same condition (ADVICE r10 — without it a remote store
+    lacking an optional sidecar crashes ann_search on those versions)."""
     from pyspark.errors import AnalysisException
 
     try:
         return fn()
     except AnalysisException as e:
         msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Path does not exist" in msg
+        ):
             return default
         raise
 
@@ -1899,8 +2106,10 @@ def nsw_recluster(
         raise
     # the swap drops the tombstone and stats sidecars with the old
     # directory — REQUIRED (reclustered shards renumber below every old
-    # ceiling), and the fresh stats land right after
+    # ceiling), and the fresh stats land right after (recording the
+    # fresh version token the bump writes here)
     _swap_dir(path, tmp)
+    _bump_store_version(path)
     invalidate()
     nsw_stats_write(
         spark, path, attrs=stats_attrs, numeric_attrs=numeric_stats_attrs
@@ -1924,6 +2133,7 @@ def nsw_read_topk(
     prune: bool = False,
     prune_match: "tuple[str, Any] | Mapping[int, tuple[str, Any]] | None" = None,
     prune_range: "tuple[str, str, float] | None" = None,
+    prune_conj: "Mapping[str, Sequence] | Mapping[int, Mapping[str, Sequence]] | None" = None,
     id_col: str = "vec_id",
     dist_col: str = "dist",
 ) -> DataFrame:
@@ -2030,7 +2240,32 @@ def nsw_read_topk(
     widens the kept set, so exactness holds at full beam). The range
     rides the walk as the usual Catalyst mask (NULL/missing attr
     rejects, §2.3). Mutually exclusive with ``prune_match`` and
-    ``predicate``/``predicates``; requires ``prune=True``."""
+    ``predicate``/``predicates``; requires ``prune=True``.
+
+    ``prune_conj`` (r11, VERDICT r10 ask #3): ``{attr: (op, value)}``
+    — a CONJUNCTION of exact-match and/or range constraints, the
+    reference's literal class-2 query shape (``item_weight < 2 ∧
+    brand exact …``, acorn.py:296-298). Pruning is sound under the
+    conjunction via the Bonferroni bound over the per-attr zone maps
+    (``_conj_shard_stats``): a shard where ANY constraint is
+    none-pass is provably empty of passing members and its directory
+    is never read; the τ cover counts the certain lower bound
+    ``max(0, n − Σ(n − lb_i))`` per shard, and under-counting only
+    widens the kept set — full beam stays provably exact. Every
+    exact-constrained attr must be covered by a fresh
+    ``_shard_attr_stats`` sidecar, every range-constrained attr by a
+    fresh ``_shard_numeric_stats`` sidecar. The conjunction rides the
+    walk as ONE Catalyst mask. As a MAPPING ``query_id → {attr: (op,
+    value)}`` every query in the batch prunes and filters on its OWN
+    conjunction from one store read (the ``prune_match`` mapping
+    contract — absent queries prune on plain ball bounds and walk
+    unfiltered); this is also the serving shape the router's batched
+    dispatch (``ann_search_batch``) folds ALL pruned rungs into.
+    Mutually exclusive with ``prune_match``/``prune_range`` and
+    ``predicate``/``predicates``; requires ``prune=True``. A
+    single-entry conjunction is exactly ``prune_match`` (op 'exact')
+    or ``prune_range`` (range op) — identical counts, verdicts and
+    masks by construction (pytest-pinned)."""
     qids = [int(q) for q, _ in queries]
     if len(qids) != len(set(qids)):
         raise ValueError(
@@ -2055,21 +2290,25 @@ def nsw_read_topk(
         or pred_qids
         or prune_match is not None
         or prune_range is not None
+        or prune_conj is not None
     ):
         raise ValueError(
             "strategy='subgraph' is the ACORN-γ predicate-subgraph walk "
-            "— it requires predicate, predicates, prune_match, or "
-            "prune_range"
+            "— it requires predicate, predicates, prune_match, "
+            "prune_range, or prune_conj"
         )
 
     if prune_match is not None and not prune:
         raise ValueError("prune_match requires prune=True")
     if prune_range is not None and not prune:
         raise ValueError("prune_range requires prune=True")
-    if prune_match is not None and prune_range is not None:
+    if prune_conj is not None and not prune:
+        raise ValueError("prune_conj requires prune=True")
+    if sum(x is not None for x in (prune_match, prune_range, prune_conj)) > 1:
         raise ValueError(
-            "pass either prune_match or prune_range, not both — one "
-            "predicate drives both the zone-map prune and the walk mask"
+            "pass at most one of prune_match / prune_range / prune_conj "
+            "— one predicate drives both the zone-map prune and the "
+            "walk mask"
         )
     match_by_qid: "dict[int, tuple] | None" = None
     if prune_match is not None and not isinstance(prune_match, tuple):
@@ -2086,6 +2325,26 @@ def nsw_read_topk(
             raise ValueError(
                 f"prune_match for ids not in the batch: {unknown}"
             )
+    conj_shared: "dict[str, tuple] | None" = None
+    conj_by_qid: "dict[int, dict[str, tuple]] | None" = None
+    if prune_conj is not None:
+        conj_keys = list(dict(prune_conj))
+        if not conj_keys:
+            raise ValueError(
+                "empty prune_conj — pass None for an unfiltered pruned "
+                "search, or a {attr: (op, value)} conjunction"
+            )
+        if all(isinstance(ck, str) for ck in conj_keys):
+            conj_shared = _normalize_conj(prune_conj)
+        else:
+            conj_by_qid = {
+                int(q): _normalize_conj(c)
+                for q, c in dict(prune_conj).items()
+            }
+            if unknown := [q for q in sorted(conj_by_qid) if q not in qset]:
+                raise ValueError(
+                    f"prune_conj for ids not in the batch: {unknown}"
+                )
     stored = spark.read.parquet(path)
     tomb = _read_tombstones(spark, path, id_col)
     allowed: dict[int, np.ndarray] | None = None
@@ -2147,6 +2406,7 @@ def nsw_read_topk(
             )
         possible = None
         per_query_counts: "list[np.ndarray] | None" = None
+        per_query_possible: "list[np.ndarray | None] | None" = None
         if prune_match is not None:
             apath = _attr_stats_path(path)
             need = (
@@ -2253,6 +2513,101 @@ def nsw_read_topk(
                 ">=": col >= F.lit(r_val),
             }[r_op]
             has_pred = True
+        elif conj_shared is not None or conj_by_qid is not None:
+            conj_dicts = (
+                [conj_shared]
+                if conj_shared is not None
+                else list(conj_by_qid.values())
+            )
+            need_exact = sorted(
+                {
+                    a
+                    for c in conj_dicts
+                    for a, (c_op, _) in c.items()
+                    if c_op == "exact"
+                }
+            )
+            need_range = sorted(
+                {
+                    a
+                    for c in conj_dicts
+                    for a, (c_op, _) in c.items()
+                    if c_op != "exact"
+                }
+            )
+            attr_counts: dict = {}
+            if need_exact:
+                apath = _attr_stats_path(path)
+                if "://" not in apath and not os.path.exists(apath):
+                    raise ValueError(
+                        f"prune_conj with exact constraints but no "
+                        f"_shard_attr_stats sidecar at {path} — run "
+                        f"nsw_stats_write(attrs={need_exact!r})"
+                    )
+                if newer := _check_stats_fresh(path, apath):
+                    raise ValueError(
+                        f"stale _shard_attr_stats at {path}: shard "
+                        f"dir(s) {sorted(newer)[:3]}… were rewritten at "
+                        f"or after the counts — run nsw_stats_write"
+                    )
+                attr_counts = _load_attr_stats(spark, apath)
+                if missing := [
+                    a for a in need_exact if a not in attr_counts
+                ]:
+                    raise ValueError(
+                        f"_shard_attr_stats at {path} does not cover "
+                        f"{missing} (covered: {sorted(attr_counts)}) — "
+                        f"run nsw_stats_write(attrs={need_exact!r})"
+                    )
+            num_stats: dict = {}
+            if need_range:
+                npath = _numeric_stats_path(path)
+                if "://" not in npath and not os.path.exists(npath):
+                    raise ValueError(
+                        f"prune_conj with range constraints but no "
+                        f"_shard_numeric_stats sidecar at {path} — run "
+                        f"nsw_stats_write(numeric_attrs={need_range!r})"
+                    )
+                if newer := _check_stats_fresh(path, npath):
+                    raise ValueError(
+                        f"stale _shard_numeric_stats at {path}: shard "
+                        f"dir(s) {sorted(newer)[:3]}… were rewritten at "
+                        f"or after the zone maps — run nsw_stats_write"
+                    )
+                num_stats = _load_numeric_stats(spark, npath)
+                if missing := [a for a in need_range if a not in num_stats]:
+                    raise ValueError(
+                        f"_shard_numeric_stats at {path} does not cover "
+                        f"{missing} (covered: {sorted(num_stats)}) — run "
+                        f"nsw_stats_write(numeric_attrs={need_range!r})"
+                    )
+            if conj_shared is not None:
+                counts, possible = _conj_shard_stats(
+                    conj_shared, attr_counts, num_stats, stat_parts, counts
+                )
+                predicate = _conj_pred_col(conj_shared)
+                has_pred = True
+            else:
+                # per-query serving shape (the prune_match mapping
+                # contract): each query's own Bonferroni lower bounds
+                # and may-pass mask drive its own τ cover; unmatched
+                # queries prune on plain ball bounds and walk unfiltered
+                per_query_counts = []
+                per_query_possible = []
+                for q in qids:
+                    if q in conj_by_qid:
+                        lb, poss = _conj_shard_stats(
+                            conj_by_qid[q], attr_counts, num_stats,
+                            stat_parts, counts,
+                        )
+                    else:
+                        lb, poss = counts, None
+                    per_query_counts.append(lb)
+                    per_query_possible.append(poss)
+                preds = {
+                    q: _conj_pred_col(c) for q, c in conj_by_qid.items()
+                }
+                pred_qids = sorted(preds)
         if per_query_counts is not None:
             kept = []
             for qi, q in enumerate(qids):
@@ -2260,7 +2615,14 @@ def nsw_read_topk(
                     _prune_plan(
                         stat_parts, cents, radii, per_query_counts[qi],
                         qmat[qi : qi + 1], k,
-                        skip_empty=q in match_by_qid,
+                        skip_empty=(
+                            match_by_qid is not None and q in match_by_qid
+                        ),
+                        possible=(
+                            per_query_possible[qi]
+                            if per_query_possible is not None
+                            else None
+                        ),
                     )
                 )
         else:

@@ -188,9 +188,42 @@ NSW_GAMMA_RECALL: tuple[tuple[int, float], ...] = (
 )
 
 
+def _flat_passthrough(
+    accessors: Mapping[str, AttributeAccessor], attr: str, *, numeric: bool
+) -> bool:
+    """True when dispatching ``attr``'s constraint to a zone-map-pruned
+    rung cannot change semantics vs the prefilter fallback (ADVICE r10):
+    the pruned rungs build their walk mask from the raw store column
+    ``F.col(attr)``, so the accessor ``build_predicate`` would use on
+    the fallback path must be a flat passthrough of the SAME-NAMED
+    column — value expression ``col(attr)``, presence ``col(attr) IS
+    NOT NULL`` (a nested accessor or a non-empty flatten prefix reads a
+    different expression, and routing would silently diverge). For
+    range ops the accessor must also be numeric-kind: ``build_predicate``
+    silently IGNORES a range op on a string-kind accessor (§2.3
+    unsupported-op fallthrough), so routing it would filter where the
+    fallback would not."""
+    acc = accessors.get(attr)
+    if acc is None:
+        return False
+    col = F.col(attr)
+    if str(acc.value) != str(col):
+        return False
+    if str(acc.present) != str(col.isNotNull()):
+        return False
+    return acc.kind == "numeric" if numeric else True
+
+
+# the §2.3 range spellings build_predicate ENFORCES ('<='/'>=' are
+# accepted by nsw_read_topk directly but must NOT route — the builder
+# ignores them, so the prefilter fallback would silently drop the
+# constraint and results would depend on sidecar freshness; review r10)
+_ROUTABLE_RANGE_OPS = ("leq", "geq", "<", ">")
+
+
 @dataclass
 class AnnRoute:
-    strategy: str  # "prefilter" | "exact" | "ivf_exact" | "nsw" | "nsw_gamma" | "ivf" | "nsw_pruned" | "nsw_pruned_match" | "nsw_pruned_range"
+    strategy: str  # "prefilter" | "exact" | "ivf_exact" | "nsw" | "nsw_gamma" | "ivf" | "nsw_pruned" | "nsw_pruned_match" | "nsw_pruned_range" | "nsw_pruned_conj"
     selectivity: float
     nprobe: int | None = None
     ef: int | None = None
@@ -337,30 +370,44 @@ class StrategyRouter:
         # pre-filter oracle while reading only passing shards)
         if (
             predicates
-            and len(predicates) == 1
             and has_pruned_store
             and not (min_recall < 1.0 and has_gamma_store)
         ):
-            ((attr, spec),) = dict(predicates).items()
-            op = list(spec)[0]
-            if (
-                op == "exact"
-                and pruned_attrs
-                and attr in set(pruned_attrs)
+            match_cover = set(pruned_attrs or ())
+            range_cover = set(pruned_range_attrs or ())
+            if len(predicates) == 1:
+                ((attr, spec),) = dict(predicates).items()
+                op = list(spec)[0]
+                if op == "exact" and attr in match_cover:
+                    return AnnRoute("nsw_pruned_match", sel)
+                # ONLY the §2.3 op spellings build_predicate ENFORCES
+                # ('<='/'>=' are not §2.3 ops — the predicate builder
+                # ignores them, so routing them to the enforcing rung
+                # would make the result depend on sidecar freshness:
+                # filtered when fresh, constraint-ignored on the
+                # prefilter fallback when stale — review r10)
+                if op in _ROUTABLE_RANGE_OPS and attr in range_cover:
+                    return AnnRoute("nsw_pruned_range", sel)
+            # r11 CONJUNCTION arm (VERDICT r10 ask #3 — the reference's
+            # literal class-2 query shape is a two-attribute
+            # conjunction, acorn.py:296-298): every constrained attr
+            # must be covered by the matching fresh sidecar (exact op →
+            # per-shard value counts; §2.3 range op → numeric zone
+            # maps). Any other op (substring, unknown) refuses — the
+            # zone maps prove nothing about it, and build_predicate's
+            # fallthrough semantics would diverge from the walk mask.
+            elif all(
+                (
+                    list(spec)[0] == "exact"
+                    and attr in match_cover
+                )
+                or (
+                    list(spec)[0] in _ROUTABLE_RANGE_OPS
+                    and attr in range_cover
+                )
+                for attr, spec in dict(predicates).items()
             ):
-                return AnnRoute("nsw_pruned_match", sel)
-            # ONLY the §2.3 op spellings build_predicate ENFORCES
-            # ('<='/'>=' are not §2.3 ops — the predicate builder
-            # ignores them, so routing them to the enforcing rung
-            # would make the result depend on sidecar freshness:
-            # filtered when fresh, constraint-ignored on the prefilter
-            # fallback when stale — review r10)
-            if (
-                op in ("leq", "geq", "<", ">")
-                and pruned_range_attrs
-                and attr in set(pruned_range_attrs)
-            ):
-                return AnnRoute("nsw_pruned_range", sel)
+                return AnnRoute("nsw_pruned_conj", sel)
         if predicates and sel <= selective_cutoff:
             return AnnRoute("prefilter", sel)
         if n <= small_corpus and not (
@@ -456,6 +503,7 @@ class StrategyRouter:
         back to the exact prefilter scan rather than ``ivf_search_exact``
         (whose ball-bound executor is predicate-less) — exactness is
         never traded for a prune."""
+        acc = accessors or abo_accessors()
         pruned_attrs = None
         range_attrs = None
         est_kept = None
@@ -474,25 +522,52 @@ class StrategyRouter:
             # guard (review r10); compact/recluster restores the rungs
             prunable = not store_has_tombstones(df.sparkSession, pruned_path)
             # sidecar loads shaped to the predicate: only the arm that
-            # can actually fire pays its (memoized, freshness-checked)
-            # driver-side read — so the router never routes into a
-            # staleness guard AND a predicate-free query never loads
-            # the attr/numeric sidecars (review r10)
-            if prunable and predicates and len(predicates) == 1:
-                ((_attr, _spec),) = dict(predicates).items()
-                _op = list(_spec)[0]
-                if _op == "exact":
-                    pruned_attrs = pruned_match_attrs(
-                        df.sparkSession, pruned_path
+            # can actually fire pays its (memoized, O(1)-token
+            # freshness-checked) driver-side read — so the router never
+            # routes into a staleness guard AND a predicate-free query
+            # never loads the attr/numeric sidecars (review r10). Each
+            # constrained attr must also be a FLAT PASSTHROUGH of the
+            # same-named store column under the caller's accessors
+            # (ADVICE r10, _flat_passthrough) — a nested accessor would
+            # make route choice change semantics, so such attrs read as
+            # uncovered here and rule 6 never fires for them.
+            if prunable and predicates:
+                wants_exact = any(
+                    list(s)[0] == "exact"
+                    and _flat_passthrough(acc, a, numeric=False)
+                    for a, s in dict(predicates).items()
+                )
+                wants_range = any(
+                    list(s)[0] in _ROUTABLE_RANGE_OPS
+                    and _flat_passthrough(acc, a, numeric=True)
+                    for a, s in dict(predicates).items()
+                )
+                if wants_exact:
+                    pruned_attrs = frozenset(
+                        a
+                        for a in pruned_match_attrs(
+                            df.sparkSession, pruned_path
+                        )
+                        if _flat_passthrough(acc, a, numeric=False)
                     )
-                elif _op in ("leq", "geq", "<", ">"):
-                    range_attrs = pruned_range_attrs(
-                        df.sparkSession, pruned_path
+                if wants_range:
+                    range_attrs = frozenset(
+                        a
+                        for a in pruned_range_attrs(
+                            df.sparkSession, pruned_path
+                        )
+                        if _flat_passthrough(acc, a, numeric=True)
                     )
             elif prunable and not predicates:
                 est_kept = estimate_kept_fraction(
                     df.sparkSession, pruned_path, query_vec, k
                 )
+                if est_kept is None:
+                    # ADVICE r10: stale/missing ball stats — rule 5
+                    # would dispatch straight into nsw_read_topk's
+                    # staleness guard; a store whose stats cannot be
+                    # consulted is no pruned store at all
+                    prunable = False
         route = self.route_ann(
             k,
             predicates=predicates,
@@ -505,7 +580,6 @@ class StrategyRouter:
             pruned_range_attrs=range_attrs,
             est_kept_fraction=est_kept,
         )
-        acc = accessors or abo_accessors()
         pred_col = (
             build_predicate(predicates, acc) if predicates else None
         )
@@ -536,7 +610,8 @@ class StrategyRouter:
                 ef=route.ef, predicate=pred_col, id_col=id_col,
             ).drop("query_id")
         if route.strategy in (
-            "nsw_pruned", "nsw_pruned_match", "nsw_pruned_range"
+            "nsw_pruned", "nsw_pruned_match", "nsw_pruned_range",
+            "nsw_pruned_conj",
         ):
             from acorn_hybrid_vector_search_spark.operators.graph_ann import (
                 nsw_read_topk,
@@ -555,6 +630,7 @@ class StrategyRouter:
             ef = pruned_full_beam(df.sparkSession, pruned_path, k)
             prune_match = None
             prune_range = None
+            prune_conj = None
             if route.strategy == "nsw_pruned_match":
                 ((attr, spec),) = dict(predicates).items()
                 prune_match = (attr, list(spec)[1])
@@ -562,10 +638,16 @@ class StrategyRouter:
                 ((attr, spec),) = dict(predicates).items()
                 op, value = list(spec)[0], list(spec)[1]
                 prune_range = (attr, op, value)
+            elif route.strategy == "nsw_pruned_conj":
+                prune_conj = {
+                    attr: (list(spec)[0], list(spec)[1])
+                    for attr, spec in dict(predicates).items()
+                }
             return nsw_read_topk(
                 df.sparkSession, pruned_path, [(0, list(query_vec))], k,
                 ef=ef, prune=True, prune_match=prune_match,
-                prune_range=prune_range, id_col=id_col,
+                prune_range=prune_range, prune_conj=prune_conj,
+                id_col=id_col,
             ).drop("query_id")
         if route.strategy == "ivf":
             from acorn_hybrid_vector_search_spark.operators.ann import (

@@ -255,7 +255,15 @@ def nsw_stream_batch_writer(
             .parquet(path)
         )
         # the batch write mutated the store: a pinned pre-write snapshot
-        # must not be served to the next reader
+        # must not be served to the next reader, and the store-version
+        # token must advance (the r11 O(1) freshness protocol — stats
+        # sidecars recorded before this batch now read as stale via one
+        # token compare instead of a per-shard fingerprint walk)
+        from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+            _bump_store_version,
+        )
+
+        _bump_store_version(path)
         invalidate()
 
     return write_batch

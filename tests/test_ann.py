@@ -1061,8 +1061,13 @@ def test_ann_search_dispatches_prune_match_rung(spark, tmp_path):
     with open(os.path.join(store, part, "_rewrite_marker"), "w") as f:
         f.write("x")
     from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _bump_store_version,
         pruned_match_attrs,
     )
+
+    # a writer's rewrite bumps the token (r11 — every in-API mutator
+    # does); the fallback fingerprint walk then catches the content
+    _bump_store_version(store)
 
     assert pruned_match_attrs(spark, store) == frozenset()  # now stale
     got2 = router.ann_search(
@@ -1302,3 +1307,290 @@ def test_ivf_search_exact_range_pred_zone_maps(spark, tmp_path):
     assert loaded.numeric_stats == idx.numeric_stats
     got2 = ivf_search_exact(loaded, q, 5, range_pred=("weight", "leq", 12)).collect()
     assert [r["vec_id"] for r in got2] == brute(lambda w: w <= 12)
+
+
+# ---------------------------------------------------------------------------
+# r11: rule-6 conjunction arm + accessor passthrough gate + rule-5
+# stale-stats demotion (VERDICT r10 ask #3, ADVICE r10)
+
+
+def _conj_blob_store(spark, tmp_path, seed=31):
+    import random as _random
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_write_clustered,
+    )
+
+    rng = _random.Random(seed)
+    centers = [(-6, -6), (-6, 6), (6, -6), (6, 6)]
+    rows = []
+    for i in range(320):
+        b = i % 4
+        cx, cy = centers[b]
+        rows.append(
+            (
+                i,
+                [round(rng.gauss(cx, 0.5), 4), round(rng.gauss(cy, 0.5), 4)]
+                + [round(rng.gauss(0, 0.5), 4) for _ in range(6)],
+                b,
+                float(b * 10 + i % 5),
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "vec_id long, embedding array<double>, label int, weight double",
+    )
+    store = str(tmp_path / "gcj")
+    nsw_write_clustered(
+        df, store, n_shards=8,
+        payload_cols=["label", "weight"],
+        stats_attrs=["label"],
+        numeric_stats_attrs=["weight"],
+    )
+    return df, rows, store
+
+
+def _flat_router(n=10_000_000):
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        AttributeStats,
+        StrategyRouter,
+        TableStats,
+    )
+
+    stats = TableStats(
+        n_rows=n,
+        attrs={
+            "label": AttributeStats(
+                counts={i: n // 4 for i in range(4)}, n_rows=n, n_null=0
+            ),
+            "weight": AttributeStats(
+                counts={float(i): n // 40 for i in range(40)},
+                n_rows=n,
+                n_null=0,
+            ),
+        },
+    )
+    return StrategyRouter(stats)
+
+
+def test_route_ann_conjunction_arm_matrix():
+    """Rule 6's r11 conjunction arm: multi-attr §2.3 conjunctions route
+    to nsw_pruned_conj iff EVERY constraint is zone-map-covered with
+    the matching sidecar kind; any uncovered attr, substring op, or
+    '<='-spelled op refuses; a sub-1.0 recall budget over a γ store
+    still prefers the budgeted subgraph walk."""
+    router = _flat_router()
+    covered = dict(
+        has_pruned_store=True,
+        pruned_attrs=frozenset({"label"}),
+        pruned_range_attrs=frozenset({"weight"}),
+    )
+    conj = {"label": ["exact", 3], "weight": ["<", 12]}
+    assert (
+        router.route_ann(10, predicates=conj, **covered).strategy
+        == "nsw_pruned_conj"
+    )
+    # every constraint must be covered by ITS sidecar kind
+    r = router.route_ann(
+        10, predicates=conj, has_pruned_store=True,
+        pruned_attrs=frozenset({"label"}), pruned_range_attrs=frozenset(),
+    )
+    assert r.strategy != "nsw_pruned_conj"
+    r = router.route_ann(
+        10,
+        predicates={"label": ["<", 2], "weight": ["<", 12]},
+        **covered,
+    )  # range op on the match-covered attr: numeric maps don't cover it
+    assert r.strategy != "nsw_pruned_conj"
+    r = router.route_ann(
+        10,
+        predicates={"label": ["exact", 3], "weight": ["<=", 12]},
+        **covered,
+    )  # '<=' is not a build_predicate op — routing would flip semantics
+    assert r.strategy != "nsw_pruned_conj"
+    r = router.route_ann(
+        10,
+        predicates={"label": ["exact", 3], "brand": ["substring", "X"]},
+        **covered,
+    )
+    assert r.strategy != "nsw_pruned_conj"
+    # recall budget + γ store outranks the conjunction arm
+    r = router.route_ann(
+        10, predicates=conj, min_recall=0.9, has_gamma_store=True, **covered
+    )
+    assert r.strategy == "nsw_gamma"
+    # single-attr arms still take their dedicated rungs
+    assert (
+        router.route_ann(
+            10, predicates={"label": ["exact", 3]}, **covered
+        ).strategy
+        == "nsw_pruned_match"
+    )
+
+
+def test_ann_search_dispatches_conjunction_rung(spark, tmp_path):
+    """ann_search derives per-kind zone-map coverage from the store's
+    own sidecars and dispatches the reference's class-2 conjunction
+    (weight < 32 ∧ label exact 3) to nsw_read_topk(prune_conj=...) at
+    the provably-exact full beam — dispatched ≡ direct ≡ brute; a
+    stale sidecar demotes to the exact prefilter scan with the same
+    answer (never a guard exception)."""
+    import os
+    import time as _time
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _bump_store_version,
+        nsw_read_topk,
+        pruned_full_beam,
+        pruned_match_attrs,
+        pruned_range_attrs,
+    )
+
+    df, rows, store = _conj_blob_store(spark, tmp_path)
+    router = _flat_router()
+    acc = flat_accessors(
+        {"label": "int", "weight": "double", "vec_id": "bigint"}
+    )
+    q = rows[1][1]
+    pred = {"weight": ["<", 32], "label": ["exact", 3]}
+    route = router.route_ann(
+        5, predicates=pred, has_pruned_store=True,
+        pruned_attrs=pruned_match_attrs(spark, store),
+        pruned_range_attrs=pruned_range_attrs(spark, store),
+    )
+    assert route.strategy == "nsw_pruned_conj", route
+    got = router.ann_search(
+        df, q, pred, 5, pruned_path=store, accessors=acc
+    ).collect()
+    direct = (
+        nsw_read_topk(
+            spark, store, [(0, list(q))], 5,
+            ef=pruned_full_beam(spark, store, 5),
+            prune=True,
+            prune_conj={"weight": ("<", 32), "label": ("exact", 3)},
+        )
+        .drop("query_id")
+        .collect()
+    )
+    brute = [
+        i
+        for _, i in sorted(
+            (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+            for r in rows
+            if r[3] < 32 and r[2] == 3
+        )[:5]
+    ]
+    key = lambda rs: [(r["vec_id"], round(r["dist"], 9)) for r in rs]
+    assert key(got) == key(direct)
+    assert [r["vec_id"] for r in got] == brute
+    # stale numeric sidecar → conj arm reads uncovered → exact
+    # prefilter fallback, same answer
+    part = next(d for d in os.listdir(store) if d.startswith("part_id="))
+    _time.sleep(0.01)
+    with open(os.path.join(store, part, "_rewrite_marker"), "w") as f:
+        f.write("x")
+    _bump_store_version(store)
+    assert pruned_range_attrs(spark, store) == frozenset()
+    got2 = router.ann_search(
+        df, q, pred, 5, pruned_path=store, accessors=acc
+    ).collect()
+    assert sorted(r["vec_id"] for r in got2) == sorted(brute)
+
+
+def test_ann_search_accessor_gate_blocks_non_passthrough(spark, tmp_path):
+    """ADVICE r10: rule 6 dispatch is gated on the accessor being a
+    flat passthrough of the same-named store column — a derived-value
+    accessor (here: weight halved) must NOT route into the pruned rung
+    (whose walk mask reads the raw column), and the answer must match
+    build_predicate over the DERIVED accessor via the prefilter
+    fallback. A string-kind accessor likewise blocks the range arm
+    (build_predicate ignores range ops on strings)."""
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        AttributeAccessor,
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        _flat_passthrough,
+    )
+
+    df, rows, store = _conj_blob_store(spark, tmp_path)
+    router = _flat_router()
+    q = rows[1][1]
+    # derived accessor: weight/2 — NOT the raw store column
+    acc = flat_accessors(
+        {"label": "int", "weight": "double", "vec_id": "bigint"}
+    )
+    acc["weight"] = AttributeAccessor(
+        F.col("weight") / 2, F.col("weight").isNotNull(), "numeric"
+    )
+    assert not _flat_passthrough(acc, "weight", numeric=True)
+    assert _flat_passthrough(acc, "label", numeric=False)
+    pred = {"weight": ["<", 16]}  # halved semantics: raw weight < 32
+    got = router.ann_search(
+        df, q, pred, 5, pruned_path=store, accessors=acc
+    ).collect()
+    brute = [
+        i
+        for _, i in sorted(
+            (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+            for r in rows
+            if r[3] / 2 < 16
+        )[:5]
+    ]
+    assert [r["vec_id"] for r in got] == brute
+    # string-kind accessor: build_predicate IGNORES range ops → the
+    # fallback is presence-only; routing would have filtered
+    acc2 = flat_accessors(
+        {"label": "int", "weight": "double", "vec_id": "bigint"}
+    )
+    acc2["weight"] = AttributeAccessor(
+        F.col("weight"), F.col("weight").isNotNull(), "string"
+    )
+    assert not _flat_passthrough(acc2, "weight", numeric=True)
+    got2 = router.ann_search(
+        df, q, pred, 5, pruned_path=store, accessors=acc2
+    ).collect()
+    brute_all = [
+        i
+        for _, i in sorted(
+            (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+            for r in rows
+        )[:5]
+    ]
+    assert [r["vec_id"] for r in got2] == brute_all
+
+
+def test_ann_search_rule5_demotes_on_stale_stats(spark, tmp_path):
+    """ADVICE r10: a predicate-free query over a pruned store whose
+    ball stats are stale/missing must fall back (estimate_kept_fraction
+    is None ⇒ no pruned store), not raise nsw_read_topk's staleness
+    guard."""
+    import os
+    import time as _time
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _bump_store_version,
+    )
+
+    df, rows, store = _conj_blob_store(spark, tmp_path)
+    router = _flat_router()
+    q = rows[1][1]
+    part = next(d for d in os.listdir(store) if d.startswith("part_id="))
+    _time.sleep(0.01)
+    with open(os.path.join(store, part, "_rewrite_marker"), "w") as f:
+        f.write("x")
+    _bump_store_version(store)
+    got = router.ann_search(df, q, None, 5, pruned_path=store).collect()
+    brute = [
+        i
+        for _, i in sorted(
+            (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+            for r in rows
+        )[:5]
+    ]
+    assert [r["vec_id"] for r in got] == brute

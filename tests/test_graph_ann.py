@@ -1570,7 +1570,7 @@ def test_prune_range_zone_maps_sound_and_skip_fail_shards(spark, tmp_path):
             spark, path, [(0, list(q))], 5, prune=True,
             prune_range=("nope", "<", 10),
         )
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         nsw_read_topk(
             spark, path, [(0, list(q))], 5, prune=True,
             prune_range=("weight", "<", 10), prune_match=("weight", 0),
@@ -1777,14 +1777,23 @@ def test_range_decisions_relational_twin_matches_verdict_helper(spark):
 
 
 def _mutate_shard_dir(path, part):
-    """Simulate a shard rewrite for staleness tests: change the shard
-    directory's CONTENT fingerprint (the r10 staleness evidence — a
-    real rewrite lands fresh part-file names; a bare mtime touch is
-    correctly fresh now) with a spark-invisible "_"-prefixed file."""
+    """Simulate a WRITER's shard rewrite for staleness tests: change the
+    shard directory's CONTENT fingerprint (the r10 fallback evidence —
+    a real rewrite lands fresh part-file names; a bare mtime touch is
+    correctly fresh now) with a spark-invisible "_"-prefixed file, and
+    bump the store-version token exactly like every in-API mutator does
+    (r11: the token is the O(1) fast path; a matching token short-
+    circuits the fingerprint walk by design — see
+    test_store_version_token_protocol for the fast-path pins)."""
     import os
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _bump_store_version,
+    )
 
     with open(os.path.join(path, part, "_rewrite_marker"), "w") as f:
         f.write("x")
+    _bump_store_version(path)
 
 
 def test_prune_match_canonical_value_lookup(spark, tmp_path):
@@ -1851,3 +1860,402 @@ def test_router_sidecar_helpers_remote_missing_read_as_uncovered(spark):
     assert estimate_kept_fraction(spark, missing, [0.0, 0.0], 5) is None
     assert pruned_full_beam(spark, missing, 5) == 5
     assert store_has_tombstones(spark, missing) is False
+
+
+# ---------------------------------------------------------------------------
+# r11: O(1) store-version freshness protocol (VERDICT r10 ask #1)
+
+
+def test_store_version_token_protocol(spark, tmp_path):
+    """The token fast path and its two fallback directions:
+
+    - every in-API mutator bumps ``_store_version.json``; nsw_stats_write
+      records the token it computed against, so the serving-path
+      freshness check is ONE file compare (no per-shard walk);
+    - token MATCH short-circuits the fingerprint walk by design (the
+      accepted trade: out-of-API writes are out-of-contract — pinned so
+      the behavior is a documented decision, not an accident);
+    - token MISMATCH falls back to the r10 content fingerprints rather
+      than refusing outright: a mutation that changed shard content
+      refuses (stale-token-refuses), while a mutation that did NOT
+      touch shard content (tombstone write) keeps the stats fresh —
+      delete/undelete must not permanently demote prunability;
+    - a store with no token at all (legacy layout) uses the fingerprint
+      walk exactly as in r10 (legacy-fallback pin)."""
+    import json
+    import os
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _STORE_FP_FILE,
+        _STORE_VERSION_FILE,
+        _bump_store_version,
+        _check_stats_fresh,
+        _read_store_version,
+        _stats_path,
+        nsw_delete,
+        nsw_undelete,
+        nsw_write_clustered,
+    )
+
+    path = str(tmp_path / "gv")
+    df = spark.createDataFrame(
+        [(i, [float(i % 4) * 3.0, float(i)]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    nsw_write_clustered(df, path, n_shards=4)
+    spath = _stats_path(path)
+    tok = _read_store_version(path)
+    assert tok is not None and tok["v"] >= 1
+    with open(os.path.join(spath, _STORE_FP_FILE)) as f:
+        recorded = json.load(f)
+    assert recorded["__store_version__"] == tok
+    assert _check_stats_fresh(path, spath) == []
+
+    # fast path pin: an out-of-API content change WITHOUT a bump is
+    # invisible to the token compare (the walk would have caught it)
+    shard = next(d for d in os.listdir(path) if d.startswith("part_id="))
+    with open(os.path.join(path, shard, "_oob_marker"), "w") as f:
+        f.write("x")
+    assert _check_stats_fresh(path, spath) == []
+
+    # stale-token-refuses: a bump (what every writer does) drops to the
+    # fingerprint walk, which catches the content change
+    _bump_store_version(path)
+    assert _check_stats_fresh(path, spath) == [shard]
+
+    # token mismatch with UNCHANGED content stays fresh: tombstone
+    # writers bump but never touch shard bytes, and prunability must
+    # come back after undelete without a stats rewrite
+    os.remove(os.path.join(path, shard, "_oob_marker"))
+    assert _check_stats_fresh(path, spath) == []
+    v_before = _read_store_version(path)["v"]
+    nsw_delete(spark, path, [0])
+    assert _read_store_version(path)["v"] > v_before
+    nsw_undelete(spark, path, [0])
+    assert _read_store_version(path)["v"] > v_before + 1
+    assert _check_stats_fresh(path, spath) == []
+
+    # legacy-fallback pin: no token file at all → the r10 fingerprint
+    # walk governs alone (fresh content passes, a marker refuses)
+    os.remove(os.path.join(path, _STORE_VERSION_FILE))
+    assert _read_store_version(path) is None
+    assert _check_stats_fresh(path, spath) == []
+    with open(os.path.join(path, shard, "_oob_marker"), "w") as f:
+        f.write("x")
+    assert _check_stats_fresh(path, spath) == [shard]
+
+
+def test_stats_fresh_detects_deleted_shard(spark, tmp_path):
+    """ADVICE r10: a shard RECORDED in the fingerprint snapshot but
+    since deleted from disk must read as stale — the old one-way
+    iteration over current dirs reported coverage for a shard set the
+    stats no longer describe, and the router then dispatched into
+    nsw_read_topk's shard-set guard."""
+    import os
+    import shutil
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _bump_store_version,
+        _check_stats_fresh,
+        _stats_path,
+        nsw_write_clustered,
+        pruned_match_attrs,
+    )
+
+    path = str(tmp_path / "gd")
+    df = spark.createDataFrame(
+        [(i, [float(i % 4) * 3.0, float(i)], i % 4) for i in range(24)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    nsw_write_clustered(
+        df, path, n_shards=4, payload_cols=["label"], stats_attrs=["label"]
+    )
+    shard = sorted(
+        d for d in os.listdir(path) if d.startswith("part_id=")
+    )[0]
+    shutil.rmtree(os.path.join(path, shard))
+    _bump_store_version(path)  # what any real shard-deleting writer does
+    assert shard in _check_stats_fresh(path, _stats_path(path))
+    # and the router-facing coverage helper reports uncovered, so rule 6
+    # falls back instead of routing into the shard-set guard
+    assert pruned_match_attrs(spark, path) == frozenset()
+
+
+def test_canon_value_count_booleans(spark, tmp_path):
+    """ADVICE r10 (medium): Spark's CAST(boolcol AS STRING) spells
+    'true'/'false' while str(True) is 'True' — a boolean predicate
+    value must find the lowercase key, must NOT cross over to a
+    numeric column's '1' key, and the end-to-end prune_match over a
+    boolean payload answers the exact filtered oracle instead of
+    silently pruning every shard."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _canon_value_count,
+        nsw_read_topk,
+        nsw_write_clustered,
+    )
+
+    assert _canon_value_count({"true": 5, "false": 3}, True) == 5
+    assert _canon_value_count({"true": 5, "false": 3}, False) == 3
+    assert _canon_value_count({"1": 7, "0": 2}, True) == 0
+    assert _canon_value_count({"true": 5}, 1) == 0
+
+    rows = [
+        (i, [float(i % 4) * 3.0, float(i)], i % 3 == 0) for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, flag boolean"
+    )
+    path = str(tmp_path / "gb")
+    nsw_write_clustered(
+        df, path, n_shards=4, payload_cols=["flag"], stats_attrs=["flag"]
+    )
+    q = rows[1][1]
+    got = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6,
+        prune=True, prune_match=("flag", True),
+    ).collect()
+    exact = sorted(
+        (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+        for r in rows
+        if r[2]
+    )[:5]
+    assert [r["vec_id"] for r in got] == [i for _, i in exact]
+
+
+def test_absent_ok_swallows_legacy_path_message():
+    """ADVICE r10: older Spark versions raise 'Path does not exist'
+    without error classes — a remote store lacking an optional sidecar
+    must read as uncovered on those versions too, and every other
+    AnalysisException still propagates."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _absent_ok,
+    )
+
+    def boom_legacy():
+        raise AnalysisException("Path does not exist: s3a://b/x/_shard_stats")
+
+    assert _absent_ok(boom_legacy, frozenset()) == frozenset()
+
+    def boom_other():
+        raise AnalysisException("TABLE_OR_VIEW_NOT_FOUND: nope")
+
+    with pytest.raises(AnalysisException):
+        _absent_ok(boom_other, None)
+
+
+# ---------------------------------------------------------------------------
+# r11: conjunctive zone-map pruning (VERDICT r10 ask #3 — the
+# reference's literal class-2 query shape, acorn.py:296-298)
+
+
+@pytest.fixture(scope="module")
+def conj_store(spark, tmp_path_factory):
+    """Blob corpus with BOTH zone-map kinds: a categorical label that
+    concentrates spatially (blob id) and a numeric weight slab riding
+    the label — built clustered with both sidecars."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_write_clustered,
+    )
+
+    rng = random.Random(17)
+    centers = [(-6, -6), (-6, 6), (6, -6), (6, 6)]
+    rows = []
+    for i in range(400):
+        b = i % 4
+        cx, cy = centers[b]
+        rows.append(
+            (
+                i,
+                [round(rng.gauss(cx, 0.5), 4), round(rng.gauss(cy, 0.5), 4)]
+                + [round(rng.gauss(0, 0.5), 4) for _ in range(DIM - 2)],
+                b,
+                float(b * 10 + i % 5),  # weight slab per blob
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "vec_id long, embedding array<double>, label int, weight double",
+    )
+    path = str(tmp_path_factory.mktemp("conj") / "gc")
+    nsw_write_clustered(
+        df, path, n_shards=8,
+        payload_cols=["label", "weight"],
+        stats_attrs=["label"],
+        numeric_stats_attrs=["weight"],
+    )
+    return path, rows
+
+
+def _conj_brute(rows, q, k, pred):
+    return [
+        i
+        for _, i in sorted(
+            (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+            for r in rows
+            if pred(r)
+        )[:k]
+    ]
+
+
+def test_prune_conj_exact_and_bonferroni_sound(spark, conj_store):
+    """Full-beam conjunction-pruned search answers the exact filtered
+    oracle for exact∧range, exact∧exact-shaped single dicts, and the
+    verdict arithmetic holds: shards where ANY constraint is none-pass
+    are outside every kept set, and the Bonferroni lower bounds under-
+    count (never over-count) the true per-shard passing members."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _attr_stats_path,
+        _conj_shard_stats,
+        _load_attr_stats,
+        _load_numeric_stats,
+        _load_stats,
+        _numeric_stats_path,
+        _stats_path,
+        nsw_read_topk,
+    )
+
+    path, rows = conj_store
+    q = rows[1][1]  # a blob-1 point
+    # the reference's class-2 shape: weight < 32 ∧ label exact 3 (the
+    # FAR blob; its slab is 30..34, so the range straddles it)
+    got = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6, prune=True,
+        prune_conj={"label": ("exact", 3), "weight": ("<", 32)},
+    ).collect()
+    want = _conj_brute(rows, q, 5, lambda r: r[2] == 3 and r[3] < 32)
+    assert [r["vec_id"] for r in got] == want
+
+    # verdict arithmetic vs ground truth, shard by shard
+    parts, cents, radii, counts = _load_stats(spark, _stats_path(path))
+    ac = _load_attr_stats(spark, _attr_stats_path(path))
+    ns = _load_numeric_stats(spark, _numeric_stats_path(path))
+    conj = {"label": ("exact", 3), "weight": ("<", 32)}
+    lb, possible = _conj_shard_stats(conj, ac, ns, parts, counts)
+    stored = spark.read.parquet(path).collect()
+    true_pass = {
+        int(p): sum(
+            1
+            for r in stored
+            if r["part_id"] == p and r["label"] == 3 and r["weight"] < 32
+        )
+        for p in parts.tolist()
+    }
+    for p, lo, may in zip(parts.tolist(), lb.tolist(), possible.tolist()):
+        assert lo <= true_pass[int(p)]  # certain lower bound
+        if not may:
+            assert true_pass[int(p)] == 0  # none-pass is provable
+    assert (~possible).any()  # provably-failing shards exist on blobs
+
+    # all-range and all-exact single-entry dicts ≡ the dedicated arms
+    one_r = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6, prune=True,
+        prune_conj={"weight": ("<", 23)},
+    ).collect()
+    arm_r = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6, prune=True,
+        prune_range=("weight", "<", 23),
+    ).collect()
+    assert [(r["vec_id"], r["dist"]) for r in one_r] == [
+        (r["vec_id"], r["dist"]) for r in arm_r
+    ]
+    one_m = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6, prune=True,
+        prune_conj={"label": ("exact", 3)},
+    ).collect()
+    arm_m = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6, prune=True,
+        prune_match=("label", 3),
+    ).collect()
+    assert [(r["vec_id"], r["dist"]) for r in one_m] == [
+        (r["vec_id"], r["dist"]) for r in arm_m
+    ]
+
+    # unsatisfiable conjunction → empty result, not an error
+    assert (
+        nsw_read_topk(
+            spark, path, [(0, list(q))], 5, ef=10**6, prune=True,
+            prune_conj={"label": ("exact", 3), "weight": (">", 999)},
+        ).count()
+        == 0
+    )
+
+
+def test_prune_conj_per_query_mapping(spark, conj_store):
+    """The serving shape: each query prunes and filters on its OWN
+    conjunction from one store read; absent queries prune on plain
+    ball bounds and walk unfiltered — per query ≡ the single-query
+    call ≡ brute force."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+    )
+
+    path, rows = conj_store
+    q0, q1, q2 = rows[1][1], rows[2][1], rows[3][1]
+    conj0 = {"label": ("exact", 3), "weight": ("<", 32)}
+    conj1 = {"weight": ("geq", 20), "label": ("exact", 2)}
+    batch = [(10, list(q0)), (11, list(q1)), (12, list(q2))]
+    got = nsw_read_topk(
+        spark, path, batch, 5, ef=10**6, prune=True,
+        prune_conj={10: conj0, 11: conj1},
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert by_q[10] == _conj_brute(
+        rows, q0, 5, lambda r: r[2] == 3 and r[3] < 32
+    )
+    assert by_q[11] == _conj_brute(
+        rows, q1, 5, lambda r: r[3] >= 20 and r[2] == 2
+    )
+    assert by_q[12] == _conj_brute(rows, q2, 5, lambda r: True)
+    # ≡ the single-query calls
+    for qid, qv, conj in ((10, q0, conj0), (11, q1, conj1)):
+        single = nsw_read_topk(
+            spark, path, [(qid, list(qv))], 5, ef=10**6, prune=True,
+            prune_conj=conj,
+        ).collect()
+        assert [r["vec_id"] for r in single] == by_q[qid]
+
+
+def test_prune_conj_guard_matrix(spark, conj_store):
+    """requires prune; at-most-one prune predicate; empty dict refuses;
+    non-zone-map ops refuse; uncovered attrs refuse; unknown qids
+    refuse; stale sidecars refuse."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+    )
+
+    path, rows = conj_store
+    q = [(0, list(rows[1][1]))]
+    conj = {"label": ("exact", 3), "weight": ("<", 32)}
+    with pytest.raises(ValueError, match="requires prune"):
+        nsw_read_topk(spark, path, q, 5, prune_conj=conj)
+    with pytest.raises(ValueError, match="at most one"):
+        nsw_read_topk(
+            spark, path, q, 5, prune=True,
+            prune_conj=conj, prune_match=("label", 3),
+        )
+    with pytest.raises(ValueError, match="empty prune_conj"):
+        nsw_read_topk(spark, path, q, 5, prune=True, prune_conj={})
+    with pytest.raises(ValueError, match="op must be"):
+        nsw_read_topk(
+            spark, path, q, 5, prune=True,
+            prune_conj={"label": ("substring", "3")},
+        )
+    with pytest.raises(ValueError, match="does not cover"):
+        nsw_read_topk(
+            spark, path, q, 5, prune=True,
+            prune_conj={"nope": ("exact", 3), "weight": ("<", 32)},
+        )
+    with pytest.raises(ValueError, match="does not cover"):
+        nsw_read_topk(
+            spark, path, q, 5, prune=True,
+            prune_conj={"label": ("<", 3)},  # numeric maps don't cover label
+        )
+    with pytest.raises(ValueError, match="not in the batch"):
+        nsw_read_topk(
+            spark, path, q, 5, prune=True, prune_conj={99: conj},
+        )
