@@ -760,3 +760,362 @@ def ivf_search_exact(
         vec_col=index.vec_col,
         id_col=index.id_col,
     )
+
+
+def _ivf_passing_lists(index: IVFIndex, constraint) -> np.ndarray:
+    """Per-list may-hold-a-passing-member mask for ONE §2.3 constraint
+    ``(attr, op, value)`` with op 'exact' (per-list exact value counts)
+    or a range spelling (numeric zone-map verdicts) — the single-query
+    ``ivf_search_exact`` arms' verdict arithmetic, shaped for the r11
+    batch form. Raises on uncovered attrs exactly like the single-query
+    arms do (the batch caller routes only covered constraints)."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _RANGE_OPS,
+        _canon_value_count,
+        _range_shard_verdict,
+    )
+
+    attr, op, value = constraint
+    if op == "exact":
+        if not index.attr_counts or attr not in index.attr_counts:
+            covered = sorted(index.attr_counts or ())
+            raise ValueError(
+                f"batch match on {attr!r} needs per-list value counts "
+                f"(covered: {covered}) — build with "
+                f"ivf_build(stats_attrs=[{attr!r}])"
+            )
+        per = index.attr_counts[attr]
+        return np.asarray(
+            [
+                _canon_value_count(per.get(c, {}), value) > 0
+                for c in range(index.n_clusters)
+            ],
+            dtype=bool,
+        )
+    r_op = _RANGE_OPS.get(op)
+    if r_op is None:
+        raise ValueError(
+            f"batch range op must be one of {sorted(_RANGE_OPS)}, got {op!r}"
+        )
+    if not index.numeric_stats or attr not in index.numeric_stats:
+        covered = sorted(index.numeric_stats or ())
+        raise ValueError(
+            f"batch range_pred on {attr!r} needs per-list numeric zone "
+            f"maps (covered: {covered}) — build with "
+            f"ivf_build(numeric_stats_attrs=[{attr!r}])"
+        )
+    zones = index.numeric_stats[attr]
+    return np.asarray(
+        [
+            _range_shard_verdict(
+                *zones.get(c, (None, None, 0)), r_op, float(value)
+            )[1]
+            for c in range(index.n_clusters)
+        ],
+        dtype=bool,
+    )
+
+
+def ivf_search_exact_batch(
+    index: IVFIndex,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int,
+    *,
+    match=None,
+    range_pred=None,
+    query_id_col: str = "query_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """``ivf_search_exact`` for a QUERY BATCH — the IVF rung at the
+    serving shape (r11, VERDICT r10 ask #6): per query the result is
+    IDENTICAL to the single-query two-phase exact scan (pytest-pinned),
+    but the whole batch pays TWO list scans total instead of two per
+    query.
+
+    ``match`` / ``range_pred``: per-query mappings ``{query_id: (attr,
+    value)}`` / ``{query_id: (attr, op, value)}`` — each query's own
+    zone-map verdicts (the SAME `_canon_value_count` /
+    `_range_shard_verdict` arithmetic as the single-query arms) skip
+    its provably-empty lists at every stage; a query in neither mapping
+    probes on plain ball bounds. A query whose constraint provably
+    passes nowhere contributes an empty per-query result, exactly like
+    the single-query arms.
+
+    Plan (both phases are broadcast EQUI-joins — no nested-loop pair
+    explosion, and cluster_id stays partition-prunable at rest):
+
+      phase 1: each query's nearest PASSING list, as a broadcast hash
+               join of the lists scan against the bounded query table
+               carrying ``_first`` per query; per-query exact top-k via
+               the salted two-phase rank; ONE bounded ≤ |Q|·k collect
+               gives every query's candidate d_k.
+      phase 2: per-query ball-bound probe sets (driver-side C-row
+               arithmetic; a query whose phase 1 under-fills probes
+               every passing list), EXPLODED to (query, cluster) rows
+               on the broadcast side — the lists scan hash-joins on
+               cluster_id, so each (row, query) pair exists exactly
+               once and only probed lists are read.
+
+    §2.3 predicate semantics per query ride the broadcast parameter
+    columns (``_batch_predicate`` — the r8 batched-hybrid machinery),
+    so NULL attrs reject and each query filters only its own rows."""
+    from pyspark.sql.window import Window
+
+    from acorn_hybrid_vector_search_spark.functions.distance import (
+        l2_sq_distance,
+    )
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        _batch_predicate,
+        _batch_query_table,
+        _check_batch_collisions,
+    )
+
+    if index.radii is None:
+        raise ValueError(
+            "ivf_search_exact_batch requires an index built with_radii=True"
+        )
+    match = {int(q): t for q, t in dict(match or {}).items()}
+    range_pred = {int(q): t for q, t in dict(range_pred or {}).items()}
+    if both := sorted(set(match) & set(range_pred)):
+        raise ValueError(
+            f"queries {both} appear in both match and range_pred — one "
+            f"constraint drives both the list pruning and the row filter"
+        )
+    qids = [int(q) for q, _ in queries]
+    qset = set(qids)
+    if unknown := [q for q in sorted({*match, *range_pred}) if q not in qset]:
+        raise ValueError(f"constraints for ids not in the batch: {unknown}")
+
+    # driver-side per-query verdicts: passing-list masks, centroid
+    # ordering, nearest passing list (C-row numpy — query-batch-sized
+    # work, independent of data scale)
+    constraints: dict[int, tuple] = {}
+    for q, (attr, value) in match.items():
+        constraints[q] = (attr, "exact", value)
+    for q, (attr, op, value) in range_pred.items():
+        constraints[q] = (attr, op, value)
+    qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
+    dc_all = np.sqrt(
+        ((index.centroids[None, :, :] - qmat[:, None, :]) ** 2).sum(axis=2)
+    )  # (|Q|, C) L2
+    passing_by_q: dict[int, np.ndarray] = {}
+    order_by_q: dict[int, np.ndarray] = {}
+    first_by_q: dict[int, int] = {}
+    for qi, q in enumerate(qids):
+        passing = (
+            _ivf_passing_lists(index, constraints[q])
+            if q in constraints
+            else np.ones(index.n_clusters, dtype=bool)
+        )
+        order = np.argsort(dc_all[qi], kind="stable")
+        order = order[passing[order]]
+        passing_by_q[q] = passing
+        order_by_q[q] = order
+        if order.size:
+            first_by_q[q] = int(order[0])
+    live = [(q, v) for q, v in queries if int(q) in first_by_q]
+    spark = index.df.sparkSession
+    if not live:
+        empty = index.df.filter(F.lit(False)).select(
+            F.lit(0).cast("long").alias(query_id_col),
+            F.col(index.id_col),
+        )
+        return empty.withColumn("dist", F.lit(0.0))
+
+    preds_323 = {
+        q: {constraints[q][0]: [constraints[q][1], constraints[q][2]]}
+        for q in constraints
+        if q in first_by_q
+    }
+    acc = flat_accessors(index.df)
+    qt, used = _batch_query_table(
+        spark,
+        [(q, v, preds_323.get(int(q))) for q, v in live],
+        acc,
+        query_id_col=query_id_col,
+        query_vec_col="_qv",
+    )
+    _check_batch_collisions(
+        index.df, qt, extra=("_first", "_probe_c", "_sb", "_rn", "dist")
+    )
+    first_map = F.element_at(
+        F.create_map(
+            *[
+                c
+                for q in first_by_q
+                for c in (F.lit(int(q)), F.lit(first_by_q[q]))
+            ]
+        ),
+        F.col(query_id_col),
+    )
+    param_cols = [
+        c for c in qt.columns if c.startswith(("_c_", "_p_")) or c == "_qv"
+    ]
+    order_cols = [F.col("dist").asc(), F.col(index.id_col).asc()]
+
+    def _per_query_topk(scored: DataFrame, limit: int) -> DataFrame:
+        w_local = Window.partitionBy(query_id_col, "_sb").orderBy(*order_cols)
+        w_global = Window.partitionBy(query_id_col).orderBy(*order_cols)
+        return (
+            scored.withColumn(
+                "_sb",
+                F.pmod(F.xxhash64(F.col(index.id_col)), F.lit(salt_buckets)),
+            )
+            .withColumn("_rn", F.row_number().over(w_local))
+            .filter(F.col("_rn") <= limit)
+            .drop("_rn")
+            .withColumn("_rn", F.row_number().over(w_global))
+            .filter(F.col("_rn") <= limit)
+            .drop("_rn", "_sb")
+        )
+
+    qt1 = qt.withColumn("_first", first_map)
+    pairs1 = index.df.join(
+        F.broadcast(qt1), on=F.col("cluster_id") == F.col("_first")
+    ).where(_batch_predicate(used, acc))
+    top1 = (
+        _per_query_topk(
+            pairs1.withColumn(
+                "dist", l2_sq_distance(F.col(index.vec_col), F.col("_qv"))
+            ).select(query_id_col, index.id_col, "dist"),
+            k,
+        )
+        .collect()
+    )  # bounded: ≤ |Q|·k rows — the single-query phase-1 collect, batched
+
+    filled: dict[int, list] = {}
+    for r in top1:
+        filled.setdefault(int(r[query_id_col]), []).append(float(r["dist"]))
+    probe_by_q: dict[int, list[int]] = {}
+    for qi, q in enumerate(qids):
+        if q not in first_by_q:
+            continue
+        order = order_by_q[q]
+        dists = filled.get(q, [])
+        if len(dists) < k:
+            probe_by_q[q] = [int(c) for c in order]  # no bound: all passing
+            continue
+        d_k = float(np.sqrt(max(dists)))
+        lower = dc_all[qi] - index.radii
+        first = first_by_q[q]
+        probe_by_q[q] = [first] + [
+            int(c) for c in order[1:] if lower[int(c)] <= d_k + 1e-9
+        ]
+
+    probe_map = F.element_at(
+        F.create_map(
+            *[
+                c
+                for q, probe in probe_by_q.items()
+                for c in (
+                    F.lit(int(q)),
+                    F.array(*[F.lit(int(p)) for p in probe]),
+                )
+            ]
+        ),
+        F.col(query_id_col),
+    )
+    qt2 = qt.withColumn("_probe_c", F.explode(probe_map))
+    pairs2 = index.df.join(
+        F.broadcast(qt2), on=F.col("cluster_id") == F.col("_probe_c")
+    ).where(_batch_predicate(used, acc))
+    return _per_query_topk(
+        pairs2.withColumn(
+            "dist", l2_sq_distance(F.col(index.vec_col), F.col("_qv"))
+        ).select(query_id_col, index.id_col, "dist"),
+        k,
+    )
+
+
+def ivf_search_batch(
+    index: IVFIndex,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int,
+    *,
+    nprobe: int = 4,
+    predicates=None,
+    accessors=None,
+    query_id_col: str = "query_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """``ivf_search`` for a QUERY BATCH (r11): each query's ``nprobe``
+    nearest lists, answered from ONE scan of the probed-list union —
+    the (query, cluster) probe pairs ride the bounded broadcast side
+    (exploded array per query), the lists scan hash-joins on
+    cluster_id (equi-join, partition-prunable, never a nested loop),
+    each query's own §2.3 predicate (``predicates``: ``{query_id:
+    {attr: [op, value]}}``) applies via the broadcast parameter
+    columns, and the per-query exact top-k uses the salted two-phase
+    rank. Per query ≡ ``ivf_search`` (pytest-pinned) — same nprobe
+    recall contract, batch-shaped cost."""
+    from pyspark.sql.window import Window
+
+    from acorn_hybrid_vector_search_spark.functions.distance import (
+        l2_sq_distance,
+    )
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.hybrid import (
+        _batch_predicate,
+        _batch_query_table,
+        _check_batch_collisions,
+    )
+
+    predicates = {int(q): p for q, p in dict(predicates or {}).items()}
+    qids = [int(q) for q, _ in queries]
+    if unknown := [q for q in sorted(predicates) if q not in set(qids)]:
+        raise ValueError(f"predicates for ids not in the batch: {unknown}")
+    qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
+    d2 = ((index.centroids[None, :, :] - qmat[:, None, :]) ** 2).sum(axis=2)
+    probe_by_q = {
+        q: [int(c) for c in np.argsort(d2[qi], kind="stable")[:nprobe]]
+        for qi, q in enumerate(qids)
+    }
+    acc = accessors or flat_accessors(index.df)
+    qt, used = _batch_query_table(
+        index.df.sparkSession,
+        [(q, v, predicates.get(int(q))) for q, v in queries],
+        acc,
+        query_id_col=query_id_col,
+        query_vec_col="_qv",
+    )
+    _check_batch_collisions(
+        index.df, qt, extra=("_probe_c", "_sb", "_rn", "dist")
+    )
+    probe_map = F.element_at(
+        F.create_map(
+            *[
+                c
+                for q, probe in probe_by_q.items()
+                for c in (
+                    F.lit(int(q)),
+                    F.array(*[F.lit(int(p)) for p in probe]),
+                )
+            ]
+        ),
+        F.col(query_id_col),
+    )
+    qt2 = qt.withColumn("_probe_c", F.explode(probe_map))
+    pairs = index.df.join(
+        F.broadcast(qt2), on=F.col("cluster_id") == F.col("_probe_c")
+    ).where(_batch_predicate(used, acc))
+    scored = pairs.withColumn(
+        "dist", l2_sq_distance(F.col(index.vec_col), F.col("_qv"))
+    ).select(query_id_col, index.id_col, "dist").withColumn(
+        "_sb", F.pmod(F.xxhash64(F.col(index.id_col)), F.lit(salt_buckets))
+    )
+    order = [F.col("dist").asc(), F.col(index.id_col).asc()]
+    w_local = Window.partitionBy(query_id_col, "_sb").orderBy(*order)
+    w_global = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_local))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .withColumn("_rn", F.row_number().over(w_global))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_sb")
+    )

@@ -42,6 +42,7 @@ from acorn_hybrid_vector_search_spark.functions.predicates import (
 from acorn_hybrid_vector_search_spark.operators.hybrid import (
     postfilter_search,
     prefilter_search,
+    prefilter_search_batch,
 )
 
 Predicates = Mapping[str, Sequence[Any]]
@@ -468,6 +469,79 @@ class StrategyRouter:
             return postfilter_search(df, query_vec, predicates, k, large_k=r.large_k, **kw)
         return prefilter_search(df, query_vec, predicates, k, **kw)
 
+    def _pruned_facts(
+        self,
+        spark,
+        pruned_path: "str | None",
+        predicates: Predicates | None,
+        acc: Mapping[str, AttributeAccessor],
+        query_vec,
+        k: int,
+    ) -> tuple:
+        """(prunable, pruned_attrs, range_attrs, est_kept) for ONE query
+        over the clustered store — the evidence ``route_ann`` consults
+        so rules 5/6 never route into a guard:
+
+        - a tombstoned store refuses EVERY pruned read (the stats count
+          dead members), so it reads as having no pruned store at all
+          (review r10); compact/recluster restores the rungs;
+        - sidecar loads are shaped to the predicate — only the arm that
+          can actually fire pays its (memoized, O(1)-token
+          freshness-checked) driver-side read, and a predicate-free
+          query never loads the attr/numeric sidecars (review r10);
+        - each constrained attr must be a FLAT PASSTHROUGH of the
+          same-named store column under the caller's accessors
+          (ADVICE r10, ``_flat_passthrough``) — a nested accessor would
+          make route choice change semantics, so such attrs read as
+          uncovered and rule 6 never fires for them;
+        - predicate-free: ``estimate_kept_fraction`` None (stale or
+          missing ball stats) demotes the store entirely (ADVICE r10 —
+          rule 5 used to dispatch straight into the staleness guard)."""
+        pruned_attrs = None
+        range_attrs = None
+        est_kept = None
+        prunable = False
+        if pruned_path is None:
+            return prunable, pruned_attrs, range_attrs, est_kept
+        from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+            estimate_kept_fraction,
+            pruned_match_attrs,
+            pruned_range_attrs,
+            store_has_tombstones,
+        )
+
+        prunable = not store_has_tombstones(spark, pruned_path)
+        if prunable and predicates:
+            wants_exact = any(
+                list(s)[0] == "exact"
+                and _flat_passthrough(acc, a, numeric=False)
+                for a, s in dict(predicates).items()
+            )
+            wants_range = any(
+                list(s)[0] in _ROUTABLE_RANGE_OPS
+                and _flat_passthrough(acc, a, numeric=True)
+                for a, s in dict(predicates).items()
+            )
+            if wants_exact:
+                pruned_attrs = frozenset(
+                    a
+                    for a in pruned_match_attrs(spark, pruned_path)
+                    if _flat_passthrough(acc, a, numeric=False)
+                )
+            if wants_range:
+                range_attrs = frozenset(
+                    a
+                    for a in pruned_range_attrs(spark, pruned_path)
+                    if _flat_passthrough(acc, a, numeric=True)
+                )
+        elif prunable and not predicates:
+            est_kept = estimate_kept_fraction(
+                spark, pruned_path, query_vec, k
+            )
+            if est_kept is None:
+                prunable = False
+        return prunable, pruned_attrs, range_attrs, est_kept
+
     def ann_search(
         self,
         df: DataFrame,
@@ -504,70 +578,9 @@ class StrategyRouter:
         (whose ball-bound executor is predicate-less) — exactness is
         never traded for a prune."""
         acc = accessors or abo_accessors()
-        pruned_attrs = None
-        range_attrs = None
-        est_kept = None
-        prunable = False
-        if pruned_path is not None:
-            from acorn_hybrid_vector_search_spark.operators.graph_ann import (
-                estimate_kept_fraction,
-                pruned_match_attrs,
-                pruned_range_attrs,
-                store_has_tombstones,
-            )
-
-            # a tombstoned store refuses EVERY pruned read (the stats
-            # count dead members), so the router treats it as having no
-            # pruned store at all — never routing rule 5/6 into the
-            # guard (review r10); compact/recluster restores the rungs
-            prunable = not store_has_tombstones(df.sparkSession, pruned_path)
-            # sidecar loads shaped to the predicate: only the arm that
-            # can actually fire pays its (memoized, O(1)-token
-            # freshness-checked) driver-side read — so the router never
-            # routes into a staleness guard AND a predicate-free query
-            # never loads the attr/numeric sidecars (review r10). Each
-            # constrained attr must also be a FLAT PASSTHROUGH of the
-            # same-named store column under the caller's accessors
-            # (ADVICE r10, _flat_passthrough) — a nested accessor would
-            # make route choice change semantics, so such attrs read as
-            # uncovered here and rule 6 never fires for them.
-            if prunable and predicates:
-                wants_exact = any(
-                    list(s)[0] == "exact"
-                    and _flat_passthrough(acc, a, numeric=False)
-                    for a, s in dict(predicates).items()
-                )
-                wants_range = any(
-                    list(s)[0] in _ROUTABLE_RANGE_OPS
-                    and _flat_passthrough(acc, a, numeric=True)
-                    for a, s in dict(predicates).items()
-                )
-                if wants_exact:
-                    pruned_attrs = frozenset(
-                        a
-                        for a in pruned_match_attrs(
-                            df.sparkSession, pruned_path
-                        )
-                        if _flat_passthrough(acc, a, numeric=False)
-                    )
-                if wants_range:
-                    range_attrs = frozenset(
-                        a
-                        for a in pruned_range_attrs(
-                            df.sparkSession, pruned_path
-                        )
-                        if _flat_passthrough(acc, a, numeric=True)
-                    )
-            elif prunable and not predicates:
-                est_kept = estimate_kept_fraction(
-                    df.sparkSession, pruned_path, query_vec, k
-                )
-                if est_kept is None:
-                    # ADVICE r10: stale/missing ball stats — rule 5
-                    # would dispatch straight into nsw_read_topk's
-                    # staleness guard; a store whose stats cannot be
-                    # consulted is no pruned store at all
-                    prunable = False
+        prunable, pruned_attrs, range_attrs, est_kept = self._pruned_facts(
+            df.sparkSession, pruned_path, predicates, acc, query_vec, k
+        )
         route = self.route_ann(
             k,
             predicates=predicates,
@@ -670,6 +683,218 @@ class StrategyRouter:
             df, query_vec, predicates or {}, k,
             accessors=acc, id_col=id_col, vec_col=vec_col,
         )
+
+    def route_ann_batch(
+        self,
+        df: DataFrame,
+        queries: Sequence[tuple[Any, Sequence[float], Predicates | None]],
+        k: int,
+        *,
+        min_recall: float = 1.0,
+        ivf_index: Any = None,
+        nsw_path: str | None = None,
+        gamma_path: str | None = None,
+        pruned_path: str | None = None,
+        accessors: Mapping[str, AttributeAccessor] | None = None,
+    ) -> "dict[int, AnnRoute]":
+        """Rules 1-6 applied to EVERY query of a batch — the routing
+        half of ``ann_search_batch``, exposed so callers (and the
+        dispatch-invariance pins) can see which arm each query landed
+        on. Store facts are consulted per query through the same
+        ``_pruned_facts`` evidence as the single-query path; the
+        sidecar reads behind it are memoized and O(1)-token
+        freshness-checked, so the whole batch pays at most one real
+        sidecar load per store."""
+        acc = accessors or abo_accessors()
+        qids = [int(q) for q, _, _ in queries]
+        if len(set(qids)) != len(qids):
+            raise ValueError(f"duplicate query ids in batch: {qids}")
+        routes: dict[int, AnnRoute] = {}
+        for qid, vec, preds in queries:
+            prunable, pa, ra, ek = self._pruned_facts(
+                df.sparkSession, pruned_path, preds, acc, vec, k
+            )
+            routes[int(qid)] = self.route_ann(
+                k,
+                predicates=preds,
+                min_recall=min_recall,
+                has_ivf_index=ivf_index is not None,
+                has_nsw_index=nsw_path is not None,
+                has_gamma_store=gamma_path is not None,
+                has_pruned_store=prunable,
+                pruned_attrs=pa,
+                pruned_range_attrs=ra,
+                est_kept_fraction=ek,
+            )
+        return routes
+
+    def ann_search_batch(
+        self,
+        df: DataFrame,
+        queries: Sequence[tuple[Any, Sequence[float], Predicates | None]],
+        k: int,
+        *,
+        min_recall: float = 1.0,
+        ivf_index: Any = None,
+        nsw_path: str | None = None,
+        gamma_path: str | None = None,
+        pruned_path: str | None = None,
+        accessors: Mapping[str, AttributeAccessor] | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        """BATCHED routed dispatch (r11, VERDICT r10 ask #4): route each
+        query of the batch (rules 1-6), GROUP the batch by the chosen
+        strategy, and answer each group from ≤ 1 scan / store read per
+        arm — the ``routed_batch_topk`` pattern (hybrid.py) extended to
+        every rung of the ANN ladder, which is what a serving surface
+        needs per micro-batch (``stream_routed_serve``). Per query the
+        result is IDENTICAL to ``ann_search`` (pytest-pinned):
+
+        - prefilter/exact (and every predicate-carrying fallback) →
+          ONE ``prefilter_search_batch`` corpus scan;
+        - nsw / nsw_gamma → ONE ``nsw_read_topk`` store read per arm,
+          each query's own §2.3 predicate as a ``_pass_<qid>`` column
+          (the r8b serving machinery; the γ arm walks the predicate
+          subgraph under its budget);
+        - ALL pruned rungs (plain ball-bound, exact-match, range,
+          conjunction) FOLD INTO ONE ``nsw_read_topk(prune=True,
+          prune_conj={qid: …})`` store read — a single-constraint
+          conjunction is exactly the match/range arm (identical
+          verdicts by construction), and queries routed to plain
+          ``nsw_pruned`` simply stay out of the mapping, pruning on
+          ball bounds alone; the shared full beam keeps every group
+          member provably exact;
+        - ivf (approximate) → ONE ``ivf_search_batch`` scan of the
+          probed-list union; ivf_exact (predicate-free) → ONE
+          ``ivf_search_exact_batch`` two-phase scan.
+
+        Returns ``(query_id, <id_col>, dist)`` — the serving answer
+        shape, unioned across arms."""
+        acc = accessors or abo_accessors()
+        routes = self.route_ann_batch(
+            df, queries, k,
+            min_recall=min_recall, ivf_index=ivf_index, nsw_path=nsw_path,
+            gamma_path=gamma_path, pruned_path=pruned_path, accessors=acc,
+        )
+
+        def arm(route: AnnRoute, preds) -> str:
+            s = route.strategy
+            if s in ("prefilter", "exact"):
+                return "prefilter"
+            if s in ("nsw", "nsw_gamma", "ivf"):
+                return s
+            if s.startswith("nsw_pruned"):
+                return "pruned"
+            if s == "ivf_exact" and not preds:
+                return "ivf_exact"
+            # exact demanded with predicates and no routable rung: the
+            # single-query path's prefilter fallback
+            return "prefilter"
+
+        groups: dict[str, list] = {}
+        for q in queries:
+            groups.setdefault(arm(routes[int(q[0])], q[2]), []).append(q)
+
+        parts: list[DataFrame] = []
+        spark = df.sparkSession
+        if batch := groups.get("prefilter"):
+            parts.append(
+                prefilter_search_batch(
+                    df, batch, k, accessors=acc, vec_col=vec_col,
+                    id_col=id_col, query_id_col=query_id_col,
+                ).select(query_id_col, id_col, "dist")
+            )
+        for arm_name, path_, strat in (
+            ("nsw", nsw_path, "traverse_all"),
+            ("nsw_gamma", gamma_path, "subgraph"),
+        ):
+            if batch := groups.get(arm_name):
+                from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+                    nsw_read_topk,
+                )
+
+                r0 = routes[int(batch[0][0])]
+                preds = {
+                    int(qid): build_predicate(p, acc)
+                    for qid, _, p in batch
+                    if p
+                }
+                parts.append(
+                    nsw_read_topk(
+                        spark, path_,
+                        [(int(qid), list(v)) for qid, v, _ in batch], k,
+                        ef=r0.ef,
+                        max_visits=r0.max_visits,
+                        predicates=preds or None,
+                        strategy=strat if preds else "traverse_all",
+                        id_col=id_col,
+                    ).select(
+                        F.col("query_id").alias(query_id_col), id_col, "dist"
+                    )
+                )
+        if batch := groups.get("pruned"):
+            from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+                nsw_read_topk,
+                pruned_full_beam,
+            )
+
+            conj_map = {}
+            for qid, _, preds in batch:
+                if routes[int(qid)].strategy != "nsw_pruned":
+                    conj_map[int(qid)] = {
+                        attr: (list(spec)[0], list(spec)[1])
+                        for attr, spec in dict(preds).items()
+                    }
+            parts.append(
+                nsw_read_topk(
+                    spark, pruned_path,
+                    [(int(qid), list(v)) for qid, v, _ in batch], k,
+                    ef=pruned_full_beam(spark, pruned_path, k),
+                    prune=True,
+                    prune_conj=conj_map or None,
+                    id_col=id_col,
+                ).select(
+                    F.col("query_id").alias(query_id_col), id_col, "dist"
+                )
+            )
+        if batch := groups.get("ivf"):
+            from acorn_hybrid_vector_search_spark.operators.ann import (
+                ivf_search_batch,
+            )
+
+            r0 = routes[int(batch[0][0])]
+            parts.append(
+                ivf_search_batch(
+                    ivf_index,
+                    [(int(qid), list(v)) for qid, v, _ in batch], k,
+                    nprobe=r0.nprobe,
+                    predicates={
+                        int(qid): p for qid, _, p in batch if p
+                    },
+                    accessors=acc,
+                    query_id_col=query_id_col,
+                ).select(query_id_col, id_col, "dist")
+            )
+        if batch := groups.get("ivf_exact"):
+            from acorn_hybrid_vector_search_spark.operators.ann import (
+                ivf_search_exact_batch,
+            )
+
+            parts.append(
+                ivf_search_exact_batch(
+                    ivf_index,
+                    [(int(qid), list(v)) for qid, v, _ in batch], k,
+                    query_id_col=query_id_col,
+                ).select(query_id_col, id_col, "dist")
+            )
+        if not parts:
+            raise ValueError("empty query batch")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
 
 # ---------------------------------------------------------------------------

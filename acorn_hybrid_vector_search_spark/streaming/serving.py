@@ -34,6 +34,8 @@ __all__ = [
     "stream_hybrid_serve",
     "nsw_serve_batch_writer",
     "stream_nsw_serve",
+    "routed_serve_batch_writer",
+    "stream_routed_serve",
 ]
 
 
@@ -228,6 +230,91 @@ def stream_hybrid_serve(
                 predicate_col=predicate_col,
                 payload_cols=payload_cols,
             )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def routed_serve_batch_writer(
+    router,
+    corpus: DataFrame,
+    out_path: str,
+    k: int,
+    *,
+    min_recall: float = 1.0,
+    ivf_index=None,
+    nsw_path: str | None = None,
+    gamma_path: str | None = None,
+    pruned_path: str | None = None,
+    accessors: Mapping | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    predicate_col: str = "predicate_json",
+):
+    """The ROUTED serving body (r11, VERDICT r10 ask #4): each
+    micro-batch of query rows goes through ``StrategyRouter.
+    ann_search_batch`` — every query routed (rules 1-6), the batch
+    GROUPED by strategy, each group answered from ≤ 1 scan / store
+    read per arm (all pruned rungs fold into one ``prune_conj`` store
+    read). This is what ``stream_nsw_serve`` could not do: a
+    micro-batch mixing exact-match, range, conjunction and
+    predicate-free queries pays one store read for the whole pruned
+    family instead of one per strategy (or an unroutable per-query
+    loop). Results land batch-keyed with dynamic overwrite
+    (replay-idempotent), serving-answer projection only."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            query_id_col, vec_col, predicate_col
+        ).collect()
+        rows = _dedupe_query_rows(rows, query_id_col, vec_col, predicate_col)
+        if not rows:
+            return
+        batch = [
+            (
+                r[query_id_col],
+                list(r[vec_col]),
+                json.loads(r[predicate_col]) if r[predicate_col] else None,
+            )
+            for r in rows
+        ]
+        res = router.ann_search_batch(
+            corpus, batch, k,
+            min_recall=min_recall, ivf_index=ivf_index, nsw_path=nsw_path,
+            gamma_path=gamma_path, pruned_path=pruned_path,
+            accessors=accessors, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+        (
+            res.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    return write_batch
+
+
+def stream_routed_serve(
+    query_stream: DataFrame,
+    router,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    k: int,
+    **kw,
+):
+    """Serve a STREAM of hybrid queries through the full routed ANN
+    ladder: one ``ann_search_batch`` per micro-batch (≤ 1 store read
+    per strategy arm — see ``routed_serve_batch_writer``), batch-keyed
+    idempotent results. Returns the StreamingQuery."""
+    return (
+        query_stream.writeStream.foreachBatch(
+            routed_serve_batch_writer(router, corpus, out_path, k, **kw)
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("append")

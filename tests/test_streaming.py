@@ -828,3 +828,108 @@ def test_stream_nsw_upsert_skips_compaction_that_would_empty(spark, tmp_path):
     got3 = nsw_read_topk(spark, path, [(0, [8.191] * 8)], 5, ef=10**6).collect()
     want3 = knn_exact(v3, [8.191] * 8, 5).select("vec_id").collect()
     assert [r["vec_id"] for r in got3] == [r["vec_id"] for r in want3]
+
+
+def test_stream_routed_serve_groups_arms_and_matches_batch(spark, tmp_path):
+    """r11 routed serving (streaming/serving.py): each micro-batch goes
+    through StrategyRouter.ann_search_batch — queries land on ≥2
+    different arms within ONE micro-batch (pruned family folded into a
+    single store read, unroutable predicate on the prefilter batch
+    arm), replays are batch-keyed idempotent, and the accumulated
+    results ≡ the static ann_search_batch call over the same queries."""
+    import json
+    import random as _random
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_write_clustered,
+    )
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        AttributeStats,
+        StrategyRouter,
+        TableStats,
+    )
+    from acorn_hybrid_vector_search_spark.streaming.serving import (
+        routed_serve_batch_writer,
+    )
+
+    rng = _random.Random(53)
+    centers = [(-6, -6), (-6, 6), (6, -6), (6, 6)]
+    rows = []
+    for i in range(240):
+        b = i % 4
+        cx, cy = centers[b]
+        rows.append(
+            (
+                i,
+                [round(rng.gauss(cx, 0.5), 4), round(rng.gauss(cy, 0.5), 4)],
+                b,
+                float(b * 10 + i % 5),
+            )
+        )
+    corpus = spark.createDataFrame(
+        rows,
+        "vec_id long, embedding array<double>, label int, weight double",
+    )
+    store = str(tmp_path / "gs")
+    nsw_write_clustered(
+        corpus, store, n_shards=8,
+        payload_cols=["label", "weight"],
+        stats_attrs=["label"], numeric_stats_attrs=["weight"],
+    )
+    stats = TableStats(
+        n_rows=10_000_000,
+        attrs={
+            "label": AttributeStats(
+                counts={i: 2_500_000 for i in range(4)},
+                n_rows=10_000_000, n_null=0,
+            )
+        },
+    )
+    router = StrategyRouter(stats)
+    acc = flat_accessors(
+        {"label": "int", "weight": "double", "vec_id": "bigint"}
+    )
+    out = str(tmp_path / "served")
+    writer = routed_serve_batch_writer(
+        router, corpus, out, 5, pruned_path=store, accessors=acc
+    )
+    queries = [
+        (0, rows[1][1], {"label": ["exact", 3]}),
+        (1, rows[2][1], {"weight": ["<", 32], "label": ["exact", 3]}),
+        (2, rows[3][1], None),
+        (3, rows[4][1], {"vec_id": ["<", 120]}),  # unroutable → prefilter arm
+    ]
+    routes = router.route_ann_batch(
+        corpus, queries, 5, pruned_path=store, accessors=acc
+    )
+    arms = {r.strategy for r in routes.values()}
+    assert len(arms) >= 3, arms  # ≥3 queries on ≥2 different arms
+    qdf = spark.createDataFrame(
+        [
+            (qid, v, json.dumps(p) if p else None)
+            for qid, v, p in queries
+        ],
+        "query_id long, embedding array<double>, predicate_json string",
+    )
+    writer(qdf.filter("query_id < 2"), 0)
+    writer(qdf.filter("query_id >= 2"), 1)
+    first = sorted(
+        (r["query_id"], r["vec_id"], round(r["dist"], 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    writer(qdf.filter("query_id < 2").repartition(3), 0)  # replay
+    again = sorted(
+        (r["query_id"], r["vec_id"], round(r["dist"], 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first == again
+    want = sorted(
+        (r["query_id"], r["vec_id"], round(r["dist"], 9))
+        for r in router.ann_search_batch(
+            corpus, queries, 5, pruned_path=store, accessors=acc
+        ).collect()
+    )
+    assert first == want
