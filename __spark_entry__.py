@@ -4848,6 +4848,239 @@ def _q_routed_pruned_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("dist", _R).alias("dist"))
 
 
+def _conj_router_stats():
+    """Driver-side table stats covering both conj attributes (the
+    router's selectivity estimate inputs — routing itself is decided by
+    sidecar coverage, these only shape the estimate)."""
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        AttributeStats,
+        StrategyRouter,
+        TableStats,
+    )
+
+    n = 10_000_000
+    stats = TableStats(
+        n_rows=n,
+        attrs={
+            "label": AttributeStats(
+                counts={i: n // 10 for i in range(10)}, n_rows=n, n_null=0
+            ),
+            "weight": AttributeStats(
+                counts={float(i): n // 100 for i in range(100)},
+                n_rows=n,
+                n_null=0,
+            ),
+        },
+    )
+    return StrategyRouter(stats)
+
+
+def _q_routed_pruned_conj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 (VERDICT r10 ask #3): rule 6's CONJUNCTION arm through the
+    planner — the reference's literal class-2 query shape is a
+    TWO-ATTRIBUTE conjunction (``item_weight < 2 ∧ brand …``,
+    acorn.py:296-298), which until this round never reached the
+    engine's best rung (rule 6 refused multi-attr). ``ann_search``
+    derives BOTH zone-map coverages from the store's own sidecars
+    (exact attr → per-shard value counts, range attr → numeric
+    min/max), the in-fn assert pins the chosen rung, and
+    ``nsw_read_topk(prune_conj=...)`` prunes under the Bonferroni
+    bound: a shard where ANY constraint is none-pass is never read,
+    the τ cover counts ``max(0, n − Σ(n − lb_i))`` certain passing
+    members per shard (under-counting only widens kept sets), and the
+    conjunction rides the walk as one Catalyst mask — full beam is
+    provably exact, answering the same exact pre-filter oracle as a
+    brute-force scan WHERE label = 3 AND weight < 32. Shares the
+    clustered store."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        pruned_match_attrs,
+        pruned_range_attrs,
+    )
+
+    _q_nsw_pruned_topk(spark, sf_dir)  # build/reuse the shared store
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path, qs = _NSW_PRUNED_CACHE[key]
+    router = _conj_router_stats()
+    pred = {"label": ["exact", 3], "weight": ["<", 32]}
+    route = router.route_ann(
+        10, predicates=pred, has_pruned_store=True,
+        pruned_attrs=pruned_match_attrs(spark, path),
+        pruned_range_attrs=pruned_range_attrs(spark, path),
+    )
+    assert route.strategy == "nsw_pruned_conj", route
+    corpus = _clustered_embeddings(spark, sf_dir).withColumn(
+        "weight",
+        (F.col("label") * 10 + F.col("vec_id") % 5).cast("double"),
+    )
+    res = router.ann_search(
+        corpus, list(qs[0][1]), pred, 10,
+        pruned_path=path,
+        accessors=flat_accessors(
+            {"label": "int", "weight": "double", "vec_id": "bigint"}
+        ),
+    )
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
+def _q_routed_batch_dispatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 (VERDICT r10 ask #4): BATCHED routed dispatch — one
+    ``ann_search_batch`` call routes a four-query batch onto THREE
+    different arms (exact-match → nsw_pruned_match, conjunction →
+    nsw_pruned_conj, predicate-free → nsw_pruned, an uncovered-attr
+    predicate → the exact prefilter batch arm), folds the whole pruned
+    family into ONE ``prune_conj`` store read, and answers every
+    query's own exact oracle (hash-verified as a UNION of per-query
+    brute-force SELECTs). The in-fn assert pins the arm assignment —
+    ≥3 queries on ≥2 different arms is the serving contract
+    stream_routed_serve runs per micro-batch (batch ≡ per-query
+    dispatch is pytest-pinned)."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+
+    _q_nsw_pruned_topk(spark, sf_dir)  # build/reuse the shared store
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path, qs = _NSW_PRUNED_CACHE[key]
+    by_id = dict(qs)
+    router = _conj_router_stats()
+    acc = flat_accessors(
+        {"label": "int", "weight": "double", "vec_id": "bigint"}
+    )
+    corpus = _clustered_embeddings(spark, sf_dir).withColumn(
+        "weight",
+        (F.col("label") * 10 + F.col("vec_id") % 5).cast("double"),
+    )
+    batch = [
+        (2, by_id[2], {"label": ["exact", 3]}),
+        (4, by_id[4], {"label": ["exact", 3], "weight": ["<", 32]}),
+        (8, by_id[8], None),
+        (99, by_id[2], {"vec_id": ["<", 40]}),  # uncovered → prefilter arm
+    ]
+    routes = router.route_ann_batch(
+        corpus, batch, 10, pruned_path=path, accessors=acc
+    )
+    assert routes[2].strategy == "nsw_pruned_match", routes
+    assert routes[4].strategy == "nsw_pruned_conj", routes
+    assert routes[8].strategy == "nsw_pruned", routes
+    assert not routes[99].strategy.startswith("nsw_pruned"), routes
+    res = router.ann_search_batch(
+        corpus, batch, 10, pruned_path=path, accessors=acc
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("dist", _R).alias("dist")
+    )
+
+
+_IVF_BATCH_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _q_ivf_exact_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 (VERDICT r10 ask #6): the IVF exact rung at BATCH shape —
+    ``ivf_search_exact_batch`` answers a three-query batch (per-query
+    exact match, per-query range, unconstrained) from TWO list scans
+    total: phase 1 hash-joins each query's nearest PASSING list (its
+    own zone-map verdicts — the same `_canon_value_count` /
+    `_range_shard_verdict` arithmetic as the single-query arms — skip
+    provably-empty lists), one bounded ≤|Q|·k collect yields per-query
+    d_k, and phase 2 equi-joins the exploded per-query ball-bound
+    probe sets. Batch ≡ per-query loop is pytest-pinned; here each
+    query answers its own exact filtered oracle (UNION of brute-force
+    SELECTs)."""
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_search_exact_batch,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _IVF_BATCH_CACHE if k[0] != key[0]]:
+        del _IVF_BATCH_CACHE[stale]
+    cached = _IVF_BATCH_CACHE.get(key)
+    if cached is None:
+        corpus = _clustered_embeddings(spark, sf_dir).withColumn(
+            "weight",
+            (F.col("label") * 10 + F.col("vec_id") % 5).cast("double"),
+        )
+        idx = ivf_build(
+            corpus, n_clusters=8, with_radii=True,
+            stats_attrs=["label"], numeric_stats_attrs=["weight"],
+        )
+        by_id = {
+            r["vec_id"]: list(r["embedding"])
+            for r in corpus.filter(
+                F.col("vec_id").isin([2, 4, 8])
+            ).collect()
+        }
+        _IVF_BATCH_CACHE[key] = cached = (idx, by_id)
+    idx, by_id = cached
+    res = ivf_search_exact_batch(
+        idx, [(2, by_id[2]), (4, by_id[4]), (8, by_id[8])], 10,
+        match={2: ("label", 3)},
+        range_pred={4: ("weight", "<", 23)},
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("dist", _R).alias("dist")
+    )
+
+
+def _q_nsw_conj_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 disclosure relation: the CONJUNCTION verdict arithmetic
+    (`_conj_shard_stats`' Bonferroni bound) fully replayed in SQL over
+    deterministic ``label % 8`` shards — per shard: member count n,
+    exact passing count for ``label = 3``, the certain range count for
+    ``weight < 32`` (n_present on all-pass, else 0), the combined
+    lower bound ``max(0, n − (n − pass_label) − (n − certain_range))``
+    and the may-pass flag (every constraint may-pass). Pure integer
+    arithmetic in doubles, both engines derive it from the embeddings
+    table alone; tests/test_graph_ann pins that this relational twin
+    agrees with `_conj_shard_stats` on real sidecar inputs."""
+    S, W = 8, 32
+    emb = _clustered_embeddings(spark, sf_dir).withColumn(
+        "weight",
+        (F.col("label") * 10 + F.col("vec_id") % 5).cast("double"),
+    )
+    z = (
+        emb.select(
+            (F.col("label").cast("long") % S).alias("part_id"),
+            "label",
+            "weight",
+        )
+        .groupBy("part_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("label") == 3, 1)).alias("pass_label"),
+            F.min("weight").alias("vmin"),
+            F.max("weight").alias("vmax"),
+            F.count("weight").alias("n_present"),
+        )
+    )
+    certain_range = (
+        F.when(F.col("vmax") < W, F.col("n_present")).otherwise(F.lit(0))
+    )
+    lb = F.greatest(
+        F.lit(0),
+        F.col("n")
+        - (F.col("n") - F.col("pass_label"))
+        - (F.col("n") - certain_range),
+    )
+    possible = (F.col("pass_label") > 0) & (~(F.col("vmin") >= W))
+    return (
+        z.select(
+            "part_id",
+            "n",
+            "pass_label",
+            certain_range.cast("long").alias("certain_range"),
+            F.when(possible, lb).otherwise(F.lit(0))
+            .cast("long")
+            .alias("lb"),
+            possible.alias("possible"),
+        )
+        .orderBy("part_id")
+    )
+
+
 _IVF_RANGE_CACHE: dict[tuple[str, str], object] = {}
 
 
@@ -5224,6 +5457,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_pruned_range_topk": _q_routed_pruned_range_topk,
         "ivf_pruned_range_topk": _q_ivf_pruned_range_topk,
         "nsw_range_decisions": _q_nsw_range_decisions,
+        # r11 flagships (will rotate into the window at round close per
+        # standing policy): the rule-6 conjunction arm (the reference's
+        # literal class-2 two-attribute shape), batched routed dispatch
+        # (≥3 queries on ≥2 arms, pruned family folded into one store
+        # read), the IVF exact rung at batch shape, and the conjunction
+        # verdict-arithmetic disclosure relation
+        "routed_pruned_conj_topk": _q_routed_pruned_conj_topk,
+        "routed_batch_dispatch_topk": _q_routed_batch_dispatch_topk,
+        "ivf_exact_batch_topk": _q_ivf_exact_batch_topk,
+        "nsw_conj_decisions": _q_nsw_conj_decisions,
         # r10 rotation displacements — all remain oracle-gated here
         "nsw_delete_topk": _q_nsw_delete_topk,
         "nsw_pruned_topk": _q_nsw_pruned_topk,
@@ -7306,6 +7549,100 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM ce WHERE weight < 23) e,
                  (SELECT embedding FROM ce WHERE vec_id = 2) q
             ORDER BY {_D2}, e.vec_id LIMIT 10""",
+        # r11: the conjunction arm through the planner answers the
+        # exact pre-filter CONJUNCTION oracle (label = 3 AND
+        # weight < 32, query vec_id = 2) — the reference's literal
+        # class-2 two-attribute query shape (acorn.py:296-298)
+        "routed_pruned_conj_topk": "WITH ce AS (SELECT s.vec_id, s.label, "
+        "CAST(s.label * 10 + s.vec_id % 5 AS DOUBLE) AS weight, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s)\n"
+        + f"""
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM (SELECT * FROM ce WHERE label = 3 AND weight < 32) e,
+                 (SELECT embedding FROM ce WHERE vec_id = 2) q
+            ORDER BY {_D2}, e.vec_id LIMIT 10""",
+        # r11: batched routed dispatch — four queries, three arms, one
+        # pruned-store read; each query answers its OWN exact oracle
+        # (query 99 reuses vec_id 2's vector under an uncovered-attr
+        # predicate, so it lands on the prefilter batch arm)
+        "routed_batch_dispatch_topk": "WITH ce AS (SELECT s.vec_id, s.label, "
+        "CAST(s.label * 10 + s.vec_id % 5 AS DOUBLE) AS weight, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s)\n"
+        + f"""
+            SELECT * FROM (
+              SELECT 2 AS query_id, e.vec_id, ROUND({_D2}, {_R}) AS dist
+              FROM (SELECT * FROM ce WHERE label = 3) e,
+                   (SELECT embedding FROM ce WHERE vec_id = 2) q
+              ORDER BY {_D2}, e.vec_id LIMIT 10)
+            UNION ALL
+            SELECT * FROM (
+              SELECT 4 AS query_id, e.vec_id, ROUND({_D2}, {_R}) AS dist
+              FROM (SELECT * FROM ce WHERE label = 3 AND weight < 32) e,
+                   (SELECT embedding FROM ce WHERE vec_id = 4) q
+              ORDER BY {_D2}, e.vec_id LIMIT 10)
+            UNION ALL
+            SELECT * FROM (
+              SELECT 8 AS query_id, e.vec_id, ROUND({_D2}, {_R}) AS dist
+              FROM ce e, (SELECT embedding FROM ce WHERE vec_id = 8) q
+              ORDER BY {_D2}, e.vec_id LIMIT 10)
+            UNION ALL
+            SELECT * FROM (
+              SELECT 99 AS query_id, e.vec_id, ROUND({_D2}, {_R}) AS dist
+              FROM (SELECT * FROM ce WHERE vec_id < 40) e,
+                   (SELECT embedding FROM ce WHERE vec_id = 2) q
+              ORDER BY {_D2}, e.vec_id LIMIT 10)""",
+        # r11: the IVF exact rung at batch shape — per-query match /
+        # range / unconstrained, two list scans total
+        "ivf_exact_batch_topk": "WITH ce AS (SELECT s.vec_id, s.label, "
+        "CAST(s.label * 10 + s.vec_id % 5 AS DOUBLE) AS weight, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s)\n"
+        + f"""
+            SELECT * FROM (
+              SELECT 2 AS query_id, e.vec_id, ROUND({_D2}, {_R}) AS dist
+              FROM (SELECT * FROM ce WHERE label = 3) e,
+                   (SELECT embedding FROM ce WHERE vec_id = 2) q
+              ORDER BY {_D2}, e.vec_id LIMIT 10)
+            UNION ALL
+            SELECT * FROM (
+              SELECT 4 AS query_id, e.vec_id, ROUND({_D2}, {_R}) AS dist
+              FROM (SELECT * FROM ce WHERE weight < 23) e,
+                   (SELECT embedding FROM ce WHERE vec_id = 4) q
+              ORDER BY {_D2}, e.vec_id LIMIT 10)
+            UNION ALL
+            SELECT * FROM (
+              SELECT 8 AS query_id, e.vec_id, ROUND({_D2}, {_R}) AS dist
+              FROM ce e, (SELECT embedding FROM ce WHERE vec_id = 8) q
+              ORDER BY {_D2}, e.vec_id LIMIT 10)""",
+        # r11: the conjunction Bonferroni arithmetic disclosed as a
+        # relation — per-%8-shard n, exact passing count (label = 3),
+        # certain range count (weight < 32: n_present on all-pass,
+        # else 0), the combined lower bound and the may-pass flag
+        "nsw_conj_decisions": """
+            SELECT (CAST(label AS BIGINT) % 8) AS part_id,
+                   COUNT(*) AS n,
+                   COUNT(CASE WHEN label = 3 THEN 1 END) AS pass_label,
+                   CASE WHEN MAX(CAST(label * 10 + vec_id % 5 AS DOUBLE)) < 32
+                        THEN COUNT(*) ELSE 0 END AS certain_range,
+                   CASE WHEN COUNT(CASE WHEN label = 3 THEN 1 END) > 0
+                             AND NOT (MIN(CAST(label * 10 + vec_id % 5
+                                             AS DOUBLE)) >= 32)
+                        THEN GREATEST(0,
+                             COUNT(*)
+                             - (COUNT(*)
+                                - COUNT(CASE WHEN label = 3 THEN 1 END))
+                             - (COUNT(*)
+                                - CASE WHEN MAX(CAST(label * 10 + vec_id % 5
+                                                    AS DOUBLE)) < 32
+                                       THEN COUNT(*) ELSE 0 END))
+                        ELSE 0 END AS lb,
+                   (COUNT(CASE WHEN label = 3 THEN 1 END) > 0
+                    AND NOT (MIN(CAST(label * 10 + vec_id % 5
+                                     AS DOUBLE)) >= 32)) AS possible
+            FROM embeddings
+            GROUP BY 1 ORDER BY part_id""",
         # r10b: the zone-map verdict arithmetic disclosed as a relation
         # — per-shard min/max/count and the all-pass/none-pass/straddle
         # verdict with the certain/possible outputs the prune plan

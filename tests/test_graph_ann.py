@@ -2259,3 +2259,59 @@ def test_prune_conj_guard_matrix(spark, conj_store):
         nsw_read_topk(
             spark, path, q, 5, prune=True, prune_conj={99: conj},
         )
+
+
+def test_conj_decisions_relation_matches_helper(spark):
+    """The nsw_conj_decisions disclosure relation (entry registry) and
+    `_conj_shard_stats` must compute the SAME Bonferroni arithmetic:
+    build the %8-shard zone maps two ways — as SQL-style aggregates and
+    as the helper's sidecar-shaped dict inputs — and compare lb /
+    possible shard by shard."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _conj_shard_stats,
+    )
+
+    rows = [(i, i % 10, float((i % 10) * 10 + i % 5)) for i in range(200)]
+    parts = sorted({r[1] % 8 for r in rows})
+    member_counts = np.asarray(
+        [sum(1 for r in rows if r[1] % 8 == p) for p in parts],
+        dtype=np.int64,
+    )
+    attr_counts = {
+        "label": {
+            p: {
+                str(v): sum(
+                    1 for r in rows if r[1] % 8 == p and r[1] == v
+                )
+                for v in {r[1] for r in rows if r[1] % 8 == p}
+            }
+            for p in parts
+        }
+    }
+    num_stats = {
+        "weight": {
+            p: (
+                min(r[2] for r in rows if r[1] % 8 == p),
+                max(r[2] for r in rows if r[1] % 8 == p),
+                sum(1 for r in rows if r[1] % 8 == p),
+            )
+            for p in parts
+        }
+    }
+    lb, possible = _conj_shard_stats(
+        {"label": ("exact", 3), "weight": ("<", 32)},
+        attr_counts, num_stats,
+        np.asarray(parts, dtype=np.int64), member_counts,
+    )
+    # the relation's arithmetic, replayed in plain python
+    for i, p in enumerate(parts):
+        n = int(member_counts[i])
+        pass_label = attr_counts["label"][p].get("3", 0)
+        vmin, vmax, n_present = num_stats["weight"][p]
+        certain_range = n_present if vmax < 32 else 0
+        poss = pass_label > 0 and not (vmin >= 32)
+        want_lb = (
+            max(0, n - (n - pass_label) - (n - certain_range)) if poss else 0
+        )
+        assert bool(possible[i]) == poss, p
+        assert int(lb[i]) == want_lb, p
