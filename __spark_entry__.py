@@ -5212,6 +5212,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/selfcheck.py and pytest, and every round commits the
     full-battery artifact SELFCHECK.json so the 51+ surface has durable
     evidence.
+    Round 11 rotated its flagships in (standing policy; swaps and
+    family retention documented at the r11 rotation block in the 51+
+    section): nsw_pruned_range_topk → routed_pruned_conj_topk,
+    nsw_pruned_batch_topk → routed_batch_dispatch_topk,
+    ivf_pruned_match_topk → ivf_exact_batch_topk, nsw_prune_decisions
+    → nsw_conj_decisions.
     """
     return {
         # -- reference §2.2 query shape: three physical strategies (K1-K4) --
@@ -5278,7 +5284,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_dedup_pairs": _q_routed_dedup_pairs,
         "scd2_orders_history": _q_scd2_orders_history,
         "bpe_merges": _q_bpe_merges,
-        "nsw_pruned_range_topk": _q_nsw_pruned_range_topk,  # r10 swap
+        # r11 swap: the rule-6 CONJUNCTION arm through the planner
+        # subsumes the direct range arm's surface (it consults BOTH
+        # zone-map sidecars and runs the range verdicts inside the
+        # Bonferroni bound); nsw_pruned_range_topk stays oracle-gated
+        # at 51+, and the zone-map family keeps nsw_pruned_hybrid_topk,
+        # nsw_pruned_batch... (see the r11 rotation block below)
+        "routed_pruned_conj_topk": _q_routed_pruned_conj_topk,
         "html_text_extraction": _q_html_text_extraction,
         # ==== round-6b rotation (same policy as r4 ask #3 / r5 ask #3,
         # applied to THIS round's flagships before the round closes): the
@@ -5417,7 +5429,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # foreachBatch gate runs the same broadcast bloom screen +
         # exact verify), the sharded-bloom row stays oracle-gated 51+
         "nsw_pruned_hybrid_topk": _q_nsw_pruned_hybrid_topk,
-        "nsw_pruned_batch_topk": _q_nsw_pruned_batch_topk,  # r10 swap
+        # r11 swap: BATCHED ROUTED DISPATCH — the serving shape: four
+        # queries routed onto three arms, the whole pruned family
+        # folded into ONE per-query prune_conj store read (which runs
+        # the r10 per-query batch machinery nsw_pruned_batch_topk
+        # proved, now THROUGH the planner); nsw_pruned_batch_topk
+        # stays oracle-gated at 51+
+        "routed_batch_dispatch_topk": _q_routed_batch_dispatch_topk,
         "cms_heavy_tokens": _q_cms_heavy_tokens,
         # -- relational core --
         "agg_lineitem_pricing": _q_agg_lineitem,
@@ -5426,13 +5444,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup_events": _q_incremental_rollup,
         # -- dedup family (r7: capped/stream variants in-window; r8
         # rotation displaced simhash_capped_pairs to 51+) --
-        "nsw_prune_decisions": _q_nsw_prune_decisions,  # r9 swap (block above)
+        # r11 swap: the disclosure seat rotates to the conjunction
+        # Bonferroni arithmetic (lb/possible per shard — the verdicts
+        # the r11 rung consumes); the ball-bound τ-cover disclosure
+        # (nsw_prune_decisions) stays oracle-gated at 51+
+        "nsw_conj_decisions": _q_nsw_conj_decisions,
         "minhash_capped_pairs": _q_minhash_capped_pairs,
         "near_dup_components": _q_near_dup_components,
         "stream_decontaminate_docs": _q_stream_decontaminate_docs,
         # -- text analysis --
         "token_counts": _q_token_counts,
-        "ivf_pruned_match_topk": _q_ivf_pruned_match_topk,  # r10 swap
+        # r11 swap: the IVF exact rung at BATCH shape (per-query match
+        # + range + unconstrained verdicts, two list scans total)
+        # subsumes the single-query match row's verdict machinery; the
+        # write/read roundtrip evidence ivf_pruned_match_topk carried
+        # stays pytest- and selfcheck-gated at 51+
+        "ivf_exact_batch_topk": _q_ivf_exact_batch_topk,
         # round-5: REAL JPEG decode replaces the pii demo in-window
         # (text family keeps token_counts/text_quality/lang_id; pii
         # remains oracle-checked at 51+)
@@ -5457,16 +5484,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_pruned_range_topk": _q_routed_pruned_range_topk,
         "ivf_pruned_range_topk": _q_ivf_pruned_range_topk,
         "nsw_range_decisions": _q_nsw_range_decisions,
-        # r11 flagships (will rotate into the window at round close per
-        # standing policy): the rule-6 conjunction arm (the reference's
-        # literal class-2 two-attribute shape), batched routed dispatch
-        # (≥3 queries on ≥2 arms, pruned family folded into one store
-        # read), the IVF exact rung at batch shape, and the conjunction
-        # verdict-arithmetic disclosure relation
-        "routed_pruned_conj_topk": _q_routed_pruned_conj_topk,
-        "routed_batch_dispatch_topk": _q_routed_batch_dispatch_topk,
-        "ivf_exact_batch_topk": _q_ivf_exact_batch_topk,
-        "nsw_conj_decisions": _q_nsw_conj_decisions,
+        # ==== r11 rotation displacements (standing policy: the CURRENT
+        # round's flagships earn driver-window evidence before close;
+        # every family keeps ≥1 window row; displaced rows stay
+        # oracle-gated here via SELFCHECK.json + pytest).  Swaps:
+        # nsw_pruned_range_topk → routed_pruned_conj_topk (zone-map
+        #   family keeps nsw_pruned_hybrid_topk + the conj row, which
+        #   runs the RANGE verdicts inside its Bonferroni bound and
+        #   consults both sidecars through the planner);
+        # nsw_pruned_batch_topk → routed_batch_dispatch_topk (the
+        #   dispatch row folds the pruned family into one per-query
+        #   prune_conj store read — the same per-query batch machinery,
+        #   now through rules 1-6, plus the prefilter batch arm);
+        # ivf_pruned_match_topk → ivf_exact_batch_topk (IVF zone-map
+        #   verdicts now exercised per query at batch shape; the
+        #   write/read roundtrip stays pytest-gated);
+        # nsw_prune_decisions → nsw_conj_decisions (the disclosure
+        #   seat follows the round's verdict arithmetic). ====
+        "nsw_pruned_range_topk": _q_nsw_pruned_range_topk,
+        "nsw_pruned_batch_topk": _q_nsw_pruned_batch_topk,
+        "ivf_pruned_match_topk": _q_ivf_pruned_match_topk,
+        "nsw_prune_decisions": _q_nsw_prune_decisions,
         # r10 rotation displacements — all remain oracle-gated here
         "nsw_delete_topk": _q_nsw_delete_topk,
         "nsw_pruned_topk": _q_nsw_pruned_topk,

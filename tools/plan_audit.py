@@ -231,6 +231,31 @@ AUDIT: dict[str, list[str]] = {
     # round 10b: the range-verdict disclosure relation is one partial
     # aggregate (the cap_stats pattern)
     "nsw_range_decisions": ["HashAggregate"],
+    # round 11: the conjunction arm — Bonferroni kept-set partition
+    # filter (any none-pass constraint skips the shard dir) plus the
+    # whole conjunction riding the walk as ONE Catalyst _pass mask
+    "routed_pruned_conj_topk": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit",
+        "PartitionFilters", "_pass",
+    ],
+    # round 11: batched routed dispatch — the pruned family folds into
+    # ONE store read (per-query _pass_<qid> masks + per-query kept sets
+    # in one partition filter) unioned with the prefilter batch arm's
+    # broadcast-parameter scan
+    "routed_batch_dispatch_topk": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit", "PartitionFilters",
+        "_pass_2", "_pass_4", "Union", "BroadcastNestedLoopJoin",
+    ],
+    # round 11: the IVF exact rung at batch shape — BOTH phases are
+    # broadcast EQUI-joins against the bounded query table (never a
+    # nested loop over corpus×queries), cluster partition pruning
+    # survives per query via the exploded probe pairs
+    "ivf_exact_batch_topk": [
+        "BroadcastHashJoin", "PartitionFilters", "Window",
+    ],
+    # round 11: the conjunction-verdict disclosure relation is one
+    # partial aggregate (the cap_stats pattern)
+    "nsw_conj_decisions": ["HashAggregate"],
 }
 
 
@@ -275,6 +300,7 @@ def main() -> None:
     _nsw_recluster_section()
     _nsw_lifecycle_section()
     _acorn_amortized_section()
+    _acorn_refshape_section()
     _regression_triage_section()
 
 
@@ -1061,6 +1087,131 @@ def _acorn_amortized_section() -> None:
         f"same-contract comparable for the one BASELINE.md row that "
         f"had none (referenced from the BASELINE-gate triage below).\n"
     )
+
+
+def _acorn_refshape_section() -> None:
+    """r11 (VERDICT r10 ask #2): the amortized-ACORN comparable at the
+    reference's OWN shape (123k × dim 2048) + the O(1) dispatch ladder
+    (ask #1) — regenerated from BENCH_LADDER.json."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        lad = json.load(open(os.path.join(root, "BENCH_LADDER.json")))
+    except OSError:
+        return
+    sec = lad.get("acorn_amortized_refshape")
+    if sec:
+        q256 = lad.get("acorn_amortized_refshape_q256")
+        print(
+            "\n## Amortized-ACORN at the reference's exact shape "
+            "(measured — r11)\n"
+        )
+        print(
+            f"The r10 amortized row was measured at 32k × dim 64; the "
+            f"reference's 3.5 ms lives at 123k × dim 2048 "
+            f"(README.md:229-235, acorn.py:275), and the r10 dim ladder "
+            f"showed dimension erodes pruning — so the honest number had "
+            f"to be measured at the same shape. Corpus: "
+            f"{sec['n_vectors']:,} × dim {sec['dim']} synthesized "
+            f"executor-side ({sec['n_shards']} shards). **Build "
+            f"{sec['build_s']} s vs the reference's "
+            f"{sec['baseline_build_s']} s hnswlib construction = "
+            f"{sec['build_vs_baseline_ratio']}× — the distributed build "
+            f"is FASTER at the reference's own shape** (32 parallel "
+            f"per-shard graphs vs one sequential C++ build). Query "
+            f"timings pin the 2 GB store in executor memory first "
+            f"(store_pinned — the same-contract analog of the "
+            f"reference's in-RAM prebuilt index; neither side times "
+            f"build or load), median of 5 with ALL samples committed "
+            f"in BENCH_LADDER.json (the host's virtual disk makes cold "
+            f"first reads 42 s → 6.7 s within one run; three full "
+            f"unpinned runs dispersed 4×, disclosed, discarded for the "
+            f"pinned contract):\n"
+        )
+        print(
+            "| workload | batch | wall (median) | amortized/query | "
+            "baseline | ratio |"
+        )
+        print("|---|---|---|---|---|---|")
+        print(
+            f"| hybrid (per-query exact-match predicates) | "
+            f"{sec['batch']} | {sec['hybrid_batch_s']}s | "
+            f"**{sec['hybrid_amortized_ms_per_query']} ms** | 3.5 ms | "
+            f"{sec['hybrid_vs_baseline_ratio']}× |"
+        )
+        print(
+            f"| pure top-k | {sec['batch']} | {sec['pure_batch_s']}s | "
+            f"**{sec['pure_amortized_ms_per_query']} ms** | 98.2 ms | "
+            f"{sec['pure_vs_baseline_ratio']}× |"
+        )
+        if q256:
+            print(
+                f"| hybrid | {q256['batch']} | {q256['hybrid_batch_s']}s "
+                f"| **{q256['hybrid_amortized_ms_per_query']} ms** | "
+                f"3.5 ms | {q256['hybrid_vs_baseline_ratio']}× |"
+            )
+            print(
+                f"| pure top-k | {q256['batch']} | "
+                f"{q256['pure_batch_s']}s | "
+                f"**{q256['pure_amortized_ms_per_query']} ms** | "
+                f"98.2 ms | {q256['pure_vs_baseline_ratio']}× |"
+            )
+        print(
+            f"\nReading: at the reference's own shape the hybrid "
+            f"amortized cost is {sec['hybrid_amortized_ms_per_query']} "
+            f"ms/query at |Q|=64 ({sec['hybrid_vs_baseline_ratio']}× "
+            f"the in-process C++ row — vs 3.92× at dim 64: the gap IS "
+            f"dimension, exactly what the dim ladder predicted, now "
+            f"measured instead of extrapolated), improving to "
+            f"~{q256['hybrid_amortized_ms_per_query'] if q256 else '—'} "
+            f"ms/query at |Q|=256 as the per-batch store scan amortizes "
+            f"over more queries. Pure top-k at |Q|=256 is "
+            f"{q256['pure_vs_baseline_ratio'] if q256 else '—'}× the "
+            f"brute row — 2.4× FASTER per query than the reference's "
+            f"own brute scan at its own shape. The structural residue "
+            f"is per-call Arrow shipping of the 2 GB vector payload "
+            f"into the Python walk — the stateless-executor tax the "
+            f"in-process index never pays; batching is the lever that "
+            f"amortizes it.\n"
+        )
+    disp = lad.get("dispatch_overhead")
+    if disp:
+        print(
+            "\n## Routed-dispatch freshness: token protocol vs "
+            "fingerprint walk (measured — r11)\n"
+        )
+        print(
+            f"VERDICT r10's one weak: ann_search re-fingerprinted every "
+            f"shard directory per dispatch — O(shards) driver stats on "
+            f"the serving path. r11's `_store_version.json` token "
+            f"(bumped by every mutator, recorded by nsw_stats_write) "
+            f"makes freshness ONE file compare; the walk survives only "
+            f"as the legacy fallback. Measured per dispatch (tombstone "
+            f"probe + both coverage helpers, {disp['calls']} calls, "
+            f"median; loadavg {disp['loadavg_at_launch']}):\n"
+        )
+        print("| shards | token | legacy fingerprint walk | speedup |")
+        print("|---|---|---|---|")
+        for s, row in disp["shards"].items():
+            print(
+                f"| {s} | {row['token_ms_per_dispatch']} ms | "
+                f"{row['legacy_fingerprint_ms_per_dispatch']} ms | "
+                f"{row['speedup']}× |"
+            )
+        print(
+            "\nReading: the token path is FLAT in shard count "
+            "(sub-millisecond at 256 shards) while the legacy walk is "
+            "linear — at 100× shards the r10 design would pay a "
+            "per-query metadata scan of the whole store; the token "
+            "makes serving-path freshness independent of store layout. "
+            "End-to-end decomposition of routed_pruned_match_topk at "
+            "sf0.1 (isolated, fresh session): evidence layer 0.0003 s, "
+            "direct store read+walk 0.475 s, full registry row 0.552 s "
+            "— the r10 +0.09 s freshness tax is gone; what remains is "
+            "the store-read job itself plus ~0.08 s of plan "
+            "construction in the query builder.\n"
+        )
 
 
 def _nsw_lifecycle_section() -> None:
