@@ -892,11 +892,28 @@ def ivf_search_exact_batch(
     # driver-side per-query verdicts: passing-list masks, centroid
     # ordering, nearest passing list (C-row numpy — query-batch-sized
     # work, independent of data scale)
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _RANGE_OPS,
+    )
+
     constraints: dict[int, tuple] = {}
     for q, (attr, value) in match.items():
         constraints[q] = (attr, "exact", value)
     for q, (attr, op, value) in range_pred.items():
-        constraints[q] = (attr, op, value)
+        # canonicalize the range spelling to the §2.3 op the row-filter
+        # grammar ENFORCES ('<=' → 'leq', '>=' → 'geq'): the predicate
+        # parameter table silently ignores unsupported spellings, so an
+        # un-normalized '<=' would prune lists by the zone maps but
+        # never filter rows (review r11 — the single-query arm enforces
+        # every _RANGE_OPS spelling through its own Catalyst predicate)
+        canon = _RANGE_OPS.get(op)
+        if canon is None:
+            raise ValueError(
+                f"batch range op must be one of {sorted(_RANGE_OPS)}, "
+                f"got {op!r}"
+            )
+        spelled = {"<=": "leq", ">=": "geq", "<": "<", ">": ">"}[canon]
+        constraints[q] = (attr, spelled, value)
     qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
     dc_all = np.sqrt(
         ((index.centroids[None, :, :] - qmat[:, None, :]) ** 2).sum(axis=2)
@@ -951,9 +968,6 @@ def ivf_search_exact_batch(
         ),
         F.col(query_id_col),
     )
-    param_cols = [
-        c for c in qt.columns if c.startswith(("_c_", "_p_")) or c == "_qv"
-    ]
     order_cols = [F.col("dist").asc(), F.col(index.id_col).asc()]
 
     def _per_query_topk(scored: DataFrame, limit: int) -> DataFrame:

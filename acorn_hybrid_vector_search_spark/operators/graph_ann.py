@@ -1035,6 +1035,13 @@ def nsw_append(
     if gamma is None:
         gamma = _store_gamma(stored)
     max_part = stored.agg(F.max("part_id")).head()[0]
+    # bump BEFORE the shard write as well as after (review r11): a
+    # crash between a committed data write and a trailing bump would
+    # leave the recorded token equal to the on-disk one, so the O(1)
+    # fast path would read the pre-append stats as provably fresh; the
+    # leading bump makes the crash window conservative (token mismatch
+    # → fingerprint walk → the new shards read as stale)
+    _bump_store_version(path)
     _nsw_nodes(
         df, m=m, ef_construction=ef_construction, gamma=gamma,
         vec_col=vec_col, id_col=id_col, part_offset=int(max_part) + 1,

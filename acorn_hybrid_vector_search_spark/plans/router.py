@@ -203,14 +203,30 @@ def _flat_passthrough(
     range ops the accessor must also be numeric-kind: ``build_predicate``
     silently IGNORES a range op on a string-kind accessor (§2.3
     unsupported-op fallthrough), so routing it would filter where the
-    fallback would not."""
+    fallback would not.
+
+    Two presence shapes qualify (review r11): the plain flat accessor
+    (``col IS NOT NULL``) and the library's OWN covering-index shape
+    (``extract_attribute_payloads``: presence is the stored
+    ``<attr>__present`` boolean, value the stored flat column). The
+    covering-index store writes ``when(present, value)`` into the flat
+    column, so for the enforcing ops the raw-column walk mask is
+    provably equivalent to ``present & (value op lit)``: a row with
+    present=false has a NULL stored value (mask → NULL → rejected), and
+    present=true with a NULL value rejects on both paths — refusing
+    that shape would silently disable every pruned rung for exactly
+    the accessor shape the library's index-build path produces."""
     acc = accessors.get(attr)
     if acc is None:
         return False
     col = F.col(attr)
     if str(acc.value) != str(col):
         return False
-    if str(acc.present) != str(col.isNotNull()):
+    present_ok = str(acc.present) in (
+        str(col.isNotNull()),
+        str(F.col(f"{attr}__present")),
+    )
+    if not present_ok:
         return False
     return acc.kind == "numeric" if numeric else True
 

@@ -176,6 +176,18 @@ def nsw_stream_batch_writer(
                 f"batch_id {batch_id} overflows the int32 part_id range at "
                 f"parts_cap {parts_cap}; compact and restart the checkpoint"
             )
+        # bump the store-version token BEFORE any mutation (review r11):
+        # this writer's dynamic overwrite can REWRITE an existing shard
+        # set in place, and a crash between the parquet commit and a
+        # trailing bump would leave recorded == on-disk token — the
+        # O(1) fast path would then skip the fingerprint walk that
+        # catches exactly this same-set rewrite. Leading bump ⇒ the
+        # crash window reads as token-mismatch ⇒ fallback walk governs.
+        from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+            _bump_store_version,
+        )
+
+        _bump_store_version(path)
         # step 1: pre-clean this batch's OWN part_id range BEFORE any
         # read of the store — a failed first attempt's shards must not
         # be folded into the compacted base (duplicate window, r8
@@ -259,10 +271,6 @@ def nsw_stream_batch_writer(
         # token must advance (the r11 O(1) freshness protocol — stats
         # sidecars recorded before this batch now read as stale via one
         # token compare instead of a per-shard fingerprint walk)
-        from acorn_hybrid_vector_search_spark.operators.graph_ann import (
-            _bump_store_version,
-        )
-
         _bump_store_version(path)
         invalidate()
 

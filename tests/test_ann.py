@@ -1725,9 +1725,8 @@ def test_ann_search_batch_folds_pruned_arms_and_matches_single(spark, tmp_path):
             ).select("vec_id", "dist").collect()
         ]
         assert sorted(by_q[qid]) == sorted(single), qid
-        assert [p for p in by_q[qid]] == sorted(
-            by_q[qid], key=lambda p: (p[1], p[0])
-        ) or True  # per-query rank order asserted via the single compare
+        # per-query rank order: rows arrive (dist, id)-ascending
+        assert by_q[qid] == sorted(by_q[qid], key=lambda p: (p[1], p[0])), qid
 
 
 def test_ann_search_batch_ivf_and_nsw_arms_match_single(spark, tmp_path):
@@ -1833,3 +1832,118 @@ def test_ivf_search_batch_equals_per_query_loop(spark, tmp_path):
         idx, queries, 5, nprobe=3, predicates=preds, accessors=acc
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_exact_batch_enforces_le_ge_spellings(spark, tmp_path):
+    """review r11: '<='/'>=' range spellings must be canonicalized to
+    the §2.3 ops the batch row-filter grammar enforces — an
+    un-normalized '<=' pruned lists by the zone maps but never filtered
+    rows (single-query parity broken silently)."""
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_search_exact,
+        ivf_search_exact_batch,
+    )
+
+    df, rows, _store = _conj_blob_store(spark, tmp_path, seed=43)
+    idx = ivf_build(
+        df, n_clusters=8, with_radii=True, numeric_stats_attrs=["weight"]
+    )
+    queries = [(0, rows[0][1]), (1, rows[1][1])]
+    got = ivf_search_exact_batch(
+        idx, queries, 5,
+        range_pred={0: ("weight", "<=", 12), 1: ("weight", ">=", 20)},
+    ).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (r["vec_id"], round(r["dist"], 9))
+        )
+    for qid, qv, rp in (
+        (0, rows[0][1], ("weight", "<=", 12)),
+        (1, rows[1][1], ("weight", ">=", 20)),
+    ):
+        single = [
+            (r["vec_id"], round(r["dist"], 9))
+            for r in ivf_search_exact(idx, qv, 5, range_pred=rp).collect()
+        ]
+        assert by_q.get(qid, []) == single, qid
+    # every returned row actually satisfies its query's predicate
+    w = {r[0]: r[3] for r in rows}
+    assert all(w[v] <= 12 for v, _ in by_q.get(0, []))
+    assert all(w[v] >= 20 for v, _ in by_q.get(1, []))
+
+
+def test_covering_index_accessors_route_to_pruned_rungs(spark, tmp_path):
+    """review r11: extract_attribute_payloads' flat accessors (presence
+    = the stored <attr>__present boolean) are the library's OWN
+    covering-index contract — they must pass the passthrough gate and
+    route, and the routed result must equal the exact filtered oracle
+    over the covering-index semantics."""
+    from pyspark.sql import functions as F
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        AttributeAccessor,
+        extract_attribute_payloads,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_write_clustered,
+        pruned_match_attrs,
+    )
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        _flat_passthrough,
+    )
+
+    import random as _random
+
+    rng = _random.Random(47)
+    centers = [(-6, -6), (-6, 6), (6, -6), (6, 6)]
+    rows = []
+    for i in range(320):
+        b = i % 4
+        cx, cy = centers[b]
+        rows.append(
+            (
+                i,
+                [round(rng.gauss(cx, 0.5), 4), round(rng.gauss(cy, 0.5), 4)]
+                + [round(rng.gauss(0, 0.5), 4) for _ in range(6)],
+                None if i % 13 == 0 else b,  # sparse attr
+            )
+        )
+    raw = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    nested_acc = {
+        "label": AttributeAccessor(
+            F.col("label"), F.col("label").isNotNull(), "numeric"
+        )
+    }
+    cols, flat_acc = extract_attribute_payloads(nested_acc)
+    df = raw.select(
+        "vec_id", "embedding", *(c.alias(n) for n, c in cols.items())
+    )
+    assert _flat_passthrough(flat_acc, "label", numeric=False)
+    store = str(tmp_path / "gcov")
+    nsw_write_clustered(
+        df, store, n_shards=8,
+        payload_cols=["label", "label__present"], stats_attrs=["label"],
+    )
+    router = _flat_router()
+    pred = {"label": ["exact", 3]}
+    route = router.route_ann(
+        5, predicates=pred, has_pruned_store=True,
+        pruned_attrs=pruned_match_attrs(spark, store),
+    )
+    assert route.strategy == "nsw_pruned_match"
+    got = router.ann_search(
+        df, rows[1][1], pred, 5, pruned_path=store, accessors=flat_acc
+    ).collect()
+    brute = [
+        i
+        for _, i in sorted(
+            (sum((a - b) ** 2 for a, b in zip(r[1], rows[1][1])), r[0])
+            for r in rows
+            if r[2] == 3
+        )[:5]
+    ]
+    assert [r["vec_id"] for r in got] == brute
