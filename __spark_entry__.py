@@ -4182,14 +4182,20 @@ def _q_nsw_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # zone maps have provably-failing shards) + its per-shard
         # (vmin, vmax, n_present) sidecar enable the r10 range form
         # (nsw_pruned_range_topk)
+        # r11b: a derived STRING payload (tag = 'cat' || label) + its
+        # value-count sidecar let the conjunction rung prove SUBSTRING
+        # constraints exactly (sum of distinct-key counts containing
+        # the needle) — the reference's literal class-2 flagship shape
         corpus = corpus.withColumn(
             "weight",
             (F.col("label") * 10 + F.col("vec_id") % 5).cast("double"),
+        ).withColumn(
+            "tag", F.concat(F.lit("cat"), F.col("label").cast("string"))
         )
         nsw_write_clustered(
             corpus, path, n_shards=8,
-            payload_cols=["label", "weight"],
-            stats_attrs=["label"], numeric_stats_attrs=["weight"],
+            payload_cols=["label", "weight", "tag"],
+            stats_attrs=["label", "tag"], numeric_stats_attrs=["weight"],
         )
         srows = spark.read.parquet(path + "/_shard_stats").collect()
         parts = np.asarray([r["part_id"] for r in srows], dtype=np.int64)
@@ -4925,6 +4931,59 @@ def _q_routed_pruned_conj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("dist", _R).alias("dist"))
 
 
+def _q_routed_pruned_substr_conj_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r11b: the reference's LITERAL class-2 flagship query shape —
+    ``item_weight < 2 ∧ brand substring Amazon`` (acorn.py:296-298) —
+    through the planner: a range ∧ SUBSTRING conjunction. Substring is
+    provable EXACTLY from the per-shard distinct-value counts (Σ counts
+    over keys containing the needle, `_substring_value_count`), so the
+    Bonferroni bound holds with exact per-constraint counts; the
+    substring term routes only over a STRING-kind passthrough accessor
+    (build_predicate ignores substring on numeric kinds — routing those
+    would change semantics). The walk mask is the same conjunction in
+    Catalyst (`contains`); full beam answers the exact pre-filter
+    oracle WHERE weight < 32 AND tag LIKE '%t3%' (tag = 'cat'||label
+    rides the shared store; 't3' hits only the label-3 slab, whose
+    weights straddle 32 — all three verdict classes fire). Shares the
+    clustered store."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        pruned_match_attrs,
+        pruned_range_attrs,
+    )
+
+    _q_nsw_pruned_topk(spark, sf_dir)  # build/reuse the shared store
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path, qs = _NSW_PRUNED_CACHE[key]
+    router = _conj_router_stats()
+    acc = flat_accessors(
+        {"label": "int", "weight": "double", "tag": "string",
+         "vec_id": "bigint"}
+    )
+    pred = {"weight": ["<", 32], "tag": ["substring", "t3"]}
+    route = router.route_ann(
+        10, predicates=pred, has_pruned_store=True,
+        pruned_attrs=pruned_match_attrs(spark, path),
+        pruned_range_attrs=pruned_range_attrs(spark, path),
+        pruned_substr_attrs=frozenset({"tag"}),
+    )
+    assert route.strategy == "nsw_pruned_conj", route
+    corpus = _clustered_embeddings(spark, sf_dir).withColumn(
+        "weight",
+        (F.col("label") * 10 + F.col("vec_id") % 5).cast("double"),
+    ).withColumn(
+        "tag", F.concat(F.lit("cat"), F.col("label").cast("string"))
+    )
+    res = router.ann_search(
+        corpus, list(qs[0][1]), pred, 10, pruned_path=path, accessors=acc
+    )
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
 def _q_routed_batch_dispatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11 (VERDICT r10 ask #4): BATCHED routed dispatch — one
     ``ann_search_batch`` call routes a four-query batch onto THREE
@@ -5217,7 +5276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     section): nsw_pruned_range_topk → routed_pruned_conj_topk,
     nsw_pruned_batch_topk → routed_batch_dispatch_topk,
     ivf_pruned_match_topk → ivf_exact_batch_topk, nsw_prune_decisions
-    → nsw_conj_decisions.
+    → nsw_conj_decisions, and nsw_pruned_hybrid_topk →
+    routed_pruned_substr_conj_topk (the reference's literal class-2
+    range ∧ substring flagship shape through the planner).
     """
     return {
         # -- reference §2.2 query shape: three physical strategies (K1-K4) --
@@ -5428,7 +5489,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontam keeps stream_decontaminate_docs in-window (whose
         # foreachBatch gate runs the same broadcast bloom screen +
         # exact verify), the sharded-bloom row stays oracle-gated 51+
-        "nsw_pruned_hybrid_topk": _q_nsw_pruned_hybrid_topk,
+        # r11b swap: the reference's LITERAL class-2 flagship shape —
+        # range ∧ SUBSTRING through the planner (substring proven
+        # exactly from distinct-value counts); the r9b single
+        # prune_match form (nsw_pruned_hybrid_topk) stays oracle-gated
+        # at 51+, its machinery subsumed by the routed match/conj rows
+        "routed_pruned_substr_conj_topk": _q_routed_pruned_substr_conj_topk,
         # r11 swap: BATCHED ROUTED DISPATCH — the serving shape: four
         # queries routed onto three arms, the whole pruned family
         # folded into ONE per-query prune_conj store read (which runs
@@ -5505,6 +5571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nsw_pruned_batch_topk": _q_nsw_pruned_batch_topk,
         "ivf_pruned_match_topk": _q_ivf_pruned_match_topk,
         "nsw_prune_decisions": _q_nsw_prune_decisions,
+        # r11b swap (see the routed_pruned_substr_conj_topk seat above)
+        "nsw_pruned_hybrid_topk": _q_nsw_pruned_hybrid_topk,
         # r10 rotation displacements — all remain oracle-gated here
         "nsw_delete_topk": _q_nsw_delete_topk,
         "nsw_pruned_topk": _q_nsw_pruned_topk,
@@ -7598,6 +7666,20 @@ def oracle_sql() -> dict[str, str]:
         + f"""
             SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
             FROM (SELECT * FROM ce WHERE label = 3 AND weight < 32) e,
+                 (SELECT embedding FROM ce WHERE vec_id = 2) q
+            ORDER BY {_D2}, e.vec_id LIMIT 10""",
+        # r11b: the literal class-2 flagship shape (range ∧ substring)
+        # through the planner — tag = 'cat'||label rides the store,
+        # substring proven exactly from the distinct-value counts
+        "routed_pruned_substr_conj_topk": "WITH ce AS (SELECT s.vec_id, "
+        "CAST(s.label * 10 + s.vec_id % 5 AS DOUBLE) AS weight, "
+        "'cat' || CAST(s.label AS VARCHAR) AS tag, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s)\n"
+        + f"""
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM (SELECT * FROM ce
+                  WHERE weight < 32 AND contains(tag, 't3')) e,
                  (SELECT embedding FROM ce WHERE vec_id = 2) q
             ORDER BY {_D2}, e.vec_id LIMIT 10""",
         # r11: batched routed dispatch — four queries, three arms, one

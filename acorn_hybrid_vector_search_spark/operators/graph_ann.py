@@ -1522,15 +1522,20 @@ def _canon_value_count(vals: "dict[str, int]", value) -> int:
     return 0
 
 
-_CONJ_OPS = frozenset({"exact"}) | frozenset(_RANGE_OPS)
+_CONJ_OPS = frozenset({"exact", "substring"}) | frozenset(_RANGE_OPS)
 
 
 def _normalize_conj(conj) -> "dict[str, tuple]":
     """Validate and normalize one conjunction ``{attr: (op, value)}``
     (specs may arrive as the §2.3 ``[op, value]`` lists). Every op must
-    be exact or a recognized range spelling — the zone maps prove
-    nothing about substring or unknown ops, so pruning under them would
-    be unsound."""
+    be exact, substring, or a recognized range spelling — other ops have
+    no zone-map evidence, so pruning under them would be unsound.
+    Substring is provable EXACTLY from the per-shard value counts: the
+    sidecar holds counts per DISTINCT value, so the passing count is
+    the sum over keys containing the needle (see
+    ``_substring_value_count``) — which makes the conjunction cover the
+    reference's literal class-2 flagship shape ``item_weight < 2 ∧
+    brand substring Amazon`` (acorn.py:296-298)."""
     if not conj:
         raise ValueError(
             "empty prune_conj conjunction — pass None for an unfiltered "
@@ -1541,12 +1546,27 @@ def _normalize_conj(conj) -> "dict[str, tuple]":
         op, value = list(spec)[0], list(spec)[1]
         if op not in _CONJ_OPS:
             raise ValueError(
-                f"prune_conj op must be 'exact' or one of "
+                f"prune_conj op must be 'exact', 'substring' or one of "
                 f"{sorted(_RANGE_OPS)}, got {op!r} for {attr!r} — zone "
                 f"maps prove nothing about other ops"
             )
         out[str(attr)] = (op, value)
     return out
+
+
+def _substring_value_count(vals: "dict[str, int]", needle) -> int:
+    """EXACT passing count for a case-sensitive substring constraint
+    out of one partition's distinct-value→count map — Σ counts over
+    keys containing the needle (§2.3 containment, `target in value`;
+    NULL values have the None key and never match). Exact like
+    `_canon_value_count`, not a bound: the sidecar enumerates every
+    distinct value, so substring is decidable per shard. Intended for
+    categorical/low-cardinality string attrs (the zone-map economics
+    note on ``nsw_stats_write(attrs=...)``)."""
+    s = str(needle)
+    return sum(
+        n for k, n in vals.items() if k is not None and s in k
+    )
 
 
 def _conj_shard_stats(
@@ -1571,11 +1591,15 @@ def _conj_shard_stats(
     deficits = np.zeros(n_parts, dtype=np.int64)
     possible = np.ones(n_parts, dtype=bool)
     for attr, (op, value) in conj.items():
-        if op == "exact":
+        if op in ("exact", "substring"):
             by_part = attr_counts[attr]
+            counter = (
+                _canon_value_count if op == "exact"
+                else _substring_value_count
+            )
             passing = np.asarray(
                 [
-                    _canon_value_count(by_part.get(int(p), {}), value)
+                    counter(by_part.get(int(p), {}), value)
                     for p in stat_parts
                 ],
                 dtype=np.int64,
@@ -1610,6 +1634,8 @@ def _conj_pred_col(conj: "dict[str, tuple]"):
         col = F.col(attr)
         if op == "exact":
             c = col == F.lit(value)
+        elif op == "substring":
+            c = col.contains(F.lit(value))
         else:
             r_op = _RANGE_OPS[op]
             c = {
@@ -2526,12 +2552,15 @@ def nsw_read_topk(
                 if conj_shared is not None
                 else list(conj_by_qid.values())
             )
+            # exact AND substring constraints read the per-shard value
+            # counts (substring is decidable exactly over the distinct
+            # keys); range constraints read the numeric zone maps
             need_exact = sorted(
                 {
                     a
                     for c in conj_dicts
                     for a, (c_op, _) in c.items()
-                    if c_op == "exact"
+                    if c_op in ("exact", "substring")
                 }
             )
             need_range = sorted(
@@ -2539,7 +2568,7 @@ def nsw_read_topk(
                     a
                     for c in conj_dicts
                     for a, (c_op, _) in c.items()
-                    if c_op != "exact"
+                    if c_op not in ("exact", "substring")
                 }
             )
             attr_counts: dict = {}

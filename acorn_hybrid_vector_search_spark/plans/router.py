@@ -303,6 +303,7 @@ class StrategyRouter:
         has_pruned_store: bool = False,
         pruned_attrs: "frozenset[str] | Sequence[str] | None" = None,
         pruned_range_attrs: "frozenset[str] | Sequence[str] | None" = None,
+        pruned_substr_attrs: "frozenset[str] | Sequence[str] | None" = None,
         est_kept_fraction: float | None = None,
         small_corpus: int = 100_000,
         selective_cutoff: float = 0.05,
@@ -392,36 +393,46 @@ class StrategyRouter:
         ):
             match_cover = set(pruned_attrs or ())
             range_cover = set(pruned_range_attrs or ())
+            substr_cover = set(pruned_substr_attrs or ())
+
+            def _conj_term_ok(attr: str, op: str) -> bool:
+                # exact op → per-shard value counts; §2.3 range op →
+                # numeric zone maps; substring → per-shard value counts
+                # summed over distinct keys containing the needle
+                # (EXACT, not a bound — the sidecar enumerates every
+                # distinct value), gated on a STRING-kind passthrough
+                # accessor (substr_cover: build_predicate ignores
+                # substring on numeric kinds, so routing those would
+                # filter where the fallback would not). Any other op
+                # refuses — no zone-map evidence.
+                if op == "exact":
+                    return attr in match_cover
+                if op == "substring":
+                    return attr in substr_cover
+                # ONLY the §2.3 range spellings build_predicate
+                # ENFORCES ('<='/'>=' are not §2.3 ops — the builder
+                # ignores them, so routing them would make the result
+                # depend on sidecar freshness — review r10)
+                return op in _ROUTABLE_RANGE_OPS and attr in range_cover
+
             if len(predicates) == 1:
                 ((attr, spec),) = dict(predicates).items()
                 op = list(spec)[0]
                 if op == "exact" and attr in match_cover:
                     return AnnRoute("nsw_pruned_match", sel)
-                # ONLY the §2.3 op spellings build_predicate ENFORCES
-                # ('<='/'>=' are not §2.3 ops — the predicate builder
-                # ignores them, so routing them to the enforcing rung
-                # would make the result depend on sidecar freshness:
-                # filtered when fresh, constraint-ignored on the
-                # prefilter fallback when stale — review r10)
                 if op in _ROUTABLE_RANGE_OPS and attr in range_cover:
                     return AnnRoute("nsw_pruned_range", sel)
+                # r11b: a lone substring constraint routes through the
+                # conjunction rung — the reference's class-3 brand
+                # substring query shape (acorn.py:296-298)
+                if op == "substring" and attr in substr_cover:
+                    return AnnRoute("nsw_pruned_conj", sel)
             # r11 CONJUNCTION arm (VERDICT r10 ask #3 — the reference's
-            # literal class-2 query shape is a two-attribute
-            # conjunction, acorn.py:296-298): every constrained attr
-            # must be covered by the matching fresh sidecar (exact op →
-            # per-shard value counts; §2.3 range op → numeric zone
-            # maps). Any other op (substring, unknown) refuses — the
-            # zone maps prove nothing about it, and build_predicate's
-            # fallthrough semantics would diverge from the walk mask.
+            # LITERAL class-2 query shape: ``item_weight < 2 ∧ brand
+            # substring Amazon``, acorn.py:296-298): every constrained
+            # attr must be covered by the matching fresh sidecar.
             elif all(
-                (
-                    list(spec)[0] == "exact"
-                    and attr in match_cover
-                )
-                or (
-                    list(spec)[0] in _ROUTABLE_RANGE_OPS
-                    and attr in range_cover
-                )
+                _conj_term_ok(attr, list(spec)[0])
                 for attr, spec in dict(predicates).items()
             ):
                 return AnnRoute("nsw_pruned_conj", sel)
@@ -494,9 +505,9 @@ class StrategyRouter:
         query_vec,
         k: int,
     ) -> tuple:
-        """(prunable, pruned_attrs, range_attrs, est_kept) for ONE query
-        over the clustered store — the evidence ``route_ann`` consults
-        so rules 5/6 never route into a guard:
+        """(prunable, pruned_attrs, range_attrs, substr_attrs, est_kept)
+        for ONE query over the clustered store — the evidence
+        ``route_ann`` consults so rules 5/6 never route into a guard:
 
         - a tombstoned store refuses EVERY pruned read (the stats count
           dead members), so it reads as having no pruned store at all
@@ -515,16 +526,28 @@ class StrategyRouter:
           rule 5 used to dispatch straight into the staleness guard)."""
         pruned_attrs = None
         range_attrs = None
+        substr_attrs = None
         est_kept = None
         prunable = False
         if pruned_path is None:
-            return prunable, pruned_attrs, range_attrs, est_kept
+            return prunable, pruned_attrs, range_attrs, substr_attrs, est_kept
         from acorn_hybrid_vector_search_spark.operators.graph_ann import (
             estimate_kept_fraction,
             pruned_match_attrs,
             pruned_range_attrs,
             store_has_tombstones,
         )
+
+        def _substr_safe(a: str) -> bool:
+            # substring routes only over STRING-kind passthrough
+            # accessors: build_predicate ignores substring on numeric
+            # kinds (§2.3 fallthrough), so routing those would filter
+            # where the prefilter fallback would not (r11b)
+            return (
+                a in acc
+                and acc[a].kind == "string"
+                and _flat_passthrough(acc, a, numeric=False)
+            )
 
         prunable = not store_has_tombstones(spark, pruned_path)
         if prunable and predicates:
@@ -538,12 +561,22 @@ class StrategyRouter:
                 and _flat_passthrough(acc, a, numeric=True)
                 for a, s in dict(predicates).items()
             )
-            if wants_exact:
-                pruned_attrs = frozenset(
-                    a
-                    for a in pruned_match_attrs(spark, pruned_path)
-                    if _flat_passthrough(acc, a, numeric=False)
-                )
+            wants_substr = any(
+                list(s)[0] == "substring" and _substr_safe(a)
+                for a, s in dict(predicates).items()
+            )
+            if wants_exact or wants_substr:
+                cover = pruned_match_attrs(spark, pruned_path)
+                if wants_exact:
+                    pruned_attrs = frozenset(
+                        a
+                        for a in cover
+                        if _flat_passthrough(acc, a, numeric=False)
+                    )
+                if wants_substr:
+                    substr_attrs = frozenset(
+                        a for a in cover if _substr_safe(a)
+                    )
             if wants_range:
                 range_attrs = frozenset(
                     a
@@ -556,7 +589,7 @@ class StrategyRouter:
             )
             if est_kept is None:
                 prunable = False
-        return prunable, pruned_attrs, range_attrs, est_kept
+        return prunable, pruned_attrs, range_attrs, substr_attrs, est_kept
 
     def ann_search(
         self,
@@ -594,7 +627,9 @@ class StrategyRouter:
         (whose ball-bound executor is predicate-less) — exactness is
         never traded for a prune."""
         acc = accessors or abo_accessors()
-        prunable, pruned_attrs, range_attrs, est_kept = self._pruned_facts(
+        (
+            prunable, pruned_attrs, range_attrs, substr_attrs, est_kept,
+        ) = self._pruned_facts(
             df.sparkSession, pruned_path, predicates, acc, query_vec, k
         )
         route = self.route_ann(
@@ -607,6 +642,7 @@ class StrategyRouter:
             has_pruned_store=prunable,
             pruned_attrs=pruned_attrs,
             pruned_range_attrs=range_attrs,
+            pruned_substr_attrs=substr_attrs,
             est_kept_fraction=est_kept,
         )
         pred_col = (
@@ -727,7 +763,7 @@ class StrategyRouter:
             raise ValueError(f"duplicate query ids in batch: {qids}")
         routes: dict[int, AnnRoute] = {}
         for qid, vec, preds in queries:
-            prunable, pa, ra, ek = self._pruned_facts(
+            prunable, pa, ra, sa, ek = self._pruned_facts(
                 df.sparkSession, pruned_path, preds, acc, vec, k
             )
             routes[int(qid)] = self.route_ann(
@@ -740,6 +776,7 @@ class StrategyRouter:
                 has_pruned_store=prunable,
                 pruned_attrs=pa,
                 pruned_range_attrs=ra,
+                pruned_substr_attrs=sa,
                 est_kept_fraction=ek,
             )
         return routes

@@ -1947,3 +1947,88 @@ def test_covering_index_accessors_route_to_pruned_rungs(spark, tmp_path):
         )[:5]
     ]
     assert [r["vec_id"] for r in got] == brute
+
+
+def test_router_substring_conjunction_arm(spark, tmp_path):
+    """r11b: the reference's LITERAL class-2 shape — a range ∧ substring
+    conjunction — routes to nsw_pruned_conj when the substring attr has
+    fresh value counts AND a string-kind passthrough accessor; a
+    numeric-kind accessor refuses (build_predicate ignores substring on
+    numeric kinds); dispatched ≡ brute."""
+    import random as _random
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_write_clustered,
+    )
+
+    rng = _random.Random(59)
+    centers = [(-6, -6), (-6, 6), (6, -6), (6, 6)]
+    rows = []
+    for i in range(320):
+        b = i % 4
+        cx, cy = centers[b]
+        rows.append(
+            (
+                i,
+                [round(rng.gauss(cx, 0.5), 4), round(rng.gauss(cy, 0.5), 4)]
+                + [round(rng.gauss(0, 0.5), 4) for _ in range(6)],
+                float(b * 10 + i % 5),
+                f"brand{b}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "vec_id long, embedding array<double>, weight double, tag string",
+    )
+    store = str(tmp_path / "gsub")
+    nsw_write_clustered(
+        df, store, n_shards=8,
+        payload_cols=["weight", "tag"],
+        stats_attrs=["tag"], numeric_stats_attrs=["weight"],
+    )
+    router = _flat_router()
+    acc = flat_accessors(
+        {"weight": "double", "tag": "string", "vec_id": "bigint"}
+    )
+    pred = {"weight": ["<", 32], "tag": ["substring", "nd3"]}
+    routes = router.route_ann_batch(
+        df, [(0, rows[1][1], pred)], 5, pruned_path=store, accessors=acc
+    )
+    assert routes[0].strategy == "nsw_pruned_conj", routes
+    got = router.ann_search(
+        df, rows[1][1], pred, 5, pruned_path=store, accessors=acc
+    ).collect()
+    brute = [
+        i
+        for _, i in sorted(
+            (sum((a - b) ** 2 for a, b in zip(r[1], rows[1][1])), r[0])
+            for r in rows
+            if r[2] < 32 and "nd3" in r[3]
+        )[:5]
+    ]
+    assert [r["vec_id"] for r in got] == brute
+    # lone substring → the conj rung too
+    lone = {"tag": ["substring", "nd3"]}
+    routes2 = router.route_ann_batch(
+        df, [(0, rows[1][1], lone)], 5, pruned_path=store, accessors=acc
+    )
+    assert routes2[0].strategy == "nsw_pruned_conj", routes2
+    # numeric-kind accessor for the substring attr → refuses to route
+    acc_num = flat_accessors(
+        {"weight": "double", "tag": "string", "vec_id": "bigint"}
+    )
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        AttributeAccessor,
+    )
+    from pyspark.sql import functions as F
+
+    acc_num["tag"] = AttributeAccessor(
+        F.col("tag"), F.col("tag").isNotNull(), "numeric"
+    )
+    routes3 = router.route_ann_batch(
+        df, [(0, rows[1][1], lone)], 5, pruned_path=store, accessors=acc_num
+    )
+    assert routes3[0].strategy != "nsw_pruned_conj", routes3

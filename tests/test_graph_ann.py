@@ -2315,3 +2315,56 @@ def test_conj_decisions_relation_matches_helper(spark):
         )
         assert bool(possible[i]) == poss, p
         assert int(lb[i]) == want_lb, p
+
+
+def test_prune_conj_substring_exact_counts(spark, conj_store):
+    """r11b: substring constraints are EXACTLY decidable from the
+    per-shard distinct-value counts (sum over keys containing the
+    needle) — the reference's literal class-2 flagship shape
+    ``weight < 2 ∧ brand substring …`` (acorn.py:296-298) runs through
+    prune_conj. The conj store lacks a string payload, so this builds
+    a tagged twin; full beam answers the exact filtered oracle and
+    `_substring_value_count` is pinned against ground truth."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        _substring_value_count,
+        nsw_read_topk,
+        nsw_write_clustered,
+    )
+
+    assert _substring_value_count({"cat3": 5, "cat13": 2, "dog": 9}, "at") == 7
+    assert _substring_value_count({"cat3": 5, None: 4}, "3") == 5
+    assert _substring_value_count({"cat3": 5}, "x") == 0
+
+    path, rows = conj_store
+    tagged_rows = [
+        (i, emb, lab, w, f"cat{lab}") for i, emb, lab, w in rows
+    ]
+    df = spark.createDataFrame(
+        tagged_rows,
+        "vec_id long, embedding array<double>, label int, "
+        "weight double, tag string",
+    )
+    import tempfile
+
+    tpath = tempfile.mkdtemp(prefix="acorn_conj_sub_") + "/g"
+    nsw_write_clustered(
+        df, tpath, n_shards=8,
+        payload_cols=["weight", "tag"],
+        stats_attrs=["tag"], numeric_stats_attrs=["weight"],
+    )
+    q = rows[1][1]
+    got = nsw_read_topk(
+        spark, tpath, [(0, list(q))], 5, ef=10**6, prune=True,
+        prune_conj={"weight": ("<", 32), "tag": ("substring", "3")},
+    ).collect()
+    want = _conj_brute(
+        rows, q, 5, lambda r: r[3] < 32 and "3" in f"cat{r[2]}"
+    )
+    assert [r["vec_id"] for r in got] == want
+    # lone substring through the conj rung
+    got2 = nsw_read_topk(
+        spark, tpath, [(0, list(q))], 5, ef=10**6, prune=True,
+        prune_conj={"tag": ("substring", "t3")},
+    ).collect()
+    want2 = _conj_brute(rows, q, 5, lambda r: "t3" in f"cat{r[2]}")
+    assert [r["vec_id"] for r in got2] == want2

@@ -256,6 +256,13 @@ AUDIT: dict[str, list[str]] = {
     # round 11: the conjunction-verdict disclosure relation is one
     # partial aggregate (the cap_stats pattern)
     "nsw_conj_decisions": ["HashAggregate"],
+    # round 11b: the literal class-2 range ∧ substring conjunction —
+    # same plan family as the conj arm (kept-set partition filter + the
+    # Contains-bearing _pass mask riding the walk)
+    "routed_pruned_substr_conj_topk": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit",
+        "PartitionFilters", "_pass",
+    ],
 }
 
 
