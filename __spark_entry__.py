@@ -5061,10 +5061,12 @@ def _q_ivf_exact_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus = _clustered_embeddings(spark, sf_dir).withColumn(
             "weight",
             (F.col("label") * 10 + F.col("vec_id") % 5).cast("double"),
+        ).withColumn(
+            "tag", F.concat(F.lit("cat"), F.col("label").cast("string"))
         )
         idx = ivf_build(
             corpus, n_clusters=8, with_radii=True,
-            stats_attrs=["label"], numeric_stats_attrs=["weight"],
+            stats_attrs=["label", "tag"], numeric_stats_attrs=["weight"],
         )
         by_id = {
             r["vec_id"]: list(r["embedding"])
@@ -5082,6 +5084,30 @@ def _q_ivf_exact_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "vec_id", F.round("dist", _R).alias("dist")
     )
+
+
+def _q_ivf_conj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11b: IVF conjunction symmetry — the graph store's ``prune_conj``
+    on the inverted lists (``ivf_search_exact(conj=...)``), running the
+    reference's literal class-2 range ∧ substring shape. The IVF form
+    needs no Bonferroni counts: the two-phase ball bound plus the
+    Catalyst conjunction mask stay exact as long as only
+    provably-empty lists are skipped (ANY-none-pass verdicts — the
+    substring term is exact from the distinct-value counts). Answers
+    the identical oracle as routed_pruned_substr_conj_topk. Shares the
+    batch index cache."""
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_search_exact,
+    )
+
+    _q_ivf_exact_batch_topk(spark, sf_dir)  # build/reuse the index
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx, by_id = _IVF_BATCH_CACHE[key]
+    res = ivf_search_exact(
+        idx, by_id[2], 10,
+        conj={"weight": ("<", 32), "tag": ("substring", "t3")},
+    )
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
 
 
 def _q_nsw_conj_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5573,6 +5599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nsw_prune_decisions": _q_nsw_prune_decisions,
         # r11b swap (see the routed_pruned_substr_conj_topk seat above)
         "nsw_pruned_hybrid_topk": _q_nsw_pruned_hybrid_topk,
+        # r11b: IVF conjunction symmetry (prune_conj on the inverted
+        # lists) — same literal class-2 oracle as the routed window row
+        "ivf_conj_topk": _q_ivf_conj_topk,
         # r10 rotation displacements — all remain oracle-gated here
         "nsw_delete_topk": _q_nsw_delete_topk,
         "nsw_pruned_topk": _q_nsw_pruned_topk,
@@ -7672,6 +7701,19 @@ def oracle_sql() -> dict[str, str]:
         # through the planner — tag = 'cat'||label rides the store,
         # substring proven exactly from the distinct-value counts
         "routed_pruned_substr_conj_topk": "WITH ce AS (SELECT s.vec_id, "
+        "CAST(s.label * 10 + s.vec_id % 5 AS DOUBLE) AS weight, "
+        "'cat' || CAST(s.label AS VARCHAR) AS tag, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s)\n"
+        + f"""
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM (SELECT * FROM ce
+                  WHERE weight < 32 AND contains(tag, 't3')) e,
+                 (SELECT embedding FROM ce WHERE vec_id = 2) q
+            ORDER BY {_D2}, e.vec_id LIMIT 10""",
+        # r11b: the IVF conj twin answers the identical literal
+        # class-2 oracle (weight < 32 AND tag contains 't3')
+        "ivf_conj_topk": "WITH ce AS (SELECT s.vec_id, "
         "CAST(s.label * 10 + s.vec_id % 5 AS DOUBLE) AS weight, "
         "'cat' || CAST(s.label AS VARCHAR) AS tag, "
         + _SHIFT_SQL.format(a="s")

@@ -596,6 +596,7 @@ def ivf_search_exact(
     *,
     match: tuple[str, object] | None = None,
     range_pred: tuple[str, str, float] | None = None,
+    conj=None,
 ) -> DataFrame:
     """PROVABLY EXACT top-k with data-adaptive cluster pruning — the
     IVF answer to "approximate is not acceptable, full scan is too much".
@@ -646,6 +647,18 @@ def ivf_search_exact(
     ball lower bound applies unchanged to the passing subset —
     exact filtered top-k, the graph store's ``prune_range`` on the
     inverted lists. Mutually exclusive with ``match``.
+
+    ``conj`` (r11): ``{attr: (op, value)}`` — a CONJUNCTION of exact /
+    substring / range constraints, the graph store's ``prune_conj`` on
+    the inverted lists (the reference's literal class-2 shape,
+    acorn.py:296-298). The IVF form needs NO Bonferroni counts: the
+    two-phase scan's exactness comes from the ball bound plus the
+    predicate-filtered top-k, so it suffices to skip lists where ANY
+    constraint provably passes nowhere (exact/substring: zero summed
+    value counts; range: none-pass verdict) and to AND the constraint
+    masks into both scans. Every exact/substring attr needs per-list
+    value counts, every range attr numeric zone maps. Mutually
+    exclusive with ``match``/``range_pred``.
     """
     from acorn_hybrid_vector_search_spark.operators.graph_ann import (
         _RANGE_OPS,
@@ -654,10 +667,31 @@ def ivf_search_exact(
 
     if index.radii is None:
         raise ValueError("ivf_search_exact requires an index built with_radii=True")
-    if match is not None and range_pred is not None:
-        raise ValueError("pass either match or range_pred, not both")
+    if sum(x is not None for x in (match, range_pred, conj)) > 1:
+        raise ValueError(
+            "pass at most one of match / range_pred / conj — one "
+            "predicate drives both the list pruning and the row filter"
+        )
     pred = None
     passing = None
+    if conj is not None:
+        from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+            _conj_pred_col,
+            _normalize_conj,
+        )
+
+        normalized = _normalize_conj(conj)
+        passing = np.ones(index.n_clusters, dtype=np.int64)
+        for attr, (c_op, c_val) in normalized.items():
+            passing &= _ivf_passing_lists(
+                index, (attr, c_op, c_val)
+            ).astype(np.int64)
+        pred = _conj_pred_col(normalized)
+        if not (passing > 0).any():
+            return knn_exact(
+                index.df.filter(F.lit(False)), list(query_vec), k,
+                vec_col=index.vec_col, id_col=index.id_col,
+            )
     if range_pred is not None:
         r_attr, r_op_raw, r_val = range_pred
         r_op = _RANGE_OPS.get(r_op_raw)
@@ -764,30 +798,36 @@ def ivf_search_exact(
 
 def _ivf_passing_lists(index: IVFIndex, constraint) -> np.ndarray:
     """Per-list may-hold-a-passing-member mask for ONE §2.3 constraint
-    ``(attr, op, value)`` with op 'exact' (per-list exact value counts)
+    ``(attr, op, value)`` with op 'exact'/'substring' (per-list exact
+    value counts — substring sums the distinct keys containing the
+    needle, exactly like the graph store's `_substring_value_count`)
     or a range spelling (numeric zone-map verdicts) — the single-query
     ``ivf_search_exact`` arms' verdict arithmetic, shaped for the r11
-    batch form. Raises on uncovered attrs exactly like the single-query
-    arms do (the batch caller routes only covered constraints)."""
+    conj/batch forms. Raises on uncovered attrs exactly like the
+    single-query arms do (callers route only covered constraints)."""
     from acorn_hybrid_vector_search_spark.operators.graph_ann import (
         _RANGE_OPS,
         _canon_value_count,
         _range_shard_verdict,
+        _substring_value_count,
     )
 
     attr, op, value = constraint
-    if op == "exact":
+    if op in ("exact", "substring"):
         if not index.attr_counts or attr not in index.attr_counts:
             covered = sorted(index.attr_counts or ())
             raise ValueError(
-                f"batch match on {attr!r} needs per-list value counts "
-                f"(covered: {covered}) — build with "
+                f"{op} constraint on {attr!r} needs per-list value "
+                f"counts (covered: {covered}) — build with "
                 f"ivf_build(stats_attrs=[{attr!r}])"
             )
         per = index.attr_counts[attr]
+        counter = (
+            _canon_value_count if op == "exact" else _substring_value_count
+        )
         return np.asarray(
             [
-                _canon_value_count(per.get(c, {}), value) > 0
+                counter(per.get(c, {}), value) > 0
                 for c in range(index.n_clusters)
             ],
             dtype=bool,
@@ -823,6 +863,7 @@ def ivf_search_exact_batch(
     *,
     match=None,
     range_pred=None,
+    conj=None,
     query_id_col: str = "query_id",
     salt_buckets: int = 32,
 ) -> DataFrame:
@@ -837,9 +878,12 @@ def ivf_search_exact_batch(
     zone-map verdicts (the SAME `_canon_value_count` /
     `_range_shard_verdict` arithmetic as the single-query arms) skip
     its provably-empty lists at every stage; a query in neither mapping
-    probes on plain ball bounds. A query whose constraint provably
-    passes nowhere contributes an empty per-query result, exactly like
-    the single-query arms.
+    probes on plain ball bounds; ``conj``: per-query CONJUNCTION dicts
+    ``{query_id: {attr: (op, value)}}`` with exact / substring / range
+    terms (the graph store's per-query prune_conj shape — a query's
+    lists must survive EVERY term's verdict). A query whose constraint
+    provably passes nowhere contributes an empty per-query result,
+    exactly like the single-query arms.
 
     Plan (both phases are broadcast EQUI-joins — no nested-loop pair
     explosion, and cluster_id stays partition-prunable at rest):
@@ -879,27 +923,36 @@ def ivf_search_exact_batch(
         )
     match = {int(q): t for q, t in dict(match or {}).items()}
     range_pred = {int(q): t for q, t in dict(range_pred or {}).items()}
-    if both := sorted(set(match) & set(range_pred)):
+    conj = {int(q): dict(c) for q, c in dict(conj or {}).items()}
+    overlapping = sorted(
+        (set(match) & set(range_pred))
+        | (set(match) & set(conj))
+        | (set(range_pred) & set(conj))
+    )
+    if overlapping:
         raise ValueError(
-            f"queries {both} appear in both match and range_pred — one "
-            f"constraint drives both the list pruning and the row filter"
+            f"queries {overlapping} appear in both match and range_pred "
+            f"(or conj) — one constraint set drives both the list "
+            f"pruning and the row filter"
         )
     qids = [int(q) for q, _ in queries]
     qset = set(qids)
-    if unknown := [q for q in sorted({*match, *range_pred}) if q not in qset]:
+    if unknown := [
+        q for q in sorted({*match, *range_pred, *conj}) if q not in qset
+    ]:
         raise ValueError(f"constraints for ids not in the batch: {unknown}")
 
     # driver-side per-query verdicts: passing-list masks, centroid
     # ordering, nearest passing list (C-row numpy — query-batch-sized
-    # work, independent of data scale)
+    # work, independent of data scale). Every constraint shape
+    # normalizes to a conjunction dict {attr: (op, value)} — match and
+    # range are its one-term special cases (the graph store's
+    # prune_conj unification).
     from acorn_hybrid_vector_search_spark.operators.graph_ann import (
         _RANGE_OPS,
     )
 
-    constraints: dict[int, tuple] = {}
-    for q, (attr, value) in match.items():
-        constraints[q] = (attr, "exact", value)
-    for q, (attr, op, value) in range_pred.items():
+    def _spell_range(op: str) -> str:
         # canonicalize the range spelling to the §2.3 op the row-filter
         # grammar ENFORCES ('<=' → 'leq', '>=' → 'geq'): the predicate
         # parameter table silently ignores unsupported spellings, so an
@@ -912,8 +965,41 @@ def ivf_search_exact_batch(
                 f"batch range op must be one of {sorted(_RANGE_OPS)}, "
                 f"got {op!r}"
             )
-        spelled = {"<=": "leq", ">=": "geq", "<": "<", ">": ">"}[canon]
-        constraints[q] = (attr, spelled, value)
+        return {"<=": "leq", ">=": "geq", "<": "<", ">": ">"}[canon]
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors as _facc,
+    )
+
+    acc_kinds = {a: x.kind for a, x in _facc(index.df).items()}
+    constraints: dict[int, dict] = {}
+    for q, (attr, value) in match.items():
+        constraints[q] = {attr: ("exact", value)}
+    for q, (attr, op, value) in range_pred.items():
+        constraints[q] = {attr: (_spell_range(op), value)}
+    for q, terms in conj.items():
+        normalized = {}
+        for attr, spec in terms.items():
+            c_op, c_val = list(spec)[0], list(spec)[1]
+            if c_op == "exact":
+                pass
+            elif c_op == "substring":
+                # the batch row filter runs through the §2.3 parameter
+                # grammar, which IGNORES substring on non-string kinds
+                # — accepting it would prune lists without filtering
+                # rows (the review-r11 hazard, closed at the gate)
+                if acc_kinds.get(attr) != "string":
+                    raise ValueError(
+                        f"substring constraint on non-string column "
+                        f"{attr!r} — the §2.3 grammar ignores it, so "
+                        f"pruning by it would change results"
+                    )
+            else:
+                c_op = _spell_range(c_op)
+            normalized[attr] = (c_op, c_val)
+        if not normalized:
+            raise ValueError(f"empty conj for query {q}")
+        constraints[q] = normalized
     qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
     dc_all = np.sqrt(
         ((index.centroids[None, :, :] - qmat[:, None, :]) ** 2).sum(axis=2)
@@ -922,11 +1008,9 @@ def ivf_search_exact_batch(
     order_by_q: dict[int, np.ndarray] = {}
     first_by_q: dict[int, int] = {}
     for qi, q in enumerate(qids):
-        passing = (
-            _ivf_passing_lists(index, constraints[q])
-            if q in constraints
-            else np.ones(index.n_clusters, dtype=bool)
-        )
+        passing = np.ones(index.n_clusters, dtype=bool)
+        for c_attr, (c_op, c_val) in constraints.get(q, {}).items():
+            passing &= _ivf_passing_lists(index, (c_attr, c_op, c_val))
         order = np.argsort(dc_all[qi], kind="stable")
         order = order[passing[order]]
         passing_by_q[q] = passing
@@ -943,7 +1027,7 @@ def ivf_search_exact_batch(
         return empty.withColumn("dist", F.lit(0.0))
 
     preds_323 = {
-        q: {constraints[q][0]: [constraints[q][1], constraints[q][2]]}
+        q: {a: [c_op, c_val] for a, (c_op, c_val) in constraints[q].items()}
         for q in constraints
         if q in first_by_q
     }

@@ -2032,3 +2032,117 @@ def test_router_substring_conjunction_arm(spark, tmp_path):
         df, [(0, rows[1][1], lone)], 5, pruned_path=store, accessors=acc_num
     )
     assert routes3[0].strategy != "nsw_pruned_conj", routes3
+
+
+def test_ivf_search_exact_conj_and_batch_conj(spark, tmp_path):
+    """r11b IVF conjunction symmetry (the graph store's prune_conj on
+    the inverted lists): single-query conj (exact ∧ range, substring ∧
+    range) answers the exact filtered oracle — the two-phase ball
+    bound needs no Bonferroni counts, only ANY-none-pass list skipping
+    — and the batch form's per-query conj mapping ≡ the single-query
+    loop. Guards: at-most-one constraint shape, substring on a
+    non-string column refuses in the batch, uncovered attr raises."""
+    import random as _random
+
+    import pytest
+
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        _ivf_passing_lists,
+        ivf_build,
+        ivf_search_exact,
+        ivf_search_exact_batch,
+    )
+
+    rng = _random.Random(61)
+    centers = [(-6, -6), (-6, 6), (6, -6), (6, 6)]
+    rows = []
+    for i in range(320):
+        b = i % 4
+        cx, cy = centers[b]
+        rows.append(
+            (
+                i,
+                [round(rng.gauss(cx, 0.5), 4), round(rng.gauss(cy, 0.5), 4)]
+                + [round(rng.gauss(0, 0.5), 4) for _ in range(6)],
+                b,
+                float(b * 10 + i % 5),
+                f"brand{b}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "vec_id long, embedding array<double>, label int, weight double, "
+        "tag string",
+    )
+    idx = ivf_build(
+        df, n_clusters=8, with_radii=True,
+        stats_attrs=["label", "tag"], numeric_stats_attrs=["weight"],
+    )
+    q = rows[1][1]
+
+    def brute(pred):
+        return [
+            (i, round(d, 9))
+            for d, i in sorted(
+                (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+                for r in rows
+                if pred(r)
+            )[:5]
+        ]
+
+    got = [
+        (r["vec_id"], round(r["dist"], 9))
+        for r in ivf_search_exact(
+            idx, q, 5,
+            conj={"label": ("exact", 3), "weight": ("<", 32)},
+        ).collect()
+    ]
+    assert got == brute(lambda r: r[2] == 3 and r[3] < 32)
+    got2 = [
+        (r["vec_id"], round(r["dist"], 9))
+        for r in ivf_search_exact(
+            idx, q, 5,
+            conj={"tag": ("substring", "nd3"), "weight": ("<", 32)},
+        ).collect()
+    ]
+    assert got2 == brute(lambda r: "nd3" in r[4] and r[3] < 32)
+    # provably-failing lists exist for the substring term
+    mask = _ivf_passing_lists(idx, ("tag", "substring", "nd3"))
+    assert (~mask).any()
+    # unsatisfiable → empty
+    assert (
+        ivf_search_exact(
+            idx, q, 5, conj={"label": ("exact", 3), "weight": (">", 999)}
+        ).count()
+        == 0
+    )
+    # batch conj mapping ≡ single-query loop
+    queries = [(0, rows[0][1]), (1, rows[1][1]), (2, rows[2][1])]
+    conj_map = {
+        0: {"label": ("exact", 3), "weight": ("<", 32)},
+        1: {"tag": ("substring", "nd2"), "weight": ("geq", 20)},
+    }
+    res = ivf_search_exact_batch(idx, queries, 5, conj=conj_map).collect()
+    by_q: dict = {}
+    for r in res:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (r["vec_id"], round(r["dist"], 9))
+        )
+    for qid, qv in queries:
+        kw = {"conj": conj_map[qid]} if qid in conj_map else {}
+        single = [
+            (r["vec_id"], round(r["dist"], 9))
+            for r in ivf_search_exact(idx, qv, 5, **kw).collect()
+        ]
+        assert by_q.get(qid, []) == single, qid
+    # guards
+    with pytest.raises(ValueError, match="at most one"):
+        ivf_search_exact(
+            idx, q, 5, match=("label", 3), conj={"label": ("exact", 3)}
+        )
+    with pytest.raises(ValueError, match="non-string"):
+        ivf_search_exact_batch(
+            idx, queries, 5, conj={0: {"weight": ("substring", "2")}}
+        )
+    with pytest.raises(ValueError, match="value counts"):
+        ivf_search_exact(idx, q, 5, conj={"nope": ("exact", 1)})
