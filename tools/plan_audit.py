@@ -263,6 +263,13 @@ AUDIT: dict[str, list[str]] = {
         "FlatMapGroupsInPandas", "WindowGroupLimit",
         "PartitionFilters", "_pass",
     ],
+    # round 11b: the same class-2 conjunction on the IVF lists —
+    # provably-empty lists out of the partition filter, the whole
+    # range ∧ substring conjunction as pushed Catalyst predicates on
+    # the kept lists (Contains from the substring term)
+    "ivf_conj_topk": [
+        "PartitionFilters", "Contains", "TakeOrderedAndProject",
+    ],
 }
 
 
