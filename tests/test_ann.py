@@ -1290,7 +1290,7 @@ def test_ivf_search_exact_range_pred_zone_maps(spark, tmp_path):
     # empty result (nothing passes), not an error
     assert ivf_search_exact(idx, q, 5, range_pred=("weight", ">", 99)).count() == 0
     # guards
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         ivf_search_exact(
             idx, q, 5, match=("weight", 0), range_pred=("weight", "<", 10)
         )
