@@ -540,11 +540,22 @@ def nsw_write(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     payload_cols: Sequence[str] = (),
+    vector_dtype: str = "float64",
 ) -> None:
     """Build per-partition NSW graphs ONCE and persist them — the
     ``save_index`` analog (hnswlib bindings.cpp; the reference re-pays
     a ~51 s build per process, README.md:232; SURVEY §4 "Index
     persistence").
+
+    ``vector_dtype='float32'`` (r11) stores the vector column as
+    ``array<float>`` — the reference's OWN precision (hnswlib indexes
+    hold float32, bindings.cpp `data_t = float`; the embeddings it
+    ingests are float32 ResNet-50 outputs), while the default float64
+    store pays 2× its scan + Arrow bytes on every walk. Vectors are
+    quantized once at build; full-beam search is exact w.r.t. the
+    float32-cast corpus, and maintenance ops (append/compact/
+    recluster) inherit the store's dtype from its parquet schema so a
+    float32 store never grows mixed-precision shards.
 
     Layout: one parquet row per graph node —
     ``(part_id, seq, <id_col>, vector double[], neighbors long[]
@@ -569,9 +580,19 @@ def nsw_write(
     _nsw_nodes(
         df, m=m, ef_construction=ef_construction, gamma=gamma,
         vec_col=vec_col, id_col=id_col, part_offset=0,
-        payload_cols=payload_cols,
+        payload_cols=payload_cols, vector_dtype=vector_dtype,
     ).write.mode("overwrite").partitionBy("part_id").parquet(path)
     _bump_store_version(path)
+
+
+def _store_vector_dtype(stored: DataFrame) -> str:
+    """The store's persisted vector precision, read off the parquet
+    schema — maintenance ops (append/compact/recluster) pass it back
+    into ``_nsw_nodes`` so a float32 store never silently grows
+    mixed-precision shards (parquet would hold both, and the scan
+    would fail to merge ``array<float>`` with ``array<double>``)."""
+    el = stored.schema["vector"].dataType.elementType.simpleString()
+    return "float32" if el == "float" else "float64"
 
 
 def _nsw_nodes(
@@ -585,6 +606,7 @@ def _nsw_nodes(
     part_offset: int,
     payload_cols: Sequence[str] = (),
     part_col: str | None = None,
+    vector_dtype: str = "float64",
 ) -> DataFrame:
     """``payload_cols`` (r8): metadata columns stored alongside each
     node — what makes PREDICATE-FILTERED search over the persisted
@@ -608,25 +630,39 @@ def _nsw_nodes(
     shard's ball tight."""
     if gamma < 1:
         raise ValueError(f"gamma must be >= 1, got {gamma}")
+    if vector_dtype not in ("float64", "float32"):
+        raise ValueError(
+            f"vector_dtype must be 'float64' or 'float32', got "
+            f"{vector_dtype!r}"
+        )
     payload_cols = [
         c for c in payload_cols if c not in (id_col, vec_col, part_col)
     ]
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     extra_schema = "".join(f", {c} {types[c]}" for c in payload_cols)
+    vec_sql = "float" if vector_dtype == "float32" else "double"
     out_schema = (
         f"part_id int, seq long, {id_col} long, "
-        f"vector array<double>, neighbors array<long>, "
+        f"vector array<{vec_sql}>, neighbors array<long>, "
         f"gamma int{extra_schema}"
     )
 
     def build_frame(pdf: pd.DataFrame, part_ids) -> pd.DataFrame:
+        # float32: quantize ONCE at build time, then construct the graph
+        # over the quantized values (NswGraph upcasts internally, which
+        # is lossless on float32-representable inputs) — so the persisted
+        # adjacency, the stored bytes, and every later search all see the
+        # SAME vectors: full-beam search stays exact w.r.t. the
+        # float32-cast corpus
         x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        if vector_dtype == "float32":
+            x = x.astype(np.float32)
         g = NswGraph(x, m=m, ef_construction=ef_construction, gamma=gamma)
         out = {
             "part_id": part_ids,
             "seq": np.arange(g.n, dtype=np.int64),
             id_col: pdf[id_col].to_numpy(dtype=np.int64),
-            "vector": [list(map(float, row)) for row in g.x],
+            "vector": [list(map(float, row)) for row in x],
             "neighbors": [list(map(int, nb)) for nb in g.neighbors],
             "gamma": np.full(g.n, gamma, dtype=np.int32),
         }
@@ -1046,6 +1082,7 @@ def nsw_append(
         df, m=m, ef_construction=ef_construction, gamma=gamma,
         vec_col=vec_col, id_col=id_col, part_offset=int(max_part) + 1,
         payload_cols=payload_cols,
+        vector_dtype=_store_vector_dtype(stored),
     ).write.mode("append").partitionBy("part_id").parquet(path)
     _bump_store_version(path)
 
@@ -1142,6 +1179,7 @@ def nsw_compact(
         id_col=id_col,
         part_offset=0,
         payload_cols=extras,
+        vector_dtype=_store_vector_dtype(raw),
     )
     from acorn_hybrid_vector_search_spark.operators._cache import invalidate
 
@@ -1854,6 +1892,7 @@ def nsw_write_clustered(
     sample_rows: int = 20_000,
     n_iter: int = 10,
     seed: int = 42,
+    vector_dtype: str = "float64",
 ) -> None:
     """Build the store with CLUSTER-PURE shards — the layout that
     makes ball-bound pruning bite. ``nsw_write`` shards by arrival
@@ -1894,6 +1933,7 @@ def nsw_write_clustered(
         assigned, m=m, ef_construction=ef_construction, gamma=gamma,
         vec_col=vec_col, id_col=id_col, part_offset=0,
         payload_cols=payload_cols, part_col="cluster_id",
+        vector_dtype=vector_dtype,
     ).write.mode("overwrite").partitionBy("part_id").parquet(path)
     _bump_store_version(path)
     nsw_stats_write(
@@ -2129,6 +2169,7 @@ def nsw_recluster(
         assigned, m=m, ef_construction=ef_construction, gamma=gamma,
         vec_col="vector", id_col=id_col, part_offset=0,
         payload_cols=extras, part_col="cluster_id",
+        vector_dtype=_store_vector_dtype(raw),
     )
     tmp = path.rstrip("/") + "__recluster_tmp"
     try:
@@ -2552,6 +2593,25 @@ def nsw_read_topk(
                 if conj_shared is not None
                 else list(conj_by_qid.values())
             )
+            # substring is defined on STRINGS (§2.3 containment); on a
+            # numeric store column the walk mask would implicitly
+            # stringify while build_predicate's grammar IGNORES the
+            # constraint — the same divergence the IVF batch form
+            # refuses (ann.py), so refuse it here symmetrically
+            col_types = {
+                f.name: f.dataType.simpleString()
+                for f in stored.schema.fields
+            }
+            for c in conj_dicts:
+                for a, (c_op, _) in c.items():
+                    if c_op == "substring" and col_types.get(a) != "string":
+                        raise ValueError(
+                            f"substring constraint on non-string column "
+                            f"{a!r} ({col_types.get(a, 'absent')}) — the "
+                            f"§2.3 grammar ignores substring on "
+                            f"non-string kinds, so pruning by it would "
+                            f"change results"
+                        )
             # exact AND substring constraints read the per-shard value
             # counts (substring is decidable exactly over the distinct
             # keys); range constraints read the numeric zone maps

@@ -145,6 +145,7 @@ def nsw_stream_batch_writer(
         _nsw_nodes,
         _read_tombstones,
         _store_gamma,
+        _store_vector_dtype,
         _tombstones_path,
         nsw_compact,
     )
@@ -204,14 +205,18 @@ def nsw_stream_batch_writer(
         # materializations before the compaction-decision read
         invalidate()
         gamma = 1
+        vector_dtype = "float64"
         has_shards = os.path.exists(path) and any(
             d.startswith("part_id=") for d in os.listdir(path)
         )
         if has_shards:
             stored = spark.read.parquet(path)
             # new shards keep the seed store's densification (γ rides
-            # the store as a constant column; review r8b)
+            # the store as a constant column; review r8b) AND its
+            # vector precision (a float32 store must not grow
+            # mixed-precision shards — the scan can't merge them)
             gamma = _store_gamma(stored)
+            vector_dtype = _store_vector_dtype(stored)
             n_shards = stored.select("part_id").distinct().count()
             if n_shards > compact_factor * t:
                 # wedge guard (ADVICE r9): in upsert mode a REPLAYED
@@ -259,6 +264,7 @@ def nsw_stream_batch_writer(
             vec_col=vec_col,
             id_col=id_col,
             part_offset=offset,
+            vector_dtype=vector_dtype,
         )
         (
             nodes.write.mode("overwrite")

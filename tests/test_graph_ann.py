@@ -2240,10 +2240,19 @@ def test_prune_conj_guard_matrix(spark, conj_store):
         )
     with pytest.raises(ValueError, match="empty prune_conj"):
         nsw_read_topk(spark, path, q, 5, prune=True, prune_conj={})
-    with pytest.raises(ValueError, match="op must be"):
+    # substring on a NUMERIC column refuses (r11b: the walk mask would
+    # implicitly stringify while build_predicate's grammar ignores the
+    # constraint — same refusal as the IVF batch form); bogus ops still
+    # refuse at normalization
+    with pytest.raises(ValueError, match="non-string column"):
         nsw_read_topk(
             spark, path, q, 5, prune=True,
             prune_conj={"label": ("substring", "3")},
+        )
+    with pytest.raises(ValueError, match="op must be"):
+        nsw_read_topk(
+            spark, path, q, 5, prune=True,
+            prune_conj={"label": ("regex", "3")},
         )
     with pytest.raises(ValueError, match="does not cover"):
         nsw_read_topk(
@@ -2368,3 +2377,163 @@ def test_prune_conj_substring_exact_counts(spark, conj_store):
     ).collect()
     want2 = _conj_brute(rows, q, 5, lambda r: "t3" in f"cat{r[2]}")
     assert [r["vec_id"] for r in got2] == want2
+
+
+def test_nsw_float32_store_lifecycle_exact(spark, tmp_path):
+    """r11 float32 store: the reference's own precision (hnswlib
+    bindings.cpp `data_t = float`) as an opt-in — halves scan + Arrow
+    bytes on every walk. Vectors are quantized ONCE at build, so
+    full-beam search is exact w.r.t. the float32-CAST corpus; append /
+    compact inherit the store dtype from the parquet schema (a mixed
+    store would fail to merge array<float> with array<double>)."""
+    import pytest
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_append,
+        nsw_compact,
+    )
+
+    rng = random.Random(31)
+    dim = 6
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(240)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(3)
+    path = str(tmp_path / "g32")
+    nsw_write(df, path, vector_dtype="float32")
+
+    stored = spark.read.parquet(path)
+    el = stored.schema["vector"].dataType.elementType.simpleString()
+    assert el == "float"
+    x64 = np.asarray([r[1] for r in rows], dtype=np.float64)
+    x32 = x64.astype(np.float32).astype(np.float64)
+    # quantization is REAL on this corpus — exactness below is not
+    # trivially the float64 result
+    assert np.any(x32 != x64)
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    q = np.asarray(rows[5][1], dtype=np.float64)
+
+    def cast_brute(ids_, x_, k):
+        d = ((x_ - q) ** 2).sum(axis=1)
+        order = sorted(range(len(ids_)), key=lambda i: (d[i], ids_[i]))
+        return [int(ids_[i]) for i in order[:k]]
+
+    got = nsw_read_topk(spark, path, [(0, list(q))], K, ef=10**6).collect()
+    assert [r["vec_id"] for r in got] == cast_brute(ids, x32, K)
+    # the stored bytes really are the quantized values, not rounded
+    # doubles
+    srow = stored.filter(F.col("vec_id") == 5).head()
+    assert list(srow["vector"]) == list(x64[5].astype(np.float32))
+
+    # append WITHOUT a dtype arg inherits float32 from the store schema
+    rows2 = [
+        (1000 + i, [rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(60)
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<double>"
+    ).repartition(2)
+    nsw_append(df2, path)
+    stored2 = spark.read.parquet(path)
+    assert (
+        stored2.schema["vector"].dataType.elementType.simpleString()
+        == "float"
+    )
+    all64 = np.vstack([x64, np.asarray([r[1] for r in rows2])])
+    all32 = all64.astype(np.float32).astype(np.float64)
+    all_ids = np.concatenate(
+        [ids, np.asarray([r[0] for r in rows2], dtype=np.int64)]
+    )
+    got2 = nsw_read_topk(spark, path, [(0, list(q))], K, ef=10**6).collect()
+    assert [r["vec_id"] for r in got2] == cast_brute(all_ids, all32, K)
+
+    # compact re-packs at the inherited precision (quantized values are
+    # a fixed point of re-quantization, so results are unchanged)
+    nsw_compact(spark, path, n_shards=2)
+    stored3 = spark.read.parquet(path)
+    assert (
+        stored3.schema["vector"].dataType.elementType.simpleString()
+        == "float"
+    )
+    got3 = nsw_read_topk(spark, path, [(0, list(q))], K, ef=10**6).collect()
+    assert [r["vec_id"] for r in got3] == cast_brute(all_ids, all32, K)
+
+    with pytest.raises(ValueError, match="vector_dtype"):
+        nsw_write(df, str(tmp_path / "bad"), vector_dtype="float16")
+
+
+def test_nsw_float32_clustered_prune_and_recluster(spark, tmp_path):
+    """float32 × the clustered store: ball/zone-map sidecars are
+    computed FROM the stored (quantized) vectors, so pruned full-beam
+    search stays exact w.r.t. the cast corpus; nsw_recluster keeps the
+    precision."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_recluster,
+        nsw_write_clustered,
+    )
+
+    rng = random.Random(33)
+    centers = [(-8, -8), (-8, 8), (8, -8), (8, 8)]
+    rows = []
+    for i in range(320):
+        cx, cy = centers[i % 4]
+        rows.append(
+            (
+                i,
+                [rng.gauss(cx, 0.4), rng.gauss(cy, 0.4)]
+                + [rng.gauss(0, 0.4) for _ in range(4)],
+                i % 4,
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).repartition(3)
+    path = str(tmp_path / "gc32")
+    nsw_write_clustered(
+        df, path, n_shards=4, payload_cols=["label"],
+        stats_attrs=["label"], vector_dtype="float32",
+    )
+    stored = spark.read.parquet(path)
+    assert (
+        stored.schema["vector"].dataType.elementType.simpleString()
+        == "float"
+    )
+    x32 = (
+        np.asarray([r[1] for r in rows], dtype=np.float64)
+        .astype(np.float32)
+        .astype(np.float64)
+    )
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    q = np.asarray(rows[2][1], dtype=np.float64)
+    d = ((x32 - q) ** 2).sum(axis=1)
+
+    def brute(pred, k=5):
+        order = sorted(
+            (i for i in range(len(ids)) if pred(i)),
+            key=lambda i: (d[i], ids[i]),
+        )
+        return [int(ids[i]) for i in order[:k]]
+
+    got = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6, prune=True
+    ).collect()
+    assert [r["vec_id"] for r in got] == brute(lambda i: True)
+    got_m = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6, prune=True,
+        prune_match=("label", 2),
+    ).collect()
+    assert [r["vec_id"] for r in got_m] == brute(lambda i: rows[i][2] == 2)
+
+    nsw_recluster(spark, path, n_shards=4, stats_attrs=["label"])
+    stored2 = spark.read.parquet(path)
+    assert (
+        stored2.schema["vector"].dataType.elementType.simpleString()
+        == "float"
+    )
+    got2 = nsw_read_topk(
+        spark, path, [(0, list(q))], 5, ef=10**6, prune=True,
+        prune_match=("label", 2),
+    ).collect()
+    assert [r["vec_id"] for r in got2] == brute(lambda i: rows[i][2] == 2)

@@ -39,6 +39,9 @@ _BNLJ_BY_DESIGN = {
     # K3/K5 batch: same bounded broadcast query-parameter shape
     "postfilter_batch_topk",
     "routed_batch_topk",
+    # r11 batched dispatch: the prefilter ARM is the same bounded
+    # broadcast query-parameter scan (plan_audit pins the BNLJ token)
+    "routed_batch_dispatch_topk",
     # BM25's / the LM scorers' corpus-stats table is a broadcast 1-row
     # cross join
     "bm25_topk_docs",

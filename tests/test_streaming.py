@@ -933,3 +933,44 @@ def test_stream_routed_serve_groups_arms_and_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert first == want
+
+
+def test_stream_nsw_append_inherits_float32_store(spark, tmp_path):
+    """r11 float32 store × streaming ingest: micro-batches appended to
+    a float32-seeded store write float32 shards (the dtype is read off
+    the store schema per batch — a float64 batch would leave a
+    mixed-precision store whose scan fails to merge), and search stays
+    exact w.r.t. the float32-cast corpus."""
+    import numpy as np
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write,
+    )
+    from acorn_hybrid_vector_search_spark.streaming.indexing import (
+        nsw_stream_batch_writer,
+    )
+
+    path = str(tmp_path / "graph32")
+    seed_df = _mk_vec_rows(spark, 0, 40).repartition(2)
+    nsw_write(seed_df, path, vector_dtype="float32")
+    write_batch = nsw_stream_batch_writer(path, target_shards=2)
+    write_batch(_mk_vec_rows(spark, 40, 80).repartition(2), 0)
+    store = spark.read.parquet(path)
+    assert (
+        store.schema["vector"].dataType.elementType.simpleString()
+        == "float"
+    )
+    all_rows = _mk_vec_rows(spark, 0, 80).collect()
+    ids = np.asarray([r[0] for r in all_rows], dtype=np.int64)
+    x32 = (
+        np.asarray([r[1] for r in all_rows], dtype=np.float64)
+        .astype(np.float32)
+        .astype(np.float64)
+    )
+    q = np.asarray(all_rows[7][1], dtype=np.float64)
+    d = ((x32 - q) ** 2).sum(axis=1)
+    order = sorted(range(len(ids)), key=lambda i: (d[i], ids[i]))
+    want = [int(ids[i]) for i in order[:5]]
+    got = nsw_read_topk(spark, path, [(0, list(q))], 5, ef=10**6).collect()
+    assert [r["vec_id"] for r in got] == want

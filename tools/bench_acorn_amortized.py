@@ -30,6 +30,13 @@ vec_id % 10, dim-0 shifted by 4·label — the `_clustered_embeddings`
 shape); the build IS timed and reported against the reference's 51.35 s
 hnswlib construction (README.md:232). Results land in the
 ``acorn_amortized_refshape`` section.
+
+r11b: a 5th arg selects the store precision — ``python
+tools/bench_acorn_amortized.py <batch> <n> <dim> <shards> float32``
+builds the store with ``vector_dtype='float32'`` (the reference's OWN
+precision: hnswlib holds float32), halving the scan + Arrow bytes the
+refshape table identified as the structural residue. Results land in
+``acorn_amortized_refshape_f32`` (/ ``_q<batch>``).
 """
 
 from __future__ import annotations
@@ -92,6 +99,7 @@ def main() -> None:
     n_override = int(sys.argv[2]) if len(sys.argv) > 2 else None
     dim = int(sys.argv[3]) if len(sys.argv) > 3 else None
     shards = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    vector_dtype = sys.argv[5] if len(sys.argv) > 5 else "float64"
     load1, load5, load15 = os.getloadavg()
 
     if n_override is not None:
@@ -119,6 +127,7 @@ def main() -> None:
         emb.select("vec_id", "embedding", "label").repartition(shards),
         path,
         payload_cols=["label"],
+        vector_dtype=vector_dtype,
     )
     build_s = time.time() - t0
 
@@ -174,6 +183,7 @@ def main() -> None:
         "n_vectors": int(n_vec),
         "dim": int(len(next(iter(vecs.values())))),
         "n_shards": shards,
+        "vector_dtype": vector_dtype,
         "build_s_untimed": round(build_s, 1),
         "batch": q_n,
         "ef": EF,
@@ -207,12 +217,13 @@ def main() -> None:
     if os.path.exists(out_path):
         with open(out_path) as f:
             merged = json.load(f)
+    f32 = "_f32" if vector_dtype == "float32" else ""
     if n_override is None:
         section = "acorn_amortized"
     elif q_n == 64:
-        section = "acorn_amortized_refshape"
+        section = f"acorn_amortized_refshape{f32}"
     else:
-        section = f"acorn_amortized_refshape_q{q_n}"
+        section = f"acorn_amortized_refshape{f32}_q{q_n}"
     merged[section] = out
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
