@@ -5110,6 +5110,46 @@ def _q_ivf_conj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("dist", _R).alias("dist"))
 
 
+_NSW_F32_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q_nsw_f32_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 float32 store — the reference's OWN vector precision (its
+    hnswlib index holds float32, bindings.cpp ``data_t = float``; the
+    float64 default pays 2× the scan + Arrow bytes per walk). The
+    driver embeddings are already float32, where quantization would be
+    a no-op — so the corpus is DERIVED float64 (each component + 1/3,
+    IEEE-double-exact in both engines) and ``nsw_write(
+    vector_dtype='float32')`` quantizes it at build. Full-beam search
+    answers the brute-force oracle over the float32-CAST derived
+    corpus (DuckDB replays the cast with ``CAST(… AS REAL)``): the
+    hash gate proves the stored bytes are the quantized values and
+    search is exact w.r.t. them. Query vec 11 (derived the same way)."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+        nsw_write,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _NSW_F32_CACHE.get(key)
+    if path is None:
+        third = F.lit(1.0) / F.lit(3.0)
+        derived = _t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: x.cast("double") + third
+            ).alias("embedding"),
+        )
+        path = tempfile.mkdtemp(prefix="acorn_nsw_f32_") + "/graph"
+        nsw_write(derived, path, vector_dtype="float32")
+        _NSW_F32_CACHE[key] = path
+    q = [float(v) + (1.0 / 3.0) for v in _query_vec(spark, sf_dir, vec_id=11)]
+    res = nsw_read_topk(spark, path, [(11, q)], k=10, ef=1_000_000)
+    return res.select("vec_id", F.round("dist", _R).alias("dist"))
+
+
 def _q_nsw_conj_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11 disclosure relation: the CONJUNCTION verdict arithmetic
     (`_conj_shard_stats`' Bonferroni bound) fully replayed in SQL over
@@ -5602,6 +5642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11b: IVF conjunction symmetry (prune_conj on the inverted
         # lists) — same literal class-2 oracle as the routed window row
         "ivf_conj_topk": _q_ivf_conj_topk,
+        # r11b: float32 store at the reference's own precision — exact
+        # w.r.t. the float32-cast derived corpus, cast replayed in SQL
+        "nsw_f32_topk": _q_nsw_f32_topk,
         # r10 rotation displacements — all remain oracle-gated here
         "nsw_delete_topk": _q_nsw_delete_topk,
         "nsw_pruned_topk": _q_nsw_pruned_topk,
@@ -7723,6 +7766,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM ce
                   WHERE weight < 32 AND contains(tag, 't3')) e,
                  (SELECT embedding FROM ce WHERE vec_id = 2) q
+            ORDER BY {_D2}, e.vec_id LIMIT 10""",
+        # r11b: float32 store — brute force over the float32-CAST
+        # derived corpus (component + 1/3 in double, then CAST AS REAL
+        # — DuckDB REAL is IEEE float32, the same cast numpy/Java
+        # apply); the query vector stays float64-derived on both sides
+        "nsw_f32_topk": f"""
+            WITH c AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(CAST(
+                       CAST(x AS DOUBLE) + CAST(1 AS DOUBLE) / 3
+                   AS REAL) AS DOUBLE)) AS embedding
+               FROM embeddings),
+            q AS (SELECT list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) + CAST(1 AS DOUBLE) / 3
+                   ) AS embedding
+               FROM embeddings WHERE vec_id = 11)
+            SELECT e.vec_id, ROUND({_D2}, {_R}) AS dist
+            FROM c e, q
             ORDER BY {_D2}, e.vec_id LIMIT 10""",
         # r11: batched routed dispatch — four queries, three arms, one
         # pruned-store read; each query answers its OWN exact oracle

@@ -270,6 +270,12 @@ AUDIT: dict[str, list[str]] = {
     "ivf_conj_topk": [
         "PartitionFilters", "Contains", "TakeOrderedAndProject",
     ],
+    # round 11b: float32 store — the walk is the standard store-read
+    # shape; the scan must read the FLOAT vector column (half the
+    # bytes), pinned via the ReadSchema token
+    "nsw_f32_topk": [
+        "FlatMapGroupsInPandas", "WindowGroupLimit", "array<float>",
+    ],
 }
 
 
