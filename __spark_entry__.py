@@ -5125,6 +5125,8 @@ def _q_nsw_f32_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (DuckDB replays the cast with ``CAST(… AS REAL)``): the
     hash gate proves the stored bytes are the quantized values and
     search is exact w.r.t. them. Query vec 11 (derived the same way)."""
+    import os
+    import shutil
     import tempfile
 
     from acorn_hybrid_vector_search_spark.operators.graph_ann import (
@@ -5133,6 +5135,11 @@ def _q_nsw_f32_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _NSW_F32_CACHE if k[0] != key[0]]:
+        # drop dead-session entries AND their orphaned temp stores
+        # (sibling caches only hold handles; this one owns a mkdtemp dir)
+        shutil.rmtree(os.path.dirname(_NSW_F32_CACHE[stale]), ignore_errors=True)
+        del _NSW_F32_CACHE[stale]
     path = _NSW_F32_CACHE.get(key)
     if path is None:
         third = F.lit(1.0) / F.lit(3.0)

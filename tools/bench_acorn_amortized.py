@@ -219,7 +219,9 @@ def main() -> None:
             merged = json.load(f)
     f32 = "_f32" if vector_dtype == "float32" else ""
     if n_override is None:
-        section = "acorn_amortized"
+        # suffix the default-shape section too — a float32 run must never
+        # overwrite the float64 baseline the README table reads (ADVICE r11)
+        section = f"acorn_amortized{f32}"
     elif q_n == 64:
         section = f"acorn_amortized_refshape{f32}"
     else:
