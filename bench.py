@@ -94,6 +94,25 @@ def _memory_mb(spark) -> dict[str, float | None]:
     return {"jvm_peak_rss": jvm, "python_peak_rss": _peak_rss_mb(os.getpid())}
 
 
+def _job_floor_ms(spark, n: int = 9) -> float:
+    """Median wall time of ``spark.range(1).collect()`` — the host's
+    single-job scheduling floor. Sampled immediately before AND after
+    the battery (r11 verdict ask #1): every per-query number in this
+    file includes at least one such job dispatch, so when the floor
+    itself approaches a baseline gate (86.5 ms was measured on a host
+    whose gate line is 72.8 ms), the floor-normalized time
+    (query − floor) is the number that grades the PLAN rather than the
+    box. The probe is the cheapest possible plan — one task, no scan,
+    no shuffle — so its cost is pure scheduler + Py4J round-trip."""
+    s = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        spark.range(1).collect()
+        s.append((time.perf_counter() - t0) * 1000.0)
+    s.sort()
+    return round(s[len(s) // 2], 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -106,6 +125,9 @@ def main() -> None:
     spark = get_spark("acorn-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    loadavg0 = tuple(round(x, 2) for x in os.getloadavg())
+    floor_before = _job_floor_ms(spark)
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         fn(spark, sf_dir).collect()  # warm-up (also validates)
@@ -117,6 +139,8 @@ def main() -> None:
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
 
+    floor_after = _job_floor_ms(spark)
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "hybrid_query_suite_total",
@@ -126,6 +150,11 @@ def main() -> None:
         "sf": sf,
         "mode": mode,
         "memory_mb": _memory_mb(spark),
+        "job_floor_ms": {"before": floor_before, "after": floor_after},
+        "loadavg": {
+            "before": loadavg0,
+            "after": tuple(round(x, 2) for x in os.getloadavg()),
+        },
     }
     line = json.dumps(payload, separators=(",", ":"))
 
