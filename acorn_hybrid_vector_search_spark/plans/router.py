@@ -799,8 +799,9 @@ class StrategyRouter:
     ) -> DataFrame:
         """BATCHED routed dispatch (r11, VERDICT r10 ask #4): route each
         query of the batch (rules 1-6), GROUP the batch by the chosen
-        strategy, and answer each group from ≤ 1 scan / store read per
-        arm — the ``routed_batch_topk`` pattern (hybrid.py) extended to
+        strategy AND its budget tuple (ef, max_visits, nprobe — r12
+        hardening), and answer each group from ≤ 1 scan / store read per
+        (arm, budget) — the ``routed_batch_topk`` pattern (hybrid.py) extended to
         every rung of the ANN ladder, which is what a serving surface
         needs per micro-batch (``stream_routed_serve``). Per query the
         result is IDENTICAL to ``ann_search`` (pytest-pinned):
@@ -846,13 +847,32 @@ class StrategyRouter:
             # single-query path's prefilter fallback
             return "prefilter"
 
-        groups: dict[str, list] = {}
+        def group_key(route: AnnRoute, preds) -> tuple:
+            # r12 hardening (VERDICT r11 ask #4): group by the FULL budget
+            # tuple, not the arm alone. Today route_ann assigns budgets
+            # uniformly per (arm, min_recall), so every arm collapses to
+            # one group and the plan is unchanged — but a future rule that
+            # varies ef/max_visits/nprobe per query (e.g. on selectivity)
+            # now yields one store read per distinct budget instead of
+            # silently running every group member under the FIRST query's
+            # budget. batch ≡ per-query stays true by construction.
+            a = arm(route, preds)
+            if a in ("nsw", "nsw_gamma"):
+                return (a, route.ef, route.max_visits, None)
+            if a == "ivf":
+                return (a, None, None, route.nprobe)
+            return (a, None, None, None)
+
+        groups: dict[tuple, list] = {}
         for q in queries:
-            groups.setdefault(arm(routes[int(q[0])], q[2]), []).append(q)
+            groups.setdefault(group_key(routes[int(q[0])], q[2]), []).append(q)
+
+        def arm_batches(name: str) -> list[tuple[tuple, list]]:
+            return [(key, qs) for key, qs in groups.items() if key[0] == name]
 
         parts: list[DataFrame] = []
         spark = df.sparkSession
-        if batch := groups.get("prefilter"):
+        if batch := groups.get(("prefilter", None, None, None)):
             parts.append(
                 prefilter_search_batch(
                     df, batch, k, accessors=acc, vec_col=vec_col,
@@ -863,12 +883,11 @@ class StrategyRouter:
             ("nsw", nsw_path, "traverse_all"),
             ("nsw_gamma", gamma_path, "subgraph"),
         ):
-            if batch := groups.get(arm_name):
+            for (_, ef_, max_visits_, _np), batch in arm_batches(arm_name):
                 from acorn_hybrid_vector_search_spark.operators.graph_ann import (
                     nsw_read_topk,
                 )
 
-                r0 = routes[int(batch[0][0])]
                 preds = {
                     int(qid): build_predicate(p, acc)
                     for qid, _, p in batch
@@ -878,8 +897,8 @@ class StrategyRouter:
                     nsw_read_topk(
                         spark, path_,
                         [(int(qid), list(v)) for qid, v, _ in batch], k,
-                        ef=r0.ef,
-                        max_visits=r0.max_visits,
+                        ef=ef_,
+                        max_visits=max_visits_,
                         predicates=preds or None,
                         strategy=strat if preds else "traverse_all",
                         id_col=id_col,
@@ -887,7 +906,7 @@ class StrategyRouter:
                         F.col("query_id").alias(query_id_col), id_col, "dist"
                     )
                 )
-        if batch := groups.get("pruned"):
+        if batch := groups.get(("pruned", None, None, None)):
             from acorn_hybrid_vector_search_spark.operators.graph_ann import (
                 nsw_read_topk,
                 pruned_full_beam,
@@ -912,17 +931,16 @@ class StrategyRouter:
                     F.col("query_id").alias(query_id_col), id_col, "dist"
                 )
             )
-        if batch := groups.get("ivf"):
+        for (_, _ef, _mv, nprobe_), batch in arm_batches("ivf"):
             from acorn_hybrid_vector_search_spark.operators.ann import (
                 ivf_search_batch,
             )
 
-            r0 = routes[int(batch[0][0])]
             parts.append(
                 ivf_search_batch(
                     ivf_index,
                     [(int(qid), list(v)) for qid, v, _ in batch], k,
-                    nprobe=r0.nprobe,
+                    nprobe=nprobe_,
                     predicates={
                         int(qid): p for qid, _, p in batch if p
                     },
@@ -930,7 +948,7 @@ class StrategyRouter:
                     query_id_col=query_id_col,
                 ).select(query_id_col, id_col, "dist")
             )
-        if batch := groups.get("ivf_exact"):
+        if batch := groups.get(("ivf_exact", None, None, None)):
             from acorn_hybrid_vector_search_spark.operators.ann import (
                 ivf_search_exact_batch,
             )

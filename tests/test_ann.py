@@ -1786,6 +1786,87 @@ def test_ann_search_batch_ivf_and_nsw_arms_match_single(spark, tmp_path):
     assert {r.strategy for r in r3.values()} == {"ivf"}
 
 
+def test_ann_search_batch_groups_by_budget_tuple(spark, tmp_path):
+    """r12 (VERDICT r11 ask #4): the batched dispatch groups by the FULL
+    (arm, ef, max_visits, nprobe) tuple, not the arm alone — a rule that
+    assigns different budgets to different queries of one batch must
+    yield one store read per distinct budget, each group served under
+    ITS OWN budget, and batch ≡ per-query must still hold. Exercised
+    with a router subclass whose route_ann doubles ef/max_visits for
+    even-valued label predicates (a stand-in for any future
+    selectivity-dependent budget rule)."""
+    import dataclasses
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_write,
+    )
+    from acorn_hybrid_vector_search_spark.plans.router import StrategyRouter
+
+    df, rows, _store = _conj_blob_store(spark, tmp_path, seed=41)
+    acc = flat_accessors(
+        {"label": "int", "weight": "double", "vec_id": "bigint"}
+    )
+    nsw = str(tmp_path / "gbt")
+    nsw_write(
+        df.select("vec_id", "embedding", "label", "weight").repartition(4),
+        nsw, payload_cols=["label", "weight"],
+    )
+
+    class VariableBudgetRouter(type(_flat_router())):
+        def route_ann(self, k, *, predicates=None, **kw):
+            r = super().route_ann(k, predicates=predicates, **kw)
+            if (
+                r.strategy == "nsw"
+                and predicates
+                and int(dict(predicates)["label"][1]) % 2 == 0
+            ):
+                r = dataclasses.replace(
+                    r,
+                    ef=(r.ef or 32) * 2,
+                    max_visits=None
+                    if r.max_visits is None
+                    else r.max_visits * 2,
+                )
+            return r
+
+    base = _flat_router()
+    assert isinstance(base, StrategyRouter)
+    router = VariableBudgetRouter(
+        base.stats, default_large_k=base.default_large_k, safety=base.safety
+    )
+    batch = [
+        (j, rows[j][1], {"label": ["exact", j % 4]}) for j in range(4)
+    ]
+    routes = router.route_ann_batch(
+        df, batch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc
+    )
+    assert {r.strategy for r in routes.values()} == {"nsw"}
+    # the rule really produced TWO distinct budgets inside one arm
+    assert len({(r.ef, r.max_visits) for r in routes.values()}) == 2
+
+    got = router.ann_search_batch(
+        df, batch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc
+    ).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (r["vec_id"], round(r["dist"], 9))
+        )
+    for qid, qv, preds in batch:
+        single = [
+            (r["vec_id"], round(r["dist"], 9))
+            for r in router.ann_search(
+                df, qv, preds, 5, nsw_path=nsw, min_recall=0.9, accessors=acc
+            )
+            .select("vec_id", "dist")
+            .collect()
+        ]
+        assert sorted(by_q.get(qid, [])) == sorted(single), (qid, routes[qid])
+
+
 def test_ivf_search_batch_equals_per_query_loop(spark, tmp_path):
     """ivf_search_batch ≡ ivf_search per query — same nprobe lists,
     same per-query §2.3 predicate semantics, equi-join plan."""
