@@ -5033,6 +5033,128 @@ def _q_routed_batch_dispatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_STREAM_ROUTED_SERVE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q_stream_routed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 (VERDICT r11 ask #2): the ROUTED serving surface a user
+    actually deploys — ``stream_routed_serve`` (streaming/serving.py)
+    — under the same hash gate as its static twin. Four queries arrive
+    as a two-file parquet stream (two REAL micro-batches of two); each
+    micro-batch runs through the real foreachBatch writer →
+    ``StrategyRouter.ann_search_batch``, landing batch-keyed idempotent
+    results. The batch spans THREE dispatch arms: exact-match →
+    nsw_pruned_match and conjunction → nsw_pruned_conj (both FOLD into
+    one pruned store read), a far out-of-distribution predicate-free
+    query → ``ivf_exact`` (ball bounds keep ≈100% at offset 1000, so
+    rule 5's kept-fraction demotion fires — est_kept > 0.9), and an
+    uncovered-attr predicate → the exact prefilter scan arm. In-fn
+    pins: the route assignment, TWO landed micro-batches, and
+    stream-served ≡ static ``ann_search_batch`` (the per-query ≡
+    batch leg is pytest-pinned, tests/test_ann.py). The oracle is the
+    UNION of per-query brute-force SELECTs — every arm is exact, so
+    the served stream answers it hash-exact. Reference anchor: this is
+    the served form of acorn.py:289-302's query loop."""
+    import json as _json
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.streaming.serving import (
+        stream_routed_serve,
+    )
+
+    _q_nsw_pruned_topk(spark, sf_dir)  # build/reuse the shared store
+    _q_ivf_exact_batch_topk(spark, sf_dir)  # build/reuse the IVF index
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _STREAM_ROUTED_SERVE_CACHE if k[0] != key[0]]:
+        del _STREAM_ROUTED_SERVE_CACHE[stale]
+    out = _STREAM_ROUTED_SERVE_CACHE.get(key)
+    if out is None:
+        path, qs = _NSW_PRUNED_CACHE[key]
+        idx, _by = _IVF_BATCH_CACHE[key]
+        router = _conj_router_stats()
+        acc = flat_accessors(
+            {"label": "int", "weight": "double", "vec_id": "bigint"}
+        )
+        corpus = _clustered_embeddings(spark, sf_dir).withColumn(
+            "weight",
+            (F.col("label") * 10 + F.col("vec_id") % 5).cast("double"),
+        )
+        bid = dict(qs)
+        far = list(bid[8])
+        far[1] = far[1] + 1000.0
+        batch = [
+            (2, bid[2], {"label": ["exact", 3]}),
+            (4, bid[4], {"label": ["exact", 3], "weight": ["<", 32]}),
+            (8, far, None),
+            (99, bid[2], {"vec_id": ["<", 40]}),  # uncovered → prefilter
+        ]
+        routes = router.route_ann_batch(
+            corpus, batch, 10, pruned_path=path, ivf_index=idx,
+            accessors=acc,
+        )
+        assert routes[2].strategy == "nsw_pruned_match", routes
+        assert routes[4].strategy == "nsw_pruned_conj", routes
+        assert routes[8].strategy == "ivf_exact", routes
+        # 99 carries a predicate → the dispatch arm is the exact
+        # prefilter scan whatever the nominal route says
+        root = tempfile.mkdtemp(prefix="acorn_routed_serve_")
+        out = root + "/results"
+        qrows = spark.createDataFrame(
+            [
+                (qid, [float(v) for v in vec],
+                 _json.dumps(preds) if preds else None)
+                for qid, vec, preds in batch
+            ],
+            "query_id bigint, embedding array<double>, predicate_json string",
+        )
+        src = root + "/queries"
+        qrows.filter("query_id IN (2, 4)").repartition(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        qrows.filter("query_id IN (8, 99)").repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(qrows.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_routed_serve(
+            stream, router, corpus, out, root + "/ckpt", 10,
+            ivf_index=idx, pruned_path=path, accessors=acc,
+        )
+        q.processAllAvailable()
+        q.stop()
+        parts = {
+            r["_batch_id"]
+            for r in spark.read.parquet(out)
+            .select("_batch_id").distinct().collect()
+        }
+        assert len(parts) == 2, parts
+        # stream-served ≡ the static batched dispatch, value-exact
+        served = sorted(
+            (int(r["query_id"]), int(r["vec_id"]), round(r["dist"], 9))
+            for r in spark.read.parquet(out)
+            .select("query_id", "vec_id", "dist").collect()
+        )
+        static = sorted(
+            (int(r["query_id"]), int(r["vec_id"]), round(r["dist"], 9))
+            for r in router.ann_search_batch(
+                corpus, batch, 10, pruned_path=path, ivf_index=idx,
+                accessors=acc,
+            ).collect()
+        )
+        assert served == static, "stream-served != static batch dispatch"
+        _STREAM_ROUTED_SERVE_CACHE[key] = out
+    res = spark.read.parquet(out)
+    return res.select(
+        "query_id", "vec_id", F.round("dist", _R).alias("dist")
+    )
+
+
 _IVF_BATCH_CACHE: dict[tuple[str, str], object] = {}
 
 
@@ -5568,13 +5690,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prune_match form (nsw_pruned_hybrid_topk) stays oracle-gated
         # at 51+, its machinery subsumed by the routed match/conj rows
         "routed_pruned_substr_conj_topk": _q_routed_pruned_substr_conj_topk,
-        # r11 swap: BATCHED ROUTED DISPATCH — the serving shape: four
-        # queries routed onto three arms, the whole pruned family
-        # folded into ONE per-query prune_conj store read (which runs
-        # the r10 per-query batch machinery nsw_pruned_batch_topk
-        # proved, now THROUGH the planner); nsw_pruned_batch_topk
-        # stays oracle-gated at 51+
-        "routed_batch_dispatch_topk": _q_routed_batch_dispatch_topk,
+        # r12 swap (VERDICT r11 ask #2): the STREAMING routed serving
+        # surface — the same batched dispatch now driven through the
+        # real foreachBatch writer over two live micro-batches, arms
+        # prefilter + pruned(match∪conj) + ivf_exact, stream ≡ static
+        # dispatch pinned in-fn; routed_batch_dispatch_topk (the static
+        # twin this subsumes) stays oracle-gated at 51+ alongside
+        # nsw_pruned_batch_topk
+        "stream_routed_serve": _q_stream_routed_serve,
         "cms_heavy_tokens": _q_cms_heavy_tokens,
         # -- relational core --
         "agg_lineitem_pricing": _q_agg_lineitem,
@@ -5652,6 +5775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11b: float32 store at the reference's own precision — exact
         # w.r.t. the float32-cast derived corpus, cast replayed in SQL
         "nsw_f32_topk": _q_nsw_f32_topk,
+        # r12 rotation displacement: the static batched dispatch stays
+        # oracle-gated here (its streaming form took the window seat)
+        "routed_batch_dispatch_topk": _q_routed_batch_dispatch_topk,
         # r10 rotation displacements — all remain oracle-gated here
         "nsw_delete_topk": _q_nsw_delete_topk,
         "nsw_pruned_topk": _q_nsw_pruned_topk,
@@ -7815,6 +7941,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (
               SELECT 8 AS query_id, e.vec_id, ROUND({_D2}, {_R}) AS dist
               FROM ce e, (SELECT embedding FROM ce WHERE vec_id = 8) q
+              ORDER BY {_D2}, e.vec_id LIMIT 10)
+            UNION ALL
+            SELECT * FROM (
+              SELECT 99 AS query_id, e.vec_id, ROUND({_D2}, {_R}) AS dist
+              FROM (SELECT * FROM ce WHERE vec_id < 40) e,
+                   (SELECT embedding FROM ce WHERE vec_id = 2) q
+              ORDER BY {_D2}, e.vec_id LIMIT 10)""",
+        # r12: the streaming routed serving surface — same per-query
+        # brute-force union as the static dispatch, except query 8 is
+        # the far out-of-distribution vector (shifted embedding of
+        # vec 8 with +1000 on component 2 — the ivf_exact-arm landing)
+        "stream_routed_serve": "WITH ce AS (SELECT s.vec_id, s.label, "
+        "CAST(s.label * 10 + s.vec_id % 5 AS DOUBLE) AS weight, "
+        + _SHIFT_SQL.format(a="s")
+        + " AS embedding FROM embeddings s)\n"
+        + f"""
+            SELECT * FROM (
+              SELECT 2 AS query_id, e.vec_id, ROUND({_D2}, {_R}) AS dist
+              FROM (SELECT * FROM ce WHERE label = 3) e,
+                   (SELECT embedding FROM ce WHERE vec_id = 2) q
+              ORDER BY {_D2}, e.vec_id LIMIT 10)
+            UNION ALL
+            SELECT * FROM (
+              SELECT 4 AS query_id, e.vec_id, ROUND({_D2}, {_R}) AS dist
+              FROM (SELECT * FROM ce WHERE label = 3 AND weight < 32) e,
+                   (SELECT embedding FROM ce WHERE vec_id = 4) q
+              ORDER BY {_D2}, e.vec_id LIMIT 10)
+            UNION ALL
+            SELECT * FROM (
+              SELECT 8 AS query_id, e.vec_id, ROUND({_D2}, {_R}) AS dist
+              FROM ce e,
+                   (SELECT list_concat([embedding[1], embedding[2] + 1000.0],
+                                       embedding[3:]) AS embedding
+                    FROM ce WHERE vec_id = 8) q
               ORDER BY {_D2}, e.vec_id LIMIT 10)
             UNION ALL
             SELECT * FROM (
