@@ -1786,6 +1786,54 @@ def test_ann_search_batch_ivf_and_nsw_arms_match_single(spark, tmp_path):
     assert {r.strategy for r in r3.values()} == {"ivf"}
 
 
+def test_ivf_exact_match_boolean_payload(spark):
+    """VERDICT r11 ask #7 — the IVF twin of the graph store's boolean
+    zone-map pin: Spark's CAST(boolcol AS STRING) spells 'true'/'false'
+    while str(True) is 'True'; `_canon_value_count` canonicalizes, so
+    `ivf_search_exact(match=('flag', True))` over a boolean payload
+    answers the exact filtered oracle end-to-end instead of reading
+    every zero-passing list as empty-of-evidence (or, worse, pruning
+    every list and returning nothing)."""
+    from acorn_hybrid_vector_search_spark.operators.ann import (
+        ivf_build,
+        ivf_search_exact,
+    )
+
+    rows = [
+        (i, [float(i % 4) * 3.0, float(i) / 7.0], i % 3 == 0)
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, flag boolean"
+    )
+    idx = ivf_build(
+        df, n_clusters=4, with_radii=True, stats_attrs=["flag"]
+    )
+    # the sidecar stores Spark's lowercase spellings, never 'True'/'1'
+    spellings = {
+        v for per in idx.attr_counts["flag"].values() for v in per
+    }
+    assert spellings <= {"true", "false"}
+
+    q = rows[1][1]
+    for want_flag in (True, False):
+        got = [
+            r["vec_id"]
+            for r in ivf_search_exact(
+                idx, q, 5, match=("flag", want_flag)
+            ).collect()
+        ]
+        brute = [
+            i
+            for _, i in sorted(
+                (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+                for r in rows
+                if r[2] is want_flag
+            )[:5]
+        ]
+        assert got == brute, want_flag
+
+
 def test_ann_search_batch_groups_by_budget_tuple(spark, tmp_path):
     """r12 (VERDICT r11 ask #4): the batched dispatch groups by the FULL
     (arm, ef, max_visits, nprobe) tuple, not the arm alone — a rule that
