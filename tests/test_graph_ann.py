@@ -2537,3 +2537,136 @@ def test_nsw_float32_clustered_prune_and_recluster(spark, tmp_path):
         prune_match=("label", 2),
     ).collect()
     assert [r["vec_id"] for r in got2] == brute(lambda i: rows[i][2] == 2)
+
+
+# ---------------------------------------------------------------------------
+# r12: the batch-dense serving kernel (VERDICT r11 ask #3)
+
+
+def test_dense_topk_equals_walk_and_brute(spark, corpus, vectors, tmp_path):
+    """nsw_dense_topk ≡ full-beam nsw_read_topk ≡ brute force — pure,
+    shared-predicate, and per-query-predicate shapes, including rounded
+    distance values (same f64 dot-trick arithmetic)."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_dense_topk,
+    )
+
+    ids, x = vectors
+    path = _store_from(
+        corpus.withColumn("label", (F.col("vec_id") % 5).cast("int")),
+        tmp_path,
+        payload_cols=["label"],
+    )
+    qs = _queries(vectors)
+
+    def rows(df):
+        return [
+            (int(r["query_id"]), int(r["vec_id"]), round(r["dist"], 9))
+            for r in df.orderBy("query_id", "dist", "vec_id").collect()
+        ]
+
+    # pure
+    assert rows(nsw_dense_topk(spark, path, qs, K)) == rows(
+        nsw_read_topk(spark, path, qs, K, ef=10**6)
+    )
+    # shared predicate
+    shared = F.col("label") == 2
+    assert rows(
+        nsw_dense_topk(spark, path, qs, K, predicate=shared)
+    ) == rows(
+        nsw_read_topk(spark, path, qs, K, ef=10**6, predicate=shared)
+    )
+    # per-query predicates (one query unfiltered)
+    per = {
+        QUERY_IDS[0]: F.col("label") == 1,
+        QUERY_IDS[1]: F.col("label") < 3,
+    }
+    assert rows(
+        nsw_dense_topk(spark, path, qs, K, predicates=per)
+    ) == rows(
+        nsw_read_topk(spark, path, qs, K, ef=10**6, predicates=per)
+    )
+    # brute-force cross-check on the pure shape
+    got = nsw_dense_topk(spark, path, qs, K)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (round(r["dist"], 9), int(r["vec_id"]))
+        )
+    for qid, qv in qs:
+        want = _exact_topk(ids, x, np.asarray(qv, dtype=np.float64), K)
+        assert [v for _, v in sorted(by_q[qid])] == want, qid
+
+
+def test_dense_topk_tombstones_blocked_and_blocks(spark, corpus, vectors, tmp_path):
+    """Tombstoned ids never return, blocked is anti-membership, and a
+    query_block smaller than |Q| changes nothing (slab boundary pin)."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_delete,
+        nsw_dense_topk,
+    )
+
+    ids, x = vectors
+    path = _store_from(corpus, tmp_path, name="gd")
+    qs = _queries(vectors)
+    q0 = qs[0]
+    top = [
+        r["vec_id"]
+        for r in nsw_dense_topk(spark, path, [q0], K).collect()
+    ]
+    dead = top[:2]
+    nsw_delete(spark, path, dead)
+    got = [
+        r["vec_id"]
+        for r in nsw_dense_topk(spark, path, [q0], K).collect()
+    ]
+    assert got == _exact_topk(
+        ids, x, np.asarray(q0[1]), K, exclude=set(dead)
+    )
+    blocked = set(got[:3])
+    got2 = [
+        r["vec_id"]
+        for r in nsw_dense_topk(
+            spark, path, [q0], K, blocked=blocked
+        ).collect()
+    ]
+    assert got2 == _exact_topk(
+        ids, x, np.asarray(q0[1]), K, exclude=set(dead) | blocked
+    )
+    # slab boundary: query_block=1 ≡ one gemm for the whole batch
+    a = nsw_dense_topk(spark, path, qs, K, query_block=1).collect()
+    b = nsw_dense_topk(spark, path, qs, K).collect()
+    key = lambda r: (r["query_id"], round(r["dist"], 9), r["vec_id"])  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_dense_topk_float32_store_and_guards(spark, corpus, vectors, tmp_path):
+    """A float32 store upcasts exactly like the walk (identical rounded
+    distances); guard rails mirror nsw_read_topk's."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_dense_topk,
+    )
+
+    path = _store_from(corpus, tmp_path, name="g32", vector_dtype="float32")
+    qs = _queries(vectors)
+
+    def rows(df):
+        return [
+            (int(r["query_id"]), int(r["vec_id"]), round(r["dist"], 9))
+            for r in df.orderBy("query_id", "dist", "vec_id").collect()
+        ]
+
+    assert rows(nsw_dense_topk(spark, path, qs, K)) == rows(
+        nsw_read_topk(spark, path, qs, K, ef=10**6)
+    )
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        nsw_dense_topk(spark, path, [qs[0], qs[0]], K)
+    with pytest.raises(ValueError, match="not both"):
+        nsw_dense_topk(
+            spark, path, qs, K,
+            predicate=F.lit(True), predicates={QUERY_IDS[0]: F.lit(True)},
+        )
+    with pytest.raises(ValueError, match="not in the batch"):
+        nsw_dense_topk(spark, path, qs, K, predicates={999: F.lit(True)})
+    with pytest.raises(ValueError, match="query_block"):
+        nsw_dense_topk(spark, path, qs, K, query_block=0)
