@@ -3567,6 +3567,53 @@ def _q_nsw_hybrid_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nsw_dense_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 (VERDICT r11 ask #3): the BATCH-DENSE serving kernel —
+    ``nsw_dense_topk`` answers the same four-predicate-class batch as
+    nsw_hybrid_batch_topk over the same persisted covering-index store,
+    but with ONE BLAS gemm per shard instead of |Q| best-first walks
+    (profiled 2.4-5.7× faster past |Q|≈16 at the reference's 123k×2048
+    shape — BENCH_LADDER ``acorn_amortized_refshape_dense_f32`` /
+    ``serving_crossover``). Exact by construction (brute per shard,
+    same f64 dot-trick arithmetic as the walk's ``_dist``), so it
+    answers the IDENTICAL brute-force oracle hash-exact; dense ≡
+    full-beam walk is pytest-pinned (tests/test_graph_ann.py)."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        build_predicate,
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_dense_topk,
+    )
+
+    path = _nsw_hybrid_batch_store(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    acc = flat_accessors(
+        {"label": "bigint", "country": "string", "brand_val": "string"}
+    )
+    preds = {
+        1: build_predicate({"label": ["exact", 3]}, acc),
+        2: build_predicate({"brand_val": ["substring", "Amazon"]}, acc),
+        3: build_predicate({"country": ["exact", "IN"]}, acc),
+    }
+    res = nsw_dense_topk(
+        spark,
+        path,
+        [(i, list(vecs[i])) for i in range(4)],
+        k=5,
+        predicates=preds,
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("dist", _R).alias("dist")
+    )
+
+
 _STREAM_SERVE_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -5515,8 +5562,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the single-predicate form — same store read, |Q| per-query
         # Catalyst predicates (the reference's ParallelFor-with-filter-
         # functor surface, bindings.cpp:627-646) plus the covering-index
-        # payload extraction at build; nsw_hybrid_topk to 51+
-        "nsw_hybrid_batch_topk": _q_nsw_hybrid_batch_topk,
+        # payload extraction at build; nsw_hybrid_topk to 51+.
+        # r12 swap: the BATCH-DENSE kernel takes the seat — same store,
+        # same four-class batch, identical oracle, but one BLAS gemm per
+        # shard instead of |Q| walks (the large-|Q| serving plan the
+        # crossover ladder routes to); the walk form nsw_hybrid_batch_
+        # topk stays oracle-gated at 51+ and dense ≡ walk is pytest-pinned
+        "nsw_dense_batch_topk": _q_nsw_dense_batch_topk,
         # r8b swap: the streaming-serving twin earns the driver row —
         # foreachBatch prefilter_search_batch with batch-keyed
         # idempotent results, answering the identical oracle as the
@@ -5778,6 +5830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12 rotation displacement: the static batched dispatch stays
         # oracle-gated here (its streaming form took the window seat)
         "routed_batch_dispatch_topk": _q_routed_batch_dispatch_topk,
+        # r12 rotation displacement: the walk-kernel batch stays
+        # oracle-gated here (its dense twin took the window seat)
+        "nsw_hybrid_batch_topk": _q_nsw_hybrid_batch_topk,
         # r10 rotation displacements — all remain oracle-gated here
         "nsw_delete_topk": _q_nsw_delete_topk,
         "nsw_pruned_topk": _q_nsw_pruned_topk,
@@ -8744,4 +8799,7 @@ def oracle_sql() -> dict[str, str]:
     # the graph-store serving stream answers the identical blocks as the
     # static graph batch (full-beam walks ≡ exact pre-filter per query)
     out["stream_nsw_serve"] = out["nsw_hybrid_batch_topk"]
+    # r12: the batch-dense kernel answers the identical batch over the
+    # identical store — exact by construction, same brute oracle
+    out["nsw_dense_batch_topk"] = out["nsw_hybrid_batch_topk"]
     return out

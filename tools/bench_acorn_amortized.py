@@ -37,6 +37,14 @@ builds the store with ``vector_dtype='float32'`` (the reference's OWN
 precision: hnswlib holds float32), halving the scan + Arrow bytes the
 refshape table identified as the structural residue. Results land in
 ``acorn_amortized_refshape_f32`` (/ ``_q<batch>``).
+
+r12 (VERDICT r11 ask #3): a 6th arg selects the serving KERNEL —
+``walk`` (default, the per-query best-first graph walk) or ``dense``
+(``nsw_dense_topk``: one BLAS gemm per shard answers the whole batch,
+exact). The walk was profiled at ~9 ms/query/shard at the reference
+shape with ``_dist`` at 67%; the dense kernel replaces |Q| Python beam
+loops with one level-3 BLAS call. Dense results land in
+``acorn_amortized_refshape_dense[_f32][_q<batch>]``.
 """
 
 from __future__ import annotations
@@ -54,6 +62,7 @@ sys.path.insert(0, ROOT)
 from pyspark.sql import functions as F  # noqa: E402
 
 from acorn_hybrid_vector_search_spark.operators.graph_ann import (  # noqa: E402
+    nsw_dense_topk,
     nsw_read_topk,
     nsw_write,
 )
@@ -100,6 +109,9 @@ def main() -> None:
     dim = int(sys.argv[3]) if len(sys.argv) > 3 else None
     shards = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     vector_dtype = sys.argv[5] if len(sys.argv) > 5 else "float64"
+    kernel = sys.argv[6] if len(sys.argv) > 6 else "walk"
+    if kernel not in ("walk", "dense"):
+        raise SystemExit(f"kernel must be 'walk' or 'dense', got {kernel!r}")
     load1, load5, load15 = os.getloadavg()
 
     if n_override is not None:
@@ -156,14 +168,19 @@ def main() -> None:
 
     all_samples = {}
 
+    def run_kernel(**kw):
+        if kernel == "dense":
+            return nsw_dense_topk(spark, path, queries, K, **kw)
+        return nsw_read_topk(spark, path, queries, K, ef=EF, **kw)
+
     def timed(label: str, **kw) -> float:
         t0 = time.time()
-        nsw_read_topk(spark, path, queries, K, ef=EF, **kw).count()  # warm
+        run_kernel(**kw).count()  # warm
         warm = time.time() - t0
         samples = []
         for _ in range(5):
             t0 = time.time()
-            nsw_read_topk(spark, path, queries, K, ef=EF, **kw).count()
+            run_kernel(**kw).count()
             samples.append(time.time() - t0)
         print(
             f"  {label}: warm {warm:.2f}s samples "
@@ -184,6 +201,7 @@ def main() -> None:
         "dim": int(len(next(iter(vecs.values())))),
         "n_shards": shards,
         "vector_dtype": vector_dtype,
+        "kernel": kernel,
         "build_s_untimed": round(build_s, 1),
         "batch": q_n,
         "ef": EF,
@@ -218,6 +236,8 @@ def main() -> None:
         with open(out_path) as f:
             merged = json.load(f)
     f32 = "_f32" if vector_dtype == "float32" else ""
+    if kernel == "dense":
+        f32 = "_dense" + f32
     if n_override is None:
         # suffix the default-shape section too — a float32 run must never
         # overwrite the float64 baseline the README table reads (ADVICE r11)
