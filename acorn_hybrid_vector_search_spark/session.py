@@ -32,6 +32,25 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else 32
 
+    # Cap BLAS threading in the PYTHON WORKERS to one thread per task
+    # (r12): Spark's task scheduler IS the parallelism — an OpenBLAS
+    # gemm inside a pandas UDF otherwise spawns ncpu threads per
+    # worker (32 tasks × 32 threads on local[32]), and the resulting
+    # oversubscription measured 10× slower than single-threaded BLAS
+    # per task (nsw_dense_topk refshape triage, PLANS r12). Set BEFORE
+    # the JVM exists: local-mode python workers are descendants of the
+    # JVM and read these at numpy import. setdefault — an operator
+    # that wants in-task threading can export its own value. The
+    # DRIVER's numpy loaded long before this line, so driver-side
+    # kernels (kmeans sampling, codebook training) keep their threads.
+    for var in (
+        "OPENBLAS_NUM_THREADS",
+        "OMP_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "BLIS_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
