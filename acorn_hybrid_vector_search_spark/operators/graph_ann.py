@@ -2826,6 +2826,16 @@ def nsw_dense_topk(
     never ship — a dense call reads strictly fewer bytes than a walk).
     ``query_block`` bounds per-task memory: the n×|Q| distance matrix
     is computed in |Q|≤query_block slabs (15k×256 f64 ≈ 31 MB).
+
+    NO SHUFFLE (r12b): unlike the walk — whose graph adjacency is
+    seq-indexed per shard, forcing a ``groupBy(part_id)`` that
+    reshuffles the full vector payload on every call — the dense
+    kernel needs no shard integrity: a brute top-k over any FRAGMENT
+    of the store, merged by the same global (dist, id) rank, is still
+    exact. So it runs as ``mapInPandas`` straight over the scan: the
+    only shuffled rows are the O(fragments·|Q|·k) candidates. At
+    100 TB that is the difference between re-shuffling the dataset per
+    micro-batch and a map-only pass.
     """
     qids = [int(q) for q, _ in queries]
     if len(qids) != len(set(qids)):
@@ -2870,7 +2880,7 @@ def nsw_dense_topk(
     n_q = len(qids)
     qn = (qmat * qmat).sum(axis=1)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+    def frag_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         X = np.asarray(list(pdf["vector"]), dtype=np.float64)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         xn = (X * X).sum(axis=1)
@@ -2907,7 +2917,7 @@ def nsw_dense_topk(
                 dm = np.where(bad, np.inf, d)
                 kj = min(kk, int((~bad).sum()))
                 cand = np.argpartition(dm, kj - 1)[:kj]
-                # deterministic (dist, id) tie-break within the shard
+                # deterministic (dist, id) tie-break within the fragment
                 order = np.lexsort((ids[cand], dm[cand]))
                 sel = cand[order]
                 rows_q.extend([qids[j]] * kj)
@@ -2917,5 +2927,13 @@ def nsw_dense_topk(
             {"query_id": rows_q, id_col: rows_i, dist_col: rows_d}
         )
 
-    cand = stored.groupBy("part_id").applyInPandas(run, out_schema)
+    def run(batches):
+        # map-only: each Arrow batch is an independent fragment — no
+        # groupBy, no payload shuffle; the global merge re-ranks the
+        # O(fragments·|Q|·k) candidate stream
+        for pdf in batches:
+            if len(pdf):
+                yield frag_topk(pdf)
+
+    cand = stored.mapInPandas(run, out_schema)
     return _merge_topk(cand, k, id_col, dist_col)
