@@ -2586,6 +2586,17 @@ def test_dense_topk_equals_walk_and_brute(spark, corpus, vectors, tmp_path):
     ) == rows(
         nsw_read_topk(spark, path, qs, K, ef=10**6, predicates=per)
     )
+    # predicate-expression dedupe (r12b): many queries, few distinct
+    # predicates → the plan carries one shared mask column per DISTINCT
+    # expression, and results stay ≡ the walk's per-query columns
+    many = {qid: F.col("label") == (i % 2) for i, qid in enumerate(QUERY_IDS)}
+    dense_many = nsw_dense_topk(spark, path, qs, K, predicates=many)
+    plan = dense_many._jdf.queryExecution().executedPlan().toString()
+    assert "_pass_g0" in plan and "_pass_g1" in plan
+    assert "_pass_g2" not in plan  # 3 queries, 2 distinct expressions
+    assert rows(dense_many) == rows(
+        nsw_read_topk(spark, path, qs, K, ef=10**6, predicates=many)
+    )
     # brute-force cross-check on the pure shape
     got = nsw_dense_topk(spark, path, qs, K)
     by_q = {}
