@@ -168,6 +168,20 @@ def main() -> None:
 
     all_samples = {}
 
+    def job_floor_ms(n: int = 7) -> float:
+        # the bench.py r12 control: median wall of the cheapest possible
+        # job — when this reads tens of ms (or seconds, in this host's
+        # documented stall phases), the phase is arithmetic, not narrative
+        s = []
+        for _ in range(n):
+            t0 = time.time()
+            spark.range(1).collect()
+            s.append((time.time() - t0) * 1000.0)
+        s.sort()
+        return round(s[len(s) // 2], 1)
+
+    floor_before = job_floor_ms()
+
     def run_kernel(**kw):
         if kernel == "dense":
             return nsw_dense_topk(spark, path, queries, K, **kw)
@@ -193,6 +207,7 @@ def main() -> None:
 
     hybrid_s = timed("hybrid", predicates=preds)
     pure_s = timed("pure")
+    floor_after = job_floor_ms()
     hybrid_ms = hybrid_s / q_n * 1000
     pure_ms = pure_s / q_n * 1000
 
@@ -207,6 +222,7 @@ def main() -> None:
         "ef": EF,
         "k": K,
         "loadavg_at_launch": [round(load1, 2), round(load5, 2), round(load15, 2)],
+        "job_floor_ms": {"before": floor_before, "after": floor_after},
         "hybrid_batch_s": round(hybrid_s, 3),
         "hybrid_amortized_ms_per_query": round(hybrid_ms, 2),
         "baseline_acorn_ms": BASELINE_ACORN_MS,
