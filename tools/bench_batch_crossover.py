@@ -112,8 +112,12 @@ def main() -> None:
         ],
         "ivf_exact": [(i, far(base[i]), None) for i in range(64)],
     }
+    # nominal routes per arm; a PREDICATED query whose nominal route is
+    # ivf_exact dispatches on the prefilter arm (ann_search_batch's
+    # exactness-with-predicates correction), so the prefilter arm
+    # accepts it
     expect = {
-        "prefilter": lambda s: s in ("prefilter", "exact"),
+        "prefilter": lambda s: s in ("prefilter", "exact", "ivf_exact"),
         "pruned": lambda s: s.startswith("nsw_pruned"),
         "ivf_exact": lambda s: s == "ivf_exact",
     }
