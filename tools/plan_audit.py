@@ -276,6 +276,14 @@ AUDIT: dict[str, list[str]] = {
     "nsw_f32_topk": [
         "FlatMapGroupsInPandas", "WindowGroupLimit", "array<float>",
     ],
+    # round 12: the batch-dense serving kernel — SHUFFLE-FREE MapInPandas
+    # over the scan (never the walk's FlatMapGroupsInPandas groupBy,
+    # which re-shuffles the vector payload per call), deduped shared
+    # predicate-mask columns (_pass_g<i>), bounded candidate merge
+    # (tests/test_plan_shapes.py pins the single-Exchange contract)
+    "nsw_dense_batch_topk": [
+        "MapInPandas", "WindowGroupLimit", "_pass_g0",
+    ],
 }
 
 
@@ -321,6 +329,7 @@ def main() -> None:
     _nsw_lifecycle_section()
     _acorn_amortized_section()
     _acorn_refshape_section()
+    _dense_kernel_section()
     _regression_triage_section()
 
 
@@ -1305,6 +1314,165 @@ def _acorn_refshape_section() -> None:
         )
 
 
+def _dense_kernel_section() -> None:
+    """r12 (VERDICT r11 asks #3/#5): the batch-dense serving kernel +
+    the crossover ladders — regenerated from BENCH_LADDER.json."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        lad = json.load(open(os.path.join(root, "BENCH_LADDER.json")))
+    except OSError:
+        return
+    rows = [
+        (q, lad.get(f"acorn_amortized_refshape_dense_f32{sfx}"))
+        for q, sfx in ((64, ""), (256, "_q256"), (1024, "_q1024"))
+    ]
+    if any(sec for _, sec in rows):
+        print(
+            "\n### The batch-dense kernel closes the hybrid gap "
+            "(measured — r12, VERDICT r11 ask #3)\n"
+        )
+        print(
+            "The r11 residue analysis said payload bytes were the lever; "
+            "profiling said otherwise: at the reference shape the WALK "
+            "itself costs ~9.3 ms/query/shard (cProfile on the exact "
+            "`run()` body at 15,378 × 2048: `_dist` fancy-indexed numpy "
+            "= 67% of wall, ~77 calls/query × ~68 µs), so the per-query "
+            "marginal cost — 39 ms/q between the |Q|=64 and 256 walk "
+            "rows — is Python beam-loop arithmetic, not Arrow. No kernel "
+            "variant beat ~2× inside the loop (f64/f32/int8 diff-square "
+            "and dot-trick all 23-53 µs/call — micro-benched; per-call "
+            "numpy overhead dominates at m=8 rows). The structural "
+            "answer is `nsw_dense_topk`: per shard, ONE level-3 BLAS "
+            "gemm (`|x|² − 2X·Qᵀ + |q|²` — the same f64 dot-trick "
+            "arithmetic `_dist` uses, so oracle hash-parity carries "
+            "over) scores every (row, query) pair, per-query masks/"
+            "argpartition pick top-k, the same global (dist, id) rank "
+            "merges. Exact by construction — and hash-gated in the "
+            "window (nsw_dense_batch_topk answers the identical brute "
+            "oracle as the walk batch at both sfs; dense ≡ walk "
+            "pytest-pinned).\n"
+        )
+        print(
+            "Three pathologies found and fixed on the way (each worth "
+            "recording):\n"
+            "1. **BLAS thread oversubscription** — 32 python workers × "
+            "ncpu OpenBLAS threads measured 10× slower than "
+            "single-threaded-per-task (hybrid batch 48.6 s vs ~4 s). "
+            "session.py now exports `OPENBLAS/OMP/MKL/BLIS_NUM_THREADS=1` "
+            "before the JVM exists: Spark tasks ARE the parallelism.\n"
+            "2. **Per-call payload shuffle** — the walk's "
+            "`groupBy(part_id)` re-shuffles the full vector payload "
+            "every call (graph adjacency is seq-indexed per shard, so "
+            "it must); the dense kernel needs NO shard integrity — "
+            "fragment top-k + global merge is still exact — so it runs "
+            "as shuffle-free `mapInPandas` straight over the (cached) "
+            "scan. On this host's stall-prone disk that removed the "
+            "dominant dispersion source (pure samples went "
+            "30.9/90.6/71.3/55.2/7.2 → 1.79/1.84/1.87/1.68/1.95 on the "
+            "same bytes). At 100 TB this is the difference between "
+            "re-shuffling the dataset per micro-batch and a map-only "
+            "pass.\n"
+            "3. **Per-query mask-column blowup** — |Q| Catalyst "
+            "`_pass_<qid>` projections scale the plan and the pandas "
+            "mask extraction with |Q| (1024 columns measured 62 ms/q "
+            "hybrid vs 17 ms at 256); serving batches parameterize FEW "
+            "distinct predicates, so identical predicate EXPRESSIONS "
+            "now dedupe into shared `_pass_g<i>` columns (1024 queries "
+            "on the reference's own label-mod-10 workload → 10 columns; "
+            "plan-pinned in pytest). Post-dedupe the q1024 hybrid ≈ "
+            "pure.\n"
+        )
+        print(
+            "Committed rows (reference shape 123,020 × 2048, float32 "
+            "store, 32 shards, store pinned, median of 5, ALL samples + "
+            "the r12 `job_floor_ms` before/after control in "
+            "BENCH_LADDER.json):\n"
+        )
+        print(
+            "| workload | batch | wall (median) | amortized/query | "
+            "vs 3.5 / 98.2 ms |"
+        )
+        print("|---|---|---|---|---|")
+        for q, sec in rows:
+            if not sec:
+                continue
+            print(
+                f"| hybrid | {q} | {sec['hybrid_batch_s']} s | "
+                f"**{sec['hybrid_amortized_ms_per_query']} ms** | "
+                f"**{sec['hybrid_vs_baseline_ratio']}×** |"
+            )
+        for q, sec in rows:
+            if not sec:
+                continue
+            print(
+                f"| pure top-k | {q} | {sec['pure_batch_s']} s | "
+                f"{sec['pure_amortized_ms_per_query']} ms | "
+                f"{sec['pure_vs_baseline_ratio']}× |"
+            )
+        print(
+            "\nReading: the one reference headline the engine had not "
+            "matched is now matched at serving batch sizes — hybrid "
+            "amortized 1.19-1.68× of the in-process C++ row at |Q|≥256 "
+            "(was 12.6×), and pure top-k runs 8-32× FASTER than the "
+            "reference's own brute row. The batch wall is nearly FLAT "
+            "in |Q| (one gemm pass over the pinned store amortizes to "
+            "whatever the micro-batch carries). Host disclosure: the "
+            "measurement night showed the documented stall phases "
+            "(same-code q64 medians 171.9 → 87.4 → 32.3 ms across three "
+            "runs, builds 76-271 s; the committed q64 row's floor "
+            "control read 70.1/34.4 ms before/after and its own best "
+            "sample is 1.11 s = 17.3 ms/q = 5.0×) — every discarded run "
+            "and every sample is in the JSON.\n"
+        )
+    xo = lad.get("batch_arm_crossover")
+    if xo:
+        print(
+            "\n### Batch-arm + serving crossover (measured — r12, "
+            "VERDICT r11 ask #5)\n"
+        )
+        print(
+            "BENCH_LADDER `batch_arm_crossover` (sf0.1, k=10, plan "
+            "construction included — the per-trigger serving shape): "
+            "one `ann_search_batch` call vs the per-query `ann_search` "
+            "loop, per arm (batch / loop, ms per query):\n"
+        )
+        print("| arm | Q=4 | Q=16 | Q=64 |")
+        print("|---|---|---|---|")
+        for arm, pts in xo["arms"].items():
+            cells = " | ".join(
+                f"{pts[f'q{q}']['batch_ms_per_query']:.0f} / "
+                f"{pts[f'q{q}']['perquery_loop_ms_per_query']:.0f}"
+                for q in (4, 16, 64)
+            )
+            print(f"| {arm} | {cells} |")
+        sv = lad.get("serving_crossover")
+        tail = ""
+        if sv:
+            pts = sv["points"]
+            tail = (
+                f" `serving_crossover` (same store): the dense kernel "
+                f"beats the ef=64 walk from |Q|=4 up "
+                f"({pts['q4']['dense_s']} vs {pts['q4']['walk_s']} s) "
+                f"and is FLAT in |Q| ({pts['q256']['dense_s']} s at 256 "
+                f"= {pts['q256']['dense_ms_per_query']} ms/q vs the "
+                f"walk's {pts['q256']['walk_ms_per_query']}) — so a "
+                f"router serving micro-batches should prefer dense "
+                f"everywhere it demands exactness, and the walk keeps "
+                f"the single-query / tight-visit-budget regime (the "
+                f"anytime ACORN contract). Wiring that rung into "
+                f"route_ann is the natural next step."
+            )
+        print(
+            "\nBatching wins at EVERY measured |Q| on every arm — the "
+            "fixed multi-job floor per arm is already amortized at "
+            "|Q|=4, and by |Q|=64 the batch is 8-17× cheaper per query "
+            "(the prefilter q64 batch median carries a host stall; its "
+            "q16 row shows the true fixed cost)." + tail + "\n"
+        )
+
+
 def _nsw_lifecycle_section() -> None:
     """Deletion-lifecycle cost ladder (r9), regenerated from
     BENCH_LADDER.json's nsw_lifecycle block
@@ -1367,6 +1535,80 @@ def _regression_triage_section() -> None:
     fresh session, warmed, median-of-5 at sf0.1 — vs the in-battery
     numbers; static text because the verdicts encode one-time
     measurements and their fixes."""
+    print(
+        "\n## Headline triage (round 12: prefilter_exact — the "
+        "job-floor control turns \"host phase\" into arithmetic)\n"
+    )
+    print(
+        "VERDICT r11 ask #1 defined the exit: commit a quiet-window "
+        "isolated median WITH a `spark.range(1).collect()` job-floor "
+        "control, and if the floor stays ≥50 ms, show a ≤2-job plan + "
+        "a floor-normalized table with (query − floor) ≤2×. Both "
+        "halves delivered:\n"
+    )
+    print(
+        "**Job-count audit (statusTracker, job-group-scoped, prepared "
+        "contract at sf0.1):**\n"
+    )
+    print("| query | Spark jobs per collect |")
+    print("|---|---|")
+    print(
+        "| prefilter_exact | **1** — the minimum any Spark query can "
+        "pay; the plan (pushed filter + TakeOrderedAndProject over "
+        "cached input) collects via a single `takeOrdered` job. There "
+        "is no crossJoin job to fold: the query parameters are "
+        "literals in the plan. |"
+    )
+    print("| pure_topk | 2 |")
+    print(
+        "| postfilter | 3 (inner top-large_k limit boundary + outer "
+        "filter/limit) |"
+    )
+    print(
+        "\nThe ask's \"fold the broadcast-parameter crossJoin into the "
+        "scan stage\" was already the case — prefilter_exact has been "
+        "a 1-job plan all along, so **the job count cannot be reduced "
+        "further**; the floor IS the query's lower bound on this "
+        "host.\n"
+    )
+    print(
+        "**Floor-normalized table (2026-08-16, quiet window, loadavg "
+        "0.65→1.79/0.58 across the run; floor = median-of-9 "
+        "`spark.range(1).collect()` sampled immediately before/"
+        "after):**\n"
+    )
+    print("| measurement | value |")
+    print("|---|---|")
+    print(
+        "| job floor BEFORE (median-of-9) | 110.8 ms (samples "
+        "83.4–175.6 + one 3055 ms scheduler stall) |"
+    )
+    print("| job floor AFTER (median-of-9) | 75.8 ms (samples 62.4–132.5) |")
+    print(
+        "| prefilter_exact isolated median-of-5 | 98.9 ms (runs "
+        "90.4–110.5) |"
+    )
+    print(
+        "| **floor-normalized: 98.9 − 75.8 (conservative, smaller "
+        "floor)** | **23.1 ms = 0.63× of the 36.4 ms baseline — inside "
+        "the gate with 3× margin** |"
+    )
+    print(
+        "\nThe arithmetic: the bare single-job dispatch floor on this "
+        "host (62–176 ms band, median 76–111 ms, with multi-second "
+        "stalls appearing even in a 9-sample probe) exceeds the "
+        "72.8 ms gate line (2 × 36.4 ms) BY ITSELF. A 1-job plan "
+        "cannot beat the box's job floor; subtracting the floor, the "
+        "plan's own work is 23 ms — consistent with the 1.44× "
+        "(52.3 ms) the identical bytes measured at r10 HEAD when the "
+        "floor was ~30 ms. `bench.py` now samples this control before "
+        "and after EVERY battery and commits it in "
+        "BENCH.json/`job_floor_ms` (plus loadavg), so every future "
+        "driver artifact carries the normalization term — the gate can "
+        "be read as (query − floor) without a side-channel. "
+        "CORRECTNESS untouched (plan bytes unchanged; the control "
+        "never runs inside a timed region).\n"
+    )
     print("\n## Headline triage (round 11: prefilter_exact — the ask-#7 four-run same-code dispersion table)\n")
     print(
         "VERDICT r10 ask #7 pre-committed the protocol: if the driver "
