@@ -793,6 +793,7 @@ class StrategyRouter:
         gamma_path: str | None = None,
         pruned_path: str | None = None,
         accessors: Mapping[str, AttributeAccessor] | None = None,
+        dense_min_batch: int | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         query_id_col: str = "query_id",
@@ -823,6 +824,18 @@ class StrategyRouter:
         - ivf (approximate) → ONE ``ivf_search_batch`` scan of the
           probed-list union; ivf_exact (predicate-free) → ONE
           ``ivf_search_exact_batch`` two-phase scan.
+
+        ``dense_min_batch`` (r12, opt-in): a walk-arm group (nsw /
+        nsw_gamma) of at least this many queries is served by
+        ``nsw_dense_topk`` instead — one BLAS gemm over the SAME store,
+        EXACT results (recall 1.0 ≥ any budget, so every route's
+        recall contract still holds) and measured faster than the walk
+        from |Q|≈4 up (BENCH_LADDER ``serving_crossover``). Default
+        None keeps batch ≡ per-query ``ann_search`` bit-compatible
+        (the walk at a sub-1.0 budget is approximate; dense results
+        can only be closer to the brute oracle). The pruned arms keep
+        their zone-map rungs either way — shard skipping saves I/O the
+        dense scan would pay.
 
         Returns ``(query_id, <id_col>, dist)`` — the serving answer
         shape, unioned across arms."""
@@ -884,15 +897,34 @@ class StrategyRouter:
             ("nsw_gamma", gamma_path, "subgraph"),
         ):
             for (_, ef_, max_visits_, _np), batch in arm_batches(arm_name):
-                from acorn_hybrid_vector_search_spark.operators.graph_ann import (
-                    nsw_read_topk,
-                )
-
                 preds = {
                     int(qid): build_predicate(p, acc)
                     for qid, _, p in batch
                     if p
                 }
+                if (
+                    dense_min_batch is not None
+                    and len(batch) >= dense_min_batch
+                ):
+                    from acorn_hybrid_vector_search_spark.operators.graph_ann import (  # noqa: E501
+                        nsw_dense_topk,
+                    )
+
+                    parts.append(
+                        nsw_dense_topk(
+                            spark, path_,
+                            [(int(qid), list(v)) for qid, v, _ in batch],
+                            k, predicates=preds or None, id_col=id_col,
+                        ).select(
+                            F.col("query_id").alias(query_id_col),
+                            id_col, "dist",
+                        )
+                    )
+                    continue
+                from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+                    nsw_read_topk,
+                )
+
                 parts.append(
                     nsw_read_topk(
                         spark, path_,

@@ -249,6 +249,7 @@ def routed_serve_batch_writer(
     gamma_path: str | None = None,
     pruned_path: str | None = None,
     accessors: Mapping | None = None,
+    dense_min_batch: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
@@ -285,7 +286,8 @@ def routed_serve_batch_writer(
             corpus, batch, k,
             min_recall=min_recall, ivf_index=ivf_index, nsw_path=nsw_path,
             gamma_path=gamma_path, pruned_path=pruned_path,
-            accessors=accessors, id_col=id_col, vec_col=vec_col,
+            accessors=accessors, dense_min_batch=dense_min_batch,
+            id_col=id_col, vec_col=vec_col,
             query_id_col=query_id_col,
         )
         (

@@ -1915,6 +1915,82 @@ def test_ann_search_batch_groups_by_budget_tuple(spark, tmp_path):
         assert sorted(by_q.get(qid, [])) == sorted(single), (qid, routes[qid])
 
 
+def test_ann_search_batch_dense_arm(spark, tmp_path):
+    """r12 opt-in: dense_min_batch routes a large-enough walk-arm group
+    through nsw_dense_topk — results are EXACT (≡ the brute-force
+    filtered oracle per query, i.e. at least the walk's recall; every
+    route's recall contract holds trivially), a group below the
+    threshold keeps the walk, and default None stays bit-compatible
+    with per-query ann_search."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_write,
+    )
+
+    df, rows, _store = _conj_blob_store(spark, tmp_path, seed=43)
+    router = _flat_router()
+    acc = flat_accessors(
+        {"label": "int", "weight": "double", "vec_id": "bigint"}
+    )
+    nsw = str(tmp_path / "gda")
+    nsw_write(
+        df.select("vec_id", "embedding", "label", "weight").repartition(4),
+        nsw, payload_cols=["label", "weight"],
+    )
+    data = {r[0]: (list(r[1]), int(r[2])) for r in df.collect()}
+    batch = [
+        (j, rows[j][1], {"label": ["exact", j % 4]}) for j in range(6)
+    ]
+    routes = router.route_ann_batch(
+        df, batch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc
+    )
+    assert {r.strategy for r in routes.values()} == {"nsw"}
+
+    def by_query(res):
+        out: dict = {}
+        for r in res.collect():
+            out.setdefault(int(r["query_id"]), []).append(
+                (round(r["dist"], 9), int(r["vec_id"]))
+            )
+        return {q: sorted(v) for q, v in out.items()}
+
+    dense = by_query(
+        router.ann_search_batch(
+            df, batch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc,
+            dense_min_batch=4,
+        )
+    )
+    # exact per query: ≡ brute-force filtered top-5
+    for qid, qv, preds in batch:
+        want = int(dict(preds)["label"][1])
+        brute = sorted(
+            (
+                round(
+                    sum((a - b) ** 2 for a, b in zip(vec, qv)), 9
+                ),
+                vid,
+            )
+            for vid, (vec, lab) in data.items()
+            if lab == want
+        )[:5]
+        assert dense[qid] == brute, qid
+    # below the threshold → the walk serves it (≡ default path)
+    walk = by_query(
+        router.ann_search_batch(
+            df, batch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc,
+            dense_min_batch=100,
+        )
+    )
+    default = by_query(
+        router.ann_search_batch(
+            df, batch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc,
+        )
+    )
+    assert walk == default
+
+
 def test_ivf_search_batch_equals_per_query_loop(spark, tmp_path):
     """ivf_search_batch ≡ ivf_search per query — same nprobe lists,
     same per-query §2.3 predicate semantics, equi-join plan."""
