@@ -5112,10 +5112,19 @@ def _q_stream_routed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_routed_serve,
     )
 
+    import os as _os
+    import shutil as _shutil
+
     _q_nsw_pruned_topk(spark, sf_dir)  # build/reuse the shared store
     _q_ivf_exact_batch_topk(spark, sf_dir)  # build/reuse the IVF index
     key = (spark.sparkContext.applicationId, sf_dir)
     for stale in [k for k in _STREAM_ROUTED_SERVE_CACHE if k[0] != key[0]]:
+        # this cache owns a mkdtemp root (queries/ckpt/results) — drop
+        # the tree with the entry, like _NSW_F32_CACHE (r12 self-review)
+        _shutil.rmtree(
+            _os.path.dirname(_STREAM_ROUTED_SERVE_CACHE[stale]),
+            ignore_errors=True,
+        )
         del _STREAM_ROUTED_SERVE_CACHE[stale]
     out = _STREAM_ROUTED_SERVE_CACHE.get(key)
     if out is None:

@@ -2889,8 +2889,9 @@ def nsw_dense_topk(
         stored = stored.withColumns(
             {f"_pass_g{i}": c for i, c in enumerate(group_cols)}
         )
-    # column-prune the scan: the dense kernel needs no adjacency
-    keep = ["part_id", id_col, "vector"]
+    # column-prune the scan: the dense kernel needs neither adjacency
+    # nor part_id (fragments are anonymous — r12 self-review)
+    keep = [id_col, "vector"]
     if tomb is not None:
         keep.append("_deleted")
     if has_pred:
@@ -2940,10 +2941,15 @@ def nsw_dense_topk(
                     continue
                 dm = np.where(bad, np.inf, d)
                 kj = min(kk, int((~bad).sum()))
-                cand = np.argpartition(dm, kj - 1)[:kj]
-                # deterministic (dist, id) tie-break within the fragment
+                # argpartition picks an ARBITRARY subset of rows tied at
+                # the kj boundary — widen to EVERY row at or under the
+                # boundary distance, then the (dist, id) lexsort makes
+                # the truncation deterministic and oracle-consistent
+                # (ORDER BY dist, id LIMIT k) — r12 self-review fix
+                thresh = dm[np.argpartition(dm, kj - 1)[kj - 1]]
+                cand = np.flatnonzero(dm <= thresh)
                 order = np.lexsort((ids[cand], dm[cand]))
-                sel = cand[order]
+                sel = cand[order][:kj]
                 rows_q.extend([qids[j]] * kj)
                 rows_i.extend(ids[sel].tolist())
                 rows_d.extend(dm[sel].tolist())

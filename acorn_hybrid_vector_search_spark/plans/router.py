@@ -896,31 +896,44 @@ class StrategyRouter:
             ("nsw", nsw_path, "traverse_all"),
             ("nsw_gamma", gamma_path, "subgraph"),
         ):
-            for (_, ef_, max_visits_, _np), batch in arm_batches(arm_name):
+            arm_groups = arm_batches(arm_name)
+            # the dense decision is made on the UNION of the arm's
+            # queries BEFORE budget grouping (r12 self-review): the
+            # dense kernel ignores ef/max_visits, so splitting by
+            # budget would both defeat the threshold and multiply
+            # full-store scans
+            union = [q for _, qs in arm_groups for q in qs]
+            if (
+                dense_min_batch is not None
+                and union
+                and len(union) >= dense_min_batch
+            ):
+                from acorn_hybrid_vector_search_spark.operators.graph_ann import (  # noqa: E501
+                    nsw_dense_topk,
+                )
+
+                preds = {
+                    int(qid): build_predicate(p, acc)
+                    for qid, _, p in union
+                    if p
+                }
+                parts.append(
+                    nsw_dense_topk(
+                        spark, path_,
+                        [(int(qid), list(v)) for qid, v, _ in union],
+                        k, predicates=preds or None, id_col=id_col,
+                    ).select(
+                        F.col("query_id").alias(query_id_col),
+                        id_col, "dist",
+                    )
+                )
+                continue
+            for (_, ef_, max_visits_, _np), batch in arm_groups:
                 preds = {
                     int(qid): build_predicate(p, acc)
                     for qid, _, p in batch
                     if p
                 }
-                if (
-                    dense_min_batch is not None
-                    and len(batch) >= dense_min_batch
-                ):
-                    from acorn_hybrid_vector_search_spark.operators.graph_ann import (  # noqa: E501
-                        nsw_dense_topk,
-                    )
-
-                    parts.append(
-                        nsw_dense_topk(
-                            spark, path_,
-                            [(int(qid), list(v)) for qid, v, _ in batch],
-                            k, predicates=preds or None, id_col=id_col,
-                        ).select(
-                            F.col("query_id").alias(query_id_col),
-                            id_col, "dist",
-                        )
-                    )
-                    continue
                 from acorn_hybrid_vector_search_spark.operators.graph_ann import (
                     nsw_read_topk,
                 )

@@ -37,18 +37,28 @@ def get_spark(
     # gemm inside a pandas UDF otherwise spawns ncpu threads per
     # worker (32 tasks × 32 threads on local[32]), and the resulting
     # oversubscription measured 10× slower than single-threaded BLAS
-    # per task (nsw_dense_topk refshape triage, PLANS r12). Set BEFORE
-    # the JVM exists: local-mode python workers are descendants of the
-    # JVM and read these at numpy import. setdefault — an operator
-    # that wants in-task threading can export its own value. The
-    # DRIVER's numpy loaded long before this line, so driver-side
-    # kernels (kmeans sampling, codebook training) keep their threads.
-    for var in (
+    # per task (nsw_dense_topk refshape triage, PLANS r12). Two
+    # delivery paths, because worker env differs by deploy mode:
+    # - local[N]: workers are descendants of the JVM, which inherits
+    #   the driver env → set os.environ BEFORE the JVM exists. Load
+    #   the DRIVER's numpy first so driver-side kernels (kmeans
+    #   sampling, codebook training) keep their threads — OpenBLAS
+    #   reads the env once, at library init (r12 self-review).
+    # - cluster managers (yarn/k8s/standalone): executors never see
+    #   the driver env → spark.executorEnv.* carries the cap.
+    # setdefault / config-default: an operator that wants in-task
+    # threading can export its own value.
+    try:  # driver-side BLAS init happens before the cap lands
+        import numpy  # noqa: F401
+    except ImportError:
+        pass
+    blas_vars = (
         "OPENBLAS_NUM_THREADS",
         "OMP_NUM_THREADS",
         "MKL_NUM_THREADS",
         "BLIS_NUM_THREADS",
-    ):
+    )
+    for var in blas_vars:
         os.environ.setdefault(var, "1")
 
     builder = (
@@ -73,4 +83,8 @@ def get_spark(
         # (BENCH_r02 was truncated mid-JSON by exactly this)
         .config("spark.ui.showConsoleProgress", "false")
     )
+    for var in blas_vars:
+        builder = builder.config(
+            f"spark.executorEnv.{var}", os.environ.get(var, "1")
+        )
     return builder.getOrCreate()

@@ -94,23 +94,7 @@ def _memory_mb(spark) -> dict[str, float | None]:
     return {"jvm_peak_rss": jvm, "python_peak_rss": _peak_rss_mb(os.getpid())}
 
 
-def _job_floor_ms(spark, n: int = 9) -> float:
-    """Median wall time of ``spark.range(1).collect()`` — the host's
-    single-job scheduling floor. Sampled immediately before AND after
-    the battery (r11 verdict ask #1): every per-query number in this
-    file includes at least one such job dispatch, so when the floor
-    itself approaches a baseline gate (86.5 ms was measured on a host
-    whose gate line is 72.8 ms), the floor-normalized time
-    (query − floor) is the number that grades the PLAN rather than the
-    box. The probe is the cheapest possible plan — one task, no scan,
-    no shuffle — so its cost is pure scheduler + Py4J round-trip."""
-    s = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        spark.range(1).collect()
-        s.append((time.perf_counter() - t0) * 1000.0)
-    s.sort()
-    return round(s[len(s) // 2], 1)
+from tools._bench_common import job_floor_ms as _job_floor_ms  # noqa: E402
 
 
 def main() -> None:

@@ -1990,6 +1990,39 @@ def test_ann_search_batch_dense_arm(spark, tmp_path):
     )
     assert walk == default
 
+    # the dense decision is made on the ARM UNION, not per budget
+    # group (r12 self-review): a budget rule splitting the 6-query arm
+    # into two groups of 3 must still fire dense at dense_min_batch=5
+    import dataclasses
+
+    class SplitBudgetRouter(type(router)):
+        def route_ann(self, k, *, predicates=None, **kw):
+            r = super().route_ann(k, predicates=predicates, **kw)
+            if (
+                r.strategy == "nsw"
+                and predicates
+                and int(dict(predicates)["label"][1]) % 2 == 0
+            ):
+                r = dataclasses.replace(r, ef=(r.ef or 32) * 2)
+            return r
+
+    sr = SplitBudgetRouter(
+        router.stats,
+        default_large_k=router.default_large_k,
+        safety=router.safety,
+    )
+    sroutes = sr.route_ann_batch(
+        df, batch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc
+    )
+    assert len({(r.ef, r.max_visits) for r in sroutes.values()}) == 2
+    dense_union = by_query(
+        sr.ann_search_batch(
+            df, batch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc,
+            dense_min_batch=5,
+        )
+    )
+    assert dense_union == dense  # exact answers, single union call
+
 
 def test_ivf_search_batch_equals_per_query_loop(spark, tmp_path):
     """ivf_search_batch ≡ ivf_search per query — same nprobe lists,

@@ -2681,3 +2681,31 @@ def test_dense_topk_float32_store_and_guards(spark, corpus, vectors, tmp_path):
         nsw_dense_topk(spark, path, qs, K, predicates={999: F.lit(True)})
     with pytest.raises(ValueError, match="query_block"):
         nsw_dense_topk(spark, path, qs, K, query_block=0)
+
+
+def test_dense_topk_tied_distances_deterministic(spark, tmp_path):
+    """r12 self-review fix: rows equidistant from the query at the k
+    boundary must resolve by (dist, id) ascending — argpartition alone
+    picks an arbitrary tied subset. Corpus of duplicate vectors makes
+    every distance tied; the exact contract is the lowest ids."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_dense_topk,
+        nsw_write,
+    )
+
+    # 24 rows, only 2 distinct vectors → massive ties at every k
+    rows = [(i, [float(i % 2), 1.0]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "gt")
+    nsw_write(df.repartition(3), path)
+    got = [
+        r["vec_id"]
+        for r in nsw_dense_topk(spark, path, [(0, [0.0, 1.0])], 5).collect()
+    ]
+    # nearest = the even ids (dist 0), tie-broken ascending
+    assert got == [0, 2, 4, 6, 8]
+    got2 = [
+        r["vec_id"]
+        for r in nsw_dense_topk(spark, path, [(1, [1.0, 1.0])], 7).collect()
+    ]
+    assert got2 == [1, 3, 5, 7, 9, 11, 13]

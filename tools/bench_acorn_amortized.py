@@ -168,19 +168,12 @@ def main() -> None:
 
     all_samples = {}
 
-    def job_floor_ms(n: int = 7) -> float:
-        # the bench.py r12 control: median wall of the cheapest possible
-        # job — when this reads tens of ms (or seconds, in this host's
-        # documented stall phases), the phase is arithmetic, not narrative
-        s = []
-        for _ in range(n):
-            t0 = time.time()
-            spark.range(1).collect()
-            s.append((time.time() - t0) * 1000.0)
-        s.sort()
-        return round(s[len(s) // 2], 1)
+    # the r12 control: when the floor reads tens of ms (or seconds, in
+    # this host's documented stall phases), the phase is arithmetic,
+    # not narrative
+    from tools._bench_common import job_floor_ms
 
-    floor_before = job_floor_ms()
+    floor_before = job_floor_ms(spark)
 
     def run_kernel(**kw):
         if kernel == "dense":
@@ -207,7 +200,7 @@ def main() -> None:
 
     hybrid_s = timed("hybrid", predicates=preds)
     pure_s = timed("pure")
-    floor_after = job_floor_ms()
+    floor_after = job_floor_ms(spark)
     hybrid_ms = hybrid_s / q_n * 1000
     pure_ms = pure_s / q_n * 1000
 
