@@ -3395,20 +3395,13 @@ def _q_stream_nsw_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NSW_HYBRID_CACHE: dict[tuple[str, str], str] = {}
 
 
-def _q_nsw_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate-filtered search over the PERSISTED graph store (r8,
-    graph_ann.py nsw_read_topk(predicate=...)) — the reference's actual
-    ACORN surface: its modified hnswlib traverses every node but
-    returns only filter-functor passes (bindings.cpp:83-87). Here the
-    store carries the label as a payload column
-    (nsw_write(payload_cols=['label'])), Catalyst evaluates the §2.3
-    predicate on the stored node table, and each shard's walk applies
-    traversed-but-never-returned per node. Full beam ⇒ the exact
-    pre-filter oracle over the same rows gates it hash-exactly."""
+def _nsw_hybrid_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the label-payload covering-index store over the
+    raw embeddings table (shared by the hybrid walk and the r13 routed
+    dense-serving stream)."""
     import tempfile
 
     from acorn_hybrid_vector_search_spark.operators.graph_ann import (
-        nsw_read_topk,
         nsw_write,
     )
 
@@ -3422,6 +3415,24 @@ def _q_nsw_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _t(spark, sf_dir, "embeddings"), path, payload_cols=["label"]
         )
         _NSW_HYBRID_CACHE[key] = path
+    return path
+
+
+def _q_nsw_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-filtered search over the PERSISTED graph store (r8,
+    graph_ann.py nsw_read_topk(predicate=...)) — the reference's actual
+    ACORN surface: its modified hnswlib traverses every node but
+    returns only filter-functor passes (bindings.cpp:83-87). Here the
+    store carries the label as a payload column
+    (nsw_write(payload_cols=['label'])), Catalyst evaluates the §2.3
+    predicate on the stored node table, and each shard's walk applies
+    traversed-but-never-returned per node. Full beam ⇒ the exact
+    pre-filter oracle over the same rows gates it hash-exactly."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_read_topk,
+    )
+
+    path = _nsw_hybrid_store(spark, sf_dir)
     q = _query_vec(spark, sf_dir, vec_id=3)
     res = nsw_read_topk(
         spark, path, [(3, list(q))], k=10, ef=1_000_000,
@@ -5211,6 +5222,130 @@ def _q_stream_routed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_DENSE_SERVE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q_stream_dense_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 (VERDICT r12 ask #1): the routed serving surface landing the
+    BATCH-DENSE kernel BY DEFAULT — ``stream_routed_serve`` with NO
+    ``dense_min_batch`` knob. Eight queries (four predicate-free, four
+    ``label = 3``) arrive as a two-file parquet stream (two REAL
+    micro-batches of four); every query routes to the ``nsw`` walk arm
+    (min_recall 0.9, expected_recall < 1.0 — the approximate ef-budget
+    rung), yet each micro-batch's 4-query union reaches
+    ``DENSE_SERVE_MIN_BATCH`` = 4, so ``plan_ann_batch`` hands the arm
+    to ``nsw_dense_topk`` (in-fn pinned per micro-batch: the plan the
+    dispatcher executes is exactly [("nsw", "nsw_dense")]) — one BLAS
+    gemm over the store, EXACT results despite the sub-1.0 recall
+    route, so the brute-force per-query oracle gates the stream
+    hash-exactly (the walk at ef=16 could not promise that). In-fn
+    pins: route arm + recall, per-micro-batch plan, TWO landed
+    micro-batches, stream ≡ static ``ann_search_batch`` (both
+    knob-free). Reference anchor: the served default for
+    acorn.py:289-302's query loop."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.streaming.serving import (
+        stream_routed_serve,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _STREAM_DENSE_SERVE_CACHE if k[0] != key[0]]:
+        _shutil.rmtree(
+            _os.path.dirname(_STREAM_DENSE_SERVE_CACHE[stale]),
+            ignore_errors=True,
+        )
+        del _STREAM_DENSE_SERVE_CACHE[stale]
+    out = _STREAM_DENSE_SERVE_CACHE.get(key)
+    if out is None:
+        path = _nsw_hybrid_store(spark, sf_dir)
+        router = _conj_router_stats()
+        acc = flat_accessors({"label": "bigint"})
+        corpus = _t(spark, sf_dir, "embeddings")
+        vecs = {
+            r["vec_id"]: list(r["embedding"])
+            for r in corpus.filter(F.col("vec_id") < 8)
+            .select("vec_id", "embedding")
+            .collect()
+        }
+        batch = [
+            (j, vecs[j], {"label": ["exact", 3]} if j % 2 else None)
+            for j in range(8)
+        ]
+        routes = router.route_ann_batch(
+            corpus, batch, 10, nsw_path=path, min_recall=0.9, accessors=acc
+        )
+        assert {r.strategy for r in routes.values()} == {"nsw"}, routes
+        assert all(r.expected_recall < 1.0 for r in routes.values()), routes
+        # per micro-batch, the plan the dispatcher executes lands the
+        # whole walk arm on the dense kernel WITHOUT any knob
+        for half in (batch[:4], batch[4:]):
+            plan = router.plan_ann_batch(
+                {int(q[0]): routes[int(q[0])] for q in half}, half
+            )
+            assert [(d.arm, d.kernel) for d in plan] == [
+                ("nsw", "nsw_dense")
+            ], plan
+        root = tempfile.mkdtemp(prefix="acorn_dense_serve_")
+        out = root + "/results"
+        qrows = spark.createDataFrame(
+            [
+                (qid, [float(v) for v in vec],
+                 _json.dumps(preds) if preds else None)
+                for qid, vec, preds in batch
+            ],
+            "query_id bigint, embedding array<double>, predicate_json string",
+        )
+        src = root + "/queries"
+        qrows.filter("query_id < 4").repartition(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        qrows.filter("query_id >= 4").repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(qrows.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_routed_serve(
+            stream, router, corpus, out, root + "/ckpt", 10,
+            nsw_path=path, min_recall=0.9, accessors=acc,
+        )
+        q.processAllAvailable()
+        q.stop()
+        parts = {
+            r["_batch_id"]
+            for r in spark.read.parquet(out)
+            .select("_batch_id").distinct().collect()
+        }
+        assert len(parts) == 2, parts
+        served = sorted(
+            (int(r["query_id"]), int(r["vec_id"]), round(r["dist"], 9))
+            for r in spark.read.parquet(out)
+            .select("query_id", "vec_id", "dist").collect()
+        )
+        static = sorted(
+            (int(r["query_id"]), int(r["vec_id"]), round(r["dist"], 9))
+            for r in router.ann_search_batch(
+                corpus, batch, 10, nsw_path=path, min_recall=0.9,
+                accessors=acc,
+            ).collect()
+        )
+        assert served == static, "stream-served != static batch dispatch"
+        _STREAM_DENSE_SERVE_CACHE[key] = out
+    res = spark.read.parquet(out)
+    return res.select(
+        "query_id", "vec_id", F.round("dist", _R).alias("dist")
+    )
+
+
 _IVF_BATCH_CACHE: dict[tuple[str, str], object] = {}
 
 
@@ -5759,6 +5894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin this subsumes) stays oracle-gated at 51+ alongside
         # nsw_pruned_batch_topk
         "stream_routed_serve": _q_stream_routed_serve,
+        "stream_dense_serve": _q_stream_dense_serve,
         "cms_heavy_tokens": _q_cms_heavy_tokens,
         # -- relational core --
         "agg_lineitem_pricing": _q_agg_lineitem,
@@ -8046,6 +8182,18 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT * FROM ce WHERE vec_id < 40) e,
                    (SELECT embedding FROM ce WHERE vec_id = 2) q
               ORDER BY {_D2}, e.vec_id LIMIT 10)""",
+        # r13: the routed serving stream landing the dense kernel BY
+        # DEFAULT — every query routed to the approximate nsw arm, yet
+        # the dense upgrade makes each answer exactly the brute-force
+        # per-query top-10 (even qids unconstrained, odd qids label=3)
+        "stream_dense_serve": "\nUNION ALL\n".join(
+            f"""SELECT * FROM (
+              SELECT {j} AS query_id, e.vec_id, ROUND({_D2}, {_R}) AS dist
+              FROM embeddings e, {_QV.replace("q AS ", "").format(vid=j)} q
+              {"WHERE e.label IS NOT NULL AND e.label = 3" if j % 2 else ""}
+              ORDER BY {_D2}, e.vec_id LIMIT 10)"""
+            for j in range(8)
+        ),
         # r11: the IVF exact rung at batch shape — per-query match /
         # range / unconstrained, two list scans total
         "ivf_exact_batch_topk": "WITH ce AS (SELECT s.vec_id, s.label, "

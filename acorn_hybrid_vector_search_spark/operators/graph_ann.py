@@ -470,6 +470,28 @@ def _merge_topk(cand: DataFrame, k: int, id_col: str, dist_col: str) -> DataFram
     )
 
 
+def _query_batch_matrix(queries):
+    """Validate a (qid, vector) batch on the DRIVER and return
+    (qids, f64 query matrix). Duplicate ids would double their
+    candidates and corrupt the merged per-query top-k; a ragged batch
+    would make np.asarray build an object array and fail INSIDE the
+    executor as an opaque broadcast/matmul error (r13, advisor note) —
+    both raise ValueError here, guard-rail style."""
+    qids = [int(q) for q, _ in queries]
+    if len(qids) != len(set(qids)):
+        raise ValueError(
+            "duplicate query ids in batch — duplicated ids would double "
+            "their candidates and corrupt the merged per-query top-k"
+        )
+    qlists = [list(v) for _, v in queries]
+    if len({len(v) for v in qlists}) > 1:
+        raise ValueError(
+            "query vectors must share one dimension, got lengths "
+            f"{sorted({len(v) for v in qlists})}"
+        )
+    return qids, np.asarray(qlists, dtype=np.float64)
+
+
 def nsw_batch_topk(
     df: DataFrame,
     queries: Sequence[tuple[int, Sequence[float]]],
@@ -500,13 +522,7 @@ def nsw_batch_topk(
     declared blocked-set semantics) — post-search exclusion keeps the
     graph walk identical, matching hnswlib's BaseFilterFunctor.
     """
-    qids = [int(q) for q, _ in queries]
-    if len(qids) != len(set(qids)):
-        raise ValueError(
-            "duplicate query ids in batch — duplicated ids would double "
-            "their candidates and corrupt the merged per-query top-k"
-        )
-    qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
+    qids, qmat = _query_batch_matrix(queries)
     blocked_set = frozenset(int(b) for b in (blocked or ()))
 
     out_schema = f"query_id long, {id_col} long, {dist_col} double"
@@ -2342,13 +2358,7 @@ def nsw_read_topk(
     single-entry conjunction is exactly ``prune_match`` (op 'exact')
     or ``prune_range`` (range op) — identical counts, verdicts and
     masks by construction (pytest-pinned)."""
-    qids = [int(q) for q, _ in queries]
-    if len(qids) != len(set(qids)):
-        raise ValueError(
-            "duplicate query ids in batch — duplicated ids would double "
-            "their candidates and corrupt the merged per-query top-k"
-        )
-    qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
+    qids, qmat = _query_batch_matrix(queries)
     blocked_set = frozenset(int(b) for b in (blocked or ()))
     out_schema = f"query_id long, {id_col} long, {dist_col} double"
     has_pred = predicate is not None
@@ -2837,13 +2847,7 @@ def nsw_dense_topk(
     100 TB that is the difference between re-shuffling the dataset per
     micro-batch and a map-only pass.
     """
-    qids = [int(q) for q, _ in queries]
-    if len(qids) != len(set(qids)):
-        raise ValueError(
-            "duplicate query ids in batch — duplicated ids would double "
-            "their candidates and corrupt the merged per-query top-k"
-        )
-    qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
+    qids, qmat = _query_batch_matrix(queries)
     blocked_arr = np.asarray(sorted(int(b) for b in (blocked or ())), dtype=np.int64)
     out_schema = f"query_id long, {id_col} long, {dist_col} double"
     has_pred = predicate is not None
@@ -2867,6 +2871,13 @@ def nsw_dense_topk(
     # 17 ms at 256 — the mask machinery, not the gemm). Dedupe is by
     # the expression's canonical string — false negatives only (two
     # distinct spellings of one predicate just keep their own columns).
+    # INVARIANT (r13, advisor note): str(Column) is the JVM expression
+    # toString — it is a safe dedupe key only while every predicate is
+    # a pure function of the STORED TABLE's columns (no session state,
+    # no non-deterministic exprs). build_predicate (the §2.3 builder,
+    # this repo's only producer) guarantees that; a caller handing
+    # arbitrary Columns must keep the same contract or two
+    # stringify-identical trees would silently share one mask.
     group_of: dict[int, int] = {}
     if pred_qids:
         by_expr: dict[str, int] = {}

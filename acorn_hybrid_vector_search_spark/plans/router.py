@@ -248,6 +248,36 @@ class AnnRoute:
     expected_recall: float = 1.0
 
 
+# r13 (VERDICT r12 ask #1): the batch-dense kernel is the routed
+# DEFAULT for walk-arm unions of at least this many queries. The value
+# is the measured serving crossover (BENCH_LADDER ``serving_crossover``,
+# r12): dense beats the ef=64 walk from |Q|=4 up on EVERY arm and is
+# flat in |Q| (1.92 ms/q vs 7.81 at |Q|=256); being exact, every
+# route's recall contract holds by construction. Pass
+# ``dense_min_batch=None`` to ``ann_search_batch`` to pin the walk
+# (bit-compatible batch ≡ per-query, bounded anytime-ACORN cost).
+DENSE_SERVE_MIN_BATCH = 4
+
+
+@dataclass
+class AnnDispatch:
+    """One kernel invocation of a batched routed dispatch — the unit of
+    ``StrategyRouter.plan_ann_batch``'s plan. ``arm`` is the routing
+    family (prefilter / nsw / nsw_gamma / pruned / ivf / ivf_exact);
+    ``kernel`` is the physical executor (prefilter_batch / nsw_walk /
+    nsw_dense / pruned_fold / ivf_batch / ivf_exact_batch); ``queries``
+    are the (qid, vec, predicates) tuples the call serves; the budget
+    fields carry the group's (ef, max_visits, nprobe) where the kernel
+    consumes them (the dense kernel, being exact, ignores budgets)."""
+
+    arm: str
+    kernel: str
+    queries: tuple
+    ef: int | None = None
+    max_visits: int | None = None
+    nprobe: int | None = None
+
+
 class StrategyRouter:
     """Chooses the physical strategy for one hybrid query.
 
@@ -781,70 +811,45 @@ class StrategyRouter:
             )
         return routes
 
-    def ann_search_batch(
+    def plan_ann_batch(
         self,
-        df: DataFrame,
+        routes: "Mapping[int, AnnRoute]",
         queries: Sequence[tuple[Any, Sequence[float], Predicates | None]],
-        k: int,
         *,
-        min_recall: float = 1.0,
-        ivf_index: Any = None,
-        nsw_path: str | None = None,
-        gamma_path: str | None = None,
-        pruned_path: str | None = None,
-        accessors: Mapping[str, AttributeAccessor] | None = None,
-        dense_min_batch: int | None = None,
-        id_col: str = "vec_id",
-        vec_col: str = "embedding",
-        query_id_col: str = "query_id",
-    ) -> DataFrame:
-        """BATCHED routed dispatch (r11, VERDICT r10 ask #4): route each
-        query of the batch (rules 1-6), GROUP the batch by the chosen
-        strategy AND its budget tuple (ef, max_visits, nprobe — r12
-        hardening), and answer each group from ≤ 1 scan / store read per
-        (arm, budget) — the ``routed_batch_topk`` pattern (hybrid.py) extended to
-        every rung of the ANN ladder, which is what a serving surface
-        needs per micro-batch (``stream_routed_serve``). Per query the
-        result is IDENTICAL to ``ann_search`` (pytest-pinned):
+        dense_min_batch: int | None = DENSE_SERVE_MIN_BATCH,
+    ) -> "list[AnnDispatch]":
+        """The PURE planning half of ``ann_search_batch`` (r13, VERDICT
+        r12 ask #1): given the per-query routes (``route_ann_batch``)
+        and the batch, decide WHICH KERNEL answers each group — no
+        Spark, no I/O, so both the decision-matrix pytest and a serving
+        caller's in-fn pins read the same code path the dispatcher
+        executes (``ann_search_batch`` consumes this plan verbatim).
 
-        - prefilter/exact (and every predicate-carrying fallback) →
-          ONE ``prefilter_search_batch`` corpus scan;
-        - nsw / nsw_gamma → ONE ``nsw_read_topk`` store read per arm,
-          each query's own §2.3 predicate as a ``_pass_<qid>`` column
-          (the r8b serving machinery; the γ arm walks the predicate
-          subgraph under its budget);
-        - ALL pruned rungs (plain ball-bound, exact-match, range,
-          conjunction) FOLD INTO ONE ``nsw_read_topk(prune=True,
-          prune_conj={qid: …})`` store read — a single-constraint
-          conjunction is exactly the match/range arm (identical
-          verdicts by construction), and queries routed to plain
-          ``nsw_pruned`` simply stay out of the mapping, pruning on
-          ball bounds alone; the shared full beam keeps every group
-          member provably exact;
-        - ivf (approximate) → ONE ``ivf_search_batch`` scan of the
-          probed-list union; ivf_exact (predicate-free) → ONE
-          ``ivf_search_exact_batch`` two-phase scan.
+        Grouping: queries sharing an (arm, ef, max_visits, nprobe)
+        tuple share one kernel call (r12 hardening — a future rule
+        assigning per-query budgets yields one store read per distinct
+        budget). Arms: prefilter / nsw / nsw_gamma / pruned (all pruned
+        rungs FOLD into one ``prune_conj`` store read) / ivf /
+        ivf_exact.
 
-        ``dense_min_batch`` (r12, opt-in): a walk-arm group (nsw /
-        nsw_gamma) of at least this many queries is served by
-        ``nsw_dense_topk`` instead — one BLAS gemm over the SAME store,
-        EXACT results (recall 1.0 ≥ any budget, so every route's
-        recall contract still holds) and measured faster than the walk
-        from |Q|≈4 up (BENCH_LADDER ``serving_crossover``). Default
-        None keeps batch ≡ per-query ``ann_search`` bit-compatible
-        (the walk at a sub-1.0 budget is approximate; dense results
-        can only be closer to the brute oracle). The pruned arms keep
-        their zone-map rungs either way — shard skipping saves I/O the
-        dense scan would pay.
-
-        Returns ``(query_id, <id_col>, dist)`` — the serving answer
-        shape, unioned across arms."""
-        acc = accessors or abo_accessors()
-        routes = self.route_ann_batch(
-            df, queries, k,
-            min_recall=min_recall, ivf_index=ivf_index, nsw_path=nsw_path,
-            gamma_path=gamma_path, pruned_path=pruned_path, accessors=acc,
-        )
+        The DENSE rule (r13, default ON): a walk arm (nsw / nsw_gamma)
+        whose query union reaches ``dense_min_batch`` is served by
+        ``nsw_dense_topk`` — one BLAS gemm over the same store, EXACT
+        (recall 1.0 ≥ any budget, so every route's recall contract
+        holds by construction), measured faster than the ef=64 walk
+        from |Q|=4 up on every arm and FLAT in |Q| (BENCH_LADDER
+        ``serving_crossover``: 1.92 ms/q dense vs 7.81 walk at
+        |Q|=256). The decision is made on the UNION of the arm's
+        queries BEFORE budget grouping — the dense kernel ignores
+        ef/max_visits, so splitting by budget would both defeat the
+        threshold and multiply full-store scans. Below the threshold
+        (single-query and tiny batches) the walk keeps its measured
+        advantage; ``dense_min_batch=None`` disables the dense rung
+        entirely, pinning the walk for callers that want the bounded
+        anytime-ACORN cost contract (a dense call always scans the
+        full store; a ``max_visits`` walk never does). The pruned arms
+        keep their zone-map rungs either way — shard skipping saves
+        I/O the dense scan would pay."""
 
         def arm(route: AnnRoute, preds) -> str:
             s = route.strategy
@@ -862,13 +867,9 @@ class StrategyRouter:
 
         def group_key(route: AnnRoute, preds) -> tuple:
             # r12 hardening (VERDICT r11 ask #4): group by the FULL budget
-            # tuple, not the arm alone. Today route_ann assigns budgets
-            # uniformly per (arm, min_recall), so every arm collapses to
-            # one group and the plan is unchanged — but a future rule that
-            # varies ef/max_visits/nprobe per query (e.g. on selectivity)
-            # now yields one store read per distinct budget instead of
-            # silently running every group member under the FIRST query's
-            # budget. batch ≡ per-query stays true by construction.
+            # tuple, not the arm alone — one store read per distinct
+            # budget, each group served under ITS OWN budget; batch ≡
+            # per-query stays true by construction.
             a = arm(route, preds)
             if a in ("nsw", "nsw_gamma"):
                 return (a, route.ef, route.max_visits, None)
@@ -880,70 +881,164 @@ class StrategyRouter:
         for q in queries:
             groups.setdefault(group_key(routes[int(q[0])], q[2]), []).append(q)
 
-        def arm_batches(name: str) -> list[tuple[tuple, list]]:
-            return [(key, qs) for key, qs in groups.items() if key[0] == name]
-
-        parts: list[DataFrame] = []
-        spark = df.sparkSession
+        plan: list[AnnDispatch] = []
         if batch := groups.get(("prefilter", None, None, None)):
-            parts.append(
-                prefilter_search_batch(
-                    df, batch, k, accessors=acc, vec_col=vec_col,
-                    id_col=id_col, query_id_col=query_id_col,
-                ).select(query_id_col, id_col, "dist")
+            plan.append(
+                AnnDispatch("prefilter", "prefilter_batch", tuple(batch))
             )
-        for arm_name, path_, strat in (
-            ("nsw", nsw_path, "traverse_all"),
-            ("nsw_gamma", gamma_path, "subgraph"),
-        ):
-            arm_groups = arm_batches(arm_name)
-            # the dense decision is made on the UNION of the arm's
-            # queries BEFORE budget grouping (r12 self-review): the
-            # dense kernel ignores ef/max_visits, so splitting by
-            # budget would both defeat the threshold and multiply
-            # full-store scans
+        for arm_name in ("nsw", "nsw_gamma"):
+            arm_groups = [
+                (key, qs) for key, qs in groups.items() if key[0] == arm_name
+            ]
             union = [q for _, qs in arm_groups for q in qs]
             if (
                 dense_min_batch is not None
                 and union
                 and len(union) >= dense_min_batch
             ):
+                plan.append(AnnDispatch(arm_name, "nsw_dense", tuple(union)))
+                continue
+            for (_, ef_, max_visits_, _np), batch in arm_groups:
+                plan.append(
+                    AnnDispatch(
+                        arm_name, "nsw_walk", tuple(batch),
+                        ef=ef_, max_visits=max_visits_,
+                    )
+                )
+        if batch := groups.get(("pruned", None, None, None)):
+            plan.append(AnnDispatch("pruned", "pruned_fold", tuple(batch)))
+        for key, batch in groups.items():
+            if key[0] == "ivf":
+                plan.append(
+                    AnnDispatch("ivf", "ivf_batch", tuple(batch), nprobe=key[3])
+                )
+        if batch := groups.get(("ivf_exact", None, None, None)):
+            plan.append(
+                AnnDispatch("ivf_exact", "ivf_exact_batch", tuple(batch))
+            )
+        return plan
+
+    def ann_search_batch(
+        self,
+        df: DataFrame,
+        queries: Sequence[tuple[Any, Sequence[float], Predicates | None]],
+        k: int,
+        *,
+        min_recall: float = 1.0,
+        ivf_index: Any = None,
+        nsw_path: str | None = None,
+        gamma_path: str | None = None,
+        pruned_path: str | None = None,
+        accessors: Mapping[str, AttributeAccessor] | None = None,
+        dense_min_batch: int | None = DENSE_SERVE_MIN_BATCH,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        """BATCHED routed dispatch (r11, VERDICT r10 ask #4): route each
+        query of the batch (rules 1-6), plan the kernel per group
+        (``plan_ann_batch`` — grouping by the full (arm, ef,
+        max_visits, nprobe) tuple, r12 hardening), and answer each
+        group from ≤ 1 scan / store read per (arm, budget) — the
+        ``routed_batch_topk`` pattern (hybrid.py) extended to every
+        rung of the ANN ladder, which is what a serving surface needs
+        per micro-batch (``stream_routed_serve``). Per query the
+        result is IDENTICAL to ``ann_search`` (pytest-pinned) except
+        where the dense rule upgrades a walk arm to EXACT:
+
+        - prefilter/exact (and every predicate-carrying fallback) →
+          ONE ``prefilter_search_batch`` corpus scan;
+        - nsw / nsw_gamma with |union| ≥ ``dense_min_batch`` (DEFAULT
+          ``DENSE_SERVE_MIN_BATCH`` = 4, the measured BENCH_LADDER
+          ``serving_crossover`` — r13, VERDICT r12 ask #1) → ONE
+          ``nsw_dense_topk`` gemm scan per arm: EXACT results (recall
+          1.0 ≥ any budget, so every route's recall contract holds by
+          construction) and measured faster than the walk from |Q|≈4
+          up. Smaller walk-arm groups keep the ``nsw_read_topk`` walk
+          (one store read per budget tuple, each query's own §2.3
+          predicate as a ``_pass_<qid>`` column; the γ arm walks the
+          predicate subgraph under its budget).
+          ``dense_min_batch=None`` disables the dense rung — the walk
+          at a sub-1.0 budget is approximate, so batch ≡ per-query
+          ``ann_search`` stays bit-compatible, and a ``max_visits``
+          walk keeps its bounded anytime-ACORN cost contract (dense
+          always scans the full store);
+        - ALL pruned rungs (plain ball-bound, exact-match, range,
+          conjunction) FOLD INTO ONE ``nsw_read_topk(prune=True,
+          prune_conj={qid: …})`` store read — a single-constraint
+          conjunction is exactly the match/range arm (identical
+          verdicts by construction), and queries routed to plain
+          ``nsw_pruned`` simply stay out of the mapping, pruning on
+          ball bounds alone; the shared full beam keeps every group
+          member provably exact. The dense rule never touches this
+          arm: zone maps skip whole shard directories the dense scan
+          would read;
+        - ivf (approximate) → ONE ``ivf_search_batch`` scan of the
+          probed-list union; ivf_exact (predicate-free) → ONE
+          ``ivf_search_exact_batch`` two-phase scan.
+
+        Returns ``(query_id, <id_col>, dist)`` — the serving answer
+        shape, unioned across arms."""
+        acc = accessors or abo_accessors()
+        routes = self.route_ann_batch(
+            df, queries, k,
+            min_recall=min_recall, ivf_index=ivf_index, nsw_path=nsw_path,
+            gamma_path=gamma_path, pruned_path=pruned_path, accessors=acc,
+        )
+        plan = self.plan_ann_batch(
+            routes, queries, dense_min_batch=dense_min_batch
+        )
+
+        parts: list[DataFrame] = []
+        spark = df.sparkSession
+        for d in plan:
+            if d.kernel == "prefilter_batch":
+                parts.append(
+                    prefilter_search_batch(
+                        df, list(d.queries), k, accessors=acc,
+                        vec_col=vec_col, id_col=id_col,
+                        query_id_col=query_id_col,
+                    ).select(query_id_col, id_col, "dist")
+                )
+            elif d.kernel == "nsw_dense":
                 from acorn_hybrid_vector_search_spark.operators.graph_ann import (  # noqa: E501
                     nsw_dense_topk,
                 )
 
                 preds = {
                     int(qid): build_predicate(p, acc)
-                    for qid, _, p in union
+                    for qid, _, p in d.queries
                     if p
                 }
                 parts.append(
                     nsw_dense_topk(
-                        spark, path_,
-                        [(int(qid), list(v)) for qid, v, _ in union],
+                        spark,
+                        nsw_path if d.arm == "nsw" else gamma_path,
+                        [(int(qid), list(v)) for qid, v, _ in d.queries],
                         k, predicates=preds or None, id_col=id_col,
                     ).select(
                         F.col("query_id").alias(query_id_col),
                         id_col, "dist",
                     )
                 )
-                continue
-            for (_, ef_, max_visits_, _np), batch in arm_groups:
-                preds = {
-                    int(qid): build_predicate(p, acc)
-                    for qid, _, p in batch
-                    if p
-                }
-                from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+            elif d.kernel == "nsw_walk":
+                from acorn_hybrid_vector_search_spark.operators.graph_ann import (  # noqa: E501
                     nsw_read_topk,
                 )
 
+                preds = {
+                    int(qid): build_predicate(p, acc)
+                    for qid, _, p in d.queries
+                    if p
+                }
+                strat = "traverse_all" if d.arm == "nsw" else "subgraph"
                 parts.append(
                     nsw_read_topk(
-                        spark, path_,
-                        [(int(qid), list(v)) for qid, v, _ in batch], k,
-                        ef=ef_,
-                        max_visits=max_visits_,
+                        spark,
+                        nsw_path if d.arm == "nsw" else gamma_path,
+                        [(int(qid), list(v)) for qid, v, _ in d.queries], k,
+                        ef=d.ef,
+                        max_visits=d.max_visits,
                         predicates=preds or None,
                         strategy=strat if preds else "traverse_all",
                         id_col=id_col,
@@ -951,60 +1046,60 @@ class StrategyRouter:
                         F.col("query_id").alias(query_id_col), id_col, "dist"
                     )
                 )
-        if batch := groups.get(("pruned", None, None, None)):
-            from acorn_hybrid_vector_search_spark.operators.graph_ann import (
-                nsw_read_topk,
-                pruned_full_beam,
-            )
-
-            conj_map = {}
-            for qid, _, preds in batch:
-                if routes[int(qid)].strategy != "nsw_pruned":
-                    conj_map[int(qid)] = {
-                        attr: (list(spec)[0], list(spec)[1])
-                        for attr, spec in dict(preds).items()
-                    }
-            parts.append(
-                nsw_read_topk(
-                    spark, pruned_path,
-                    [(int(qid), list(v)) for qid, v, _ in batch], k,
-                    ef=pruned_full_beam(spark, pruned_path, k),
-                    prune=True,
-                    prune_conj=conj_map or None,
-                    id_col=id_col,
-                ).select(
-                    F.col("query_id").alias(query_id_col), id_col, "dist"
+            elif d.kernel == "pruned_fold":
+                from acorn_hybrid_vector_search_spark.operators.graph_ann import (  # noqa: E501
+                    nsw_read_topk,
+                    pruned_full_beam,
                 )
-            )
-        for (_, _ef, _mv, nprobe_), batch in arm_batches("ivf"):
-            from acorn_hybrid_vector_search_spark.operators.ann import (
-                ivf_search_batch,
-            )
 
-            parts.append(
-                ivf_search_batch(
-                    ivf_index,
-                    [(int(qid), list(v)) for qid, v, _ in batch], k,
-                    nprobe=nprobe_,
-                    predicates={
-                        int(qid): p for qid, _, p in batch if p
-                    },
-                    accessors=acc,
-                    query_id_col=query_id_col,
-                ).select(query_id_col, id_col, "dist")
-            )
-        if batch := groups.get(("ivf_exact", None, None, None)):
-            from acorn_hybrid_vector_search_spark.operators.ann import (
-                ivf_search_exact_batch,
-            )
+                conj_map = {}
+                for qid, _, preds_ in d.queries:
+                    if routes[int(qid)].strategy != "nsw_pruned":
+                        conj_map[int(qid)] = {
+                            attr: (list(spec)[0], list(spec)[1])
+                            for attr, spec in dict(preds_).items()
+                        }
+                parts.append(
+                    nsw_read_topk(
+                        spark, pruned_path,
+                        [(int(qid), list(v)) for qid, v, _ in d.queries], k,
+                        ef=pruned_full_beam(spark, pruned_path, k),
+                        prune=True,
+                        prune_conj=conj_map or None,
+                        id_col=id_col,
+                    ).select(
+                        F.col("query_id").alias(query_id_col), id_col, "dist"
+                    )
+                )
+            elif d.kernel == "ivf_batch":
+                from acorn_hybrid_vector_search_spark.operators.ann import (
+                    ivf_search_batch,
+                )
 
-            parts.append(
-                ivf_search_exact_batch(
-                    ivf_index,
-                    [(int(qid), list(v)) for qid, v, _ in batch], k,
-                    query_id_col=query_id_col,
-                ).select(query_id_col, id_col, "dist")
-            )
+                parts.append(
+                    ivf_search_batch(
+                        ivf_index,
+                        [(int(qid), list(v)) for qid, v, _ in d.queries], k,
+                        nprobe=d.nprobe,
+                        predicates={
+                            int(qid): p for qid, _, p in d.queries if p
+                        },
+                        accessors=acc,
+                        query_id_col=query_id_col,
+                    ).select(query_id_col, id_col, "dist")
+                )
+            else:  # ivf_exact_batch
+                from acorn_hybrid_vector_search_spark.operators.ann import (
+                    ivf_search_exact_batch,
+                )
+
+                parts.append(
+                    ivf_search_exact_batch(
+                        ivf_index,
+                        [(int(qid), list(v)) for qid, v, _ in d.queries], k,
+                        query_id_col=query_id_col,
+                    ).select(query_id_col, id_col, "dist")
+                )
         if not parts:
             raise ValueError("empty query batch")
         out = parts[0]

@@ -25,6 +25,18 @@ def get_spark(
     - AQE on: runtime coalescing of shuffle partitions and skew-join
       handling — the knobs that keep plans healthy at 100× data.
     - Arrow enabled for pandas UDF exchange.
+
+    SIDE EFFECT (r13, advisor note): on local masters this call sets
+    ``OPENBLAS/OMP/MKL/BLIS_NUM_THREADS=1`` in ``os.environ`` (via
+    ``setdefault`` — pre-existing values win) so Python workers run
+    single-threaded BLAS under Spark's task parallelism. The cap is
+    PROCESS-WIDE: the driver's numpy is imported first so ITS OpenBLAS
+    pool keeps full threads, but any OTHER threading runtime
+    initialized in the driver afterwards (an OpenMP-backed sklearn/
+    scipy kernel, a later ``multiprocessing``/subprocess child that
+    inherits the env) sees the 1-thread cap. Export the variable
+    yourself before calling ``get_spark`` — or in the child env — if a
+    driver-side or subprocess kernel needs in-process threading.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:

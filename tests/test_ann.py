@@ -1895,8 +1895,12 @@ def test_ann_search_batch_groups_by_budget_tuple(spark, tmp_path):
     # the rule really produced TWO distinct budgets inside one arm
     assert len({(r.ef, r.max_visits) for r in routes.values()}) == 2
 
+    # dense_min_batch=None pins the WALK (r13: dense is the default at
+    # |union| >= 4) — this test is about the walk's budget grouping,
+    # and batch ≡ per-query is only bit-compatible on the walk path
     got = router.ann_search_batch(
-        df, batch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc
+        df, batch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc,
+        dense_min_batch=None,
     ).collect()
     by_q: dict = {}
     for r in got:
@@ -1916,12 +1920,13 @@ def test_ann_search_batch_groups_by_budget_tuple(spark, tmp_path):
 
 
 def test_ann_search_batch_dense_arm(spark, tmp_path):
-    """r12 opt-in: dense_min_batch routes a large-enough walk-arm group
-    through nsw_dense_topk — results are EXACT (≡ the brute-force
-    filtered oracle per query, i.e. at least the walk's recall; every
-    route's recall contract holds trivially), a group below the
-    threshold keeps the walk, and default None stays bit-compatible
-    with per-query ann_search."""
+    """dense_min_batch routes a large-enough walk-arm group through
+    nsw_dense_topk — results are EXACT (≡ the brute-force filtered
+    oracle per query, i.e. at least the walk's recall; every route's
+    recall contract holds trivially), a group below the threshold
+    keeps the walk, and r13 (VERDICT r12 ask #1): the DEFAULT is dense
+    at |union| ≥ DENSE_SERVE_MIN_BATCH=4; dense_min_batch=None pins
+    the walk (bit-compatible with per-query ann_search)."""
     from acorn_hybrid_vector_search_spark.functions.predicates import (
         flat_accessors,
     )
@@ -1976,19 +1981,29 @@ def test_ann_search_batch_dense_arm(spark, tmp_path):
             if lab == want
         )[:5]
         assert dense[qid] == brute, qid
-    # below the threshold → the walk serves it (≡ default path)
+    # below the threshold → the walk serves it, and None disables the
+    # dense rung entirely — both must agree with each other
     walk = by_query(
         router.ann_search_batch(
             df, batch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc,
             dense_min_batch=100,
         )
     )
+    walk_none = by_query(
+        router.ann_search_batch(
+            df, batch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc,
+            dense_min_batch=None,
+        )
+    )
+    assert walk == walk_none
+    # r13: NO knob → dense serves the 6-query union (the default is
+    # DENSE_SERVE_MIN_BATCH=4), so the default answers the exact oracle
     default = by_query(
         router.ann_search_batch(
             df, batch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc,
         )
     )
-    assert walk == default
+    assert default == dense
 
     # the dense decision is made on the ARM UNION, not per budget
     # group (r12 self-review): a budget rule splitting the 6-query arm
@@ -2022,6 +2037,86 @@ def test_ann_search_batch_dense_arm(spark, tmp_path):
         )
     )
     assert dense_union == dense  # exact answers, single union call
+
+
+def test_plan_ann_batch_dense_decision_matrix():
+    """r13 (VERDICT r12 ask #1): the dense-default decision matrix,
+    read from the SAME ``plan_ann_batch`` the dispatcher executes —
+    |Q| ∈ {1, 3, 4, 64} × every arm. Walk arms (nsw / nsw_gamma) land
+    on the dense gemm kernel from |Q|=4 up (the measured BENCH_LADDER
+    ``serving_crossover``) and keep the walk below it;
+    ``dense_min_batch=None`` pins the walk at every |Q| (the
+    anytime-ACORN bounded-cost contract); non-walk arms (prefilter /
+    pruned / ivf / ivf_exact) never densify — their zone-map /
+    two-phase rungs skip I/O the dense scan would pay."""
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        DENSE_SERVE_MIN_BATCH,
+        AnnRoute,
+    )
+
+    assert DENSE_SERVE_MIN_BATCH == 4  # the measured serving crossover
+    router = _flat_router()
+    vec = [0.0, 0.0]
+    route_of = {
+        "nsw": AnnRoute("nsw", 1.0, ef=64, expected_recall=0.945),
+        "nsw_gamma": AnnRoute(
+            "nsw_gamma", 0.1, ef=64, max_visits=64, expected_recall=1.0
+        ),
+        "prefilter": AnnRoute("prefilter", 0.02),
+        "pruned": AnnRoute("nsw_pruned", 1.0),
+        "ivf": AnnRoute("ivf", 1.0, nprobe=4, expected_recall=0.9),
+        "ivf_exact": AnnRoute("ivf_exact", 1.0),
+    }
+    pred_of = {
+        "prefilter": {"label": ["exact", 1]},
+        "pruned": None,
+        "nsw": None,
+        "nsw_gamma": {"label": ["exact", 1]},
+        "ivf": None,
+        "ivf_exact": None,
+    }
+
+    def kernels(arm, n, **kw):
+        batch = [(j, vec, pred_of[arm]) for j in range(n)]
+        routes = {j: route_of[arm] for j in range(n)}
+        plan = router.plan_ann_batch(routes, batch, **kw)
+        assert sorted(q[0] for d in plan for q in d.queries) == list(range(n))
+        return [(d.arm if arm in ("nsw", "nsw_gamma") else arm, d.kernel)
+                for d in plan]
+
+    for walk_arm in ("nsw", "nsw_gamma"):
+        for n in (1, 3):
+            assert kernels(walk_arm, n) == [(walk_arm, "nsw_walk")], (walk_arm, n)
+        for n in (4, 64):
+            assert kernels(walk_arm, n) == [(walk_arm, "nsw_dense")], (walk_arm, n)
+            # opt-out pins the walk at every |Q|
+            assert kernels(walk_arm, n, dense_min_batch=None) == [
+                (walk_arm, "nsw_walk")
+            ], (walk_arm, n)
+    expect = {
+        "prefilter": "prefilter_batch",
+        "pruned": "pruned_fold",
+        "ivf": "ivf_batch",
+        "ivf_exact": "ivf_exact_batch",
+    }
+    for arm_name, kern in expect.items():
+        for n in (1, 3, 4, 64):
+            assert kernels(arm_name, n) == [(arm_name, kern)], (arm_name, n)
+
+    # the dense decision is on the ARM UNION across budget groups: two
+    # ef-budget groups of 2 still reach the threshold together
+    batch = [(j, vec, None) for j in range(4)]
+    routes = {
+        j: AnnRoute("nsw", 1.0, ef=32 if j < 2 else 64, expected_recall=0.9)
+        for j in range(4)
+    }
+    plan = router.plan_ann_batch(routes, batch)
+    assert [d.kernel for d in plan] == ["nsw_dense"]
+    # ...and with the dense rung disabled, each budget keeps ITS OWN read
+    plan = router.plan_ann_batch(routes, batch, dense_min_batch=None)
+    assert sorted((d.kernel, d.ef) for d in plan) == [
+        ("nsw_walk", 32), ("nsw_walk", 64),
+    ]
 
 
 def test_ivf_search_batch_equals_per_query_loop(spark, tmp_path):
