@@ -744,6 +744,11 @@ def _tombstones_path(path: str) -> str:
     return path.rstrip("/") + "/_tombstones"
 
 
+def _int8_path(path: str) -> str:
+    # the r13 int8 code sidecar ("_"-prefixed like every other sidecar)
+    return path.rstrip("/") + "/_int8_codes"
+
+
 def _remote_path_exists(spark, path: str) -> bool:
     """Hadoop-FS existence probe for a remote URI (the public
     FileSystem API through the session's JVM gateway). Any failure —
@@ -791,6 +796,7 @@ def _clear_sidecars(path: str, spark=None) -> None:
         _stats_path(path),
         _attr_stats_path(path),
         _numeric_stats_path(path),
+        _int8_path(path),
     ):
         shutil.rmtree(side, ignore_errors=True)
 
@@ -2788,6 +2794,148 @@ def nsw_read_topk(
     return _merge_topk(cand, k, id_col, dist_col)
 
 
+# r13 bitpacked predicate masks (VERDICT r12 ask #3): 31 verdict bits
+# per BIGINT word — every partial sum of distinct powers of two up to
+# 2^30 stays inside a signed long — and 'auto' packs only past 32
+# distinct groups, where the measured per-column overhead starts to
+# dominate (BENCH_LADDER ``dense_predicate_cliff``).
+_MASK_PACK_BITS = 31
+_MASK_PACK_MIN_GROUPS = 32
+
+
+class _DenseMaskPlan:
+    """Shared predicate-mask planning for the dense serving kernels
+    (``nsw_dense_topk`` and the r13 int8 two-phase variant): validates
+    the predicate arguments, dedupes IDENTICAL per-query expressions
+    into shared mask groups (r12b), decides the mask TRANSPORT
+    (per-group boolean columns vs 31-bit-packed BIGINT words — r13,
+    VERDICT r12 ask #3), attaches the mask columns to the scan, and
+    hands the executor a PICKLABLE extractor (plain ints/dicts only —
+    the py4j Column objects never cross the closure boundary).
+
+    Dedupe is by the expression's canonical string — false negatives
+    only (two distinct spellings of one predicate just keep their own
+    columns). INVARIANT (r13, advisor note): str(Column) is the JVM
+    expression toString — a safe dedupe key only while every predicate
+    is a pure function of the STORED TABLE's columns (no session
+    state, no non-deterministic exprs). build_predicate (the §2.3
+    builder, this repo's only producer) guarantees that; a caller
+    handing arbitrary Columns must keep the same contract or two
+    stringify-identical trees would silently share one mask."""
+
+    def __init__(self, predicate, predicates, qids, mask_packing):
+        self.has_pred = predicate is not None
+        self.predicate = predicate
+        if self.has_pred and predicates:
+            raise ValueError("pass either predicate or predicates, not both")
+        self.preds = {int(q): c for q, c in (predicates or {}).items()}
+        self.pred_qids = sorted(self.preds)
+        qset = set(qids)
+        if unknown := [q for q in self.pred_qids if q not in qset]:
+            raise ValueError(f"predicates for ids not in the batch: {unknown}")
+        if mask_packing not in ("auto", "columns", "bitpack"):
+            raise ValueError(
+                "mask_packing must be 'auto', 'columns' or 'bitpack', "
+                f"got {mask_packing!r}"
+            )
+        self.group_of: dict[int, int] = {}
+        self.group_cols: list = []
+        by_expr: dict[str, int] = {}
+        for q in self.pred_qids:
+            key_s = str(self.preds[q])
+            gi = by_expr.get(key_s)
+            if gi is None:
+                gi = by_expr[key_s] = len(self.group_cols)
+                self.group_cols.append(self.preds[q])
+            self.group_of[q] = gi
+        self.n_groups = len(self.group_cols)
+        # r13 transport decision (VERDICT r12 ask #3): past the dedupe,
+        # a batch where every query carries a DISTINCT predicate pays
+        # one boolean column per group — plan width, Arrow transfer and
+        # pandas extraction all scale with COLUMN COUNT. BITPACK folds
+        # the verdicts into ceil(G/31) BIGINT words (bit i%31 of word
+        # i//31 — 31 bits keeps every partial sum inside a signed
+        # long); same predicate arithmetic, same NULL-fails fold
+        # (WHEN c THEN bit ELSE 0 ≡ coalesce(c, false)),
+        # hash-identical results (pytest-pinned) — only the transport
+        # changes. 'auto' follows the measured BENCH_LADDER
+        # ``dense_predicate_cliff`` crossover (_MASK_PACK_MIN_GROUPS).
+        self.pack = mask_packing == "bitpack" or (
+            mask_packing == "auto" and self.n_groups > _MASK_PACK_MIN_GROUPS
+        )
+
+    def attach(self, stored: DataFrame) -> "tuple[DataFrame, list[str]]":
+        """Attach the mask column(s); returns (df, added column names)."""
+        if self.has_pred:
+            return stored.withColumn("_pass", self.predicate), ["_pass"]
+        if self.pred_qids and self.pack:
+            words = []
+            for w in range(0, self.n_groups, _MASK_PACK_BITS):
+                word = F.lit(0).cast("long")
+                for b, c in enumerate(
+                    self.group_cols[w:w + _MASK_PACK_BITS]
+                ):
+                    word = word + F.when(c, F.lit(1 << b)).otherwise(
+                        F.lit(0)
+                    ).cast("long")
+                words.append(word)
+            return stored.withColumn("_pass_w", F.array(*words)), ["_pass_w"]
+        if self.pred_qids:
+            return (
+                stored.withColumns(
+                    {
+                        f"_pass_g{i}": c
+                        for i, c in enumerate(self.group_cols)
+                    }
+                ),
+                [f"_pass_g{i}" for i in range(self.n_groups)],
+            )
+        return stored, []
+
+    def extractor(self):
+        """A picklable per-fragment mask reader: pdf →
+        (shared_mask | None, {qid: mask}). Masks are False for
+        NULL-verdict rows (§2.3 NULL fails)."""
+        has_pred = self.has_pred
+        pred_qids = list(self.pred_qids)
+        group_of = dict(self.group_of)
+        n_groups = self.n_groups
+        pack = self.pack
+
+        def extract(pdf):
+            masks: dict[int, np.ndarray] = {}
+            if has_pred:
+                return (
+                    pdf["_pass"].fillna(False).to_numpy(dtype=bool),
+                    masks,
+                )
+            if pred_qids and pack:
+                # unpack ceil(G/31) words → n×G bool with vectorized
+                # shifts (word-major, bit-minor — the packing order)
+                words = np.asarray(list(pdf["_pass_w"]), dtype=np.int64)
+                bits = (
+                    (words[:, :, None] >> np.arange(_MASK_PACK_BITS)) & 1
+                ).astype(bool)
+                gm = bits.reshape(len(pdf), -1)[:, :n_groups]
+                for q in pred_qids:
+                    masks[q] = gm[:, group_of[q]]
+                return None, masks
+            if pred_qids:
+                # ONE vectorized extraction for all group columns (r13):
+                # per-column pandas access costs ~2× at G=1024
+                gm = (
+                    pdf[[f"_pass_g{i}" for i in range(n_groups)]]
+                    .fillna(False)
+                    .to_numpy(dtype=bool)
+                )
+                for q in pred_qids:
+                    masks[q] = gm[:, group_of[q]]
+                return None, masks
+            return None, masks
+
+        return extract
+
+
 def nsw_dense_topk(
     spark,
     path: str,
@@ -2798,6 +2946,7 @@ def nsw_dense_topk(
     predicates=None,
     blocked: frozenset[int] | set[int] | None = None,
     query_block: int = 256,
+    mask_packing: str = "auto",
     id_col: str = "vec_id",
     dist_col: str = "dist",
 ) -> DataFrame:
@@ -2850,69 +2999,26 @@ def nsw_dense_topk(
     qids, qmat = _query_batch_matrix(queries)
     blocked_arr = np.asarray(sorted(int(b) for b in (blocked or ())), dtype=np.int64)
     out_schema = f"query_id long, {id_col} long, {dist_col} double"
-    has_pred = predicate is not None
-    if has_pred and predicates:
-        raise ValueError("pass either predicate or predicates, not both")
-    preds = {int(q): c for q, c in (predicates or {}).items()}
-    pred_qids = sorted(preds)
-    qset = set(qids)
-    if unknown := [q for q in pred_qids if q not in qset]:
-        raise ValueError(f"predicates for ids not in the batch: {unknown}")
+    mask_plan = _DenseMaskPlan(predicate, predicates, qids, mask_packing)
     if query_block < 1:
         raise ValueError(f"query_block must be >= 1, got {query_block}")
-
-    # Dedupe IDENTICAL per-query predicate expressions into shared mask
-    # columns (r12b): a serving batch typically parameterizes FEW
-    # distinct predicates across MANY queries (the reference's own
-    # workload is label == qid % 10 — 10 distinct masks for any |Q|),
-    # and both the Catalyst projection width and the per-fragment
-    # pandas mask extraction scale with the number of COLUMNS, not
-    # queries (measured: 1024 per-query columns cost 62 ms/query vs
-    # 17 ms at 256 — the mask machinery, not the gemm). Dedupe is by
-    # the expression's canonical string — false negatives only (two
-    # distinct spellings of one predicate just keep their own columns).
-    # INVARIANT (r13, advisor note): str(Column) is the JVM expression
-    # toString — it is a safe dedupe key only while every predicate is
-    # a pure function of the STORED TABLE's columns (no session state,
-    # no non-deterministic exprs). build_predicate (the §2.3 builder,
-    # this repo's only producer) guarantees that; a caller handing
-    # arbitrary Columns must keep the same contract or two
-    # stringify-identical trees would silently share one mask.
-    group_of: dict[int, int] = {}
-    if pred_qids:
-        by_expr: dict[str, int] = {}
-        group_cols: list = []
-        for q in pred_qids:
-            key_s = str(preds[q])
-            gi = by_expr.get(key_s)
-            if gi is None:
-                gi = by_expr[key_s] = len(group_cols)
-                group_cols.append(preds[q])
-            group_of[q] = gi
 
     stored = spark.read.parquet(path)
     tomb = _read_tombstones(spark, path, id_col)
     if tomb is not None:
         stored = _apply_tombstones(stored, tomb, id_col)
-    if has_pred:
-        stored = stored.withColumn("_pass", predicate)
-    elif pred_qids:
-        stored = stored.withColumns(
-            {f"_pass_g{i}": c for i, c in enumerate(group_cols)}
-        )
+    stored, mask_cols = mask_plan.attach(stored)
     # column-prune the scan: the dense kernel needs neither adjacency
     # nor part_id (fragments are anonymous — r12 self-review)
     keep = [id_col, "vector"]
     if tomb is not None:
         keep.append("_deleted")
-    if has_pred:
-        keep.append("_pass")
-    elif pred_qids:
-        keep.extend(f"_pass_g{i}" for i in range(len(group_cols)))
+    keep.extend(mask_cols)
     stored = stored.select(*keep)
 
     n_q = len(qids)
     qn = (qmat * qmat).sum(axis=1)
+    extract_masks = mask_plan.extractor()
 
     def frag_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         X = np.asarray(list(pdf["vector"]), dtype=np.float64)
@@ -2923,17 +3029,7 @@ def nsw_dense_topk(
             excl |= pdf["_deleted"].to_numpy(dtype=bool)
         if blocked_arr.size:
             excl |= np.isin(ids, blocked_arr)
-        masks: dict[int, np.ndarray] = {}
-        if has_pred:
-            shared = pdf["_pass"].fillna(False).to_numpy(dtype=bool)
-        else:
-            shared = None
-            group_masks = [
-                pdf[f"_pass_g{i}"].fillna(False).to_numpy(dtype=bool)
-                for i in range(len(set(group_of.values())))
-            ]
-            for q in pred_qids:
-                masks[q] = group_masks[group_of[q]]
+        shared, masks = extract_masks(pdf)
         rows_q, rows_i, rows_d = [], [], []
         kk = min(k, len(ids))
         if kk == 0:
@@ -2978,3 +3074,298 @@ def nsw_dense_topk(
 
     cand = stored.mapInPandas(run, out_schema)
     return _merge_topk(cand, k, id_col, dist_col)
+
+
+def nsw_write_int8(spark, path: str, *, id_col: str = "vec_id") -> None:
+    """Materialize the INT8 CODE SIDECAR for the two-phase batch-dense
+    kernel (r13, VERDICT r12 ask #4). The 100 TB lever is bytes-per-row:
+    at the reference shape a float32 vector is 8 KB/row and the dense
+    scan is bandwidth-bound, so the sidecar stores each vector as
+    ``qcode`` = d bytes of two's-complement int8 (a packed BINARY —
+    parquet encodes ``array<tinyint>`` elements as INT32 physical, so
+    the binary blob is the only real 1-byte/component layout) plus one
+    ``qscale`` double — 4× fewer scanned bytes than float32, 8× than
+    float64. Quantization is quantize.py's symmetric max-abs scheme
+    (scale = max|x|/127, q = floor(x/scale + 0.5), zero vectors keep
+    scale 0), giving the per-row EXACTNESS RADIUS the search kernel's
+    candidate bound uses: |x_i − scale·q_i| ≤ scale/2 per component ⇒
+    ‖x − x̂‖₂ ≤ scale·√d/2.
+
+    Payload columns ride along so §2.3 predicate masks evaluate on the
+    sidecar scan itself (same Catalyst machinery as ``nsw_dense_topk``).
+    Freshness: the sidecar records the store-version token + per-shard
+    content fingerprints (the ``_record_store_fp`` protocol); the
+    kernel REFUSES on staleness — codes quantized against a mutated
+    store would silently break the exactness bound. Local stores only
+    (the fingerprint walk is os-level, like every stats sidecar)."""
+    if "://" in path:
+        raise ValueError(
+            "nsw_write_int8 requires a local store path (the freshness "
+            f"fingerprint walk is os-level); got {path!r}"
+        )
+    from pyspark.sql import types as sqlt
+
+    stored = spark.read.parquet(path)
+    payload = [
+        c
+        for c in stored.columns
+        if c not in ("part_id", "seq", "vector", "neighbors", "gamma", id_col)
+    ]
+    # part_id rides along (as a plain column — sidecar fragments stay
+    # anonymous): tombstone semantics are ceiling-scoped per shard
+    # (_apply_tombstones reads part_id), and the search kernel applies
+    # tombstones to the SIDECAR scan
+    fields = [
+        sqlt.StructField(id_col, sqlt.LongType()),
+        sqlt.StructField("part_id", sqlt.IntegerType()),
+        sqlt.StructField("qcode", sqlt.BinaryType()),
+        sqlt.StructField("qscale", sqlt.DoubleType()),
+    ] + [stored.schema[c] for c in payload]
+    schema = sqlt.StructType(fields)
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf["vector"]), dtype=np.float64)
+            scale = np.abs(X).max(axis=1) / 127.0
+            safe = np.where(scale > 0.0, scale, 1.0)
+            q = np.floor(X / safe[:, None] + 0.5).astype(np.int8)
+            q[scale == 0.0] = 0
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "part_id": pdf["part_id"].to_numpy(),
+                    "qcode": [r.tobytes() for r in q],
+                    "qscale": scale,
+                }
+            )
+            for c in payload:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield out
+
+    sidecar = _int8_path(path)
+    # snapshot BEFORE the scan (the stats-writer discipline): a mutation
+    # racing the encode reads as stale, never as silently fresh
+    version = _read_store_version(path)
+    fps = _snapshot_store_fp(path)
+    cols = [id_col, "part_id", "vector"] + payload
+    (
+        stored.select(*cols)
+        .mapInPandas(enc, schema)
+        .write.mode("overwrite")
+        .parquet(sidecar)
+    )
+    _record_store_fp(path, sidecar, fps, version)
+
+
+def nsw_dense_topk_int8(
+    spark,
+    path: str,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int,
+    *,
+    predicate=None,
+    predicates=None,
+    blocked: frozenset[int] | set[int] | None = None,
+    query_block: int = 256,
+    mask_packing: str = "auto",
+    rerank_isin_max: int = 32_768,
+    id_col: str = "vec_id",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """TWO-PHASE INT8 batch-dense serving kernel (r13, VERDICT r12 ask
+    #4): the same answers as ``nsw_dense_topk`` — provably, not
+    approximately — from a scan that reads 4× fewer bytes.
+
+    Phase 1 (int8 gemm + certified bounds): ``mapInPandas`` over the
+    ``nsw_write_int8`` code sidecar. Per fragment, ONE f64 gemm over
+    the dequantized codes scores every (row, query) pair, and the
+    quantization radius ε_row = qscale·√d/2 (see ``nsw_write_int8``)
+    brackets every true distance: √d̂ ± ε. Per query the fragment
+    emits every passing row whose LOWER bound is ≤ the k-th smallest
+    UPPER bound — by the bracket, any row it drops has ≥ k rows
+    strictly closer, so the true top-k provably survives. Predicates /
+    blocked / tombstones apply in this phase (masks evaluate on the
+    sidecar's payload columns via the same ``_DenseMaskPlan``
+    machinery, NULL fails).
+
+    Phase 2 (exact re-rank, candidate-sized): the certified candidates
+    are reduced once more against the GLOBAL k-th upper bound (window
+    rank — no driver loop), then joined back to the full-precision
+    store and re-scored with the same f64 dot-trick arithmetic as
+    ``nsw_dense_topk`` — so the result carries the same brute-force
+    oracle hash-parity (pytest-pinned at both sfs). The candidate set
+    is O(|Q|·k) rows: the re-rank reads vectors for candidates only
+    (an ``isin`` pushed to parquet row-group stats when the distinct
+    candidate ids fit ``rerank_isin_max``; the bounded driver-side id
+    collect is candidate-sized, the same contract as every candidate
+    load in this repo). At 100 TB the economics: phase 1 streams the
+    whole corpus at 1/4 the bytes, phase 2 touches only row groups
+    containing winners.
+
+    Refuses on a stale sidecar (store mutated since ``nsw_write_int8``
+    — the version-token/fingerprint protocol); tombstones alone do not
+    stale the codes (they exclude rows in phase 1, like the dense
+    kernel).
+
+    Reference anchor: this is the quantized serving rung the
+    reference's float32-only hnswlib store cannot express
+    (bindings.cpp ``data_t = float``); SQ8-then-rerank is the standard
+    FAISS ``SQ8`` memory rung with an exactness guarantee instead of a
+    recall curve."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    qids, qmat = _query_batch_matrix(queries)
+    mask_plan = _DenseMaskPlan(predicate, predicates, qids, mask_packing)
+    if query_block < 1:
+        raise ValueError(f"query_block must be >= 1, got {query_block}")
+    blocked_arr = np.asarray(
+        sorted(int(b) for b in (blocked or ())), dtype=np.int64
+    )
+    sidecar = _int8_path(path)
+    if "://" not in sidecar and not os.path.isdir(sidecar):
+        raise ValueError(
+            f"no int8 code sidecar under {path!r} — run nsw_write_int8 "
+            "first (the two-phase kernel scans codes, not vectors)"
+        )
+    if stale := _check_stats_fresh(path, sidecar):
+        raise ValueError(
+            f"int8 code sidecar is stale against shards {stale} — the "
+            "store was mutated since nsw_write_int8; rebuild the codes "
+            "(searching stale codes would break the exactness bound)"
+        )
+
+    codes = spark.read.parquet(sidecar)
+    tomb = _read_tombstones(spark, path, id_col)
+    if tomb is not None:
+        codes = _apply_tombstones(codes, tomb, id_col)
+    codes, mask_cols = mask_plan.attach(codes)
+    keep = [id_col, "qcode", "qscale"]
+    if tomb is not None:
+        keep.append("_deleted")
+    keep.extend(mask_cols)
+    codes = codes.select(*keep)
+
+    n_q = len(qids)
+    qn = (qmat * qmat).sum(axis=1)
+    extract_masks = mask_plan.extractor()
+    cand_schema = f"query_id long, {id_col} long, lb double, ub double"
+
+    def frag_bounds(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        raw = np.frombuffer(b"".join(pdf["qcode"]), dtype=np.int8)
+        dim = raw.size // n
+        scale = pdf["qscale"].to_numpy(dtype=np.float64)
+        # dequantize then the SAME dot-trick shape as the f64 kernel;
+        # the gemm cost matches nsw_dense_topk — the win is the 4×
+        # smaller scan feeding it
+        Xh = raw.reshape(n, dim).astype(np.float64) * scale[:, None]
+        eps = scale * (np.sqrt(dim) / 2.0)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        xn = (Xh * Xh).sum(axis=1)
+        excl = np.zeros(n, dtype=bool)
+        if "_deleted" in pdf.columns:
+            excl |= pdf["_deleted"].to_numpy(dtype=bool)
+        if blocked_arr.size:
+            excl |= np.isin(ids, blocked_arr)
+        shared, masks = extract_masks(pdf)
+        rows_q, rows_i, rows_lb, rows_ub = [], [], [], []
+        kk = min(k, n)
+        if kk == 0:
+            return pd.DataFrame(
+                {"query_id": [], id_col: [], "lb": [], "ub": []}
+            )
+        for lo in range(0, n_q, query_block):
+            hi = min(lo + query_block, n_q)
+            D = xn[:, None] - 2.0 * (Xh @ qmat[lo:hi].T) + qn[None, lo:hi]
+            np.maximum(D, 0.0, out=D)
+            S = np.sqrt(D)  # √d̂ per (row, query)
+            for j in range(lo, hi):
+                s = S[:, j - lo]
+                bad = excl.copy()
+                m = shared if shared is not None else masks.get(qids[j])
+                if m is not None:
+                    bad |= ~m
+                if bad.all():
+                    continue
+                ub = np.where(bad, np.inf, (s + eps) ** 2)
+                lb = np.where(
+                    bad, np.inf, np.maximum(s - eps, 0.0) ** 2
+                )
+                kj = min(kk, int((~bad).sum()))
+                tau = ub[np.argpartition(ub, kj - 1)[kj - 1]]
+                cand = np.flatnonzero(lb <= tau)
+                rows_q.extend([qids[j]] * len(cand))
+                rows_i.extend(ids[cand].tolist())
+                rows_lb.extend(lb[cand].tolist())
+                rows_ub.extend(ub[cand].tolist())
+        return pd.DataFrame(
+            {
+                "query_id": rows_q,
+                id_col: rows_i,
+                "lb": rows_lb,
+                "ub": rows_ub,
+            }
+        )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield frag_bounds(pdf)
+
+    cand = codes.mapInPandas(run, cand_schema)
+    # global certified cut: keep rows whose lower bound is within the
+    # k-th smallest upper bound ACROSS fragments (distributed window
+    # rank over the O(fragments·|Q|·k) candidate stream — no driver loop)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ub").asc(), F.col(id_col).asc()
+    )
+    tau = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("query_id")
+        .agg(F.max("ub").alias("_tau"))
+    )
+    surv = (
+        cand.join(F.broadcast(tau), "query_id")
+        .where(F.col("lb") <= F.col("_tau"))
+        .select("query_id", id_col)
+    )
+    # bounded candidate-id load (O(|Q|·k) by the bound) → pushed isin
+    # so the re-rank reads only row groups containing candidates
+    cand_ids = sorted(
+        {int(r[id_col]) for r in surv.select(id_col).distinct().collect()}
+    )
+    full = spark.read.parquet(path).select(id_col, "vector")
+    if cand_ids and len(cand_ids) <= rerank_isin_max:
+        full = full.where(F.col(id_col).isin(cand_ids))
+    rerank = full.join(F.broadcast(surv), id_col)
+
+    qvec = {int(q): qmat[i] for i, q in enumerate(qids)}
+    out_schema = f"query_id long, {id_col} long, {dist_col} double"
+
+    def exact(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf["vector"]), dtype=np.float64)
+            Qm = np.asarray(
+                [qvec[int(q)] for q in pdf["query_id"]], dtype=np.float64
+            )
+            d = (
+                (X * X).sum(axis=1)
+                - 2.0 * np.einsum("ij,ij->i", X, Qm)
+                + (Qm * Qm).sum(axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
+                    dist_col: d,
+                }
+            )
+
+    return _merge_topk(rerank.mapInPandas(exact, out_schema), k, id_col, dist_col)

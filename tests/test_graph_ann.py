@@ -2709,3 +2709,141 @@ def test_dense_topk_tied_distances_deterministic(spark, tmp_path):
         for r in nsw_dense_topk(spark, path, [(1, [1.0, 1.0])], 7).collect()
     ]
     assert got2 == [1, 3, 5, 7, 9, 11, 13]
+
+
+def test_dense_mask_packing_parity(spark, corpus, vectors, tmp_path):
+    """r13 (VERDICT r12 ask #3): the bitpacked mask transport is a pure
+    TRANSPORT change — per-group boolean columns vs ceil(G/31) BIGINT
+    words give hash-identical results on heterogeneous per-query
+    predicates, the packed plan carries ONE _pass_w column however many
+    distinct groups exist, and the knob validates its input."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_dense_topk,
+    )
+
+    path = _store_from(
+        corpus.withColumn("label", (F.col("vec_id") % 5).cast("int")),
+        tmp_path,
+        name="gmp",
+        payload_cols=["label"],
+    )
+    qs = _queries(vectors)
+    # every query its own predicate → no dedupe help (the cliff shape)
+    per = {
+        qid: F.col("label") == (i + 1) for i, qid in enumerate(QUERY_IDS)
+    }
+
+    def rows(df):
+        return [
+            (int(r["query_id"]), int(r["vec_id"]), round(r["dist"], 9))
+            for r in df.orderBy("query_id", "dist", "vec_id").collect()
+        ]
+
+    cols_df = nsw_dense_topk(
+        spark, path, qs, K, predicates=per, mask_packing="columns"
+    )
+    pack_df = nsw_dense_topk(
+        spark, path, qs, K, predicates=per, mask_packing="bitpack"
+    )
+    want = rows(
+        nsw_read_topk(spark, path, qs, K, ef=10**6, predicates=per)
+    )
+    assert rows(cols_df) == want
+    assert rows(pack_df) == want
+    cols_plan = cols_df._jdf.queryExecution().executedPlan().toString()
+    pack_plan = pack_df._jdf.queryExecution().executedPlan().toString()
+    assert "_pass_g0" in cols_plan and "_pass_w" not in cols_plan
+    assert "_pass_w" in pack_plan and "_pass_g0" not in pack_plan
+    # auto follows the measured crossover: 3 distinct groups stay on
+    # the per-column transport
+    auto_plan = (
+        nsw_dense_topk(spark, path, qs, K, predicates=per)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_pass_g0" in auto_plan
+    with pytest.raises(ValueError, match="mask_packing"):
+        nsw_dense_topk(
+            spark, path, qs, K, predicates=per, mask_packing="nope"
+        )
+    # ragged batch → driver-side guard, not an executor numpy error
+    with pytest.raises(ValueError, match="share one dimension"):
+        nsw_dense_topk(
+            spark, path, [(0, [0.0, 1.0]), (1, [0.0, 1.0, 2.0])], K
+        )
+
+
+def test_dense_int8_two_phase_exact(spark, corpus, vectors, tmp_path):
+    """r13 int8 serving rung (VERDICT r12 ask #4): the two-phase kernel
+    (int8-gemm certified candidates → exact f64 re-rank) answers
+    EXACTLY like nsw_dense_topk — pure, shared- and per-query-predicate
+    shapes, rounded distances included — on float64 AND float32 stores;
+    tombstones + blocked apply; a store mutated after nsw_write_int8
+    is refused (the exactness bound would silently break); a store
+    without codes is refused with the build hint."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_append,
+        nsw_delete,
+        nsw_dense_topk,
+        nsw_dense_topk_int8,
+        nsw_write_int8,
+    )
+
+    qs = _queries(vectors)
+
+    def rows(df):
+        return [
+            (int(r["query_id"]), int(r["vec_id"]), round(r["dist"], 9))
+            for r in df.orderBy("query_id", "dist", "vec_id").collect()
+        ]
+
+    for dtype in ("float64", "float32"):
+        path = _store_from(
+            corpus.withColumn("label", (F.col("vec_id") % 5).cast("int")),
+            tmp_path,
+            name=f"gi8_{dtype}",
+            payload_cols=["label"],
+            vector_dtype=dtype,
+        )
+        with pytest.raises(ValueError, match="nsw_write_int8"):
+            nsw_dense_topk_int8(spark, path, qs, K)
+        nsw_write_int8(spark, path)
+        assert rows(nsw_dense_topk_int8(spark, path, qs, K)) == rows(
+            nsw_dense_topk(spark, path, qs, K)
+        ), dtype
+        per = {
+            QUERY_IDS[0]: F.col("label") == 1,
+            QUERY_IDS[1]: F.col("label") < 3,
+        }
+        assert rows(
+            nsw_dense_topk_int8(spark, path, qs, K, predicates=per)
+        ) == rows(
+            nsw_dense_topk(spark, path, qs, K, predicates=per)
+        ), dtype
+        shared = F.col("label") == 2
+        assert rows(
+            nsw_dense_topk_int8(spark, path, qs, K, predicate=shared)
+        ) == rows(nsw_dense_topk(spark, path, qs, K, predicate=shared))
+
+    # lifecycle on the float64 store: tombstones + blocked, then a
+    # mutation staleness refusal, then rebuild-and-serve
+    path = str(tmp_path / "gi8_float64")
+    q0 = qs[0]
+    top = [
+        r["vec_id"] for r in nsw_dense_topk_int8(spark, path, [q0], K).collect()
+    ]
+    nsw_delete(spark, path, top[:2])
+    blocked = {top[2]}
+    assert rows(
+        nsw_dense_topk_int8(spark, path, qs, K, blocked=blocked)
+    ) == rows(nsw_dense_topk(spark, path, qs, K, blocked=blocked))
+    extra = corpus.limit(5).selectExpr(
+        "vec_id + 100000 AS vec_id", "embedding",
+        "CAST(vec_id % 5 AS INT) AS label",
+    )
+    nsw_append(extra, path, payload_cols=["label"])
+    with pytest.raises(ValueError, match="stale"):
+        nsw_dense_topk_int8(spark, path, qs, K)
+    nsw_write_int8(spark, path)
+    assert rows(nsw_dense_topk_int8(spark, path, qs, K)) == rows(
+        nsw_dense_topk(spark, path, qs, K)
+    )

@@ -63,8 +63,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from acorn_hybrid_vector_search_spark.operators.graph_ann import (  # noqa: E402
     nsw_dense_topk,
+    nsw_dense_topk_int8,
     nsw_read_topk,
     nsw_write,
+    nsw_write_int8,
 )
 from acorn_hybrid_vector_search_spark.session import get_spark  # noqa: E402
 
@@ -110,8 +112,10 @@ def main() -> None:
     shards = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     vector_dtype = sys.argv[5] if len(sys.argv) > 5 else "float64"
     kernel = sys.argv[6] if len(sys.argv) > 6 else "walk"
-    if kernel not in ("walk", "dense"):
-        raise SystemExit(f"kernel must be 'walk' or 'dense', got {kernel!r}")
+    if kernel not in ("walk", "dense", "dense_int8"):
+        raise SystemExit(
+            f"kernel must be 'walk', 'dense' or 'dense_int8', got {kernel!r}"
+        )
     load1, load5, load15 = os.getloadavg()
 
     if n_override is not None:
@@ -175,9 +179,23 @@ def main() -> None:
 
     floor_before = job_floor_ms(spark)
 
+    int8_build_s = None
+    if kernel == "dense_int8":
+        # codes materialize ONCE per store (like the index build) —
+        # timed and disclosed, not amortized into the per-query rows
+        t0 = time.time()
+        nsw_write_int8(spark, path)
+        int8_build_s = time.time() - t0
+        if pinned is not None:
+            # the phase-1 scan reads the SIDECAR — pin it like the store
+            pinned_codes = spark.read.parquet(path + "/_int8_codes")
+            pinned_codes.cache().count()
+
     def run_kernel(**kw):
         if kernel == "dense":
             return nsw_dense_topk(spark, path, queries, K, **kw)
+        if kernel == "dense_int8":
+            return nsw_dense_topk_int8(spark, path, queries, K, **kw)
         return nsw_read_topk(spark, path, queries, K, ef=EF, **kw)
 
     def timed(label: str, **kw) -> float:
@@ -236,6 +254,8 @@ def main() -> None:
         del out["build_s_untimed"]
         out["store_pinned"] = pinned is not None
         out["samples_s"] = all_samples
+    if int8_build_s is not None:
+        out["int8_codes_build_s"] = round(int8_build_s, 2)
     if pinned is not None:
         pinned.unpersist()
     shutil.rmtree(root)
@@ -247,6 +267,9 @@ def main() -> None:
     f32 = "_f32" if vector_dtype == "float32" else ""
     if kernel == "dense":
         f32 = "_dense" + f32
+    elif kernel == "dense_int8":
+        # the int8 rows carry their own suffix whatever the store dtype
+        f32 = "_dense_int8"
     if n_override is None:
         # suffix the default-shape section too — a float32 run must never
         # overwrite the float64 baseline the README table reads (ADVICE r11)
