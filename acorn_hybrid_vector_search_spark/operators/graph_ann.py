@@ -3334,15 +3334,23 @@ def nsw_dense_topk_int8(
         .where(F.col("lb") <= F.col("_tau"))
         .select("query_id", id_col)
     )
-    # bounded candidate-id load (O(|Q|·k) by the bound) → pushed isin
-    # so the re-rank reads only row groups containing candidates
-    cand_ids = sorted(
-        {int(r[id_col]) for r in surv.select(id_col).distinct().collect()}
+    # ONE bounded candidate load (O(|Q|·k) by the bound — the same
+    # bounded-collect contract as every candidate load in this repo);
+    # re-materializing the pairs as a literal frame keeps phase 1 a
+    # single scan (joining `surv` directly would re-run it for the
+    # join after the id collect already did)
+    surv_rows = surv.collect()
+    cand_ids = sorted({int(r[id_col]) for r in surv_rows})
+    surv_df = spark.createDataFrame(
+        [(int(r["query_id"]), int(r[id_col])) for r in surv_rows],
+        f"query_id long, {id_col} long",
     )
     full = spark.read.parquet(path).select(id_col, "vector")
     if cand_ids and len(cand_ids) <= rerank_isin_max:
+        # pushed to parquet row-group stats: the re-rank reads only
+        # row groups containing candidates
         full = full.where(F.col(id_col).isin(cand_ids))
-    rerank = full.join(F.broadcast(surv), id_col)
+    rerank = full.join(F.broadcast(surv_df), id_col)
 
     qvec = {int(q): qmat[i] for i, q in enumerate(qids)}
     out_schema = f"query_id long, {id_col} long, {dist_col} double"
