@@ -2823,16 +2823,38 @@ class _DenseMaskPlan:
     handing arbitrary Columns must keep the same contract or two
     stringify-identical trees would silently share one mask."""
 
-    def __init__(self, predicate, predicates, qids, mask_packing):
+    def __init__(self, predicate, predicates, qids, mask_packing, match=None):
         self.has_pred = predicate is not None
         self.predicate = predicate
-        if self.has_pred and predicates:
+        if self.has_pred and (predicates or match):
             raise ValueError("pass either predicate or predicates, not both")
         self.preds = {int(q): c for q, c in (predicates or {}).items()}
         self.pred_qids = sorted(self.preds)
+        # r13 MATCH fast path (the heterogeneous-predicate cliff fix,
+        # VERDICT r12 ask #3): per-query EXACT-match template
+        # predicates {qid: (attr, value)} on FLAT stored payload
+        # columns evaluate EXECUTOR-SIDE from the raw column — the
+        # §2.3 exact semantics (present ∧ col = value, NULL fails)
+        # with ZERO Catalyst expressions, so mask cost is flat in the
+        # number of DISTINCT (attr, value) pairs. The Catalyst column
+        # path pays per-DISTINCT-expression projection width, which
+        # the measured BENCH_LADDER ``dense_predicate_cliff`` shows
+        # going ~10× between 1 and 1024 distinct masks at the
+        # reference shape (codegen falls back past the janino 64 KB
+        # line and the interpreted projection scales with rows ×
+        # expressions).
+        self.match = {int(q): (str(a), v) for q, (a, v) in (match or {}).items()}
+        self.match_attrs = sorted({a for a, _ in self.match.values()})
         qset = set(qids)
         if unknown := [q for q in self.pred_qids if q not in qset]:
             raise ValueError(f"predicates for ids not in the batch: {unknown}")
+        if unknown := [q for q in sorted(self.match) if q not in qset]:
+            raise ValueError(f"match for ids not in the batch: {unknown}")
+        if both := sorted(set(self.match) & set(self.preds)):
+            raise ValueError(
+                f"queries {both} carry BOTH a predicate Column and a "
+                "match template — pick one per query"
+            )
         if mask_packing not in ("auto", "columns", "bitpack"):
             raise ValueError(
                 "mask_packing must be 'auto', 'columns' or 'bitpack', "
@@ -2901,6 +2923,7 @@ class _DenseMaskPlan:
         group_of = dict(self.group_of)
         n_groups = self.n_groups
         pack = self.pack
+        match = dict(self.match)
 
         def extract(pdf):
             masks: dict[int, np.ndarray] = {}
@@ -2909,6 +2932,21 @@ class _DenseMaskPlan:
                     pdf["_pass"].fillna(False).to_numpy(dtype=bool),
                     masks,
                 )
+            if match:
+                # dedupe identical (attr, value) templates; evaluate
+                # each ONCE per fragment from the raw payload column
+                # (present ∧ col = value — NaN/None compare False, so
+                # notna() is the explicit §2.3 presence conjunct)
+                shared_tpl: dict = {}
+                for qid, (attr, val) in match.items():
+                    key = (attr, val)
+                    m = shared_tpl.get(key)
+                    if m is None:
+                        s = pdf[attr]
+                        m = shared_tpl[key] = (
+                            s.notna() & (s == val)
+                        ).to_numpy(dtype=bool)
+                    masks[qid] = m
             if pred_qids and pack:
                 # unpack ceil(G/31) words → n×G bool with vectorized
                 # shifts (word-major, bit-minor — the packing order)
@@ -2944,6 +2982,7 @@ def nsw_dense_topk(
     *,
     predicate=None,
     predicates=None,
+    match=None,
     blocked: frozenset[int] | set[int] | None = None,
     query_block: int = 256,
     mask_packing: str = "auto",
@@ -2999,11 +3038,21 @@ def nsw_dense_topk(
     qids, qmat = _query_batch_matrix(queries)
     blocked_arr = np.asarray(sorted(int(b) for b in (blocked or ())), dtype=np.int64)
     out_schema = f"query_id long, {id_col} long, {dist_col} double"
-    mask_plan = _DenseMaskPlan(predicate, predicates, qids, mask_packing)
+    mask_plan = _DenseMaskPlan(
+        predicate, predicates, qids, mask_packing, match=match
+    )
     if query_block < 1:
         raise ValueError(f"query_block must be >= 1, got {query_block}")
 
     stored = spark.read.parquet(path)
+    if missing := [
+        a for a in mask_plan.match_attrs if a not in stored.columns
+    ]:
+        raise ValueError(
+            f"match template attrs {missing} are not stored payload "
+            f"columns of {path!r} — the fast path reads flat columns; "
+            "use predicates= (Catalyst) for derived/nested attributes"
+        )
     tomb = _read_tombstones(spark, path, id_col)
     if tomb is not None:
         stored = _apply_tombstones(stored, tomb, id_col)
@@ -3014,7 +3063,8 @@ def nsw_dense_topk(
     if tomb is not None:
         keep.append("_deleted")
     keep.extend(mask_cols)
-    stored = stored.select(*keep)
+    keep.extend(mask_plan.match_attrs)
+    stored = stored.select(*dict.fromkeys(keep))
 
     n_q = len(qids)
     qn = (qmat * qmat).sum(axis=1)
@@ -3167,6 +3217,7 @@ def nsw_dense_topk_int8(
     *,
     predicate=None,
     predicates=None,
+    match=None,
     blocked: frozenset[int] | set[int] | None = None,
     query_block: int = 256,
     mask_packing: str = "auto",
@@ -3219,7 +3270,9 @@ def nsw_dense_topk_int8(
     from pyspark.sql.window import Window
 
     qids, qmat = _query_batch_matrix(queries)
-    mask_plan = _DenseMaskPlan(predicate, predicates, qids, mask_packing)
+    mask_plan = _DenseMaskPlan(
+        predicate, predicates, qids, mask_packing, match=match
+    )
     if query_block < 1:
         raise ValueError(f"query_block must be >= 1, got {query_block}")
     blocked_arr = np.asarray(
@@ -3242,12 +3295,21 @@ def nsw_dense_topk_int8(
     tomb = _read_tombstones(spark, path, id_col)
     if tomb is not None:
         codes = _apply_tombstones(codes, tomb, id_col)
+    if missing := [
+        a for a in mask_plan.match_attrs if a not in codes.columns
+    ]:
+        raise ValueError(
+            f"match template attrs {missing} are not sidecar payload "
+            f"columns of {path!r} — the fast path reads flat columns; "
+            "use predicates= (Catalyst) for derived/nested attributes"
+        )
     codes, mask_cols = mask_plan.attach(codes)
     keep = [id_col, "qcode", "qscale"]
     if tomb is not None:
         keep.append("_deleted")
     keep.extend(mask_cols)
-    codes = codes.select(*keep)
+    keep.extend(mask_plan.match_attrs)
+    codes = codes.select(*dict.fromkeys(keep))
 
     n_q = len(qids)
     qn = (qmat * qmat).sum(axis=1)

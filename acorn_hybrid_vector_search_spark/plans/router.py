@@ -1005,17 +1005,43 @@ class StrategyRouter:
                     nsw_dense_topk,
                 )
 
-                preds = {
-                    int(qid): build_predicate(p, acc)
-                    for qid, _, p in d.queries
-                    if p
-                }
+                # r13 (VERDICT r12 ask #3): a single-attribute EXACT
+                # predicate whose accessor is a FLAT passthrough
+                # (value ≡ col, present ≡ col IS NOT NULL — the
+                # covering-index store shape) takes the kernel's
+                # template fast path: the mask evaluates executor-side
+                # from the raw payload column, flat in the number of
+                # DISTINCT (attr, value) pairs, where the Catalyst
+                # column path pays per-distinct-expression projection
+                # width (BENCH_LADDER ``dense_predicate_cliff`` — the
+                # heterogeneous-predicate cliff). Anything else keeps
+                # the Catalyst path (identical results, pytest-pinned).
+                tmpl: dict[int, tuple] = {}
+                preds = {}
+                for qid, _, p in d.queries:
+                    if not p:
+                        continue
+                    spec = dict(p)
+                    if len(spec) == 1:
+                        ((attr, sp),) = spec.items()
+                        a = acc.get(attr)
+                        if (
+                            list(sp)[0] == "exact"
+                            and a is not None
+                            and str(a.value) == str(F.col(attr))
+                            and str(a.present)
+                            == str(F.col(attr).isNotNull())
+                        ):
+                            tmpl[int(qid)] = (attr, list(sp)[1])
+                            continue
+                    preds[int(qid)] = build_predicate(p, acc)
                 parts.append(
                     nsw_dense_topk(
                         spark,
                         nsw_path if d.arm == "nsw" else gamma_path,
                         [(int(qid), list(v)) for qid, v, _ in d.queries],
-                        k, predicates=preds or None, id_col=id_col,
+                        k, predicates=preds or None,
+                        match=tmpl or None, id_col=id_col,
                     ).select(
                         F.col("query_id").alias(query_id_col),
                         id_col, "dist",

@@ -2479,3 +2479,52 @@ def test_ivf_search_exact_conj_and_batch_conj(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="value counts"):
         ivf_search_exact(idx, q, 5, conj={"nope": ("exact", 1)})
+
+
+def test_routed_dense_uses_match_template(spark, tmp_path):
+    """The routed dispatch hands single-attr EXACT predicates over FLAT
+    passthrough accessors to the kernel's template path (no _pass_g
+    Catalyst mask columns in the dense part's plan), and batch results
+    still answer the exact filtered brute-force oracle."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_write,
+    )
+
+    df, rows_, _store = _conj_blob_store(spark, tmp_path)
+    router = _flat_router()
+    acc = flat_accessors(
+        {"label": "int", "weight": "double", "vec_id": "bigint"}
+    )
+    nsw = str(tmp_path / "grm")
+    nsw_write(
+        df.select("vec_id", "embedding", "label", "weight").repartition(4),
+        nsw, payload_cols=["label", "weight"],
+    )
+    batch = [
+        (j, rows_[j][1], {"label": ["exact", j % 4]}) for j in range(6)
+    ]
+    res = router.ann_search_batch(
+        df, batch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "_pass_g" not in plan  # templates, not Catalyst mask columns
+    data = {r[0]: (list(r[1]), int(r[2])) for r in df.collect()}
+    by_q: dict = {}
+    for r in res.collect():
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (round(r["dist"], 9), int(r["vec_id"]))
+        )
+    for qid, qv, preds in batch:
+        want_lab = int(dict(preds)["label"][1])
+        brute = sorted(
+            (
+                round(sum((a - b) ** 2 for a, b in zip(vec, qv)), 9),
+                vid,
+            )
+            for vid, (vec, lab) in data.items()
+            if lab == want_lab
+        )[:5]
+        assert sorted(by_q[qid]) == brute, qid

@@ -2847,3 +2847,77 @@ def test_dense_int8_two_phase_exact(spark, corpus, vectors, tmp_path):
     assert rows(nsw_dense_topk_int8(spark, path, qs, K)) == rows(
         nsw_dense_topk(spark, path, qs, K)
     )
+
+
+def test_dense_match_template_fast_path(spark, corpus, vectors, tmp_path):
+    """r13 heterogeneous-predicate cliff fix (VERDICT r12 ask #3): the
+    ``match={qid: (attr, value)}`` template path evaluates §2.3
+    exact-match masks executor-side from the raw payload column — ZERO
+    Catalyst expressions, results hash-identical to the equivalent
+    ``predicates=`` Columns on BOTH dense kernels, mixed batches
+    (templates + Catalyst predicates + unfiltered) compose, and the
+    guards hold (unknown payload column, per-query overlap)."""
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_dense_topk,
+        nsw_dense_topk_int8,
+        nsw_write_int8,
+    )
+
+    path = _store_from(
+        corpus.withColumn("label", (F.col("vec_id") % 5).cast("int")),
+        tmp_path,
+        name="gmt",
+        payload_cols=["label"],
+    )
+    nsw_write_int8(spark, path)
+    qs = _queries(vectors)
+
+    def rows(df):
+        return [
+            (int(r["query_id"]), int(r["vec_id"]), round(r["dist"], 9))
+            for r in df.orderBy("query_id", "dist", "vec_id").collect()
+        ]
+
+    tmpl = {qid: ("label", i + 1) for i, qid in enumerate(QUERY_IDS)}
+    cols = {
+        qid: F.col("label").isNotNull() & (F.col("label") == (i + 1))
+        for i, qid in enumerate(QUERY_IDS)
+    }
+    want = rows(nsw_dense_topk(spark, path, qs, K, predicates=cols))
+    got = nsw_dense_topk(spark, path, qs, K, match=tmpl)
+    assert rows(got) == want
+    # zero Catalyst mask columns in the template plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_pass_g" not in plan and "_pass_w" not in plan
+    assert rows(
+        nsw_dense_topk_int8(spark, path, qs, K, match=tmpl)
+    ) == want
+    # mixed batch: one template, one Catalyst predicate, one unfiltered
+    mixed_t = {QUERY_IDS[0]: ("label", 1)}
+    mixed_p = {QUERY_IDS[1]: F.col("label") < 3}
+    both_cols = {
+        QUERY_IDS[0]: F.col("label").isNotNull() & (F.col("label") == 1),
+        QUERY_IDS[1]: F.col("label") < 3,
+    }
+    want2 = rows(nsw_dense_topk(spark, path, qs, K, predicates=both_cols))
+    assert rows(
+        nsw_dense_topk(
+            spark, path, qs, K, predicates=mixed_p, match=mixed_t
+        )
+    ) == want2
+    assert rows(
+        nsw_dense_topk_int8(
+            spark, path, qs, K, predicates=mixed_p, match=mixed_t
+        )
+    ) == want2
+    with pytest.raises(ValueError, match="not stored payload"):
+        nsw_dense_topk(spark, path, qs, K, match={QUERY_IDS[0]: ("nope", 1)})
+    with pytest.raises(ValueError, match="BOTH a predicate"):
+        nsw_dense_topk(
+            spark, path, qs, K,
+            predicates={QUERY_IDS[0]: F.lit(True)},
+            match={QUERY_IDS[0]: ("label", 1)},
+        )
+    with pytest.raises(ValueError, match="not in the batch"):
+        nsw_dense_topk(spark, path, qs, K, match={777: ("label", 1)})
+

@@ -12,7 +12,13 @@ measures ``nsw_dense_topk`` at |Q|=1024 over the reference shape
 - ``columns``: one boolean column per distinct group (the r12 path,
   plus the r13 one-shot ``pdf[cols].to_numpy`` extraction);
 - ``bitpack``: ceil(G/31) BIGINT words, 31 verdict bits each — plan
-  width flat in G, executor unpacks with vectorized shifts.
+  width flat in G, executor unpacks with vectorized shifts;
+- ``match``: the r13 template fast path — the SAME §2.3 exact
+  predicates handed as ``match={qid: (attr, value)}``, evaluated
+  executor-side from the raw payload column with ZERO Catalyst
+  expressions (the fix the cliff data motivates: both Catalyst
+  transports scale with distinct-expression count once codegen falls
+  back past the janino 64 KB line; the template path is flat).
 
 Protocol: job-floor control sampled before/after (the r12 discipline
 — commit nothing captured in a host stall), loadavg at launch, one
@@ -20,7 +26,7 @@ warm-up + median of 3 per rung, every sample disclosed.
 
 Writes the ``dense_predicate_cliff`` section of BENCH_LADDER.json.
 Run: python tools/bench_dense_predicate_cliff.py [n_vectors dim shards [batch]]
-(defaults 123020 2048 8 1024; a smaller smoke shape runs in seconds).
+(defaults 123020 2048 32 1024 — the committed refshape rows' shard count; a smaller smoke shape runs in seconds).
 """
 
 from __future__ import annotations
@@ -47,13 +53,13 @@ from tools.bench_acorn_amortized import _synth_corpus  # noqa: E402
 
 K = 10
 DISTINCTS = (1, 16, 256, 1024)
-MODES = ("columns", "bitpack")
+MODES = ("columns", "bitpack", "match")
 
 
 def main() -> None:
     n_vectors = int(sys.argv[1]) if len(sys.argv) > 1 else 123_020
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
-    shards = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    shards = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     q_n = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
     load1, load5, load15 = os.getloadavg()
 
@@ -90,8 +96,13 @@ def main() -> None:
         preds = {
             int(i): F.col("label") == (int(i) % distinct) for i in qids
         }
+        tmpl = {int(i): ("label", int(i) % distinct) for i in qids}
         for mode in MODES:
             def run():
+                if mode == "match":
+                    return nsw_dense_topk(
+                        spark, path, queries, K, match=tmpl,
+                    ).count()
                 return nsw_dense_topk(
                     spark, path, queries, K,
                     predicates=preds, mask_packing=mode,

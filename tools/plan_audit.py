@@ -284,6 +284,17 @@ AUDIT: dict[str, list[str]] = {
     "nsw_dense_batch_topk": [
         "MapInPandas", "WindowGroupLimit", "_pass_g0",
     ],
+    # round 13: the int8 two-phase rung. Phase 1 (the 4×-bandwidth
+    # qcode-sidecar MapInPandas scan) executes EAGERLY inside the call
+    # (bounded candidate collect), so the returned plan is phase 2
+    # alone: the full-precision re-rank reads vectors behind a PUSHED
+    # candidate-id In filter, joins the BROADCAST literal candidate
+    # frame, exact-scores in one narrow MapInPandas, and merges with
+    # the usual bounded WindowGroupLimit
+    "nsw_dense_int8_topk": [
+        "PushedFilters", "BroadcastHashJoin", "MapInPandas",
+        "WindowGroupLimit",
+    ],
 }
 
 
