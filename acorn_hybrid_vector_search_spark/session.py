@@ -27,16 +27,18 @@ def get_spark(
     - Arrow enabled for pandas UDF exchange.
 
     SIDE EFFECT (r13, advisor note): on local masters this call sets
-    ``OPENBLAS/OMP/MKL/BLIS_NUM_THREADS=1`` in ``os.environ`` (via
+    ``OPENBLAS/MKL/BLIS_NUM_THREADS=1`` in ``os.environ`` (via
     ``setdefault`` — pre-existing values win) so Python workers run
     single-threaded BLAS under Spark's task parallelism. The cap is
     PROCESS-WIDE: the driver's numpy is imported first so ITS OpenBLAS
-    pool keeps full threads, but any OTHER threading runtime
-    initialized in the driver afterwards (an OpenMP-backed sklearn/
-    scipy kernel, a later ``multiprocessing``/subprocess child that
-    inherits the env) sees the 1-thread cap. Export the variable
-    yourself before calling ``get_spark`` — or in the child env — if a
-    driver-side or subprocess kernel needs in-process threading.
+    pool keeps full threads, but any OTHER BLAS runtime initialized in
+    the driver afterwards, and every subprocess that inherits the env,
+    sees the 1-thread cap. Export the variable yourself before calling
+    ``get_spark`` — or in the child env — if a driver-side or
+    subprocess kernel needs in-process threading. ``OMP_NUM_THREADS``
+    is deliberately NOT set (r13): PyArrow sizes its default pool from
+    it, and capping it serialized every Arrow exchange (the r12
+    riser-tail root cause — see the inline comment below).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
@@ -60,13 +62,32 @@ def get_spark(
     #   the driver env → spark.executorEnv.* carries the cap.
     # setdefault / config-default: an operator that wants in-task
     # threading can export its own value.
+    # r13 FIX (the r12 riser-tail root cause): the r12 cap also set
+    # OMP_NUM_THREADS=1, and PyArrow sizes its DEFAULT CPU POOL from
+    # OMP_NUM_THREADS (pa.cpu_count() == 1 under the cap) — so every
+    # Arrow exchange in every Python worker ran single-threaded, a
+    # measured ~1.4× on Arrow-heavy queries (bpe_merges 4.94 → 3.59 s
+    # isolated-median capped vs uncapped; scd2 1.20 → 0.78;
+    # html_text_extraction 1.02 → 0.48 — tools/triage_risers.py,
+    # samples in PLANS §r13 triage). The library-specific variables
+    # take PRECEDENCE over OMP_NUM_THREADS inside each BLAS (OpenBLAS
+    # honors OPENBLAS_NUM_THREADS in both its pthread and OpenMP
+    # builds; MKL/BLIS likewise), so capping ONLY those keeps the
+    # gemm-oversubscription protection without touching Arrow's pool.
+    # (Disclosure: this box's numpy links an OpenBLAS built with
+    # MAX_THREADS=2 — np.__config__ — so the r12 "32×32, 10× slower"
+    # attribution could not have been BLAS here and was, with the
+    # Arrow evidence above, most likely the OMP cap's own victim plus
+    # host phase; the 1-thread BLAS cap stays because one task IS the
+    # intended parallelism unit and a 2-thread × 32-task gemm still
+    # oversubscribes 2×. On clusters with unconstrained OpenBLAS
+    # builds the cap is load-bearing.)
     try:  # driver-side BLAS init happens before the cap lands
         import numpy  # noqa: F401
     except ImportError:
         pass
     blas_vars = (
         "OPENBLAS_NUM_THREADS",
-        "OMP_NUM_THREADS",
         "MKL_NUM_THREADS",
         "BLIS_NUM_THREADS",
     )

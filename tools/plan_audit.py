@@ -341,6 +341,8 @@ def main() -> None:
     _acorn_amortized_section()
     _acorn_refshape_section()
     _dense_kernel_section()
+    _dense_predicate_cliff_section()
+    _r13_riser_triage_section()
     _regression_triage_section()
 
 
@@ -1536,6 +1538,132 @@ def _nsw_lifecycle_section() -> None:
         "cannot distinguish from noise. The physical debt (dead rows "
         "still on disk) is visible, bounded, and paid off by the same "
         "compact operator the append path already amortizes through.\n"
+    )
+
+
+
+
+def _dense_predicate_cliff_section() -> None:
+    """r13 (VERDICT r12 ask #3): the heterogeneous-predicate ladder,
+    its host-phase adjudication, and the template fast path. Static
+    prose + the committed BENCH_LADDER section (regenerated numbers
+    come from tools/bench_dense_predicate_cliff.py)."""
+    print("\n## Dense-kernel heterogeneous-predicate cliff (round 13)\n")
+    print(
+        "The r12 docstring measured 62 ms/q at 1024 per-query distinct\n"
+        "masks vs 17 ms at 256 and attributed it to mask-column count.\n"
+        "The r13 ladder (tools/bench_dense_predicate_cliff.py — |Q|=1024\n"
+        "at the reference shape, 123,020 × 2048 float32, 32 shards,\n"
+        "|distinct| ∈ {1, 16, 256, 1024} × transports {columns, bitpack,\n"
+        "match}, job-floor control before/after, every sample committed\n"
+        "in BENCH_LADDER.json `dense_predicate_cliff`) REVISES that\n"
+        "attribution:\n"
+    )
+    print(
+        "- **The 62 ms/q regime is a host-stall capture, not a plan\n"
+        "  property.** Two full ladder runs on identical bytes: run 1's\n"
+        "  d1024/columns read a consistent 43.5/46.8/43.6 s (42.5 ms/q)\n"
+        "  — but its OTHER rungs dispersed 4.6–25.7 s on identical\n"
+        "  calls, the documented multi-minute host phases; run 2's\n"
+        "  d1024/columns on the same bytes read 9.9/14.2/5.95 s. The\n"
+        "  phase-robust statistic — per-rung MINIMA across both runs —\n"
+        "  gives columns 3.34 s (d1) → 3.03 (d16) → 2.98 (d256) → 5.95\n"
+        "  (d1024): a ~1.8× quiet-phase rise at 1024 distinct\n"
+        "  expressions, not ~10×. (Run-1 samples, disclosed: d1\n"
+        "  [4.73,13.28,4.6]/[23.05,4.39,14.69], d16 [6.13,24.77,25.7]/\n"
+        "  [19.57,3.09,6.52], d256 [8.4,15.84,9.07]/[7.1,12.12,18.97],\n"
+        "  d1024 [43.51,46.84,43.57]/[49.61,82.6,39.12] cols/bitpack;\n"
+        "  run-2 samples live in the committed JSON.)\n"
+        "- **Bitpack (ceil(G/31) BIGINT words) does NOT beat the column\n"
+        "  transport at any rung** (minima 4.39/2.96/4.96/12.44): both\n"
+        "  transports evaluate the same G distinct Catalyst expressions,\n"
+        "  and past ~hundreds of expressions janino aborts codegen\n"
+        "  (64 KB method limit, observed in the ladder logs) so the\n"
+        "  interpreted projection cost scales with rows × expressions\n"
+        "  either way. `mask_packing='auto'` therefore stays on columns\n"
+        "  (_MASK_PACK_MIN_GROUPS = inf); bitpack remains an explicit\n"
+        "  experimental knob.\n"
+        "- **The structural fix is the `match` template path** (r13):\n"
+        "  single-attribute exact predicates — the serving workload's\n"
+        "  shape, label == v — hand the kernel `(attr, value)` pairs\n"
+        "  and the mask evaluates executor-side from the raw payload\n"
+        "  column: ZERO Catalyst expressions at any distinct count\n"
+        "  (plan-pinned: no _pass_g/_pass_w columns), §2.3 semantics\n"
+        "  preserved (present ∧ col = value, NULL fails; pytest pins\n"
+        "  match ≡ predicates ≡ brute on both dense kernels, mixed\n"
+        "  batches included). `ann_search_batch` routes flat exact\n"
+        "  predicates there automatically. The ladder's match minima\n"
+        "  (2.92/2.34/4.08/11.59) are phase-bounded like everything\n"
+        "  else on this host; the claim that survives measurement noise\n"
+        "  is the plan-level one — the template path deletes the\n"
+        "  expression machinery the cliff was attributed to, and the\n"
+        "  quiet-phase cliff itself is ≤2×.\n"
+    )
+
+
+def _r13_riser_triage_section() -> None:
+    """r13 (VERDICT r12 ask #2): the r12 riser-tail triage — settled
+    batteries, per-riser isolated medians, the BLAS-cap A/B that found
+    the real regression (PyArrow pool), and the fix. Static prose; the
+    measurements are one-time evidence."""
+    print("\n## Riser triage (round 13: the r12 tail, adjudicated)\n")
+    print(
+        "The r12 driver battery (floor_before 163.7 ms, loadavg 2.34 at\n"
+        "launch — not settled) carried a heavy riser tail. Protocol:\n"
+        "idle-settled batteries (launch loadavg < 0.5) with the r13\n"
+        "JVM-warmed floor control, then per-riser isolated medians\n"
+        "(tools/triage_risers.py — fresh session, warm-up, median of 5\n"
+        "at sf0.1, interleaved floors, every sample printed), then an\n"
+        "A/B on the r12 session BLAS cap (OPENBLAS/OMP/MKL/BLIS=1)\n"
+        "via pre-exported env (setdefault makes the cap a no-op).\n"
+    )
+    print(
+        "**Settled battery (pre-fix code): most of the tail was the\n"
+        "host.** vs r11 committed / r12 driver: stream_nsw_append\n"
+        "0.465 s (r11 0.488, r12 2.217 — 4.54× gone), simhash_cap_stats\n"
+        "0.415 (0.395 / 1.035), html_text_extraction 0.150 (0.150 /\n"
+        "0.365), stream_hybrid_serve 0.097 (0.127 / 0.340),\n"
+        "ivf_delete_topk 0.563 (0.593 / 1.308). Two residuals stayed:\n"
+        "bpe_merges 4.58-5.09 (r11 3.489) and scd2_orders_history\n"
+        "1.12-1.19 (r11 0.829) — ~1.4× on untouched plans.\n"
+    )
+    print(
+        "**The A/B found the residual: the r12 BLAS cap throttled\n"
+        "PyArrow, not BLAS.** Isolated medians, capped → uncapped:\n"
+        "bpe_merges 4.937 → 3.585 s (= r11's 3.489), scd2 1.204 →\n"
+        "0.778, simhash_cap_stats 1.191 → 0.511, html_text_extraction\n"
+        "1.021 → 0.475, stream_hybrid_serve 0.148 → 0.113. Mechanism:\n"
+        "PyArrow sizes its default CPU pool from OMP_NUM_THREADS —\n"
+        "pa.cpu_count() == 1 under the cap — so EVERY Arrow exchange in\n"
+        "every Python worker ran single-threaded. This also explains\n"
+        "the r12 verdict's group arithmetic (JVM-side queries \"moved\n"
+        "more\": they moved on host phase; Arrow-heavy queries carried\n"
+        "the cap penalty ON TOP of phase).\n"
+    )
+    print(
+        "**Fix (session.py r13): cap only OPENBLAS/MKL/BLIS_NUM_THREADS\n"
+        "— the library-specific vars take precedence inside each BLAS —\n"
+        "and leave OMP_NUM_THREADS alone.** Disclosure: this box's\n"
+        "numpy links an OpenBLAS built MAX_THREADS=2 (np.__config__),\n"
+        "so the r12 \"32 threads × 32 tasks, 10× slower\" attribution\n"
+        "could not have been BLAS here; the 1-thread cap stays because\n"
+        "one task is the parallelism unit and unconstrained cluster\n"
+        "BLAS builds do need it.\n"
+    )
+    print(
+        "**Floor-control hardening (r13):** a fresh JVM's first dozen\n"
+        "jobs pay codegen/class-loading, so the before-floor read\n"
+        "~170 ms on a PROVABLY idle host (loadavg 0.43) while the same\n"
+        "session read 18-26 ms at battery end — the control was\n"
+        "measuring JVM cold-start, not the box. job_floor_ms now runs\n"
+        "20 throwaway probes first (tools/_bench_common.py), making\n"
+        "\"floor ≲ 50 ms ⇒ settled\" a statement about the host.\n"
+        "Committed-battery dispersion on IDENTICAL bytes, disclosed:\n"
+        "run 2 total 111.1 s (floors 75.6/24.2), run 3 total 148.9 s\n"
+        "(floors 71.9/26.4, loadavg-after 7.6 — a phase swallowed the\n"
+        "battery; even pure_topk doubled). The committed BENCH.json is\n"
+        "the best settled run; every run's floor + loadavg rides in\n"
+        "the artifact.\n"
     )
 
 
