@@ -2796,11 +2796,16 @@ def nsw_read_topk(
 
 # r13 bitpacked predicate masks (VERDICT r12 ask #3): 31 verdict bits
 # per BIGINT word — every partial sum of distinct powers of two up to
-# 2^30 stays inside a signed long — and 'auto' packs only past 32
-# distinct groups, where the measured per-column overhead starts to
-# dominate (BENCH_LADDER ``dense_predicate_cliff``).
+# 2^30 stays inside a signed long. The refshape ladder (BENCH_LADDER
+# ``dense_predicate_cliff``) showed bitpack does NOT beat the column
+# transport at any distinct-mask count (both scale with the DISTINCT
+# EXPRESSION count once codegen falls back past janino's 64 KB line —
+# the packing trades projection width for CASE-sum arithmetic), so
+# 'auto' never packs: the real cliff fix is the ``match`` template
+# path (zero Catalyst expressions, flat in distinct values), and
+# 'bitpack' stays available as an explicit experimental transport.
 _MASK_PACK_BITS = 31
-_MASK_PACK_MIN_GROUPS = 32
+_MASK_PACK_MIN_GROUPS = float("inf")
 
 
 class _DenseMaskPlan:
@@ -2837,12 +2842,14 @@ class _DenseMaskPlan:
         # §2.3 exact semantics (present ∧ col = value, NULL fails)
         # with ZERO Catalyst expressions, so mask cost is flat in the
         # number of DISTINCT (attr, value) pairs. The Catalyst column
-        # path pays per-DISTINCT-expression projection width, which
-        # the measured BENCH_LADDER ``dense_predicate_cliff`` shows
-        # going ~10× between 1 and 1024 distinct masks at the
-        # reference shape (codegen falls back past the janino 64 KB
-        # line and the interpreted projection scales with rows ×
-        # expressions).
+        # path pays per-DISTINCT-expression projection width (codegen
+        # falls back past the janino 64 KB line, so the interpreted
+        # projection scales with rows × expressions) — the BENCH_LADDER
+        # ``dense_predicate_cliff`` adjudication: a ≤2× quiet-phase
+        # rise at 1024 distinct masks at the reference shape (the r12
+        # 62 ms/q reading was a host-stall capture; PLANS §Dense-kernel
+        # heterogeneous-predicate cliff), which this path deletes
+        # entirely.
         self.match = {int(q): (str(a), v) for q, (a, v) in (match or {}).items()}
         self.match_attrs = sorted({a for a, _ in self.match.values()})
         qset = set(qids)
@@ -2881,7 +2888,9 @@ class _DenseMaskPlan:
         # (WHEN c THEN bit ELSE 0 ≡ coalesce(c, false)),
         # hash-identical results (pytest-pinned) — only the transport
         # changes. 'auto' follows the measured BENCH_LADDER
-        # ``dense_predicate_cliff`` crossover (_MASK_PACK_MIN_GROUPS).
+        # ``dense_predicate_cliff`` data: bitpack never wins, so auto
+        # stays on columns (_MASK_PACK_MIN_GROUPS = inf) and the
+        # heterogeneous-predicate fix is the ``match`` template path.
         self.pack = mask_packing == "bitpack" or (
             mask_packing == "auto" and self.n_groups > _MASK_PACK_MIN_GROUPS
         )
