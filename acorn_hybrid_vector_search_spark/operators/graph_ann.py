@@ -3230,7 +3230,9 @@ def nsw_dense_topk_int8(
     blocked: frozenset[int] | set[int] | None = None,
     query_block: int = 256,
     mask_packing: str = "auto",
-    rerank_isin_max: int = 32_768,
+    mode: str = "certified",
+    rerank_width: int | None = None,
+    rerank_isin_max: int = 4096,
     id_col: str = "vec_id",
     dist_col: str = "dist",
 ) -> DataFrame:
@@ -3264,6 +3266,24 @@ def nsw_dense_topk_int8(
     whole corpus at 1/4 the bytes, phase 2 touches only row groups
     containing winners.
 
+    ``mode`` (r13b): the certified bound is a TRIANGLE bound — its
+    candidate window in d² units is ~4·dist·ε with ε = qscale·√d/2,
+    while concentration of measure shrinks the corpus's RELATIVE
+    distance spread as d grows, so past a few hundred dimensions the
+    certified set approaches the whole corpus (measured at 32k×2048:
+    certified pure-shape 168 s vs 3.4 s for the f64 dense kernel — the
+    bound kept ~everything). ``mode="certified"`` (default) keeps the
+    provable contract — right for the moderate-dimension stores the
+    driver tables use; ``mode="rerank"`` is the SCALE path: phase 1
+    keeps the top-``rerank_width`` (default 4·k) rows per (fragment,
+    query) by d̂ — EXACT w.r.t. the DEQUANTIZED corpus, the same
+    redefined-ground-truth contract the float32 store established —
+    and phase 2 re-ranks those at full precision. Recall vs the
+    full-precision corpus is no longer certified (the standard SQ8
+    rerank trade, FAISS's memory rung); int8-vs-f64 agreement is
+    pytest-pinned on the test shapes and the width is the caller's
+    recall lever.
+
     Refuses on a stale sidecar (store mutated since ``nsw_write_int8``
     — the version-token/fingerprint protocol); tombstones alone do not
     stale the codes (they exclude rows in phase 1, like the dense
@@ -3284,6 +3304,12 @@ def nsw_dense_topk_int8(
     )
     if query_block < 1:
         raise ValueError(f"query_block must be >= 1, got {query_block}")
+    if mode not in ("certified", "rerank"):
+        raise ValueError(
+            f"mode must be 'certified' or 'rerank', got {mode!r}"
+        )
+    certified = mode == "certified"
+    k_emit = k if certified else max(int(rerank_width or 4 * k), k)
     blocked_arr = np.asarray(
         sorted(int(b) for b in (blocked or ())), dtype=np.int64
     )
@@ -3344,7 +3370,7 @@ def nsw_dense_topk_int8(
             excl |= np.isin(ids, blocked_arr)
         shared, masks = extract_masks(pdf)
         rows_q, rows_i, rows_lb, rows_ub = [], [], [], []
-        kk = min(k, n)
+        kk = min(k_emit, n)
         if kk == 0:
             return pd.DataFrame(
                 {"query_id": [], id_col: [], "lb": [], "ub": []}
@@ -3362,13 +3388,25 @@ def nsw_dense_topk_int8(
                     bad |= ~m
                 if bad.all():
                     continue
-                ub = np.where(bad, np.inf, (s + eps) ** 2)
-                lb = np.where(
-                    bad, np.inf, np.maximum(s - eps, 0.0) ** 2
-                )
-                kj = min(kk, int((~bad).sum()))
-                tau = ub[np.argpartition(ub, kj - 1)[kj - 1]]
-                cand = np.flatnonzero(lb <= tau)
+                if certified:
+                    ub = np.where(bad, np.inf, (s + eps) ** 2)
+                    lb = np.where(
+                        bad, np.inf, np.maximum(s - eps, 0.0) ** 2
+                    )
+                    kj = min(kk, int((~bad).sum()))
+                    tau = ub[np.argpartition(ub, kj - 1)[kj - 1]]
+                    cand = np.flatnonzero(lb <= tau)
+                else:
+                    # rerank mode: top-k_emit by d̂ (exact w.r.t. the
+                    # dequantized corpus), boundary ties widened like
+                    # the dense kernel so the global cut stays
+                    # deterministic; lb = ub = d̂ keeps the global
+                    # rank machinery shared with certified mode
+                    dm = np.where(bad, np.inf, s * s)
+                    kj = min(kk, int((~bad).sum()))
+                    thresh = dm[np.argpartition(dm, kj - 1)[kj - 1]]
+                    cand = np.flatnonzero(dm <= thresh)
+                    lb = ub = dm
                 rows_q.extend([qids[j]] * len(cand))
                 rows_i.extend(ids[cand].tolist())
                 rows_lb.extend(lb[cand].tolist())
@@ -3396,7 +3434,7 @@ def nsw_dense_topk_int8(
     )
     tau = (
         cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
+        .filter(F.col("_rn") <= k_emit)
         .groupBy("query_id")
         .agg(F.max("ub").alias("_tau"))
     )

@@ -2810,6 +2810,11 @@ def test_dense_int8_two_phase_exact(spark, corpus, vectors, tmp_path):
         assert rows(nsw_dense_topk_int8(spark, path, qs, K)) == rows(
             nsw_dense_topk(spark, path, qs, K)
         ), dtype
+        # rerank mode (the scale path, r13b): top-4k by dequantized
+        # distance + full-precision re-rank ≡ the certified answers
+        assert rows(
+            nsw_dense_topk_int8(spark, path, qs, K, mode="rerank")
+        ) == rows(nsw_dense_topk(spark, path, qs, K)), dtype
         per = {
             QUERY_IDS[0]: F.col("label") == 1,
             QUERY_IDS[1]: F.col("label") < 3,
@@ -2843,6 +2848,8 @@ def test_dense_int8_two_phase_exact(spark, corpus, vectors, tmp_path):
     nsw_append(extra, path, payload_cols=["label"])
     with pytest.raises(ValueError, match="stale"):
         nsw_dense_topk_int8(spark, path, qs, K)
+    with pytest.raises(ValueError, match="mode must be"):
+        nsw_dense_topk_int8(spark, path, qs, K, mode="nope")
     nsw_write_int8(spark, path)
     assert rows(nsw_dense_topk_int8(spark, path, qs, K)) == rows(
         nsw_dense_topk(spark, path, qs, K)

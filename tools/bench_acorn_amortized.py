@@ -195,7 +195,13 @@ def main() -> None:
         if kernel == "dense":
             return nsw_dense_topk(spark, path, queries, K, **kw)
         if kernel == "dense_int8":
-            return nsw_dense_topk_int8(spark, path, queries, K, **kw)
+            # the SCALE mode: top-4k by exact-on-dequantized distance,
+            # full-precision re-rank (certified mode's triangle bound
+            # keeps ~the whole corpus at dim 2048 — see the kernel
+            # docstring; the certified path is for moderate dims)
+            return nsw_dense_topk_int8(
+                spark, path, queries, K, mode="rerank", **kw
+            )
         return nsw_read_topk(spark, path, queries, K, ef=EF, **kw)
 
     def timed(label: str, **kw) -> float:
@@ -256,6 +262,7 @@ def main() -> None:
         out["samples_s"] = all_samples
     if int8_build_s is not None:
         out["int8_codes_build_s"] = round(int8_build_s, 2)
+        out["int8_mode"] = "rerank"
     if pinned is not None:
         pinned.unpersist()
     shutil.rmtree(root)
