@@ -3289,6 +3289,15 @@ def nsw_dense_topk_int8(
     stale the codes (they exclude rows in phase 1, like the dense
     kernel).
 
+    Parallelism note (r13b, measured): Spark sizes scan splits by
+    BYTES (``spark.sql.files.maxPartitionBytes``), but phase 1's cost
+    is per ROW × |Q| — the 4-8× smaller code sidecar therefore gets
+    4-8× fewer scan partitions than the vector store for the same
+    work, strangling the gemm's parallelism. Serving deployments
+    should size ``maxPartitionBytes`` down by the compression factor
+    for the sidecar scan (the bench tools set 16 MB at the reference
+    shape) or cache the sidecar pre-partitioned.
+
     Reference anchor: this is the quantized serving rung the
     reference's float32-only hnswlib store cannot express
     (bindings.cpp ``data_t = float``); SQ8-then-rerank is the standard
@@ -3379,9 +3388,9 @@ def nsw_dense_topk_int8(
             hi = min(lo + query_block, n_q)
             D = xn[:, None] - 2.0 * (Xh @ qmat[lo:hi].T) + qn[None, lo:hi]
             np.maximum(D, 0.0, out=D)
-            S = np.sqrt(D)  # √d̂ per (row, query)
+            # the bracket arithmetic needs √d̂ only in certified mode
+            S = np.sqrt(D) if certified else None
             for j in range(lo, hi):
-                s = S[:, j - lo]
                 bad = excl.copy()
                 m = shared if shared is not None else masks.get(qids[j])
                 if m is not None:
@@ -3389,6 +3398,7 @@ def nsw_dense_topk_int8(
                 if bad.all():
                     continue
                 if certified:
+                    s = S[:, j - lo]
                     ub = np.where(bad, np.inf, (s + eps) ** 2)
                     lb = np.where(
                         bad, np.inf, np.maximum(s - eps, 0.0) ** 2
@@ -3402,7 +3412,7 @@ def nsw_dense_topk_int8(
                     # the dense kernel so the global cut stays
                     # deterministic; lb = ub = d̂ keeps the global
                     # rank machinery shared with certified mode
-                    dm = np.where(bad, np.inf, s * s)
+                    dm = np.where(bad, np.inf, D[:, j - lo])
                     kj = min(kk, int((~bad).sum()))
                     thresh = dm[np.argpartition(dm, kj - 1)[kj - 1]]
                     cand = np.flatnonzero(dm <= thresh)

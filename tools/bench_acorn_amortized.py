@@ -186,6 +186,13 @@ def main() -> None:
         t0 = time.time()
         nsw_write_int8(spark, path)
         int8_build_s = time.time() - t0
+        # Spark sizes scan splits by BYTES while phase-1 cost is per
+        # row — without this the 4-8× smaller sidecar gets 4-8× fewer
+        # tasks than the vector store for the same gemm work (see the
+        # kernel's parallelism note)
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024)
+        )
         if pinned is not None:
             # the phase-1 scan reads the SIDECAR — pin it like the store
             pinned_codes = spark.read.parquet(path + "/_int8_codes")
