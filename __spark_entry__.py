@@ -5727,8 +5727,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 13 swapped stream_hybrid_serve → stream_dense_serve (the
     routed serving stream landing the batch-dense kernel BY DEFAULT —
     VERDICT r12 ask #1; the displaced prefilter-serving machinery
-    still executes in-window via stream_routed_serve's prefilter arm,
-    and the row stays oracle-gated at 51+).
+    still executes in-window via stream_routed_serve's prefilter arm)
+    and nsw_upsert_topk → nsw_dense_int8_topk (the int8 two-phase
+    rung, VERDICT r12 ask #4; lifecycle keeps stream_nsw_upsert —
+    whose CDC writer runs nsw_upsert per micro-batch — plus
+    nsw_recluster_topk's delete+append build in-window). Both
+    displaced rows stay oracle-gated at 51+ via SELFCHECK.json.
     """
     return {
         # -- reference §2.2 query shape: three physical strategies (K1-K4) --
