@@ -3442,29 +3442,58 @@ def nsw_dense_topk_int8(
     w = Window.partitionBy("query_id").orderBy(
         F.col("ub").asc(), F.col(id_col).asc()
     )
-    tau = (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k_emit)
-        .groupBy("query_id")
-        .agg(F.max("ub").alias("_tau"))
-    )
-    surv = (
-        cand.join(F.broadcast(tau), "query_id")
-        .where(F.col("lb") <= F.col("_tau"))
-        .select("query_id", id_col)
-    )
-    # ONE bounded candidate load (O(|Q|·k) by the bound — the same
-    # bounded-collect contract as every candidate load in this repo);
-    # re-materializing the pairs as a literal frame keeps phase 1 a
-    # single scan (joining `surv` directly would re-run it for the
-    # join after the id collect already did)
-    surv_rows = surv.collect()
+    # persist the candidate stream: tau (an aggregation of cand) and
+    # surv (cand ⋈ tau) would otherwise each re-run the phase-1 sidecar
+    # scan inside one action — halving the bandwidth win the sidecar
+    # exists for (r13b self-review)
+    cand = cand.persist()
+    try:
+        tau = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k_emit)
+            .groupBy("query_id")
+            .agg(F.max("ub").alias("_tau"))
+        )
+        surv = (
+            cand.join(F.broadcast(tau), "query_id")
+            .where(F.col("lb") <= F.col("_tau"))
+            .select("query_id", id_col)
+        )
+        # guard the bounded-collect contract (r13b self-review): in
+        # certified mode at high dimension the triangle bound can keep
+        # ~the whole corpus (the mode docstring's measurement) — refuse
+        # a corpus-sized driver collect with the actionable fix instead
+        # of OOMing the driver
+        surv_bound = 64 * k_emit * len(qids)
+        n_surv = surv.count()  # cheap: cand is persisted
+        if n_surv > surv_bound:
+            raise ValueError(
+                f"certified candidate set has {n_surv} rows (> "
+                f"{surv_bound}) — the triangle bound degrades with "
+                "dimension (see the mode docstring); use mode='rerank' "
+                "for high-dimensional stores"
+            )
+        # ONE bounded candidate load (O(|Q|·k) by the bound/width);
+        # re-materializing the pairs as a literal frame keeps phase 1
+        # a single scan for the re-rank join
+        surv_rows = surv.collect()
+    finally:
+        cand.unpersist()
     cand_ids = sorted({int(r[id_col]) for r in surv_rows})
     surv_df = spark.createDataFrame(
         [(int(r["query_id"]), int(r[id_col])) for r in surv_rows],
         f"query_id long, {id_col} long",
     )
-    full = spark.read.parquet(path).select(id_col, "vector")
+    # phase 2 must see the SAME liveness view as phase 1 (r13b
+    # self-review): an upsert history leaves tombstoned OLD copies of
+    # a candidate id in earlier shards — joining on the id alone would
+    # re-score (and possibly return) the deleted vector
+    full = spark.read.parquet(path)
+    if tomb is not None:
+        full = _apply_tombstones(full, tomb, id_col).where(
+            ~F.col("_deleted")
+        )
+    full = full.select(id_col, "vector")
     if cand_ids and len(cand_ids) <= rerank_isin_max:
         # pushed to parquet row-group stats: the re-rank reads only
         # row groups containing candidates

@@ -1025,14 +1025,33 @@ class StrategyRouter:
                     if len(spec) == 1:
                         ((attr, sp),) = spec.items()
                         a = acc.get(attr)
+                        value = list(sp)[1]
+                        # r13b self-review: the executor-side pandas
+                        # compare does NO type coercion (int64 == "3"
+                        # is all-False where Catalyst casts and
+                        # matches; NaN = NaN differs too) — only
+                        # SAME-KIND values take the fast path, the
+                        # rest keep Catalyst's coercion semantics
+                        kind_ok = a is not None and (
+                            (
+                                a.kind == "numeric"
+                                and isinstance(value, (int, float))
+                                and not isinstance(value, bool)
+                                and value == value  # not NaN
+                            )
+                            or (
+                                a.kind == "string"
+                                and isinstance(value, str)
+                            )
+                        )
                         if (
                             list(sp)[0] == "exact"
-                            and a is not None
+                            and kind_ok
                             and str(a.value) == str(F.col(attr))
                             and str(a.present)
                             == str(F.col(attr).isNotNull())
                         ):
-                            tmpl[int(qid)] = (attr, list(sp)[1])
+                            tmpl[int(qid)] = (attr, value)
                             continue
                     preds[int(qid)] = build_predicate(p, acc)
                 parts.append(

@@ -2528,3 +2528,37 @@ def test_routed_dense_uses_match_template(spark, tmp_path):
             if lab == want_lab
         )[:5]
         assert sorted(by_q[qid]) == brute, qid
+
+    # r13b self-review: a TYPE-MISMATCHED exact value (stringified
+    # number against a numeric accessor) must NOT take the template
+    # path — pandas == does no coercion where Catalyst casts — and the
+    # Catalyst fallback must still answer the same brute oracle
+    sbatch = [
+        (j, rows_[j][1], {"label": ["exact", str(j % 4)]})
+        for j in range(6)
+    ]
+    sres = router.ann_search_batch(
+        df, sbatch, 5, nsw_path=nsw, min_recall=0.9, accessors=acc
+    )
+    splan = sres._jdf.queryExecution().executedPlan().toString()
+    # Catalyst predicate machinery serves it (here the stringified
+    # value also skews the selectivity estimate onto the prefilter
+    # batch arm — fine: that path coerces too); what must NOT happen
+    # is the template fast path silently returning empty
+    assert "_pass_g" in splan or "_p_label" in splan
+    by_q2: dict = {}
+    for r in sres.collect():
+        by_q2.setdefault(int(r["query_id"]), []).append(
+            (round(r["dist"], 9), int(r["vec_id"]))
+        )
+    for qid, qv, preds in sbatch:
+        want_lab = int(dict(preds)["label"][1])
+        brute = sorted(
+            (
+                round(sum((a - b) ** 2 for a, b in zip(vec, qv)), 9),
+                vid,
+            )
+            for vid, (vec, lab) in data.items()
+            if lab == want_lab
+        )[:5]
+        assert sorted(by_q2[qid]) == brute, qid

@@ -2855,6 +2855,28 @@ def test_dense_int8_two_phase_exact(spark, corpus, vectors, tmp_path):
         nsw_dense_topk(spark, path, qs, K)
     )
 
+    # UPSERT history (r13b self-review): the store now holds a
+    # tombstoned OLD copy of an id alongside its live replacement —
+    # phase 2 must never re-score the dead vector (joining on the id
+    # alone would), and both kernels must agree near the old location
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_upsert,
+    )
+
+    moved_id = int(qs[0][0])
+    old_vec = list(qs[0][1])
+    up = spark.createDataFrame(
+        [(moved_id, [2.5] * len(old_vec), 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    nsw_upsert(up, path, payload_cols=["label"])
+    nsw_write_int8(spark, path)
+    probe = [(0, old_vec)]
+    for kw in ({}, {"mode": "rerank"}):
+        assert rows(
+            nsw_dense_topk_int8(spark, path, probe, K, **kw)
+        ) == rows(nsw_dense_topk(spark, path, probe, K)), kw
+
 
 def test_dense_match_template_fast_path(spark, corpus, vectors, tmp_path):
     """r13 heterogeneous-predicate cliff fix (VERDICT r12 ask #3): the

@@ -272,6 +272,8 @@ def main() -> None:
         out["int8_mode"] = "rerank"
     if pinned is not None:
         pinned.unpersist()
+    if kernel == "dense_int8" and pinned is not None:
+        pinned_codes.unpersist()
     shutil.rmtree(root)
     out_path = os.path.join(ROOT, "BENCH_LADDER.json")
     merged = {"base_sf": 0.1, "host": "local[32]", "results": {}}
