@@ -2806,6 +2806,14 @@ def nsw_read_topk(
 # 'bitpack' stays available as an explicit experimental transport.
 _MASK_PACK_BITS = 31
 _MASK_PACK_MIN_GROUPS = float("inf")
+# ops the zero-Catalyst template fast path can evaluate executor-side
+# (r14, VERDICT r13 ask #4) — §2.3's single-attribute grammar minus
+# nothing: exact + containment for strings, exact + the range ops for
+# numerics. Kind-appropriateness is the ROUTER's job (it only templates
+# supported (kind, op) pairs); the kernel validates the op spelling.
+_MATCH_TEMPLATE_OPS = frozenset(
+    {"exact", "substring", "leq", "geq", "<", ">"}
+)
 
 
 class _DenseMaskPlan:
@@ -2850,8 +2858,33 @@ class _DenseMaskPlan:
         # 62 ms/q reading was a host-stall capture; PLANS §Dense-kernel
         # heterogeneous-predicate cliff), which this path deletes
         # entirely.
-        self.match = {int(q): (str(a), v) for q, (a, v) in (match or {}).items()}
-        self.match_attrs = sorted({a for a, _ in self.match.values()})
+        # r14 (VERDICT r13 ask #4): templates carry an OP — (attr, value)
+        # back-compat means exact; (attr, op, value) adds the serving
+        # battery's other single-attribute §2.3 classes: substring
+        # (case-sensitive containment) and the numeric range ops. Each
+        # evaluates executor-side from the raw payload column with the
+        # same NULL-fails semantics as build_predicate's Catalyst form
+        # (pytest-pinned ≡ predicates ≡ brute per op).
+        self.match: dict[int, tuple] = {}
+        for q, spec in (match or {}).items():
+            t = tuple(spec)
+            if len(t) == 2:
+                attr, op, value = str(t[0]), "exact", t[1]
+            elif len(t) == 3:
+                attr, op, value = str(t[0]), str(t[1]), t[2]
+            else:
+                raise ValueError(
+                    f"match template for query {q} must be (attr, value) "
+                    f"or (attr, op, value); got {spec!r}"
+                )
+            if op not in _MATCH_TEMPLATE_OPS:
+                raise ValueError(
+                    f"match template op {op!r} (query {q}) not in "
+                    f"{sorted(_MATCH_TEMPLATE_OPS)} — use predicates= "
+                    "(Catalyst) for other operators"
+                )
+            self.match[int(q)] = (attr, op, value)
+        self.match_attrs = sorted({a for a, _, _ in self.match.values()})
         qset = set(qids)
         if unknown := [q for q in self.pred_qids if q not in qset]:
             raise ValueError(f"predicates for ids not in the batch: {unknown}")
@@ -2942,19 +2975,37 @@ class _DenseMaskPlan:
                     masks,
                 )
             if match:
-                # dedupe identical (attr, value) templates; evaluate
+                # dedupe identical (attr, op, value) templates; evaluate
                 # each ONCE per fragment from the raw payload column
-                # (present ∧ col = value — NaN/None compare False, so
-                # notna() is the explicit §2.3 presence conjunct)
+                # (present ∧ <op> — NaN/None compare False, so notna()
+                # is the explicit §2.3 presence conjunct; str.contains
+                # mirrors Catalyst's case-sensitive containment)
                 shared_tpl: dict = {}
-                for qid, (attr, val) in match.items():
-                    key = (attr, val)
+                for qid, key in match.items():
                     m = shared_tpl.get(key)
                     if m is None:
+                        attr, op, val = key
                         s = pdf[attr]
+                        if op == "exact":
+                            mm = s.notna() & (s == val)
+                        elif op == "substring":
+                            mm = (
+                                s.str.contains(val, regex=False)
+                                .fillna(False)
+                                .astype(bool)
+                                & s.notna()
+                            )
+                        elif op == "leq":
+                            mm = s.notna() & (s <= val)
+                        elif op == "geq":
+                            mm = s.notna() & (s >= val)
+                        elif op == "<":
+                            mm = s.notna() & (s < val)
+                        else:  # ">"
+                            mm = s.notna() & (s > val)
                         m = shared_tpl[key] = (
-                            s.notna() & (s == val)
-                        ).to_numpy(dtype=bool)
+                            mm.fillna(False).to_numpy(dtype=bool)
+                        )
                     masks[qid] = m
             if pred_qids and pack:
                 # unpack ceil(G/31) words → n×G bool with vectorized
@@ -3362,7 +3413,26 @@ def nsw_dense_topk_int8(
 
     def frag_bounds(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        # r14 (ADVICE r13): the code dimension is inferred from the packed
+        # bytes — a corrupted or mixed-dimension sidecar would silently
+        # mis-reshape into wrong distances where the f64 kernel fails
+        # loudly on a ragged vector column. Validate uniformity first.
+        lens = np.fromiter(
+            (len(b) for b in pdf["qcode"]), dtype=np.int64, count=n
+        )
+        if lens.size and (lens != lens[0]).any():
+            raise ValueError(
+                "int8 code sidecar has mixed qcode lengths "
+                f"{sorted(set(lens.tolist()))[:4]} within one fragment — "
+                "the store is corrupted or mixes dimensions; rebuild with "
+                "nsw_write_int8"
+            )
         raw = np.frombuffer(b"".join(pdf["qcode"]), dtype=np.int8)
+        if n and raw.size % n != 0:
+            raise ValueError(
+                f"int8 qcode bytes ({raw.size}) are not a multiple of the "
+                f"fragment row count ({n}) — corrupted sidecar"
+            )
         dim = raw.size // n
         scale = pdf["qscale"].to_numpy(dtype=np.float64)
         # dequantize then the SAME dot-trick shape as the f64 kernel;

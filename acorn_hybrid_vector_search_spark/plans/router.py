@@ -278,6 +278,71 @@ class AnnDispatch:
     nprobe: int | None = None
 
 
+def dense_match_template(
+    predicates: "Predicates | None",
+    accessors: Mapping[str, AttributeAccessor],
+) -> "tuple[str, str, Any] | None":
+    """Decide whether ONE query's §2.3 predicate spec can take the
+    dense kernels' zero-Catalyst template fast path; returns the
+    ``(attr, op, value)`` template or None (keep the Catalyst
+    ``build_predicate`` path — identical results either way,
+    pytest-pinned).
+
+    r13 shipped the path for single-attribute EXACT specs; r14 (VERDICT
+    r13 ask #4) widens it to the serving battery's other single-
+    attribute classes — ``substring`` (case-sensitive containment) and
+    the numeric range ops — which the kernel evaluates executor-side
+    from the raw payload column, flat in the number of DISTINCT
+    templates (the heterogeneous-predicate cliff fix; BENCH_LADDER
+    ``dense_predicate_cliff``). Eligibility:
+
+    - exactly ONE attribute, spec arity 2 (``[op, value]`` — a
+      malformed spec falls back to ``build_predicate``'s error path,
+      ADVICE r13);
+    - the accessor is a FLAT passthrough (value ≡ ``col``, present ≡
+      ``col IS NOT NULL`` — the covering-index store shape): the
+      executor reads the raw column, so derived/nested accessors keep
+      Catalyst;
+    - the (kind, op) pair is SUPPORTED by the §2.3 matrix (numeric:
+      exact/leq/geq/</>; string: exact/substring) — an unsupported
+      pair's presence-only fallthrough semantics stay with Catalyst;
+    - the value is SAME-KIND (the executor-side pandas compare does no
+      type coercion: int64 == "3" is all-False where Catalyst casts
+      and matches, NaN never equals, bool is not a number — r13b
+      self-review)."""
+    if not predicates:
+        return None
+    spec = dict(predicates)
+    if len(spec) != 1:
+        return None
+    ((attr, sp),) = spec.items()
+    sp_l = list(sp)
+    if len(sp_l) != 2:
+        return None
+    op, value = sp_l
+    a = accessors.get(attr)
+    if a is None:
+        return None
+    if a.kind == "numeric":
+        kind_ok = (
+            op in ("exact", "leq", "geq", "<", ">")
+            and isinstance(value, (int, float))
+            and not isinstance(value, bool)
+            and value == value  # not NaN
+        )
+    elif a.kind == "string":
+        kind_ok = op in ("exact", "substring") and isinstance(value, str)
+    else:
+        kind_ok = False
+    if not kind_ok:
+        return None
+    if str(a.value) != str(F.col(attr)) or str(a.present) != str(
+        F.col(attr).isNotNull()
+    ):
+        return None
+    return (str(attr), str(op), value)
+
+
 class StrategyRouter:
     """Chooses the physical strategy for one hybrid query.
 
@@ -1005,55 +1070,24 @@ class StrategyRouter:
                     nsw_dense_topk,
                 )
 
-                # r13 (VERDICT r12 ask #3): a single-attribute EXACT
-                # predicate whose accessor is a FLAT passthrough
-                # (value ≡ col, present ≡ col IS NOT NULL — the
-                # covering-index store shape) takes the kernel's
-                # template fast path: the mask evaluates executor-side
-                # from the raw payload column, flat in the number of
-                # DISTINCT (attr, value) pairs, where the Catalyst
-                # column path pays per-distinct-expression projection
-                # width (BENCH_LADDER ``dense_predicate_cliff`` — the
-                # heterogeneous-predicate cliff). Anything else keeps
-                # the Catalyst path (identical results, pytest-pinned).
+                # r13/r14 (VERDICT r12 ask #3, r13 ask #4): a single-
+                # attribute supported-op predicate on a FLAT passthrough
+                # accessor takes the kernel's template fast path — the
+                # mask evaluates executor-side from the raw payload
+                # column, flat in the number of DISTINCT templates
+                # (``dense_match_template`` holds the full eligibility
+                # contract; everything else keeps the Catalyst path,
+                # identical results pytest-pinned).
                 tmpl: dict[int, tuple] = {}
                 preds = {}
                 for qid, _, p in d.queries:
                     if not p:
                         continue
-                    spec = dict(p)
-                    if len(spec) == 1:
-                        ((attr, sp),) = spec.items()
-                        a = acc.get(attr)
-                        value = list(sp)[1]
-                        # r13b self-review: the executor-side pandas
-                        # compare does NO type coercion (int64 == "3"
-                        # is all-False where Catalyst casts and
-                        # matches; NaN = NaN differs too) — only
-                        # SAME-KIND values take the fast path, the
-                        # rest keep Catalyst's coercion semantics
-                        kind_ok = a is not None and (
-                            (
-                                a.kind == "numeric"
-                                and isinstance(value, (int, float))
-                                and not isinstance(value, bool)
-                                and value == value  # not NaN
-                            )
-                            or (
-                                a.kind == "string"
-                                and isinstance(value, str)
-                            )
-                        )
-                        if (
-                            list(sp)[0] == "exact"
-                            and kind_ok
-                            and str(a.value) == str(F.col(attr))
-                            and str(a.present)
-                            == str(F.col(attr).isNotNull())
-                        ):
-                            tmpl[int(qid)] = (attr, value)
-                            continue
-                    preds[int(qid)] = build_predicate(p, acc)
+                    t = dense_match_template(p, acc)
+                    if t is not None:
+                        tmpl[int(qid)] = t
+                    else:
+                        preds[int(qid)] = build_predicate(p, acc)
                 parts.append(
                     nsw_dense_topk(
                         spark,

@@ -2119,6 +2119,63 @@ def test_plan_ann_batch_dense_decision_matrix():
     ]
 
 
+def test_dense_match_template_eligibility(spark):
+    """r14 (VERDICT r13 ask #4 + ADVICE r13): the template fast-path
+    eligibility contract, read from the SAME ``dense_match_template``
+    the dispatcher consults — every supported (kind, op) pair templates;
+    multi-attribute, malformed-arity (the r13 IndexError), coercion-
+    needing, NaN, bool, unsupported-(kind,op), unknown-attr and
+    nested-accessor specs all keep the Catalyst path."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        abo_accessors,
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        dense_match_template,
+    )
+
+    acc = flat_accessors(
+        {"label": "bigint", "name": "string", "w": "double"}
+    )
+    assert dense_match_template({"label": ["exact", 3]}, acc) == (
+        "label", "exact", 3,
+    )
+    assert dense_match_template({"name": ["substring", "Ama"]}, acc) == (
+        "name", "substring", "Ama",
+    )
+    assert dense_match_template({"name": ["exact", "x"]}, acc) == (
+        "name", "exact", "x",
+    )
+    for op in ("leq", "geq", "<", ">"):
+        assert dense_match_template({"w": [op, 2.5]}, acc) == (
+            "w", op, 2.5,
+        ), op
+    # Catalyst keepers
+    assert dense_match_template(None, acc) is None
+    assert dense_match_template({}, acc) is None
+    assert (
+        dense_match_template({"label": ["exact", 3], "w": ["<", 1]}, acc)
+        is None
+    )  # conjunction
+    assert dense_match_template({"label": ["exact"]}, acc) is None  # arity
+    assert dense_match_template({"label": ["exact", 3, 4]}, acc) is None
+    assert dense_match_template({"label": ["exact", "3"]}, acc) is None
+    assert (
+        dense_match_template({"w": ["leq", float("nan")]}, acc) is None
+    )
+    assert dense_match_template({"label": ["exact", True]}, acc) is None
+    assert dense_match_template({"name": ["leq", "a"]}, acc) is None
+    assert dense_match_template({"w": ["substring", "a"]}, acc) is None
+    assert dense_match_template({"nope": ["exact", 1]}, acc) is None
+    # nested/derived accessors read extracted expressions, not raw cols
+    assert (
+        dense_match_template(
+            {"brand": ["substring", "Amazon"]}, abo_accessors()
+        )
+        is None
+    )
+
+
 def test_ivf_search_batch_equals_per_query_loop(spark, tmp_path):
     """ivf_search_batch ≡ ivf_search per query — same nprobe lists,
     same per-query §2.3 predicate semantics, equi-join plan."""

@@ -2950,3 +2950,81 @@ def test_dense_match_template_fast_path(spark, corpus, vectors, tmp_path):
     with pytest.raises(ValueError, match="not in the batch"):
         nsw_dense_topk(spark, path, qs, K, match={777: ("label", 1)})
 
+
+def test_dense_match_template_ops(spark, corpus, vectors, tmp_path):
+    """r14 template-op extension (VERDICT r13 ask #4): the zero-Catalyst
+    fast path evaluates substring and the numeric range ops executor-
+    side with the same §2.3 NULL-fails semantics as ``build_predicate``
+    — hash-identical to the Catalyst path on BOTH dense kernels over a
+    store carrying NULLs in both a numeric and a string payload column,
+    and the op grammar is validated."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        build_predicate,
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_dense_topk,
+        nsw_dense_topk_int8,
+        nsw_write_int8,
+    )
+    from acorn_hybrid_vector_search_spark.plans.router import (
+        dense_match_template,
+    )
+
+    aug = corpus.withColumn(
+        "score",
+        F.when(
+            F.col("vec_id") % 7 != 0, (F.col("vec_id") % 50).cast("double")
+        ),
+    ).withColumn(
+        "name",
+        F.when(
+            F.col("vec_id") % 5 != 0,
+            F.concat(F.lit("item-"), (F.col("vec_id") % 20).cast("string")),
+        ),
+    )
+    path = _store_from(
+        aug, tmp_path, name="gops", payload_cols=["score", "name"]
+    )
+    nsw_write_int8(spark, path)
+    qs = _queries(vectors)
+    acc = flat_accessors({"score": "double", "name": "string"})
+
+    def rows(df):
+        return [
+            (int(r["query_id"]), int(r["vec_id"]), round(r["dist"], 9))
+            for r in df.orderBy("query_id", "dist", "vec_id").collect()
+        ]
+
+    for specs in (
+        {
+            QUERY_IDS[0]: {"name": ["substring", "tem-1"]},
+            QUERY_IDS[1]: {"score": ["leq", 20.0]},
+            QUERY_IDS[2]: {"score": [">", 30]},
+        },
+        {
+            QUERY_IDS[0]: {"name": ["exact", "item-3"]},
+            QUERY_IDS[1]: {"score": ["geq", 25]},
+            QUERY_IDS[2]: {"score": ["<", 10.0]},
+        },
+    ):
+        tmpl = {q: dense_match_template(s, acc) for q, s in specs.items()}
+        assert all(t is not None for t in tmpl.values()), tmpl
+        cols = {q: build_predicate(s, acc) for q, s in specs.items()}
+        want = rows(nsw_dense_topk(spark, path, qs, K, predicates=cols))
+        got = nsw_dense_topk(spark, path, qs, K, match=tmpl)
+        assert rows(got) == want
+        # zero Catalyst mask columns in the template plan
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "_pass_g" not in plan and "_pass_w" not in plan
+        assert rows(
+            nsw_dense_topk_int8(spark, path, qs, K, match=tmpl)
+        ) == want
+    # op grammar validated; arity validated
+    with pytest.raises(ValueError, match="not in"):
+        nsw_dense_topk(
+            spark, path, qs, K, match={QUERY_IDS[0]: ("score", "like", 1)}
+        )
+    with pytest.raises(ValueError, match="must be"):
+        nsw_dense_topk(spark, path, qs, K, match={QUERY_IDS[0]: ("score",)})
+

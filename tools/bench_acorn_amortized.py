@@ -284,8 +284,11 @@ def main() -> None:
     if kernel == "dense":
         f32 = "_dense" + f32
     elif kernel == "dense_int8":
-        # the int8 rows carry their own suffix whatever the store dtype
-        f32 = "_dense_int8"
+        # the int8 rows carry their own suffix PLUS the store-dtype
+        # marker (ADVICE r13): a float32-store run must not overwrite
+        # the float64-store rows — phase 2 re-ranks against the store,
+        # so its dtype is provenance the result key has to preserve
+        f32 = "_dense_int8" + f32
     if n_override is None:
         # suffix the default-shape section too — a float32 run must never
         # overwrite the float64 baseline the README table reads (ADVICE r11)
