@@ -3684,6 +3684,139 @@ def _q_nsw_dense_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INT8_RERANK_STORE: dict[tuple[str, str], str] = {}
+
+
+def _int8_rerank_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the label-payload store + int8 code sidecar the
+    two r14 int8 rows share (their OWN store — the shared serving
+    stores stay sidecar-free so the ``dense_dtype="auto"`` default
+    never flips another row's kernel mid-session)."""
+    import tempfile
+
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_write,
+        nsw_write_int8,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _INT8_RERANK_STORE if k[0] != key[0]]:
+        del _INT8_RERANK_STORE[stale]
+    path = _INT8_RERANK_STORE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="acorn_int8_rr_") + "/graph"
+        nsw_write(
+            _t(spark, sf_dir, "embeddings"), path, payload_cols=["label"]
+        )
+        nsw_write_int8(spark, path)
+        _INT8_RERANK_STORE[key] = path
+    return path
+
+
+def _q_nsw_dense_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 (VERDICT r13 ask #3): the int8 rung's RERANK mode under its
+    OWN oracle — the dequantized contract, not the brute-force one.
+    Phase 1 keeps the global top-``rerank_width`` rows by DEQUANTIZED
+    distance d̂ (max-abs int8 codes, ties widened — exact w.r.t. the
+    dequantized corpus, the standard FAISS-SQ8 trade and THE scale
+    path at high dimension where the certified triangle bound keeps
+    ~everything); phase 2 re-ranks ONLY those at full precision. The
+    DuckDB oracle REPRODUCES the quantizer arithmetic in SQL
+    (scale = max|x|/127, x̂ = floor(x/scale + 0.5)·scale), takes the
+    same tie-widened d̂-cut at ``rerank_width`` = 10 > k = 8 (so the
+    cut BINDS — survivors ≠ corpus), and re-scores survivors exactly:
+    the window row gates the mode's actual candidate-selection
+    semantics hash-exactly, per query (one pure, one ``label = 3``
+    §2.3 predicate applied in phase 1). Reference anchor: the memory
+    rung hnswlib's ``data_t = float`` cannot express
+    (bindings.cpp)."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        build_predicate,
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_dense_topk_int8,
+    )
+
+    path = _int8_rerank_store(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 2)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    preds = {
+        1: build_predicate(
+            {"label": ["exact", 3]}, flat_accessors({"label": "bigint"})
+        )
+    }
+    res = nsw_dense_topk_int8(
+        spark,
+        path,
+        [(0, vecs[0]), (1, vecs[1])],
+        k=8,
+        mode="rerank",
+        rerank_width=10,
+        predicates=preds,
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("dist", _R).alias("dist")
+    )
+
+
+def _q_routed_dense_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 (VERDICT r13 ask #1): the int8 rung REACHED FROM THE ROUTED
+    SURFACE — the same eight-query walk-arm batch shape as
+    stream_dense_serve through ``ann_search_batch`` with the DEFAULT
+    ``dense_dtype="auto"``: the store carries a fresh ``nsw_write_int8``
+    sidecar (building it is the opt-in signal), so the densified arm
+    lands on ``nsw_dense_topk_int8`` — in-fn pinned via the SAME
+    ``plan_ann_batch`` the dispatcher executes (kernel
+    ``nsw_dense_int8``), with the odd queries' ``label = 3`` predicates
+    taking the zero-Catalyst template fast path. Certified mode is
+    provably identical to the full-precision kernel, so the IDENTICAL
+    brute-force per-query oracle gates the routed int8 plan
+    hash-exactly."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_int8_fresh,
+    )
+
+    path = _int8_rerank_store(spark, sf_dir)
+    assert nsw_int8_fresh(spark, path)
+    router = _conj_router_stats()
+    acc = flat_accessors({"label": "bigint"})
+    corpus = _t(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in corpus.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    batch = [
+        (j, vecs[j], {"label": ["exact", 3]} if j % 2 else None)
+        for j in range(8)
+    ]
+    routes = router.route_ann_batch(
+        corpus, batch, 10, nsw_path=path, min_recall=0.9, accessors=acc
+    )
+    assert {r.strategy for r in routes.values()} == {"nsw"}, routes
+    # the resolved plan the dispatcher executes: ONE int8 kernel call
+    plan = router.plan_ann_batch(routes, batch, dense_dtype="int8")
+    assert [(d.arm, d.kernel) for d in plan] == [
+        ("nsw", "nsw_dense_int8")
+    ], plan
+    res = router.ann_search_batch(
+        corpus, batch, 10, nsw_path=path, min_recall=0.9, accessors=acc
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("dist", _R).alias("dist")
+    )
+
+
 _STREAM_SERVE_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -5733,6 +5866,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose CDC writer runs nsw_upsert per micro-batch — plus
     nsw_recluster_topk's delete+append build in-window). Both
     displaced rows stay oracle-gated at 51+ via SELFCHECK.json.
+    Round 14 swapped nsw_dense_int8_topk → routed_dense_int8_topk
+    (VERDICT r13 ask #1: the identical certified int8 kernel now
+    reached through ann_search_batch's dense_dtype="auto" fresh-
+    sidecar opt-in, plan pinned in-fn) and hybrid_batch_topk →
+    nsw_dense_int8_rerank_topk (ask #3: rerank mode under its OWN
+    dequantized-contract oracle; the displaced prefilter batch
+    machinery still executes in-window inside stream_routed_serve's
+    prefilter arm). Both displaced rows stay oracle-gated at 51+.
     """
     return {
         # -- reference §2.2 query shape: three physical strategies (K1-K4) --
@@ -5927,13 +6068,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   design — via the portable roundtrip invariant; streaming
         #   keeps stream_hourly_rollup / stream_decontaminate_docs /
         #   stream_audio_decode / stream_nsw_append). ====
-        "hybrid_batch_topk": _q_hybrid_batch_topk,
-        # r13 swap: the int8 two-phase serving rung takes the seat
-        # (nsw_upsert_topk → 51+; lifecycle keeps stream_nsw_upsert
-        # in-window, whose CDC writer runs the same nsw_upsert
-        # machinery per micro-batch, plus nsw_recluster_topk's
-        # delete+append build)
-        "nsw_dense_int8_topk": _q_nsw_dense_int8_topk,
+        # r14 swap (VERDICT r13 ask #3): the int8 RERANK mode earns a
+        # window seat under its OWN dequantized-contract oracle (the
+        # quantizer arithmetic reproduced in SQL, the d̂-cut binding at
+        # rerank_width=10 > k=8) — displacing hybrid_batch_topk, whose
+        # prefilter_search_batch machinery still executes in-window
+        # inside stream_routed_serve's prefilter arm (and the batched
+        # serving family keeps nsw_dense_batch_topk + both serving
+        # streams); the static four-class batch stays oracle-gated 51+
+        "nsw_dense_int8_rerank_topk": _q_nsw_dense_int8_rerank_topk,
+        # r14 swap (VERDICT r13 ask #1): the ROUTED int8 seat — the
+        # same certified two-phase kernel the r13 row called directly
+        # now lands through ann_search_batch's dense_dtype="auto"
+        # (fresh-sidecar opt-in, plan pinned in-fn, label templates on
+        # the zero-Catalyst fast path); the direct-call row
+        # nsw_dense_int8_topk stays oracle-gated at 51+ (identical
+        # kernel, identical brute oracle)
+        "routed_dense_int8_topk": _q_routed_dense_int8_topk,
         # r9 swap: the streaming-UPSERT twin subsumes the append twin —
         # the upsert writer runs the identical batch-keyed shard + mid-
         # stream compaction machinery PLUS the tombstone ceiling; the
@@ -6063,6 +6214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12 rotation displacement: the walk-kernel batch stays
         # oracle-gated here (its dense twin took the window seat)
         "nsw_hybrid_batch_topk": _q_nsw_hybrid_batch_topk,
+        # r14 rotation displacements: the direct-call certified int8
+        # row (its kernel executes in-window inside
+        # routed_dense_int8_topk's auto-routed dispatch) and the static
+        # four-class prefilter batch (its machinery executes in-window
+        # inside stream_routed_serve's prefilter arm)
+        "nsw_dense_int8_topk": _q_nsw_dense_int8_topk,
+        "hybrid_batch_topk": _q_hybrid_batch_topk,
         # r10 rotation displacements — all remain oracle-gated here
         "nsw_delete_topk": _q_nsw_delete_topk,
         "nsw_pruned_topk": _q_nsw_pruned_topk,
@@ -9047,4 +9205,63 @@ def oracle_sql() -> dict[str, str]:
     # r13: the int8 two-phase rung answers the IDENTICAL batch over the
     # same store — exact by the certified re-rank, same oracle
     out["nsw_dense_int8_topk"] = out["nsw_hybrid_batch_topk"]
+    # r14: the ROUTED int8 dispatch answers the same eight-query batch
+    # shape as the dense serving stream — certified mode is provably
+    # identical to the full-precision kernel, same brute oracle
+    out["routed_dense_int8_topk"] = out["stream_dense_serve"]
+    # r14 (VERDICT r13 ask #3): the int8 RERANK-mode oracle — the
+    # DEQUANTIZED contract, reproduced end-to-end in SQL: max-abs int8
+    # quantization (scale = max|x|/127, x̂ = floor(x/scale + 0.5)·scale
+    # — floor(x/1+0.5)·0 = 0 covers the zero-vector case), the
+    # tie-widened global d̂-cut at rerank_width = 10 (BINDING: 10 > k=8
+    # survivors feed phase 2), exact re-scoring of survivors only.
+    # Query 1 applies the §2.3 label predicate in phase 1 (before the
+    # cut), exactly as the kernel masks do.
+    _i8rr = """
+        deq AS (
+          SELECT vec_id, embedding, label,
+            list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+          FROM embeddings
+        ), xh AS (
+          SELECT vec_id, embedding, label,
+            list_transform(embedding, x ->
+              floor(CAST(x AS DOUBLE) /
+                (CASE WHEN s > 0 THEN s ELSE 1.0 END) + 0.5) * s) AS xhat
+          FROM deq
+        )"""
+    _i8rr_block = """
+        sc{i} AS (
+          SELECT e.vec_id,
+            list_sum(list_transform(list_zip(e.xhat, q.embedding),
+              x -> (x[1] - CAST(x[2] AS DOUBLE))^2)) AS dhat,
+            list_sum(list_transform(list_zip(e.embedding, q.embedding),
+              x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))^2)) AS d2
+          FROM xh e,
+               (SELECT embedding FROM embeddings WHERE vec_id = {i}) q
+          {where}
+        ), r{i} AS (
+          SELECT *, row_number() OVER (ORDER BY dhat, vec_id) AS rn
+          FROM sc{i}
+        ), tau{i} AS (SELECT max(dhat) AS t FROM r{i} WHERE rn <= 10)"""
+    out["nsw_dense_int8_rerank_topk"] = (
+        "WITH "
+        + _i8rr
+        + ","
+        + _i8rr_block.format(i=0, where="")
+        + ","
+        + _i8rr_block.format(
+            i=1, where="WHERE e.label IS NOT NULL AND e.label = 3"
+        )
+        + f"""
+        (SELECT CAST(0 AS BIGINT) AS query_id, sc0.vec_id,
+                ROUND(sc0.d2, {_R}) AS dist
+         FROM sc0, tau0 WHERE sc0.dhat <= tau0.t
+         ORDER BY sc0.d2, sc0.vec_id LIMIT 8)
+        UNION ALL
+        (SELECT CAST(1 AS BIGINT) AS query_id, sc1.vec_id,
+                ROUND(sc1.d2, {_R}) AS dist
+         FROM sc1, tau1 WHERE sc1.dhat <= tau1.t
+         ORDER BY sc1.d2, sc1.vec_id LIMIT 8)"""
+    )
     return out

@@ -3269,6 +3269,24 @@ def nsw_write_int8(spark, path: str, *, id_col: str = "vec_id") -> None:
     _record_store_fp(path, sidecar, fps, version)
 
 
+def nsw_int8_fresh(spark, path: str) -> bool:
+    """True iff an int8 code sidecar exists under ``path`` AND is fresh
+    against the store (the ``nsw_write_int8`` version-token/fingerprint
+    protocol — O(1) when the version token matches). This is the probe
+    behind ``ann_search_batch``'s ``dense_dtype="auto"`` (r14, VERDICT
+    r13 ask #1): building the sidecar is the caller's opt-in signal for
+    the bandwidth-bound rung, and a STALE sidecar resolves to the
+    full-precision kernel instead of erroring — routing must degrade,
+    not refuse (the direct ``nsw_dense_topk_int8`` call keeps its loud
+    staleness refusal)."""
+    import os
+
+    sidecar = _int8_path(path)
+    if "://" in sidecar or not os.path.isdir(sidecar):
+        return False
+    return not _check_stats_fresh(path, sidecar)
+
+
 def nsw_dense_topk_int8(
     spark,
     path: str,

