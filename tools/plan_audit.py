@@ -295,6 +295,21 @@ AUDIT: dict[str, list[str]] = {
         "PushedFilters", "BroadcastHashJoin", "MapInPandas",
         "WindowGroupLimit",
     ],
+    # round 14: rerank mode shares the two-phase shape — the returned
+    # plan is the phase-2 re-rank (pushed candidate In filter,
+    # broadcast candidate frame, narrow MapInPandas, bounded merge);
+    # phase 1's d̂-cut ran eagerly over the sidecar scan
+    "nsw_dense_int8_rerank_topk": [
+        "PushedFilters", "BroadcastHashJoin", "MapInPandas",
+        "WindowGroupLimit",
+    ],
+    # round 14: the ROUTED int8 dispatch (dense_dtype="auto" resolving
+    # int8 off the fresh sidecar) — the same phase-2 contract through
+    # ann_search_batch
+    "routed_dense_int8_topk": [
+        "PushedFilters", "BroadcastHashJoin", "MapInPandas",
+        "WindowGroupLimit",
+    ],
 }
 
 

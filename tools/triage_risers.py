@@ -45,6 +45,12 @@ RISERS = (
 
 def main() -> None:
     label = sys.argv[1] if len(sys.argv) > 1 else "capped"
+    # r14: a 2nd arg overrides the query list (comma-separated) so each
+    # round's movers triage under the same protocol without editing the
+    # tool — e.g. `python tools/triage_risers.py r14-movers a,b,c`
+    global RISERS
+    if len(sys.argv) > 2:
+        RISERS = tuple(sys.argv[2].split(","))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load0 = tuple(round(x, 2) for x in os.getloadavg())
     spark = get_spark("triage-risers")
