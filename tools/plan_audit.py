@@ -357,6 +357,7 @@ def main() -> None:
     _acorn_refshape_section()
     _dense_kernel_section()
     _dense_predicate_cliff_section()
+    _int8_cold_section()
     _r13_riser_triage_section()
     _regression_triage_section()
 
@@ -1613,6 +1614,68 @@ def _dense_predicate_cliff_section() -> None:
         "  is the plan-level one — the template path deletes the\n"
         "  expression machinery the cliff was attributed to, and the\n"
         "  quiet-phase cliff itself is ≤2×.\n"
+    )
+
+
+def _int8_cold_section() -> None:
+    """r14 (VERDICT r13 ask #1): the int8 rung measured at the regime it
+    exists for — page-cache-cold, bytes the constraint — regenerated
+    from BENCH_LADDER.json's dense_int8_cold block
+    (tools/bench_int8_cold.py: drop_caches before EVERY sample,
+    alternating arms, all samples + interleaved floors disclosed)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        lad = json.load(open(os.path.join(root, "BENCH_LADDER.json")))
+    except OSError:
+        return
+    c = lad.get("dense_int8_cold")
+    if not c:
+        return
+    print("\n## The int8 rung at its own regime (cold-cache A/B, r14)\n")
+    cs, ck, wk = c["cold_scan"], c["cold_kernel"], c["warm_kernel"]
+    print(
+        f"Shape {c['n_vectors']:,}×{c['dim']} {c['vector_dtype']}, "
+        f"{c['n_shards']} shards, |Q|={c['batch']}, k={c['k']}; store "
+        f"{c['store_bytes'] / 1e6:.0f} MB vs sidecar "
+        f"{c['sidecar_bytes'] / 1e6:.0f} MB = {c['bytes_ratio']}× the "
+        "bytes. Page cache dropped before every sample "
+        "(tools/bench_int8_cold.py — refuses to run warm); arms "
+        "alternate so host phases shift both; candidate isin pushdown "
+        f"threshold {c['in_filter_threshold']} so phase 2's In filter "
+        "reaches parquet row-group/page stats.\n"
+    )
+    print(
+        f"**The rung's premise holds cold**: streaming the vector "
+        f"column vs the qcode column reads {cs['f32_s']} s vs "
+        f"{cs['int8_s']} s = **{cs['f32_over_int8']}×** (medians; "
+        f"samples f32 {cs['f32_samples_s']} / int8 "
+        f"{cs['int8_samples_s']}, floors {cs['floor_ms']} — a stalled "
+        "sample self-documents via its floor). ≈ the byte ratio minus "
+        "fixed scan overheads.\n"
+    )
+    print(
+        f"**End-to-end rerank kernel cold**: {ck['f32_s']} s f32 vs "
+        f"{ck['int8_s']} s int8 = {ck['f32_over_int8']}× (samples f32 "
+        f"{ck['f32_samples_s']} / int8 {ck['int8_samples_s']}, floors "
+        f"{ck['floor_ms']}) — phase 1 banks the 4× scan cut, then "
+        "phase 2 pays part of it back re-reading CANDIDATE row groups "
+        "of the full-precision store: |Q|·rerank_width ids scatter "
+        "uniformly, so page/row-group skipping recovers only part of "
+        "the corpus. The honest conclusion: the rung's win is the "
+        "PHASE-1 scan (the recurring cost that scales with corpus "
+        "size); the phase-2 payback shrinks as corpus/candidates "
+        "grows (it is O(|Q|·k) rows behind a pushed filter) and on "
+        "clustered/sorted layouts.\n"
+    )
+    print(
+        f"**Warm control (the r13 page-cached regime)**: f32 "
+        f"{wk['f32_s']} s vs int8 {wk['int8_s']} s — f32 keeps winning "
+        "when the store is resident, which is why the routed default "
+        "(`dense_dtype=\"auto\"`) only lands int8 when the caller "
+        "BUILT a sidecar (the opt-in for deployments sized past "
+        "cache), never by silent default on a cache-resident store.\n"
     )
 
 
