@@ -53,6 +53,12 @@ __all__ = [
 
 EOW = "</w>"
 
+# bpe_train's driver-local gate: a state at or under this row count is
+# collected (≈ a few MB) and trained single-process — the hand-off the
+# module docstring documents as standard practice; larger vocabularies
+# take the distributed per-round loop.
+DRIVER_VOCAB_MAX = 1 << 16
+
 
 def bpe_state_write(state: DataFrame, path: str) -> None:
     """Persist a (word, freq, syms) state relation as parquet — either
@@ -155,44 +161,165 @@ def bpe_train(
         if docs is None:
             raise ValueError("bpe_train needs docs or a prebuilt state")
         state = bpe_word_state(docs, text_col=text_col)
-    state = state.persist()
-    state.count()
-    merges: list[tuple[str, str, int]] = []
-    for rnd in range(num_merges):
-        n = F.size("syms")
-        pairs = state.filter(n >= 2).select(
-            "freq",
-            F.explode(
-                F.arrays_zip(
-                    F.slice("syms", 1, n - 1).alias("a"),
-                    F.slice("syms", 2, n - 1).alias("b"),
-                )
-            ).alias("p"),
-        )
-        best = (
-            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0]["cnt"] < min_count:
-            break
-        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
-        merges.append((a, b, cnt))
-        new = state.select(
-            "word", "freq", _apply_merge(F.col("syms"), a, b).alias("syms")
-        )
-        # iterative-plan hygiene: truncate lineage periodically, persist
-        # between truncations (see near_dup_components)
-        if (rnd + 1) % 4 == 0:
-            new = new.localCheckpoint(eager=False)
-        else:
-            new = new.persist()
-        new.count()
+
+    # r14 OPTIMIZATION, part 1 (guide §1.2 step 1 + §5 "the driver should
+    # do almost no data work" — with a BOUND): the docstring above has
+    # always disclosed the hand-off contract — past the one corpus scan,
+    # training runs on the aggregated vocab-scaled (word, freq) state,
+    # and at production round counts a single-machine trainer over that
+    # state is the standard practice. Measured here (profile_query,
+    # sf0.1): the distributed loop's rounds are pure fixed overhead —
+    # the whole state is 31 rows, yet each round paid ~270 ms of job
+    # dispatch + 32-task shuffle + fresh codegen. So when the state is
+    # provably tiny (one cheap count ≤ DRIVER_VOCAB_MAX ≈ 64k rows, a
+    # few MB collected — far under any maxResultSize), run the IDENTICAL
+    # algorithm driver-local: same pair counts, same (count desc, pair
+    # asc) argmax, same greedy leftmost fold, same min_count stop.
+    # Larger vocabularies take the distributed loop below unchanged.
+    # Parity distributed == driver-local is pytest-pinned
+    # (tests/test_bpe.py), and the DuckDB oracle replays every round
+    # either way.
+    state = state.persist()  # gate-count + follow-up read: ONE evaluation
+    n_state = state.count()
+    if n_state <= DRIVER_VOCAB_MAX:
+        rows = state.select("word", "freq", "syms").collect()
         state.unpersist()
-        state = new
-    return merges, state
+        words = [(r["word"], int(r["freq"]), list(r["syms"])) for r in rows]
+        merges: list[tuple[str, str, int]] = []
+        for _rnd in range(num_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for _w, freq, syms in words:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + freq
+            if not counts:
+                break
+            (a, b), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if cnt < min_count:
+                break
+            merges.append((a, b, cnt))
+            merged = a + b
+            for idx, (w, freq, syms) in enumerate(words):
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[idx] = (w, freq, out)
+        spark = state.sparkSession
+        final = spark.createDataFrame(
+            words, "word string, freq long, syms array<string>"
+        )
+        return merges, final
+
+    # r14 OPTIMIZATION, part 2 (guide §1.2 "the distributed algorithm" + §2.4):
+    # the measured cost of a round was almost entirely FIXED overhead —
+    # 56 Spark jobs per training run (profile_query: argmax collect under
+    # AQE = one job per materialized stage, plus an eager `count()`
+    # materialization job per round, plus checkpoint jobs), each paying
+    # the ~20-50 ms dispatch floor, and the nested `F.aggregate` fold
+    # re-allocating an array per symbol (quadratic per word) with a fresh
+    # janino compile per round. Three changes, same merges/state by
+    # construction:
+    # - the round state is the oracle's own string encoding — each
+    #   symbol individually `~`-wrapped, space-separated ("~a~ ~a~ ~</w>~")
+    #   so adjacent pairs never SHARE a boundary char: applying merge
+    #   (a,b) is `replace(s, '~a~ ~b~', '~ab~')` — a linear scan that IS
+    #   the greedy leftmost-non-overlapping fold (the module-header
+    #   equivalence, pinned in pytest), with none of the per-element
+    #   array reallocation or lambda-codegen cost;
+    # - no per-round eager materialization: each round's state is
+    #   persisted LAZILY and materialized by the NEXT round's argmax job
+    #   (the parent is unpersisted only after its child materialized);
+    # - AQE is disabled around the loop (restored in finally): every
+    #   round relation is vocab-scaled by construction, so runtime
+    #   re-planning buys nothing at ANY scale while turning the 1-job
+    #   argmax into 2-3 jobs of stage materialization.
+    # Measured: 3.51 s -> see OPTIMIZATION_r14.md (bpe_merges).
+    spark = state.sparkSession
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    merges: list[tuple[str, str, int]] = []
+    def _unwrap(s_col):
+        # "~a~ ~bc~ ~</w>~" -> [a, bc, </w>] (symbols never contain ~)
+        return F.transform(
+            F.split(s_col, " "),
+            lambda x: F.substring(x, 2, F.length(x) - 2),
+        )
+
+    cur = state.select(
+        "word",
+        "freq",
+        F.array_join(
+            F.transform(
+                "syms", lambda x: F.concat(F.lit("~"), x, F.lit("~"))
+            ),
+            " ",
+        ).alias("s"),
+    ).persist()
+    # `state` was persisted for the gate count; release it once the first
+    # argmax has materialized `cur` (the same parent-after-child protocol
+    # as every later round)
+    prev = state
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for _rnd in range(num_merges):
+            arr = _unwrap(F.col("s"))
+            n = F.size(arr)
+            pairs = cur.filter(n >= 2).select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(arr, 1, n - 1).alias("a"),
+                        F.slice(arr, 2, n - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            best = (
+                pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+                .limit(1)
+                .collect()
+            )
+            # the argmax job materialized `cur`; its parent is now safe
+            # to release
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not best or best[0]["cnt"] < min_count:
+                break
+            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+            merges.append((a, b, cnt))
+            new = cur.select(
+                "word",
+                "freq",
+                F.replace(
+                    F.col("s"), F.lit(f"~{a}~ ~{b}~"), F.lit(f"~{a}{b}~")
+                ).alias("s"),
+            ).persist()
+            prev, cur = cur, new
+        # final state back to the public (word, freq, syms) array schema;
+        # eager so `cur` (and the lazy tail) can be released before return
+        final = cur.select(
+            "word", "freq", _unwrap(F.col("s")).alias("syms")
+        ).persist()
+        final.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        if prev is not None:
+            prev.unpersist()
+    cur.unpersist()
+    return merges, final
 
 
 def bpe_segment(

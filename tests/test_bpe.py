@@ -208,3 +208,26 @@ def test_state_persist_roundtrip(spark, tmp_path):
     )
     mixed = bpe_segment(df2, merges_direct, seg_state=bpe_state_read(spark, sp))
     assert mixed.filter("word = 'unseenword'").count() > 0
+
+
+def test_distributed_loop_matches_driver_local(spark, monkeypatch):
+    """r14: bpe_train gained a size-gated driver-local fast path (the
+    vocab state is tiny, rounds were pure job overhead). The tiny test
+    corpora all take that path, so pin the DISTRIBUTED per-round loop —
+    forced by zeroing the gate — against both the driver-local result
+    and the independent python reference: same merges (incl. the
+    weighted counts), same final segmentation, incl. the overlapping
+    greedy case the string encoding must get right."""
+    from acorn_hybrid_vector_search_spark.operators import bpe as bpemod
+
+    corpus = CORPUS + [(4, "aaaa aaaa aa abab ababab")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    local_merges, local_state = bpe_train(df, 12)
+    monkeypatch.setattr(bpemod, "DRIVER_VOCAB_MAX", 0)
+    dist_merges, dist_state = bpe_train(df, 12)
+    assert dist_merges == local_merges
+    want, want_state = _py_bpe([t for _, t in corpus], 12)
+    assert dist_merges == want
+    dist_segs = {r["word"]: tuple(r["syms"]) for r in dist_state.collect()}
+    local_segs = {r["word"]: tuple(r["syms"]) for r in local_state.collect()}
+    assert dist_segs == local_segs == want_state
