@@ -76,13 +76,43 @@ def benchmark_ngrams(
 # probe rides whole-stage codegen.
 
 
-# single-bit masks as a 64-entry literal array indexed by bit position
-# (shiftleft/shiftright take literal shift amounts in the DataFrame API;
-# bit 63 is the two's-complement minimum long)
-def _bit_masks() -> Column:
-    return F.array(
-        *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(64)]
+# r14 (guide §1.2 step 2 "per-task work", measured): the original probe
+# built a 64-entry literal mask ARRAY per row per hash (CreateArray in
+# codegen — 0.67 s of a 1.0 s screen pass at sf0.1) and paid k
+# concat+xxhash64 evaluations per value. Two equivalent-but-cheaper
+# kernels, applied consistently to build AND probe so the filters stay
+# self-consistent:
+# - the single-bit mask is `shiftleft(1L, p % 64)` — the SQL expression
+#   takes a column shift even though the python `F.shiftleft` wrapper
+#   insists on a literal (hence call_function); bit 63 wraps to the
+#   two's-complement minimum long exactly as the old array entry did;
+# - the k probe positions use Kirsch–Mitzenmacher double hashing:
+#   p_i = (h1 + i·h2) mod m from TWO xxhash64 evaluations instead of k
+#   independent concat+hash chains. Long overflow wraps deterministically
+#   and pmod folds negatives into [0, m). The bloom CONTENT changes
+#   (different bit positions — it is still a standard Bloom filter with
+#   the standard fp bound, re-pinned by the fp-rate test); the operator
+#   OUTPUTS are unchanged because every variant exact-verifies survivors.
+
+
+def _bit_mask(pos: Column) -> Column:
+    """shiftleft(1L, pos % 64) — the single-bit mask for a probe position."""
+    return F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        F.pmod(pos, F.lit(64)).cast("int"),
     )
+
+
+def _probe_positions(value: Column, *, m_bits: int, k: int) -> list[Column]:
+    """The k Bloom probe positions of ``value`` (double hashing; build
+    and probe MUST both come through here so bit layouts agree)."""
+    # both hashes folded into [0, m) BEFORE the i·h2 step: i·h2 then
+    # stays ≤ k·m (no ANSI long overflow) and the combination is the
+    # standard double-hash family over Z_m
+    h1 = F.pmod(F.xxhash64(F.concat(F.lit("bloomA:"), value)), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(F.concat(F.lit("bloomB:"), value)), F.lit(m_bits))
+    return [F.pmod(h1 + F.lit(i).cast("long") * h2, F.lit(m_bits)) for i in range(k)]
 
 
 def _check_m_bits(m_bits: int) -> None:
@@ -128,25 +158,27 @@ def bloom_build(
     """
     _check_m_bits(m_bits)
     m_words = m_bits // 64
-    probes = F.array(
-        *[
-            F.pmod(F.xxhash64(F.concat(F.lit(f"bloom{i}:"), F.col(col))), F.lit(m_bits))
-            for i in range(k)
-        ]
-    )
+    probes = F.array(*_probe_positions(F.col(col), m_bits=m_bits, k=k))
     pos = items.select(F.explode(probes).alias("p"))
     words = (
         pos.select(
             F.floor(F.col("p") / 64).alias("w"),
-            F.get(_bit_masks(), F.pmod("p", F.lit(64)).cast("int")).alias("bit"),
+            _bit_mask(F.col("p")).alias("bit"),
         )
         .groupBy("w")
         .agg(F.bit_or("bit").alias("word"))
     )
+    # Densification note (r14): assembling the dense array inside the
+    # final aggregation via map_from_entries + a sequence transform was
+    # tried and MEASURED SLOWER — Catalyst map lookup is a linear scan,
+    # so the transform is O(m_words × entries) ≈ 16M comparisons per
+    # build. The range spine + broadcast join below densifies map-side
+    # (the sparse words relation is ≤ m_words rows by construction —
+    # pinned broadcast, no exchange of the spine).
     spark = items.sparkSession
     dense = (
         spark.range(m_words)
-        .join(words, F.col("id") == F.col("w"), "left")
+        .join(F.broadcast(words), F.col("id") == F.col("w"), "left")
         .select("id", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
     )
     return dense.agg(
@@ -169,11 +201,9 @@ def bloom_might_contain(
     violation _check_m_bits exists to reject."""
     _check_m_bits(m_bits)
     cond = F.lit(True)
-    for i in range(k):
-        p = F.pmod(F.xxhash64(F.concat(F.lit(f"bloom{i}:"), value)), F.lit(m_bits))
+    for p in _probe_positions(value, m_bits=m_bits, k=k):
         w = F.get(words, F.floor(p / 64).cast("int"))
-        mask = F.get(_bit_masks(), F.pmod(p, F.lit(64)).cast("int"))
-        cond = cond & (w.bitwiseAND(mask) != 0)
+        cond = cond & (w.bitwiseAND(_bit_mask(p)) != 0)
     return cond
 
 
@@ -341,12 +371,7 @@ def bloom_build_sharded(
         raise ValueError("n_shards must be >= 1")
     _check_m_bits(m_bits)
     m_words = m_bits // 64
-    probes = F.array(
-        *[
-            F.pmod(F.xxhash64(F.concat(F.lit(f"bloom{i}:"), F.col(col))), F.lit(m_bits))
-            for i in range(k)
-        ]
-    )
+    probes = F.array(*_probe_positions(F.col(col), m_bits=m_bits, k=k))
     pos = items.select(
         bloom_shard(F.col(col), n_shards).alias("shard"), F.explode(probes).alias("p")
     )
@@ -354,7 +379,7 @@ def bloom_build_sharded(
         pos.select(
             "shard",
             F.floor(F.col("p") / 64).alias("w"),
-            F.get(_bit_masks(), F.pmod("p", F.lit(64)).cast("int")).alias("bit"),
+            _bit_mask(F.col("p")).alias("bit"),
         )
         .groupBy("shard", "w")
         .agg(F.bit_or("bit").alias("word"))
@@ -362,14 +387,17 @@ def bloom_build_sharded(
     spark = items.sparkSession
     # dense (shard, w) grid from ONE range — div/mod instead of a
     # range×range cross join (the plan guard bans nested-loop joins and
-    # a single Range is cheaper anyway)
+    # a single Range is cheaper anyway). The sparse side is ≤
+    # n_shards×m_words rows by construction — pinned broadcast so the
+    # grid densifies map-side (r14; a map_from_entries + sequence
+    # transform alternative measured slower, see bloom_build).
     dense = (
         spark.range(n_shards * m_words)
         .select(
             F.expr(f"CAST(id DIV {m_words} AS INT)").alias("shard"),
             F.expr(f"id % {m_words}").alias("w"),
         )
-        .join(words, ["shard", "w"], "left")
+        .join(F.broadcast(words), ["shard", "w"], "left")
         .select("shard", "w", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
     )
     return dense.groupBy("shard").agg(

@@ -431,8 +431,12 @@ def stream_decontaminate(
     )
 
     spark = doc_stream.sparkSession
+    # r14: bg's checkpoint is lazy — bloom's EAGER checkpoint reads
+    # through it, so ONE materialization job pins both (the gram set
+    # and its bitset), instead of the two back-to-back jobs this paid
+    # before (guide §2.4: fewer jobs per call, identical pinned state).
     bg = benchmark_ngrams(benchmark, n=n, text_col=text_col).localCheckpoint(
-        eager=True
+        eager=False
     )
     bloom = bloom_build(bg, "gram", m_bits=m_bits, k=k).localCheckpoint(eager=True)
     state: dict = {"stats": None}
