@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-__all__ = ["invalidate", "materialize", "probe_memo"]
+__all__ = ["invalidate", "materialize", "probe_memo", "read_parquet"]
 
 # insertion-ordered: index 0 is the LRU victim; entries carry the owning
 # SparkContext's applicationId so a session restart can't serve a frame
@@ -79,6 +79,39 @@ def probe_memo(df: DataFrame, extra_key, compute):
     return val
 
 
+# memoized store READS: spark.read.parquet(path) runs a footer/schema
+# job at call time, so an operator that re-reads a session-static store
+# per invocation (bench loops, notebooks) pays one fixed job per call
+# for a DataFrame whose plan is identical every time (r14 profile: 1-2
+# such jobs per warm build of every *_probe/_capped query). Returning
+# the SAME DataFrame also keeps the semantic-dedup lookups above
+# trivially cheap. Staleness contract as _PINNED: store writers
+# invalidate() (a rewritten path re-reads — the cached plan's file
+# listing would otherwise point at deleted files), dead-session entries
+# evicted on use.
+_READS: list[tuple[str | None, str, DataFrame]] = []
+_READS_MAX = 32
+
+
+def read_parquet(spark, path: str) -> DataFrame:
+    """``spark.read.parquet(path)`` memoized per (session, path)."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = None
+    for i in [i for i, e in enumerate(_READS) if e[0] != app][::-1]:
+        _READS.pop(i)
+    for i, (ra, rp, rdf) in enumerate(_READS):
+        if rp == path:
+            _READS.append(_READS.pop(i))  # LRU refresh
+            return rdf
+    df = spark.read.parquet(path)
+    _READS.append((app, path, df))
+    while len(_READS) > _READS_MAX:
+        _READS.pop(0)
+    return df
+
+
 def invalidate() -> None:
     """Unpersist every pinned relation. Store WRITERS (minhash_write,
     winnow_write, nsw_write/append/compact, …) call this: semantic
@@ -89,6 +122,7 @@ def invalidate() -> None:
     /code-review r7 stale-pin finding; pinned by
     test_materialize_invalidated_on_store_rewrite)."""
     _PROBE.clear()
+    _READS.clear()
     while _PINNED:
         try:
             _PINNED.pop()[2].unpersist()

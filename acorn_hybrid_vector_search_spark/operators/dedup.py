@@ -680,6 +680,8 @@ def minhash_write(
     ingest pays the text scan once; every later batch probes the
     parquet store (``minhash_probe_pairs``) instead of re-shingling
     the corpus."""
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+
     minhash_signatures(
         df,
         text_col=text_col,
@@ -687,11 +689,18 @@ def minhash_write(
         num_hashes=num_hashes,
         shingle_n=shingle_n,
     ).write.mode("overwrite").parquet(path)
+    # a rewrite must not be served stale pins or a stale memoized read
+    # (semantic dedup cannot see file changes — the r7 stale-pin class)
+    invalidate()
 
 
 def minhash_read(spark, path: str) -> DataFrame:
-    """Load a persisted signature store."""
-    return spark.read.parquet(path)
+    """Load a persisted signature store (session-memoized read — the
+    per-call footer/schema job was a fixed cost on every probe;
+    minhash_write's invalidate() keeps rewrites visible)."""
+    from acorn_hybrid_vector_search_spark.operators._cache import read_parquet
+
+    return read_parquet(spark, path)
 
 
 def minhash_probe_pairs(
@@ -1201,8 +1210,11 @@ def winnow_write(
 
 
 def winnow_read(spark, path: str) -> DataFrame:
-    """Load a persisted winnow fingerprint store."""
-    return spark.read.parquet(path)
+    """Load a persisted winnow fingerprint store (session-memoized read;
+    winnow_write's invalidate() keeps rewrites visible)."""
+    from acorn_hybrid_vector_search_spark.operators._cache import read_parquet
+
+    return read_parquet(spark, path)
 
 
 def winnow_probe_pairs(
