@@ -41,9 +41,11 @@ def read_listings(spark: SparkSession, path: str) -> DataFrame:
         del _JSON_SCHEMA_CACHE[stale]
     schema = _JSON_SCHEMA_CACHE.get(key)
     if schema is None:
-        df = spark.read.json(path)
-        _JSON_SCHEMA_CACHE[key] = df.schema
-        return df
+        # infer once, but RETURN the explicit-schema reader in every
+        # call (first included) so repeat plans canonicalize equal —
+        # downstream semantic-dedup pins (build_items' pin_correlated)
+        # would otherwise miss between the first and later calls
+        schema = _JSON_SCHEMA_CACHE[key] = spark.read.json(path).schema
     return spark.read.schema(schema).json(path)
 
 
@@ -204,18 +206,30 @@ def build_items(
     mappings_path: str,
     *,
     order_col: str | None = None,
+    pin_correlated: bool = False,
 ) -> DataFrame:
     """Full metadata ETL: S1 + S2 + J1 + P1 → items-shaped table with a
     dense item_id in (filename, image_id) order — the reference's
     positional-id convention, assigned via the two-stage parallel
     zipWithIndex (``assign_dense_ids``), never a global single-task
-    window."""
+    window.
+
+    ``pin_correlated`` (r14): session-pin the correlated relation via
+    ``operators._cache.materialize``. The dense-id assignment consumes
+    it TWICE per call — once for the group-count offsets collect, once
+    in the returned plan — so without the pin the whole
+    scan+join+window pipeline executes twice per invocation (the same
+    two-consumer shape the dedup signature tables pin)."""
     listings = read_listings(spark, listings_path)
     mappings = read_mappings(spark, mappings_path)
     for attr in QUERY_ATTRS:
         if attr not in listings.columns:
             listings = listings.withColumn(attr, F.lit(None))
     corr = correlate_listings(mappings, listings, order_col=order_col)
+    if pin_correlated:
+        from acorn_hybrid_vector_search_spark.operators._cache import materialize
+
+        corr = materialize(corr)
     return assign_dense_ids(corr, ("filename", "image_id")).select(
         "item_id", "filename", *QUERY_ATTRS
     )
