@@ -738,6 +738,18 @@ def _nsw_nodes(
 # replace_deleted; FAISS remove_ids is the same rebuild-shaped cost).
 
 
+def _read_store(spark, path: str):
+    """Session-memoized parquet read for SEARCH-path store/sidecar scans
+    (r14, guide §2.4): re-reading a session-static store per call paid a
+    footer/schema job every time. Writers keep plain reads and all of
+    them call ``_cache.invalidate()`` after mutating a store, which
+    clears this memo too — the same staleness contract the stats memos
+    carry via their fingerprints."""
+    from acorn_hybrid_vector_search_spark.operators._cache import read_parquet
+
+    return read_parquet(spark, path)
+
+
 def _tombstones_path(path: str) -> str:
     # "_"-prefixed so Hadoop's hidden-file filter keeps the sidecar out
     # of every spark.read.parquet(path) over the store itself
@@ -834,7 +846,7 @@ def _read_tombstones(spark, path: str, id_col: str) -> "DataFrame | None":
     if "://" not in tpath and not os.path.exists(tpath):
         return None
     try:
-        return spark.read.parquet(tpath)
+        return _read_store(spark, tpath)
     except AnalysisException as e:
         # ONLY the two legitimate no-sidecar shapes may read as "no
         # deletions": the remote path not existing, and a sidecar dir
@@ -2437,7 +2449,7 @@ def nsw_read_topk(
                 raise ValueError(
                     f"prune_conj for ids not in the batch: {unknown}"
                 )
-    stored = spark.read.parquet(path)
+    stored = _read_store(spark, path)
     tomb = _read_tombstones(spark, path, id_col)
     allowed: dict[int, np.ndarray] | None = None
     if prune:
@@ -3104,7 +3116,7 @@ def nsw_dense_topk(
     if query_block < 1:
         raise ValueError(f"query_block must be >= 1, got {query_block}")
 
-    stored = spark.read.parquet(path)
+    stored = _read_store(spark, path)
     if missing := [
         a for a in mask_plan.match_attrs if a not in stored.columns
     ]:
@@ -3404,7 +3416,7 @@ def nsw_dense_topk_int8(
             "(searching stale codes would break the exactness bound)"
         )
 
-    codes = spark.read.parquet(sidecar)
+    codes = _read_store(spark, sidecar)
     tomb = _read_tombstones(spark, path, id_col)
     if tomb is not None:
         codes = _apply_tombstones(codes, tomb, id_col)
@@ -3553,18 +3565,19 @@ def nsw_dense_topk_int8(
         # a corpus-sized driver collect with the actionable fix instead
         # of OOMing the driver
         surv_bound = 64 * k_emit * len(qids)
-        n_surv = surv.count()  # cheap: cand is persisted
-        if n_surv > surv_bound:
+        # ONE bounded candidate load (O(|Q|·k) by the bound/width); the
+        # limit enforces the guard inside the same job a separate
+        # count() used to pay for (r14) — limit(bound+1) stops the scan
+        # at the first over-bound row, so the driver never holds more
+        # than bound+1 rows either way
+        surv_rows = surv.limit(surv_bound + 1).collect()
+        if len(surv_rows) > surv_bound:
             raise ValueError(
-                f"certified candidate set has {n_surv} rows (> "
-                f"{surv_bound}) — the triangle bound degrades with "
-                "dimension (see the mode docstring); use mode='rerank' "
-                "for high-dimensional stores"
+                f"certified candidate set exceeds {surv_bound} rows — "
+                "the triangle bound degrades with dimension (see the "
+                "mode docstring); use mode='rerank' for "
+                "high-dimensional stores"
             )
-        # ONE bounded candidate load (O(|Q|·k) by the bound/width);
-        # re-materializing the pairs as a literal frame keeps phase 1
-        # a single scan for the re-rank join
-        surv_rows = surv.collect()
     finally:
         cand.unpersist()
     cand_ids = sorted({int(r[id_col]) for r in surv_rows})
@@ -3576,7 +3589,7 @@ def nsw_dense_topk_int8(
     # self-review): an upsert history leaves tombstoned OLD copies of
     # a candidate id in earlier shards — joining on the id alone would
     # re-score (and possibly return) the deleted vector
-    full = spark.read.parquet(path)
+    full = _read_store(spark, path)
     if tomb is not None:
         full = _apply_tombstones(full, tomb, id_col).where(
             ~F.col("_deleted")
