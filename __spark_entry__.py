@@ -743,6 +743,9 @@ def _q_simhash_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(d, max_hamming=3, bucket_cap=8, cap_stats=True)
 
 
+_NDC_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER COLLAPSE: MinHash pair detection → connected
     components (min-label propagation) → (doc_id, component) for the
@@ -752,7 +755,18 @@ def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from acorn_hybrid_vector_search_spark.operators.dedup import near_dup_components
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dups(d, num_hashes=16, bands=8, verify_threshold=0.5)
+    # the pair-detection PLAN is a pure DataFrame memoized per session
+    # (r14 — ~1 s of py4j expression construction per call otherwise);
+    # the connected-components computation itself (counts, edge collect
+    # or propagation rounds) still runs on every call
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k for k in _NDC_PAIRS_CACHE if k[0] != key[0]]:
+        del _NDC_PAIRS_CACHE[stale]
+    pairs = _NDC_PAIRS_CACHE.get(key)
+    if pairs is None:
+        pairs = _NDC_PAIRS_CACHE[key] = minhash_near_dups(
+            d, num_hashes=16, bands=8, verify_threshold=0.5
+        )
     return near_dup_components(d, pairs)
 
 

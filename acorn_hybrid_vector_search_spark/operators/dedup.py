@@ -212,6 +212,11 @@ def _cap_bucket_members(
 
 _GRID_G = 8
 
+# near_dup_components' driver-local gate: an edge list AND id set at or
+# under this row count run exact union-find in-process (the bpe_train
+# hand-off pattern); larger graphs take the distributed O(log d) loop.
+DRIVER_CC_MAX = 1 << 16
+
 
 def _grid_side(
     df: DataFrame,
@@ -540,7 +545,52 @@ def near_dup_components(
         "component", F.col("id")
     )
     labels = labels.persist()
-    labels.count()
+    n_ids = labels.count()
+
+    # r14 driver-local gate (guide §1.2 step 1 + the bpe_train hand-off
+    # pattern): when BOTH relations are provably tiny (the edge list is
+    # already pinned; two cheap counts), run union-find in-process —
+    # identical semantics by construction (component = the smallest df
+    # id transitively reachable; phantom endpoints relay closure but
+    # never contribute a label, exactly like the propagated rows
+    # below). The distributed O(log d) loop below is unchanged for
+    # real-scale graphs. Pinned equal by pytest
+    # (test_components_driver_equals_distributed). ``shortcut=False``
+    # opts OUT (callers pinning plain-propagation semantics — its
+    # round-budget RuntimeError contract — get exactly that).
+    if (
+        shortcut
+        and n_ids <= DRIVER_CC_MAX
+        and edges.count() <= DRIVER_CC_MAX
+    ):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        ids = [r["id"] for r in labels.collect()]
+        labels.unpersist()
+        for e in edges.collect():
+            ra, rb = find(e["src"]), find(e["dst"])
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for i in ids:
+            r = find(i)
+            if r not in comp_min or i < comp_min[r]:
+                comp_min[r] = i
+        spark = df.sparkSession
+        out_rows = [(i, comp_min[find(i)]) for i in ids]
+        id_type = df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            out_rows, f"{id_col} {id_type}, component {id_type}"
+        )
+
     changed = 0
     phantom_seen = False
     for _round in range(max_iter):

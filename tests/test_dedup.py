@@ -654,3 +654,45 @@ def test_cap_probe_memo_invalidated_on_store_rewrite(spark, tmp_path):
     ).write.mode("overwrite").parquet(path)
     _cache.invalidate()
     assert _cap_binds(spark.read.parquet(path), ["b"], 3) is True
+
+
+def test_components_driver_equals_distributed(spark, monkeypatch):
+    """r14: near_dup_components gained a size-gated driver-local
+    union-find (tiny graphs were paying per-round job overhead). Force
+    the distributed loop by zeroing the gate and pin it equal to the
+    driver path on a graph with chains, singletons, and a phantom
+    endpoint (an edge id absent from df)."""
+    from acorn_hybrid_vector_search_spark.operators import dedup as dmod
+    from acorn_hybrid_vector_search_spark.operators.dedup import (
+        near_dup_components,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(12)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [
+            (11, 3),   # chain tail
+            (3, 7),
+            (5, 2),
+            (2, 0),
+            (99, 8),   # phantom endpoint 99 bridges 8 and 9
+            (9, 99),
+        ],
+        "id_a long, id_b long",
+    )
+    local = {
+        (r["doc_id"], r["component"])
+        for r in near_dup_components(df, pairs).collect()
+    }
+    monkeypatch.setattr(dmod, "DRIVER_CC_MAX", 0)
+    dist = {
+        (r["doc_id"], r["component"])
+        for r in near_dup_components(df, pairs).collect()
+    }
+    assert local == dist
+    comp = dict(local)
+    assert comp[11] == comp[3] == comp[7] == 3
+    assert comp[5] == comp[2] == comp[0] == 0
+    assert comp[8] == comp[9] == 8  # closure THROUGH the phantom
+    assert comp[1] == 1 and comp[10] == 10  # singletons
