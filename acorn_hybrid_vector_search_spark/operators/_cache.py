@@ -37,7 +37,12 @@ __all__ = ["invalidate", "materialize", "probe_memo", "read_parquet"]
 # bound to the dead session (r8 ADVICE: the prepared-query cache got this
 # hardening in r7; the materialize LRU matched the bug class but not the fix)
 _PINNED: list[tuple[str | None, int, DataFrame]] = []
-_PINNED_MAX = 8
+# r14: 8 → 16 — the pin population grew (items_etl's correlated relation
+# joined the dedup signature/cap tables), and at 8 a full battery pass
+# LRU-evicted pins that later repeats of the same queries re-computed.
+# Entries are MEMORY_AND_DISK and row-scaled; eviction still only costs
+# recompute, never correctness.
+_PINNED_MAX = 16
 
 
 def _app_id(df: DataFrame) -> str | None:
