@@ -97,6 +97,21 @@ def probe_memo(df: DataFrame, extra_key, compute):
 _READS: list[tuple[str | None, str, DataFrame]] = []
 _READS_MAX = 32
 
+# external plan caches that must share the staleness contract: a store
+# rewrite invalidates not just memoized reads but any PREPARED plan that
+# may embed a store's file listing (r15, ADVICE r14: _PREPARED_WIDE
+# includes store-probing queries, so a mid-session rewrite would leave a
+# prepared DataFrame holding the pre-rewrite listing — the same stale-pin
+# class the r7 fix covered for dead sessions). Registrants supply a
+# zero-arg clearer (e.g. dict.clear).
+_EXTERNAL_CLEARERS: list = []
+
+
+def register_clearer(fn) -> None:
+    """Register a zero-arg callable to be invoked by ``invalidate()``."""
+    if fn not in _EXTERNAL_CLEARERS:
+        _EXTERNAL_CLEARERS.append(fn)
+
 
 def read_parquet(spark, path: str) -> DataFrame:
     """``spark.read.parquet(path)`` memoized per (session, path)."""
@@ -128,6 +143,8 @@ def invalidate() -> None:
     test_materialize_invalidated_on_store_rewrite)."""
     _PROBE.clear()
     _READS.clear()
+    for fn in _EXTERNAL_CLEARERS:
+        fn()
     while _PINNED:
         try:
             _PINNED.pop()[2].unpersist()

@@ -246,6 +246,14 @@ def bpe_train(
     #   re-planning buys nothing at ANY scale while turning the 1-job
     #   argmax into 2-3 jobs of stage materialization.
     # Measured: 3.51 s -> see OPTIMIZATION_r14.md (bpe_merges).
+    #
+    # THREAD-SAFETY CAVEAT (r15, ADVICE r14): the AQE flip below mutates
+    # SESSION-GLOBAL conf for the duration of the distributed training
+    # loop — a concurrent query submitted on the SAME SparkSession from
+    # another driver thread would plan without AQE while training runs.
+    # Restored in `finally`, so sequential use (the bench, notebooks) is
+    # unaffected; callers sharing a session across threads should train
+    # on a cloned session (spark.newSession()) whose conf is private.
     spark = state.sparkSession
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     merges: list[tuple[str, str, int]] = []

@@ -109,9 +109,16 @@ def _probe_positions(value: Column, *, m_bits: int, k: int) -> list[Column]:
     and probe MUST both come through here so bit layouts agree)."""
     # both hashes folded into [0, m) BEFORE the i·h2 step: i·h2 then
     # stays ≤ k·m (no ANSI long overflow) and the combination is the
-    # standard double-hash family over Z_m
+    # standard double-hash family over Z_m. h2 uses the standard KM fix
+    # h2 = 1 + (hash mod (m-1)) ∈ [1, m-1] (r15, ADVICE r14): h2 == 0
+    # would collapse all k probes onto h1, silently degrading that key
+    # to an effective k=1 filter (outputs stay exact either way — every
+    # variant verify-joins survivors — but the fp bound the comment
+    # above cites assumes independent probes).
     h1 = F.pmod(F.xxhash64(F.concat(F.lit("bloomA:"), value)), F.lit(m_bits))
-    h2 = F.pmod(F.xxhash64(F.concat(F.lit("bloomB:"), value)), F.lit(m_bits))
+    h2 = F.lit(1) + F.pmod(
+        F.xxhash64(F.concat(F.lit("bloomB:"), value)), F.lit(m_bits - 1)
+    )
     return [F.pmod(h1 + F.lit(i).cast("long") * h2, F.lit(m_bits)) for i in range(k)]
 
 

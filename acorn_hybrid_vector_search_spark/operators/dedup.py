@@ -576,6 +576,12 @@ def near_dup_components(
         ids = [r["id"] for r in labels.collect()]
         labels.unpersist()
         for e in edges.collect():
+            # parity with the distributed loop (r15, ADVICE r14): a NULL
+            # endpoint never equi-joins a label there, so the edge is
+            # inert — treating None as a real node here would merge
+            # components the distributed path keeps separate
+            if e["src"] is None or e["dst"] is None:
+                continue
             ra, rb = find(e["src"]), find(e["dst"])
             if ra != rb:
                 parent[ra] = rb

@@ -3279,6 +3279,12 @@ def nsw_write_int8(spark, path: str, *, id_col: str = "vec_id") -> None:
         .parquet(sidecar)
     )
     _record_store_fp(path, sidecar, fps, version)
+    # sidecar writers follow the store-writer contract: session-memoized
+    # reads (_read_store/read_parquet) would otherwise keep serving a
+    # DataFrame whose file listing points at the pre-overwrite files
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+
+    invalidate()
 
 
 def nsw_int8_fresh(spark, path: str) -> bool:
