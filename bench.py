@@ -28,6 +28,20 @@ like-for-like comparison. Set ``SPARK_GRAFT_CACHE_INPUTS=0`` to time
 cold parquet scans instead (the number that predicts 100 TB, where
 inputs are never resident).
 
+r15 (VERDICT r14 item 1 — de-game the graded timing): every query ALSO
+reports ``first_exec_sec``, a single UNCACHED execution taken before
+the hot protocol: all session caches are reset (``_PREPARED`` prepared
+plans, ``_cache`` pins/read-memos/probe-memos, the hot base-table
+cache) and input caching is disabled for that one run, so the probe
+pays plan construction + a full computation from the parquet inputs —
+the number a first-time execution pays, with no cache serving any part
+of it. The caches are reset AGAIN after the probe so the hot runs
+rebuild over hot inputs rather than reusing the cold-built plan. The
+full per-query map rides in BENCH.json (``first_exec_sec``); stdout
+adds only the scalar ``value_first_exec`` (sum). The hot medians in
+``queries`` keep their exact r2+ semantics — nothing existing is
+renamed or removed.
+
 Driver-parseability contract (r2: the line was interleaved with console
 progress; r3: the line itself outgrew the driver's ~2.1 KB stdout tail
 buffer, so its head was cut — ``parsed: null`` twice):
@@ -127,6 +141,18 @@ def _memory_mb(spark) -> dict[str, float | None]:
 
 from tools._bench_common import job_floor_ms as _job_floor_ms  # noqa: E402
 
+from acorn_hybrid_vector_search_spark.operators import _cache  # noqa: E402
+from acorn_hybrid_vector_search_spark.sources import testdata  # noqa: E402
+
+
+def _reset_session_caches() -> None:
+    """Reset every cross-call cache so the next execution computes from
+    the parquet inputs: prepared plans (wired into invalidate via
+    register_clearer), materialize pins, read/probe memos, and the hot
+    base-table cache."""
+    _cache.invalidate()  # also clears entrymod._PREPARED (registered clearer)
+    testdata.clear_hot_cache()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -145,7 +171,28 @@ def main() -> None:
 
     qfns = entrymod.queries()
     timings: dict[str, float] = {}
+    first_exec: dict[str, float] = {}
+    cache_env_prev = os.environ.get("SPARK_GRAFT_CACHE_INPUTS")
     for name, fn in qfns.items():
+        # UNCACHED first-execution probe (r15, VERDICT r14 item 1): all
+        # session caches reset, input caching off — this one run pays
+        # plan construction plus a full computation from parquet.
+        _reset_session_caches()
+        os.environ["SPARK_GRAFT_CACHE_INPUTS"] = "0"
+        try:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            first_exec[name] = round(time.perf_counter() - t0, 3)
+        finally:
+            if cache_env_prev is None:
+                os.environ.pop("SPARK_GRAFT_CACHE_INPUTS", None)
+            else:
+                os.environ["SPARK_GRAFT_CACHE_INPUTS"] = cache_env_prev
+        # drop the cold-built plans/pins so the hot protocol below
+        # rebuilds over hot inputs (a prepared plan built during the
+        # probe would otherwise keep scanning bare parquet)
+        _reset_session_caches()
+
         fn(spark, sf_dir).collect()  # warm-up (also validates)
         samples = []
         for _ in range(RUNS):
@@ -186,6 +233,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # the uncached column (full map; stdout carries only the sum)
+        "first_exec_sec": first_exec,
+        "value_first_exec": round(sum(first_exec.values()), 3),
         "sf": sf,
         "mode": mode,
         "memory_mb": _memory_mb(spark),
@@ -219,8 +269,10 @@ def main() -> None:
     summary = dict(payload)
     summary["queries"] = {q: timings[q] for q in HEADLINE if q in timings}
     # the full 5-sample/2-floor ingredients stay in the on-disk artifact;
-    # stdout keeps the four signed ratios (the <1 KB contract)
+    # stdout keeps the four signed ratios (the <1 KB contract); the
+    # per-query uncached map likewise stays on disk (sum in the line)
     del summary["headline_isolated"]
+    del summary["first_exec_sec"]
     summary["n_queries"] = len(timings)
     summary["detail"] = out_name
     short = json.dumps(summary, separators=(",", ":"))
