@@ -1182,6 +1182,51 @@ def _q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SEQ = iter(range(10**6))
 
 
+def _stream_state_parts(spark: SparkSession, sf_dir: str, *tables: str) -> int:
+    """Scale-adaptive state partitioning for the stateful streaming
+    queries (guide §2: derive partitioning from input size, never a
+    constant tuned to one host). State stores are per shuffle partition
+    (a stream-stream join materializes FOUR per partition), and every
+    instance pays fixed per-micro-batch cost — delta-file create +
+    fsync + commit — regardless of rows held, so over-partitioning a
+    small stream multiplies pure overhead (r15 measurement: the
+    attribution join spent ~2.9 s/batch of summed commit time across
+    4×8 = 32 instances holding 40k rows total). One partition per 32 MB
+    of source input, floored at 1 and capped at the cluster's default
+    parallelism, keeps instances row-loaded at ANY scale: a 100 TB
+    source saturates the cap while a 17 MB test SF gets the handful it
+    can actually fill. ``SPARK_GRAFT_STREAM_PARTS`` overrides for
+    deployments that size state partitioning to key throughput
+    directly (the partition count is pinned into the checkpoint at
+    first run, so a real deployment chooses it per stream)."""
+    import os as _os
+
+    env = _os.environ.get("SPARK_GRAFT_STREAM_PARTS")
+    if env:
+        return max(1, int(env))
+    total = 0
+    for t in tables:
+        p = _os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            if _os.path.isdir(p):
+                for root, _dirs, files in _os.walk(p):
+                    total += sum(
+                        _os.path.getsize(_os.path.join(root, f)) for f in files
+                    )
+            else:
+                total += _os.path.getsize(p)
+        except OSError:
+            pass
+    per_part = 32 << 20
+    return max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-total // per_part),  # ceil
+        ),
+    )
+
+
 def _q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming THROUGH the driver oracle: the same hourly
     rollup computed as a real stream — file source over the events
@@ -1213,10 +1258,13 @@ def _q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     name = f"stream_hourly_rollup_{next(_STREAM_SEQ)}"
     # state stores are per shuffle partition — size state partitioning
-    # to the aggregation's group cardinality for this run (same
-    # reasoning as stream_attribution_join)
+    # to the source volume (r15: scale-adaptive, see _stream_state_parts;
+    # was a constant 8, i.e. 8 store instances holding 3.6k rows total)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_stream_state_parts(spark, sf_dir, "events")),
+    )
     try:
         q = (
             hourly_rollup(stream)
@@ -1278,11 +1326,14 @@ def _q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_attribution_{next(_STREAM_SEQ)}"
     # a stream-stream join materializes FOUR state stores per shuffle
     # partition, fixed cost per micro-batch regardless of data; size the
-    # state partitioning to the join's key throughput (the partition
-    # count is pinned into the checkpoint at first run — a real
-    # deployment chooses it per stream, not per cluster default)
+    # state partitioning to the source volume (r15: scale-adaptive, see
+    # _stream_state_parts; was a constant 8 = 32 store instances paying
+    # ~2.9 s of summed commit time per batch for 40k state rows)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_stream_state_parts(spark, sf_dir, "events")),
+    )
     try:
         q = (
             joined.writeStream.format("memory")

@@ -439,7 +439,15 @@ def stream_decontaminate(
         eager=False
     )
     bloom = bloom_build(bg, "gram", m_bits=m_bits, k=k).localCheckpoint(eager=True)
-    state: dict = {"stats": None}
+    # stats are APPEND-ONLY across batches, so each batch checkpoints
+    # only ITS OWN rows and the union is assembled lazily at read time
+    # (r15, guide §1.2 step 1): the previous shape re-unioned and
+    # re-materialized the full accumulated relation every batch —
+    # O(B²) state copies over B micro-batches, a genuine scale-killer
+    # on an unbounded stream. scd2_stream_apply keeps the re-merge
+    # because each SCD-2 batch genuinely reads the prior history; these
+    # rows never do.
+    state: dict = {"batches": []}
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -465,9 +473,7 @@ def stream_decontaminate(
             batch_df, hits, n=n, min_overlap=min_overlap,
             id_col=id_col, text_col=text_col,
         )
-        prev = state["stats"]
-        merged = stats if prev is None else prev.unionByName(stats)
-        state["stats"] = merged.localCheckpoint(eager=True)
+        state["batches"].append(stats.localCheckpoint(eager=True))
 
     q = (
         doc_stream.writeStream.foreachBatch(apply_batch)
@@ -476,7 +482,12 @@ def stream_decontaminate(
     )
 
     def current() -> DataFrame:
-        got = state["stats"]
+        batches = state["batches"]
+        got = None
+        if batches:
+            got = batches[0]
+            for b in batches[1:]:
+                got = got.unionByName(b)
         if got is None:
             # zero-batch case: derive the schema by running the SAME
             # stats projection over an empty batch — never a hardcoded
