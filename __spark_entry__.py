@@ -5625,6 +5625,21 @@ def _ivf_batch_index(spark: SparkSession, sf_dir: str):
             corpus, n_clusters=8, with_radii=True,
             stats_attrs=["label", "tag"], numeric_stats_attrs=["weight"],
         )
+        # r15 (measured, guide §5): index.df is the BUILD artifact —
+        # ivf_build returns it as a bare plan, so phase 1 AND phase 2 of
+        # every search re-ran the cluster-assignment UDF over the whole
+        # corpus (two ~300-400 ms ArrowEvalPython scan jobs per call at
+        # sf0.1). Materializing it at build is the in-session equivalent
+        # of ivf_write's partitionBy('cluster_id') store — the
+        # build-once/search-many contract every persisted ANN rung
+        # already has; the bench's first_exec_sec column reports the
+        # uncached cost honestly.
+        from acorn_hybrid_vector_search_spark.operators._cache import (
+            materialize,
+        )
+        from dataclasses import replace as _dc_replace
+
+        idx = _dc_replace(idx, df=materialize(idx.df))
         by_id = {
             r["vec_id"]: list(r["embedding"])
             for r in corpus.filter(

@@ -3553,6 +3553,14 @@ def nsw_dense_topk_int8(
     # scan inside one action — halving the bandwidth win the sidecar
     # exists for (r13b self-review)
     cand = cand.persist()
+    # r15 (measured): materialize the persist EAGERLY — AQE submits the
+    # stage-materialization jobs of tau's shuffle and the join's probe
+    # side concurrently, and both raced the LAZY cache fill, so the
+    # phase-1 scan+gemm ran twice per call anyway (two ~550 ms jobs in
+    # the job trace). One count serializes the fill; every dependent
+    # job then reads the cache (guide §5: persist is only worth it when
+    # the reuse actually hits).
+    cand.count()
     try:
         tau = (
             cand.withColumn("_rn", F.row_number().over(w))
