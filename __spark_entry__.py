@@ -2367,8 +2367,12 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie-break (count desc, pair asc)."""
     merges = _bpe_trained(spark, sf_dir, force=True)
     rows = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)]
+    # one slice for the O(rounds)-row merge table (r15, guide §6): the
+    # default defaultParallelism slices made the orderBy a 2-job
+    # 32-task range sort of 10 rows (~0.5 s of pure task dispatch)
     return spark.createDataFrame(
-        rows, "rank int, left string, right string, cnt long"
+        spark.sparkContext.parallelize(rows, 1),
+        "rank int, left string, right string, cnt long",
     ).orderBy("rank")
 
 

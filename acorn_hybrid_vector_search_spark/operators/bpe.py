@@ -71,11 +71,20 @@ def bpe_state_write(state: DataFrame, path: str) -> None:
     corpus-scaled scan is paid at build time; every later session
     reads the vocab-scaled parquet."""
     state.write.mode("overwrite").parquet(path)
+    # store-writer contract (r15): reads are session-memoized below, so
+    # an overwrite must invalidate or a later read serves a file listing
+    # pointing at the deleted pre-overwrite files
+    from acorn_hybrid_vector_search_spark.operators._cache import invalidate
+
+    invalidate()
 
 
 def bpe_state_read(spark: SparkSession, path: str) -> DataFrame:
-    """Load a persisted (word, freq, syms) state relation."""
-    return spark.read.parquet(path)
+    """Load a persisted (word, freq, syms) state relation (read memoized
+    per session — r15; ``bpe_state_write`` invalidates)."""
+    from acorn_hybrid_vector_search_spark.operators._cache import read_parquet
+
+    return read_parquet(spark, path)
 
 
 def bpe_word_state(
@@ -217,8 +226,20 @@ def bpe_train(
                         i += 1
                 words[idx] = (w, freq, out)
         spark = state.sparkSession
+        # size the local relation to its rows (r15, guide §6): a plain
+        # createDataFrame defaults to defaultParallelism slices, so the
+        # ≤64k-row state wrote 32 near-empty task files per train
+        # (measured 490 ms of the 1.5 s bpe_merges call) and every
+        # downstream scan scheduled 32 tasks for a handful of rows.
+        # One slice per 64k rows keeps a gate-sized state in one file;
+        # the distributed branch below is untouched. (Measured: an
+        # after-the-fact coalesce(1) on the 32-slice local relation
+        # writes in ~4.4 s on this host — parallelize with the right
+        # slice count from the start is ~0.3 s.)
+        n_slices = max(1, -(-len(words) // 65536))
         final = spark.createDataFrame(
-            words, "word string, freq long, syms array<string>"
+            spark.sparkContext.parallelize(words, n_slices),
+            "word string, freq long, syms array<string>",
         )
         return merges, final
 
