@@ -3147,7 +3147,6 @@ def _q_items_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{ABO_FIXTURE}/listings/listings_*.json",
         f"{ABO_FIXTURE}/mappings/map*.csv",
         order_col="item_id",
-        pin_correlated=True,
     )
     return items.select(
         "item_id",

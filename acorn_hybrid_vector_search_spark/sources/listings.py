@@ -151,7 +151,6 @@ def assign_dense_ids(
     id_col: str = "item_id",
     group_expr: Column | None = None,
     prefix_len: int = 2,
-    probe_df: DataFrame | None = None,
 ) -> DataFrame:
     """Dense 0..N−1 ids in ``order_cols`` order WITHOUT a global
     unpartitioned window (which funnels the whole table through one task —
@@ -175,22 +174,13 @@ def assign_dense_ids(
     across jobs) makes the two stages consistent by construction.
     Parallelism = number of distinct groups — pass ``group_expr`` when the
     default prefix is too coarse (or not order-aligned, e.g. numeric keys).
-
-    ``probe_df`` (r15): an optional semantically-identical twin of ``df``
-    (e.g. a session-pinned materialization) used ONLY for the group-count
-    offsets collect — a build-time job deriving plan parameters. The
-    RETURNED plan always embeds ``df`` itself, so executing it recomputes
-    the full input lineage: a cached twin can accelerate the build probe
-    but never serves result rows (VERDICT r14 item 1: the cross-call pin
-    must not serve timed runs).
     """
     key0 = F.col(order_cols[0])
     grp = group_expr if group_expr is not None else F.substring(key0, 1, prefix_len)
     d = df.withColumn("_grp", grp)
-    src = (probe_df if probe_df is not None else df).withColumn("_grp", grp)
     counts = {
         r["_grp"]: r["cnt"]
-        for r in src.groupBy("_grp").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        for r in d.groupBy("_grp").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     offsets: dict[str, int] = {}
     acc = 0
@@ -224,27 +214,22 @@ def build_items(
     zipWithIndex (``assign_dense_ids``), never a global single-task
     window.
 
-    ``pin_correlated`` (r14, narrowed r15): session-pin the correlated
-    relation via ``operators._cache.materialize`` and feed the PIN to
-    the dense-id GROUP-COUNT PROBE only — the build-time job whose
-    result (per-group start offsets) is baked into the plan as
-    literals, i.e. a plan parameter. The RETURNED plan embeds the raw
-    (unpinned) relation, so every execution recomputes the full
-    scan+join+window lineage from the source files: the pin
-    accelerates repeat BUILDS in one session, never result rows
-    (VERDICT r14 item 1 — a cross-call cached intermediate must not
-    serve timed runs)."""
+    ``pin_correlated`` is retired (r15, VERDICT r14 item 1 — accepted
+    for compatibility, ignored): the r14 session pin existed because
+    the dense-id assignment consumed the correlated relation twice per
+    call, but Spark's CacheManager substitutes a persisted plan into
+    ANY later plan embedding the same fragment, so the pin also served
+    the returned plan's executions — a cross-call cached intermediate
+    answering timed runs. With no pin, the build-time group-count
+    probe (whose offsets are plan parameters) computes the relation
+    once per BUILD, and every execution of the returned plan recomputes
+    the full scan+join+window lineage from the source files."""
     listings = read_listings(spark, listings_path)
     mappings = read_mappings(spark, mappings_path)
     for attr in QUERY_ATTRS:
         if attr not in listings.columns:
             listings = listings.withColumn(attr, F.lit(None))
     corr = correlate_listings(mappings, listings, order_col=order_col)
-    probe = None
-    if pin_correlated:
-        from acorn_hybrid_vector_search_spark.operators._cache import materialize
-
-        probe = materialize(corr)
-    return assign_dense_ids(
-        corr, ("filename", "image_id"), probe_df=probe
-    ).select("item_id", "filename", *QUERY_ATTRS)
+    return assign_dense_ids(corr, ("filename", "image_id")).select(
+        "item_id", "filename", *QUERY_ATTRS
+    )
