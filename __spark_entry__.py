@@ -5891,7 +5891,26 @@ def _q_ivf_pruned_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collect. Data-derived PHASE-1 results (centroids, quantile cut points,
 # two-phase d_k collects) are NOT parameters — queries computing those
 # stay unprepared.
+#
+# r15 widening (VERDICT r14 ask #7, same empirical rule): the routed /
+# zone-map / persisted-NSW serving rows now qualify — their build-time
+# probes (zone-map sidecars, store fingerprints, query vectors) were
+# all memoized as plan parameters by r14's read/probe memos, so the
+# audited warm rebuild runs ZERO jobs (tools/build_vs_exec.py r15 run:
+# routed_batch_dispatch 0.449 s build/0 jobs, routed_pruned_* 0.20-0.28,
+# nsw_* store rows 0.04-0.15 — ~2.6 s of pure py4j construction per
+# battery pass). Their search work (3-6 collect jobs) runs per
+# execution as before. Store-write staleness is covered: every store
+# writer's _cache.invalidate() now also clears _PREPARED (r15).
 _PREPARED_WIDE = frozenset({
+    "acorn_gamma_topk", "nsw_compact_topk", "nsw_delete_topk",
+    "nsw_dense_batch_topk", "nsw_f32_topk", "nsw_hybrid_batch_topk",
+    "nsw_hybrid_topk", "nsw_incremental_topk", "nsw_persisted_topk",
+    "nsw_pruned_batch_topk", "nsw_pruned_hybrid_topk",
+    "nsw_pruned_range_topk", "nsw_pruned_topk", "nsw_recluster_topk",
+    "nsw_upsert_topk", "routed_batch_dispatch_topk",
+    "routed_pruned_conj_topk", "routed_pruned_match_topk",
+    "routed_pruned_range_topk", "routed_pruned_substr_conj_topk",
     "agg_lineitem_pricing", "ann_ivf_topk", "antijoin_customers",
     "approx_distinct_users", "asof_latest_order", "asof_next_order",
     "audio_etl", "bigram_lm_quality", "bm25_topk_docs",
